@@ -1,0 +1,171 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of each shape):
+- exact: one hash-shuffle on a 128-bit digest — the minimum possible.
+- shingle join (Jaccard / MinHash): NEVER cross-join documents; explode
+  to (shingle, doc) pairs and self-join on the shingle/signature so the
+  shuffle key is content, candidate pairs ~ actual near-dups, not n².
+- every hash is the md5-derived h48/h16 so the DuckDB oracle reproduces
+  results bit-for-bit (see functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_binlog_spark.functions.hashing import h16
+
+N_MINHASH = 8  # seeds 0..7; each seed is a 1-row LSH band
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (deduplicated).
+
+    transform over sequence keeps this a single codegen'd projection.
+    """
+    w = F.split(text, " ")
+    # guard: F.sequence(1, 0) would produce a DESCENDING [1, 0] — emit an
+    # empty shingle set for docs shorter than n words instead.
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content digest, keep the smallest doc_id."""
+    return (
+        df.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded pairs — the base relation for
+    Jaccard and MinHash. Column-pruned scan: only doc_id + text read."""
+    return df.select(
+        F.col("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, seed, minhash) — min over shingles of h48(shingle#seed).
+
+    The seed dimension is exploded from a literal array, so the plan is
+    scan -> generate -> partial min -> final min: ONE shuffle keyed on
+    (doc_id, seed).
+    """
+    sh = doc_shingles(df, text_col)
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("seed")
+    pairs = sh.select("doc_id", "shingle", seeds)
+    # seeded hash: h48(shingle + '#' + seed)
+    mh = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("seed").cast("string"))), 1, 12),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("mh")
+    )
+    return (
+        pairs.select("doc_id", "seed", mh)
+        .groupBy("doc_id", "seed")
+        .agg(F.min("mh").alias("minhash"))
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, text_col: str = "text", min_agree: int = 4, n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on >= min_agree of n_hashes bands.
+
+    Self-join keyed on (seed, minhash): only docs sharing a band bucket
+    ever meet — the shuffle volume is O(near-dup pairs), not O(n²).
+    est_jaccard4 = floor(10000 * agree / n_hashes).
+    """
+    sig = minhash_signatures(df, text_col, n_hashes)
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_agree"))
+        .filter(F.col("n_agree") >= min_agree)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            F.floor(F.col("n_agree").cast("double") / F.lit(float(n_hashes)) * 10000)
+            .cast("long")
+            .alias("est_jaccard4"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", min_jaccard4: int = 2000) -> DataFrame:
+    """Exact n-gram Jaccard on shingle-join candidates.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|); pairs that share no
+    shingle never materialize.  Reported as floor(j * 10000).
+    """
+    sh = doc_shingles(df, text_col).dropDuplicates(["doc_id", "shingle"])
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    j4 = F.floor(
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+        * 10000
+    ).cast("long")
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", "n_common", j4.alias("jaccard4"))
+        .filter(F.col("jaccard4") >= min_jaccard4)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Per-document SimHash over word h16 hashes (bit-majority vote).
+
+    Plan: explode words × bit positions (literal array), sum the ±1
+    votes per (doc, bit), then fold bits back into one integer — two
+    narrow shuffles on small keys, no UDFs.
+    """
+    w = df.select(F.col("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    hashed = w.select("doc_id", h16(F.col("word")).alias("h"))
+    bit_arr = F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("bit")
+    # shiftright with a *column* shift amount needs the SQL form
+    votes = hashed.select("doc_id", "h", bit_arr).select(
+        "doc_id",
+        "bit",
+        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END").alias("vote"),
+    )
+    bit_sums = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
+    return (
+        bit_sums.select(
+            "doc_id",
+            F.expr("CASE WHEN s > 0 THEN CAST(shiftleft(1, bit) AS BIGINT) ELSE CAST(0 AS BIGINT) END").alias("bitval"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash16"))
+    )

@@ -1,0 +1,140 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Cross-engine exactness trick: embeddings are QUANTIZED to integers
+(``floor(x * 10^6)`` per component) before any arithmetic.  Integer dot
+products are exact and order-independent, so Spark and the DuckDB oracle
+agree bit-for-bit; the final cosine is a single double division + sqrt
+of exact integers (IEEE-deterministic).  64 dims × (3·10^5)² per term
+stays far inside signed-64 range.
+
+Scale design:
+- brute-force top-k: broadcast the (tiny) query set, one pass over the
+  corpus, per-query top-k via window — the baseline and the recall oracle.
+- LSH-bucketed: 4 sign-bits of the first 4 components form 16 buckets;
+  queries only meet candidates in their own bucket, cutting the compared
+  pairs ~16× — the shape of the 100 TB path (swap in more planes /
+  IVF centroids without changing the plan).
+All arithmetic is built-in expressions (zip_with / aggregate) — JVM-side,
+no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000
+
+
+def quantized(col: Column) -> Column:
+    """array<long> = floor(component * 10^6); float→double cast is lossless."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def cosine4(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    """floor(10000 * dot / sqrt(na*nb)) over exact ints → deterministic."""
+    return F.floor(
+        dot.cast("double") / F.sqrt(norm_a.cast("double") * norm_b.cast("double")) * 10000
+    ).cast("long")
+
+
+def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    q = quantized(F.col(vec_col))
+    return df.select(
+        F.col("vec_id"), q.alias("q"), int_dot(q, q).alias("norm")
+    )
+
+
+def sign_bucket(qcol: Column, planes: int = 4) -> Column:
+    """LSH bucket id: sign bits of the first ``planes`` quantized dims."""
+    b = F.lit(0)
+    for i in range(planes):
+        b = b + F.when(F.element_at(qcol, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def brute_force_topk(
+    df: DataFrame, n_queries: int = 5, k: int = 10, vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k of each of the first ``n_queries`` vectors.
+
+    Output: query_id, vec_id, rank, cosine4.  Broadcast the query side;
+    the corpus is scanned once with no shuffle before the top-k window
+    (which partitions by query_id — n_queries partitions of k rows).
+    """
+    from pyspark.sql import Window
+
+    base = with_quantized(df, vec_col)
+    queries = F.broadcast(
+        base.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("norm").alias("qnorm"))
+    )
+    scored = queries.join(base.filter(F.col("vec_id") >= n_queries), how="cross").select(
+        "query_id",
+        "vec_id",
+        cosine4(int_dot(F.col("qq"), F.col("q")), F.col("qnorm"), F.col("norm")).alias("cosine4"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine4").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine4")
+    )
+
+
+def lsh_topk(
+    df: DataFrame, n_queries: int = 5, k: int = 3, planes: int = 4, vec_col: str = "embedding"
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket."""
+    from pyspark.sql import Window
+
+    base = with_quantized(df, vec_col).withColumn("bucket", sign_bucket(F.col("q"), planes))
+    queries = F.broadcast(
+        base.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("norm").alias("qnorm"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    scored = queries.join(
+        base.filter(F.col("vec_id") >= n_queries), F.col("qbucket") == F.col("bucket")
+    ).select(
+        "query_id",
+        "vec_id",
+        cosine4(int_dot(F.col("qq"), F.col("q")), F.col("qnorm"), F.col("norm")).alias("cosine4"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine4").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine4")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, min_cosine4: int = 8000, planes: int = 4, vec_col: str = "embedding"
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold), bucket-prefiltered.
+
+    Same-bucket self-join: shuffle key is the bucket id, so compared
+    pairs shrink ~2^planes× vs the full cross join (recall trade-off is
+    explicit and tunable, the standard LSH contract).
+    """
+    base = with_quantized(df, vec_col).withColumn("bucket", sign_bucket(F.col("q"), planes))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine4(
+                int_dot(F.col("a.q"), F.col("b.q")), F.col("a.norm"), F.col("b.norm")
+            ).alias("cosine4"),
+        )
+        .filter(F.col("cosine4") >= min_cosine4)
+    )

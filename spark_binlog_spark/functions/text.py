@@ -1,0 +1,120 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All built-in expressions (split / transform / filter / aggregate) — no
+Python UDFs, so the whole pipeline stays in whole-stage codegen and
+scales linearly with input splits; there is no shuffle in any of these
+per-document computations.
+
+Cross-engine float rule: every ratio is reported as
+``floor(ratio * 10000)`` (a bigint) — floor of identically-computed
+IEEE doubles is deterministic across Spark and DuckDB, unlike
+round-half behaviors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+# tiny per-language marker lexicons for the n-gram/marker language-ID
+# heuristic; deterministic, not a real model.
+LANG_MARKERS = {
+    "en": ("the", "a", "and"),
+    "es": ("el", "la", "los"),
+    "fr": ("le", "les", "des"),
+    "de": ("der", "die", "das"),
+    "zh": ("de", "le", "shi"),
+}
+
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"  # BPE-ish word/number/punct split
+
+
+def words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def ratio4(num: Column, den: Column) -> Column:
+    """floor(10000 * num/den) as bigint; 0 when den = 0."""
+    return F.when(den == 0, F.lit(0)).otherwise(
+        F.floor(num.cast("double") / den.cast("double") * 10000)
+    ).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scores: length, word stats, stopword ratio.
+
+    Used as a filter stage in training-data pipelines (keep docs within
+    length bounds, stopword ratio in a natural-language band, etc.).
+    """
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    n_chars = F.length(t)
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    alpha_chars = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    return df.select(
+        F.col("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        ratio4(stop_hits, n_words).alias("stopword_ratio4"),
+        ratio4(n_chars - alpha_chars, n_chars).alias("non_alpha_ratio4"),
+        ratio4(n_chars, n_words).alias("chars_per_word4"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + regex (BPE-ish) token count."""
+    t = F.col(text_col)
+    return df.select(
+        F.col("doc_id"),
+        F.size(F.split(t, "\\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_REGEX), 0)).cast("long").alias("re_tokens"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker hits.
+
+    Deterministic tiebreak: languages evaluated in fixed order, first
+    max wins, 'und' when all scores are zero.
+    """
+    w = words(F.col(text_col))
+
+    def marker_counter(markers: tuple[str, ...]):
+        # single-arg lambda: pyspark inspects the signature, so extra
+        # default args would be bound to lambda variables
+        return lambda x: x.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(w, marker_counter(markers))).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    scored = df.select(F.col("doc_id"), *scores.values())
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # reversed so earlier langs win ties
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        *[F.col(f"score_{lang}").cast("long").alias(f"score_{lang}") for lang in langs],
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text + 48-bit int form.
+
+    Normalization = lowercase + collapse whitespace (rolling-hash-class
+    dedup key; exact-dup detection at scale joins on fp48, verifying on
+    fp_md5 to make collisions irrelevant).
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    fp_md5 = F.md5(norm)
+    return df.select(
+        F.col("doc_id"),
+        fp_md5.alias("fp_md5"),
+        F.conv(F.substring(fp_md5, 1, 12), 16, 10).cast("long").alias("fp48"),
+    )

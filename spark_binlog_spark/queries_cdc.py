@@ -1,0 +1,537 @@
+"""CDC operator queries (SURVEY.md §2.A/§2.B) with DuckDB oracle SQL.
+
+Every function q_*(spark, sf_dir) -> DataFrame has a matching ORACLE[name]
+ANSI-SQL string producing the same rows (same column names — the
+correctness gate sorts columns by name and hash-compares values).
+
+All queries derive the change stream via the shared contract in
+``spark_binlog_spark.cdc`` (events table -> changes relation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_binlog_spark import POW13
+from spark_binlog_spark.cdc import CHANGES_SQL, changes_df, load_table
+from spark_binlog_spark.envelope import encode_envelope, envelope_schema
+from spark_binlog_spark.operators import (
+    cdc_apply,
+    cell_run_rollup,
+    event_type_filter,
+    latest_image,
+    max_offset_per_key,
+    monotonic_dedup,
+    offset_range,
+    table_pattern_filter,
+)
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+ORACLE: dict[str, str] = {}
+
+
+def _pin(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------- S4 bootstrap
+def q_bootstrap_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — batch bootstrap full-sync: snapshot scan + range repartition
+    (README.md:128-153; repartitionByRange as in BinlogSuite.scala:96-102).
+    Content is partitioning-invariant, which is exactly what the oracle
+    checks."""
+    _pin(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.repartitionByRange(8, F.col("c_custkey"))
+
+
+ORACLE["q_bootstrap_snapshot"] = "SELECT * FROM customer"
+
+
+# ---------------------------------------------------------------- F1
+def q_table_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — databaseNamePattern/tableNamePattern regex gate
+    (BinLogSocketServerInExecutor.scala:219-237,277-281)."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    out = table_pattern_filter(ch, "^db_1$", "^t_(1|3)$")
+    return out.select("cdc_offset", "database_name", "table_name")
+
+
+ORACLE["q_table_filter"] = f"""
+WITH changes AS ({CHANGES_SQL})
+SELECT cdc_offset, database_name, table_name
+FROM changes
+WHERE regexp_matches(database_name, '^db_1$') AND regexp_matches(table_name, '^t_(1|3)$')
+"""
+
+
+# ---------------------------------------------------------------- F2
+def q_event_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — keep only a subset of write kinds
+    (BinLogSocketServerInExecutor.scala:239-257)."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    return event_type_filter(ch, ops=("insert", "delete")).select("cdc_offset", "pk", "op")
+
+
+ORACLE["q_event_type_filter"] = f"""
+WITH changes AS ({CHANGES_SQL})
+SELECT cdc_offset, pk, op FROM changes WHERE op IN ('insert', 'delete')
+"""
+
+
+# ---------------------------------------------------------------- P1
+def q_project_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — row decode + projection: JSON payload field extraction plus the
+    reference's type-decode corners (MySQLCDCUtils.java:28-84): BIT(1)->bool,
+    BIT(n)->long, tinyint(1)->int, charset decode, TZ-pinned time format."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    return ch.select(
+        F.col("cdc_offset"),
+        F.col("pk"),
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        ((F.col("pk") % 2) == 1).alias("bit1"),  # BIT(1) -> BooleanType
+        (F.col("pk") % 256).cast("long").alias("bitn"),  # BIT(n) -> LongType
+        (F.col("pk") % 128).cast("int").alias("tiny"),  # tinyint(1) -> IntegerType
+        F.upper(F.col("op")).alias("decoded_op"),  # charset-decode stand-in
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+ORACLE["q_project_decode"] = f"""
+WITH changes AS ({CHANGES_SQL})
+SELECT cdc_offset, pk,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       (pk % 2) = 1 AS bit1,
+       CAST(pk % 256 AS BIGINT) AS bitn,
+       CAST(pk % 128 AS INTEGER) AS tiny,
+       upper(op) AS decoded_op,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM changes
+"""
+
+
+# ---------------------------------------------------------------- P2
+def q_update_after_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — UPDATE events emit after-images only
+    (UpdateRowsWriter.java:45-62, esp. :54-57)."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    return ch.filter(F.col("op") == "update").select(
+        F.col("cdc_offset"),
+        F.col("pk"),
+        F.col("value").alias("after_value"),
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("after_k"),
+    )
+
+
+ORACLE["q_update_after_image"] = f"""
+WITH changes AS ({CHANGES_SQL})
+SELECT cdc_offset, pk, value AS after_value,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS after_k
+FROM changes WHERE op = 'update'
+"""
+
+
+# ---------------------------------------------------------------- P3
+def q_flatten_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — one event with N rows -> N records (InsertRowsWriter.java:32-39):
+    explode a per-event rows index (1 + event_id % 3 rows)."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    return ch.select(
+        F.col("cdc_offset"),
+        F.col("pk"),
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("cdc_offset") % 3)).alias("row_idx"),
+    ).select(
+        "cdc_offset",
+        "row_idx",
+        (F.col("pk") + F.col("row_idx")).alias("row_pk"),
+    )
+
+
+ORACLE["q_flatten_rows"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+exploded AS (
+  SELECT cdc_offset, pk, unnest(range(0, cdc_offset % 3 + 1)) AS row_idx FROM changes
+)
+SELECT cdc_offset, row_idx, pk + row_idx AS row_pk FROM exploded
+"""
+
+
+# ---------------------------------------------------------------- P4 + D1
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 -> D1 — encode the envelope with to_json
+    (AbstractEventWriter.java:16-56), parse it back with from_json, project
+    the payload.  The oracle computes the fields directly: the roundtrip
+    must be the identity."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    row_schema = StructType(
+        [StructField("pk", LongType()), StructField("value", DoubleType())]
+    )
+    enveloped = ch.select(
+        F.col("cdc_offset"),
+        encode_envelope(
+            op=F.col("op"),
+            timestamp_ms=F.col("cdc_offset"),
+            database_name=F.col("database_name"),
+            table_name=F.col("table_name"),
+            rows=F.array(F.struct(F.col("pk").alias("pk"), F.col("value").alias("value"))),
+        ).alias("value"),
+    )
+    env = F.from_json(F.col("value"), envelope_schema(row_schema))
+    return enveloped.select(
+        F.col("cdc_offset"),
+        env["type"].alias("r_op"),
+        env["timestamp"].alias("r_ts"),
+        env["databaseName"].alias("r_db"),
+        env["tableName"].alias("r_table"),
+        env["rows"][0]["pk"].alias("r_pk"),
+        env["rows"][0]["value"].alias("r_value"),
+    )
+
+
+ORACLE["q_json_roundtrip"] = f"""
+WITH changes AS ({CHANGES_SQL})
+SELECT cdc_offset, op AS r_op, cdc_offset AS r_ts, database_name AS r_db,
+       table_name AS r_table, pk AS r_pk, value AS r_value
+FROM changes
+"""
+
+
+# ---------------------------------------------------------------- O1
+def q_offset_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — BinlogOffset packing: offset = fileId*10^13 + pos, filename
+    '<prefix>.%06d', and the decode inverse (protocols.scala:6-26)."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    df = ch.select(
+        F.col("cdc_offset"),
+        (F.expr("cdc_offset div 1000") + 1).alias("file_id"),
+        ((F.col("cdc_offset") % 1000) * 4 + 4).alias("pos"),
+    )
+    df = df.withColumn("packed_offset", F.col("file_id") * F.lit(POW13) + F.col("pos"))
+    return df.select(
+        "cdc_offset",
+        "file_id",
+        "pos",
+        "packed_offset",
+        F.format_string("mysql-bin.%06d", F.col("file_id")).alias("file_name"),
+        F.expr(f"packed_offset div {POW13}").alias("rt_file_id"),
+        (F.col("packed_offset") % POW13).alias("rt_pos"),
+    )
+
+
+ORACLE["q_offset_encode"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+enc AS (
+  SELECT cdc_offset, cdc_offset // 1000 + 1 AS file_id, (cdc_offset % 1000) * 4 + 4 AS pos
+  FROM changes
+)
+SELECT cdc_offset, file_id, pos,
+       file_id * {POW13} + pos AS packed_offset,
+       'mysql-bin.' || lpad(CAST(file_id AS VARCHAR), 6, '0') AS file_name,
+       (file_id * {POW13} + pos) // {POW13} AS rt_file_id,
+       (file_id * {POW13} + pos) % {POW13} AS rt_pos
+FROM enc
+"""
+
+
+# ---------------------------------------------------------------- O2
+def q_latest_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — latest-offset probe: current (file, nextPos) as a composite
+    offset (BinLogSocketServerInExecutor.scala:413-427; auto-discovery
+    MLSQLBinLogDataSource.scala:76-98)."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    agg = ch.agg(F.max("cdc_offset").alias("latest_offset"))
+    return agg.select(
+        "latest_offset",
+        (F.expr("latest_offset div 1000") + 1).alias("file_id"),
+        ((F.col("latest_offset") % 1000) * 4 + 8).alias("next_pos"),
+    ).withColumn(
+        "packed_next", F.col("file_id") * F.lit(POW13) + F.col("next_pos")
+    )
+
+
+ORACLE["q_latest_offset"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+m AS (SELECT max(cdc_offset) AS latest_offset FROM changes)
+SELECT latest_offset,
+       latest_offset // 1000 + 1 AS file_id,
+       (latest_offset % 1000) * 4 + 8 AS next_pos,
+       (latest_offset // 1000 + 1) * {POW13} + ((latest_offset % 1000) * 4 + 8) AS packed_next
+FROM m
+"""
+
+
+# ---------------------------------------------------------------- O3
+def q_offset_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 — the micro-batch contract: half-open [start, end) offset scan
+    (BinLogSocketServerInExecutor.scala:436-447).  Literal bounds push
+    down to the parquet scan."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    return offset_range(ch, 2500, 7500).select("cdc_offset", "pk", "op")
+
+
+ORACLE["q_offset_range"] = f"""
+WITH changes AS ({CHANGES_SQL})
+SELECT cdc_offset, pk, op FROM changes WHERE cdc_offset >= 2500 AND cdc_offset < 7500
+"""
+
+
+# ---------------------------------------------------------------- O4
+def q_partition_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — per-partition offset ranges from (from, until) maps; new
+    partitions start at -1 (MLSQLHBaseWALDataSource.scala:220-241).
+    Region key = 'r_' || pk % 8 (HBase region stand-in)."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir).withColumn(
+        "region", F.concat(F.lit("r_"), (F.col("pk") % 8).cast("string"))
+    )
+    half = ch.agg(F.floor(F.max("cdc_offset") / 2).cast("long").alias("half"))
+    from_map = (
+        ch.crossJoin(F.broadcast(half))
+        .filter(F.col("cdc_offset") < F.col("half"))
+        .groupBy("region")
+        .agg(F.max("cdc_offset").alias("offset"))
+    )
+    until_map = ch.groupBy("region").agg((F.max("cdc_offset") + 1).alias("offset"))
+    from spark_binlog_spark.operators import partition_ranges
+
+    return partition_ranges(from_map, until_map, partition_col="region")
+
+
+ORACLE["q_partition_ranges"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+regioned AS (SELECT *, 'r_' || CAST(pk % 8 AS VARCHAR) AS region FROM changes),
+half AS (SELECT CAST(floor(max(cdc_offset) / 2) AS BIGINT) AS half FROM regioned),
+fmap AS (SELECT region, max(cdc_offset) AS from_offset FROM regioned, half
+         WHERE cdc_offset < half GROUP BY region),
+umap AS (SELECT region, max(cdc_offset) + 1 AS until_offset FROM regioned GROUP BY region)
+SELECT coalesce(f.region, u.region) AS region,
+       coalesce(f.from_offset, -1) AS from_offset,
+       u.until_offset AS until_offset
+FROM fmap f FULL OUTER JOIN umap u ON f.region = u.region
+"""
+
+
+# ---------------------------------------------------------------- O5
+def q_max_offset_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 — committedOffsets recovery: max offset per key
+    (OriginalSourceServerInExecutor.scala:56-79)."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    return max_offset_per_key(ch, "pk")
+
+
+ORACLE["q_max_offset_per_key"] = f"""
+WITH changes AS ({CHANGES_SQL})
+SELECT pk, max(cdc_offset) AS max_offset FROM changes GROUP BY pk
+"""
+
+
+# ---------------------------------------------------------------- O6
+def q_monotonic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 — at-least-once replay -> effectively-once: the even-offset half
+    of the stream is replayed (doubled) and deduped on (key, offset)
+    (OriginalSourceServerInExecutor.scala:164-171)."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir).select("pk", "cdc_offset", "op")
+    replayed = ch.unionByName(ch.filter(F.col("cdc_offset") % 2 == 0))
+    return monotonic_dedup(replayed, "pk")
+
+
+ORACLE["q_monotonic_dedup"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+replayed AS (
+  SELECT pk, cdc_offset, op FROM changes
+  UNION ALL
+  SELECT pk, cdc_offset, op FROM changes WHERE cdc_offset % 2 = 0
+)
+SELECT DISTINCT pk, cdc_offset, op FROM replayed
+"""
+
+
+# ---------------------------------------------------------------- P5
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — HBase adjacent cell-run grouping (HBaseWALClient.scala:157-203):
+    consecutive same-(rowkey, op) events fold into one row event."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    return cell_run_rollup(ch.select("cdc_offset", "pk", "op"))
+
+
+ORACLE["q_cell_rollup"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+flagged AS (
+  SELECT cdc_offset, pk, op,
+         CASE WHEN lag(pk) OVER w IS NULL
+                   OR lag(pk) OVER w != pk
+                   OR lag(op) OVER w != op THEN 1 ELSE 0 END AS brk
+  FROM changes
+  WINDOW w AS (ORDER BY cdc_offset)
+),
+runs AS (
+  SELECT *, CAST(sum(brk) OVER (ORDER BY cdc_offset
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+  FROM flagged
+)
+SELECT run_id, min(pk) AS rowkey, min(op) AS op, count(*) AS n_cells,
+       min(cdc_offset) AS from_offset, max(cdc_offset) AS to_offset
+FROM runs GROUP BY run_id
+"""
+
+
+# ---------------------------------------------------------------- D1
+def q_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — parse the JSON payload column into typed fields with from_json
+    (what every consumer does first, BinlogSuite.scala:208-216)."""
+    _pin(spark)
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return ev.select(
+        F.col("event_id").alias("cdc_offset"),
+        parsed["k"].alias("k"),
+        F.col("props").isNotNull().alias("has_payload"),
+    )
+
+
+ORACLE["q_envelope_parse"] = """
+SELECT event_id AS cdc_offset,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       props IS NOT NULL AS has_payload
+FROM events
+"""
+
+
+# ---------------------------------------------------------------- D2
+def q_route_by_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — multi-table routing: one stream fans out to per-table sinks
+    'mysql_{db}.{table}' (README.md:62-67,90-91)."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    return ch.groupBy("database_name", "table_name").agg(F.count("*").alias("n_rows")).select(
+        "database_name",
+        "table_name",
+        F.concat(F.lit("mysql_"), F.col("database_name"), F.lit("."), F.col("table_name")).alias(
+            "sink_table"
+        ),
+        "n_rows",
+    )
+
+
+ORACLE["q_route_by_table"] = f"""
+WITH changes AS ({CHANGES_SQL})
+SELECT database_name, table_name,
+       'mysql_' || database_name || '.' || table_name AS sink_table,
+       count(*) AS n_rows
+FROM changes GROUP BY database_name, table_name
+"""
+
+
+# ---------------------------------------------------------------- D3
+def q_latest_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — latest change per primary key by offset order (the idCols
+    upsert precondition, README.md:64,93)."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    li = latest_image(ch, ["pk"])
+    return li.select(
+        "pk",
+        F.col("cdc_offset").alias("last_offset"),
+        F.col("op").alias("last_op"),
+        F.col("value").alias("last_value"),
+    )
+
+
+ORACLE["q_latest_image"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+ranked AS (
+  SELECT pk, cdc_offset, op, value,
+         row_number() OVER (PARTITION BY pk ORDER BY cdc_offset DESC) AS rn
+  FROM changes
+)
+SELECT pk, cdc_offset AS last_offset, op AS last_op, value AS last_value
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------- D4
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 — apply the change stream onto the customer snapshot: latest
+    image per key, deletes drop the row, upserts overwrite c_acctbal
+    (delta-plus contract, README.md:45,88-99)."""
+    _pin(spark)
+    base = load_table(spark, sf_dir, "customer")
+    ch = changes_df(spark, sf_dir)
+    return cdc_apply(base, ch, key_col="c_custkey", set_cols={"c_acctbal": "value"})
+
+
+ORACLE["q_cdc_apply"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY cdc_offset DESC) AS rn FROM changes
+),
+latest AS (SELECT * FROM ranked WHERE rn = 1),
+untouched AS (
+  SELECT cu.* FROM customer cu
+  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.pk = cu.c_custkey)
+),
+upserts AS (
+  SELECT l.pk AS c_custkey, b.c_name, b.c_nationkey, l.value AS c_acctbal, b.c_mktsegment
+  FROM latest l LEFT JOIN customer b ON b.c_custkey = l.pk
+  WHERE l.op != 'delete'
+)
+SELECT * FROM untouched UNION ALL SELECT * FROM upserts
+"""
+
+
+# ---------------------------------------------------------------- D5
+def q_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 — per (db, table, op) monitoring counts (numInputRows-style,
+    README.md:256-300) + an exact decimal total."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    return ch.groupBy("database_name", "table_name", "op").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+    )
+
+
+ORACLE["q_change_counts"] = f"""
+WITH changes AS ({CHANGES_SQL})
+SELECT database_name, table_name, op, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+FROM changes GROUP BY database_name, table_name, op
+"""
+
+
+# ---------------------------------------------------------------- D6
+def q_snapshot_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 — snapshot + incremental union with schema alignment
+    (README.md:106-126): unionByName of the bootstrap snapshot and the
+    stream projected to a common schema."""
+    _pin(spark)
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pk"),
+        F.lit("snapshot").alias("src"),
+        F.col("c_acctbal").alias("value"),
+    )
+    ch = changes_df(spark, sf_dir).select(
+        F.col("pk"), F.lit("stream").alias("src"), F.col("value")
+    )
+    return base.unionByName(ch)
+
+
+ORACLE["q_snapshot_union"] = f"""
+WITH changes AS ({CHANGES_SQL})
+SELECT c_custkey AS pk, 'snapshot' AS src, c_acctbal AS value FROM customer
+UNION ALL
+SELECT pk, 'stream' AS src, value FROM changes
+"""

@@ -1,0 +1,366 @@
+"""Training-data-pipeline extension queries + DuckDB oracles.
+
+Dedup / similarity / text-analysis / multimodal over the ``documents``
+and ``embeddings`` tables.  Cross-engine determinism rules (see
+functions/hashing.py and functions/similarity.py): all hashes are
+md5-derived integers, all float ratios are reported as floor(x*10000),
+and embedding math runs on integer-quantized vectors so Spark and
+DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_binlog_spark.cdc import load_table
+from spark_binlog_spark.functions import dedup, multimodal, similarity, text
+
+ORACLE: dict[str, str] = {}
+
+# DuckDB fragments shared across oracles ------------------------------------
+_SHINGLES_SQL = """
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(ws) >= 3
+                THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      for i in generate_series(1, len(ws) - 2)]
+                ELSE [] END)) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+"""
+
+_QUANT_SQL = """
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+"""
+
+_NORM_SQL = """
+  SELECT vec_id, q,
+         CAST(list_sum([q[i] * q[i] for i in generate_series(1, len(q))]) AS BIGINT) AS norm
+  FROM quant
+"""
+
+
+# ---------------------------------------------------------------- dedup: exact
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on the md5 digest, keep min doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+ORACLE["q_dedup_exact"] = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------- dedup: minhash sigs
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: min over shingles of h48(shingle#seed), 8 seeds."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs)
+
+
+ORACLE["q_minhash_signatures"] = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+seeded AS (
+  SELECT doc_id, s.seed,
+         CAST('0x' || substr(md5(shingle || '#' || CAST(s.seed AS VARCHAR)), 1, 12) AS BIGINT) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+)
+SELECT doc_id, CAST(seed AS INTEGER) AS seed, min(mh) AS minhash
+FROM seeded GROUP BY doc_id, seed
+"""
+
+
+# ---------------------------------------------------------------- dedup: minhash LSH pairs
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: self-join on (seed, minhash) buckets,
+    keep pairs agreeing on >= 2 of 8 bands."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_candidate_pairs(docs, min_agree=2)
+
+
+ORACLE["q_dedup_minhash"] = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+seeded AS (
+  SELECT doc_id, s.seed,
+         CAST('0x' || substr(md5(shingle || '#' || CAST(s.seed AS VARCHAR)), 1, 12) AS BIGINT) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+),
+sig AS (SELECT doc_id, seed, min(mh) AS minhash FROM seeded GROUP BY doc_id, seed),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_agree
+  FROM sig a JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_agree,
+       CAST(floor(CAST(n_agree AS DOUBLE) / 8.0 * 10000) AS BIGINT) AS est_jaccard4
+FROM pairs WHERE n_agree >= 2
+"""
+
+
+# ---------------------------------------------------------------- dedup: exact jaccard
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard on join-generated candidates (no cross join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, min_jaccard4=500)
+
+
+ORACLE["q_ngram_jaccard"] = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(floor(CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) * 10000) AS BIGINT) AS jaccard4
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(floor(CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) * 10000) AS BIGINT) >= 500
+"""
+
+
+# ---------------------------------------------------------------- dedup: simhash
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (bit-majority of word hashes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+ORACLE["q_dedup_simhash"] = """
+WITH wordexp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+hashed AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 4) AS BIGINT) AS h FROM wordexp),
+votes AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
+),
+sums AS (SELECT doc_id, bit, CAST(sum(vote) AS BIGINT) AS s FROM votes GROUP BY doc_id, bit)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash16
+FROM sums GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- similarity
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the first 5 vectors (exact baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, n_queries=5, k=10)
+
+
+ORACLE["q_similarity_topk"] = f"""
+WITH quant AS ({_QUANT_SQL}),
+base AS ({_NORM_SQL}),
+scored AS (
+  SELECT qs.vec_id AS query_id, b.vec_id,
+         CAST(floor(
+           CAST(CAST(list_sum([qs.q[i] * b.q[i] for i in generate_series(1, len(qs.q))]) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(qs.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) * 10000) AS BIGINT) AS cosine4
+  FROM base qs CROSS JOIN base b
+  WHERE qs.vec_id < 5 AND b.vec_id >= 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine4 DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, cosine4 FROM ranked WHERE rnk <= 10
+"""
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-3 (sign bits of first 4 dims = 16 buckets)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, n_queries=5, k=3, planes=4)
+
+
+ORACLE["q_similarity_lsh"] = f"""
+WITH quant AS ({_QUANT_SQL}),
+base0 AS ({_NORM_SQL}),
+base AS (
+  SELECT *, (CASE WHEN q[1] >= 0 THEN 1 ELSE 0 END
+           + CASE WHEN q[2] >= 0 THEN 2 ELSE 0 END
+           + CASE WHEN q[3] >= 0 THEN 4 ELSE 0 END
+           + CASE WHEN q[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM base0
+),
+scored AS (
+  SELECT qs.vec_id AS query_id, b.vec_id,
+         CAST(floor(
+           CAST(CAST(list_sum([qs.q[i] * b.q[i] for i in generate_series(1, len(qs.q))]) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(qs.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) * 10000) AS BIGINT) AS cosine4
+  FROM base qs JOIN base b ON qs.bucket = b.bucket
+  WHERE qs.vec_id < 5 AND b.vec_id >= 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine4 DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, cosine4 FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.5) within LSH buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, min_cosine4=5000, planes=4)
+
+
+ORACLE["q_embedding_dedup"] = f"""
+WITH quant AS ({_QUANT_SQL}),
+base0 AS ({_NORM_SQL}),
+base AS (
+  SELECT *, (CASE WHEN q[1] >= 0 THEN 1 ELSE 0 END
+           + CASE WHEN q[2] >= 0 THEN 2 ELSE 0 END
+           + CASE WHEN q[3] >= 0 THEN 4 ELSE 0 END
+           + CASE WHEN q[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM base0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(floor(
+         CAST(CAST(list_sum([a.q[i] * b.q[i] for i in generate_series(1, len(a.q))]) AS BIGINT) AS DOUBLE)
+         / sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) * 10000) AS BIGINT) AS cosine4
+FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE CAST(floor(
+         CAST(CAST(list_sum([a.q[i] * b.q[i] for i in generate_series(1, len(a.q))]) AS BIGINT) AS DOUBLE)
+         / sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) * 10000) AS BIGINT) >= 5000
+"""
+
+
+# ---------------------------------------------------------------- text
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_features(docs)
+
+
+ORACLE["q_text_quality"] = """
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CASE WHEN len(ws) = 0 THEN 0
+            ELSE CAST(floor(CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                 / CAST(len(ws) AS DOUBLE) * 10000) AS BIGINT) END AS stopword_ratio4,
+       CASE WHEN length(text) = 0 THEN 0
+            ELSE CAST(floor(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) * 10000) AS BIGINT) END AS non_alpha_ratio4,
+       CASE WHEN len(ws) = 0 THEN 0
+            ELSE CAST(floor(CAST(length(text) AS DOUBLE) / CAST(len(ws) AS DOUBLE) * 10000) AS BIGINT) END AS chars_per_word4
+FROM w
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_counts(docs)
+
+
+ORACLE["q_token_count"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS BIGINT) AS re_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.language_id(docs)
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"CAST(len(list_filter(ws, x -> x IN ({inlist}))) AS BIGINT)"
+
+
+_SCORES = ",\n       ".join(
+    f"{_lang_score_sql(m)} AS score_{lang}" for lang, m in text.LANG_MARKERS.items()
+)
+_BEST = "greatest(" + ", ".join(f"score_{lang}" for lang in text.LANG_MARKERS) + ")"
+_PRED_CASES = "\n            ".join(
+    f"WHEN score_{lang} = {_BEST} THEN '{lang}'" for lang in text.LANG_MARKERS
+)
+
+ORACLE["q_lang_id"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+scored AS (
+  SELECT doc_id,
+       {_SCORES}
+  FROM w
+)
+SELECT doc_id,
+       CASE WHEN {_BEST} = 0 THEN 'und'
+            {_PRED_CASES}
+            ELSE 'und' END AS pred_lang,
+       {", ".join(f"score_{lang}" for lang in text.LANG_MARKERS)}
+FROM scored
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs)
+
+
+ORACLE["q_fingerprint"] = """
+WITH n AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_md5 FROM documents)
+SELECT doc_id, fp_md5, CAST('0x' || substr(fp_md5, 1, 12) AS BIGINT) AS fp48 FROM n
+"""
+
+
+# ---------------------------------------------------------------- multimodal
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media metadata: byte length, content digest, frame count.
+
+    The blob is derived from documents.text (utf-8 encode) — the schema and
+    plumbing are what a real image/audio column would use."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.as_media(docs, "doc_id", "text", "text_blob")
+    n_frames = (F.floor((F.col("byte_len") - 1) / multimodal.FRAME_SIZE) + 1).cast("long")
+    return media.select(
+        "media_id", "media_type", "byte_len", "content_key", n_frames.alias("n_frames")
+    )
+
+
+ORACLE["q_multimodal_meta"] = f"""
+SELECT doc_id AS media_id,
+       'text_blob' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_key,
+       CAST(floor((octet_length(encode(text)) - 1) / {multimodal.FRAME_SIZE}) + 1 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame *plan*: one row per fixed-size slice of each blob — the unit of
+    decode work a real pipeline would repartition on."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.as_media(docs, "doc_id", "text", "text_blob")
+    plan = multimodal.frame_plan(media)
+    return plan.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_offset").cast("long").alias("frame_offset"),
+        F.col("frame_len").cast("long").alias("frame_len"),
+    )
+
+
+ORACLE["q_multimodal_frames"] = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len FROM documents
+),
+f AS (
+  SELECT media_id, byte_len,
+         unnest(range(0, (byte_len - 1) // {multimodal.FRAME_SIZE} + 1)) AS frame_idx
+  FROM m
+)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       frame_idx * {multimodal.FRAME_SIZE} AS frame_offset,
+       least(byte_len - frame_idx * {multimodal.FRAME_SIZE}, {multimodal.FRAME_SIZE}) AS frame_len
+FROM f
+"""
