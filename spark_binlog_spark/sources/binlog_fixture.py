@@ -1,0 +1,224 @@
+"""``binlog_fixture`` — a replayable CDC streaming source (PySpark DataSource API).
+
+Re-architecture of the reference's MySQL-binlog streaming source
+(MLSQLBinLogDataSource.scala:54-253): same contract — fixed one-column
+``value: string`` schema (:36-44), monotonic long offsets, half-open
+``[start, end)`` micro-batches, envelope-JSON records — with the Spark-2.4
+plumbing deleted.  The executor-singleton socket server (X2), custom RPC
+(X1) and consumer cache (X3) are replaced by ``DataSourceStreamReader``
+partitions read directly inside tasks; the WAL (B1) is unnecessary
+because the backing store (an offset-ordered parquet file standing in
+for the binlog) is itself replayable from any offset — the property the
+reference had to build B1+O6 to fake.
+
+Scale/fan-out: ``partitions(start, end)`` splits every micro-batch into
+``numPartitions`` contiguous offset ranges, so a 1000-executor cluster
+reads one batch with 1000 parallel tasks — the reference's
+single-reader bottleneck ("todo: optimize",
+MLSQLBinLogDataSource.scala:394-397) is structurally gone.
+
+Backpressure: ``maxEventsPerTrigger`` caps each micro-batch exactly like
+the reference's queue-size admission control (B2,
+BinLogSocketServerInExecutor.scala:125-133; default cap
+MLSQLBinLogDataSource.scala:152), but by bounding ``latestOffset``
+instead of disconnecting a socket.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+WIRE_SCHEMA = StructType([StructField("value", StringType())])
+
+OP_MAP = {"signup": "insert", "error": "delete"}  # else 'update' (cdc.py contract)
+
+
+def _envelope_json(event_id: int, ts_ns: int, user_id: int, event_type: str, value, props: str) -> str:
+    """One wire record — field order exactly as io/AbstractEventWriter.java:22-46
+    (type, timestamp, databaseName, tableName, rows; null schema omitted,
+    matching Spark to_json's drop-null behavior)."""
+    op = OP_MAP.get(event_type, "update")
+    row = {"pk": user_id, "value": value, "op": op, "cdc_offset": event_id}
+    try:
+        row["k"] = json.loads(props).get("k")
+    except (TypeError, ValueError):
+        row["k"] = None
+    return json.dumps(
+        {
+            "type": op,
+            "timestamp": ts_ns // 1_000_000,
+            "databaseName": f"db_{user_id % 2}",
+            "tableName": f"t_{user_id % 4}",
+            "rows": [row],
+        },
+        separators=(",", ":"),
+    )
+
+
+@dataclass
+class OffsetRangePartition(InputPartition):
+    """One [start, end) split of a micro-batch — the unit a task reads.
+    Mirrors CommonOffsetRange (binlog-common CommonSourceOffset.scala:91)."""
+
+    start: int
+    end: int
+    path: str
+
+
+def _read_range(path: str, start: int, end: int):
+    """Executor-side range read: offset-predicate pushdown into parquet
+    (the O3 scan, BinLogSocketServerInExecutor.scala:436-447)."""
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(path)
+    flt = (ds.field("event_id") >= start) & (ds.field("event_id") < end)
+    for batch in dataset.to_table(filter=flt).to_batches():
+        cols = batch.to_pydict()
+        for i in range(batch.num_rows):
+            yield (
+                _envelope_json(
+                    cols["event_id"][i],
+                    cols["ts"][i].value if hasattr(cols["ts"][i], "value") else cols["ts"][i],
+                    cols["user_id"][i],
+                    cols["event_type"][i],
+                    cols["value"][i],
+                    cols["props"][i],
+                ),
+            )
+
+
+class BinlogFixtureStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("binlog_fixture requires option 'path' (events parquet)")
+        self.num_partitions = int(options.get("numpartitions", options.get("numPartitions", 4)))
+        self.max_per_trigger = int(options.get("maxeventspertrigger", options.get("maxEventsPerTrigger", 0)))
+        self.start_offset = int(options.get("startingoffset", options.get("startingOffset", 0)))
+        self._end = None  # lazily-probed end of stream
+        self._cur = None  # admission-control cursor (see latestOffset)
+
+    def _stream_end(self) -> int:
+        if self._end is None:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(self.path).metadata
+            # offset column is the first; max event_id + 1 from row-group stats
+            end = 0
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                if col.statistics is not None:
+                    end = max(end, col.statistics.max + 1)
+            self._end = end
+        return self._end
+
+    def initialOffset(self) -> dict:
+        # user-supplied or 0 — mirroring binlogIndex/binlogFileOffset
+        # bootstrap (MLSQLBinLogDataSource.scala:70-98)
+        return {"offset": self.start_offset}
+
+    def latestOffset(self) -> dict:
+        # O2 latest-offset probe.  The maxEventsPerTrigger admission cap
+        # (B2) MUST be applied here, not in partitions(): Spark records
+        # [start, latestOffset) as processed in the offset log, so a
+        # partitions() that reads less than that range would silently
+        # lose the tail.  A driver-side cursor ratchets the reported
+        # offset forward by at most the cap per planning round.
+        end = self._stream_end()
+        if not self.max_per_trigger:
+            return {"offset": end}
+        cur = self.start_offset if self._cur is None else self._cur
+        nxt = min(end, cur + self.max_per_trigger)
+        self._cur = nxt
+        return {"offset": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = start["offset"], end["offset"]
+        # keep the admission cursor ahead of what Spark actually planned
+        # (handles checkpoint restarts, where start > our fresh cursor)
+        if self._cur is None or e > self._cur:
+            self._cur = e
+        if e <= s:
+            return [OffsetRangePartition(s, s, self.path)]
+        n = min(self.num_partitions, e - s)
+        step = (e - s + n - 1) // n
+        return [
+            OffsetRangePartition(lo, min(lo + step, e), self.path)
+            for lo in range(s, e, step)
+        ]
+
+    def read(self, partition: OffsetRangePartition):
+        if partition.end <= partition.start:
+            return iter(())
+        return _read_range(partition.path, partition.start, partition.end)
+
+    def commit(self, end: dict) -> None:
+        # replayable backing store -> nothing to clean up (the reference
+        # needed WAL cleanup here, BinlogWriteAheadLog.scala:36-49)
+        pass
+
+
+class BinlogFixtureBatchReader(DataSourceReader):
+    """Batch view of the same stream (bounded replay, e.g. bootstrap)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("binlog_fixture requires option 'path'")
+        self.num_partitions = int(options.get("numpartitions", options.get("numPartitions", 4)))
+        self.start = int(options.get("startingoffset", options.get("startingOffset", 0)))
+        self.end = int(options.get("endingoffset", options.get("endingOffset", 1 << 62)))
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(self.path).metadata
+        hi = 0
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            if col.statistics is not None:
+                hi = max(hi, col.statistics.max + 1)
+        e = min(self.end, hi)
+        s = self.start
+        if e <= s:
+            return [OffsetRangePartition(s, s, self.path)]
+        n = min(self.num_partitions, e - s)
+        step = (e - s + n - 1) // n
+        return [OffsetRangePartition(lo, min(lo + step, e), self.path) for lo in range(s, e, step)]
+
+    def read(self, partition: OffsetRangePartition):
+        if partition.end <= partition.start:
+            return iter(())
+        return _read_range(partition.path, partition.start, partition.end)
+
+
+class BinlogFixtureDataSource(DataSource):
+    """spark.readStream.format("binlog_fixture").option("path", ...).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "binlog_fixture"
+
+    def schema(self) -> str:
+        # fixed single-column schema; user schemas rejected just like
+        # MLSQLBinLogDataSource.scala:36-44
+        return "value string"
+
+    def streamReader(self, schema) -> BinlogFixtureStreamReader:
+        return BinlogFixtureStreamReader(self.options)
+
+    def reader(self, schema) -> BinlogFixtureBatchReader:
+        return BinlogFixtureBatchReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(BinlogFixtureDataSource)

@@ -1,0 +1,218 @@
+"""Streaming-source tests: the binlog_fixture DataSource + CDC pipelines.
+
+Mirrors the reference's test strategy (BinlogSuite.scala:106-230): drive
+a change scenario through the streaming source and assert per-batch and
+final-state behavior — here against the replayable fixture instead of a
+live MySQL.
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_TEST
+
+
+def _write_events(path, rows):
+    """rows: list of (event_id, ts_ns, user_id, event_type, value, props)"""
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+
+
+T0 = 1_700_000_000_000_000_000  # ns
+
+
+class TestFixtureSource:
+    def test_stream_counts_and_wire_format(self, spark, tmp_path):
+        from spark_binlog_spark.streaming.pipeline import read_stream
+
+        events_path = f"{SF_TEST}/events.parquet"
+        wire = read_stream(spark, events_path, numPartitions=4)
+        assert wire.isStreaming
+        assert [f.name for f in wire.schema.fields] == ["value"]  # fixed schema
+
+        q = (
+            wire.writeStream.format("memory")
+            .queryName("wire_all")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("wire_all")
+        expected = spark.read.parquet(events_path).count()
+        assert got.count() == expected
+
+        env = json.loads(got.limit(1).collect()[0]["value"])
+        # envelope field presence + order (AbstractEventWriter.java:22-46)
+        assert list(env.keys()) == ["type", "timestamp", "databaseName", "tableName", "rows"]
+        assert env["type"] in ("insert", "update", "delete")
+        assert isinstance(env["rows"], list) and "pk" in env["rows"][0]
+
+    def test_offset_range_batching(self, spark, tmp_path):
+        """maxEventsPerTrigger caps each micro-batch (B2 admission control)."""
+        from spark_binlog_spark.streaming.pipeline import read_stream
+
+        rows = [(i, T0 + i * 10**9, i % 3, "click", float(i), '{"k": 1}') for i in range(20)]
+        path = str(tmp_path / "events20.parquet")
+        _write_events(path, rows)
+
+        from spark_binlog_spark.streaming.pipeline import await_stream
+
+        wire = read_stream(spark, path, numPartitions=2, maxEventsPerTrigger=6)
+        batches: list[tuple[int, int]] = []
+
+        def record(bdf, bid):
+            batches.append((bid, bdf.count()))
+
+        q = (
+            wire.writeStream.foreachBatch(record)
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        ok = await_stream(q, lambda: sum(n for _, n in batches) >= 20)
+        assert ok, f"only {batches} before timeout"
+        nonzero = [n for _, n in batches if n > 0]
+        assert sum(nonzero) == 20
+        assert len(nonzero) >= 4  # ceil(20/6) batches at least
+        assert max(nonzero) <= 6  # admission cap respected per batch
+
+    def test_batch_reader_offset_range(self, spark, tmp_path):
+        """Bounded replay through the batch reader with [start, end)."""
+        from spark_binlog_spark.sources.binlog_fixture import register
+
+        rows = [(i, T0, 1, "click", 1.0, "{}") for i in range(10)]
+        path = str(tmp_path / "events10.parquet")
+        _write_events(path, rows)
+        register(spark)
+        df = (
+            spark.read.format("binlog_fixture")
+            .option("path", path)
+            .option("startingOffset", 3)
+            .option("endingOffset", 8)
+            .load()
+        )
+        vals = [json.loads(r["value"])["rows"][0]["cdc_offset"] for r in df.collect()]
+        assert sorted(vals) == [3, 4, 5, 6, 7]
+
+
+class TestBinlogSuiteScenario:
+    """The reference's canonical scenario (BinlogSuite.scala:168-217 /
+    FIXTURES.md §1): insert -> update ×2 -> delete, then the key is gone."""
+
+    def test_upsert_then_delete(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.streaming.pipeline import run_cdc_upsert
+
+        scenario = [
+            (0, T0 + 0, 42, "signup", 10.0, '{"k": 1}'),   # insert jack2
+            (1, T0 + 1, 42, "click", 20.0, '{"k": 2}'),    # update -> jack3
+            (2, T0 + 2, 42, "view", 30.0, '{"k": 3}'),     # update again
+            (3, T0 + 3, 7, "signup", 77.0, '{"k": 4}'),    # unrelated insert
+            (4, T0 + 4, 42, "error", 0.0, "{}"),           # delete jack3
+        ]
+        path = str(tmp_path / "scenario.parquet")
+        _write_events(path, scenario)
+
+        base = spark.createDataFrame(
+            [Row(c_custkey=7, c_name="pre", c_acctbal=1.0), Row(c_custkey=99, c_name="other", c_acctbal=2.0)]
+        )
+        sink = run_cdc_upsert(
+            spark,
+            path,
+            base,
+            state_dir=str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            key_col="c_custkey",
+            set_cols={"c_acctbal": "value"},
+            await_events=5,
+            maxEventsPerTrigger=2,  # force multiple micro-batches
+        )
+        final = {r["c_custkey"]: r for r in sink.current().collect()}
+        assert 42 not in final            # inserted, updated twice, deleted
+        assert final[7]["c_acctbal"] == 77.0   # upserted over base
+        assert final[7]["c_name"] == "pre"     # untouched column carried
+        assert final[99]["c_acctbal"] == 2.0   # untouched row
+
+    def test_incremental_batches_match_batch_apply(self, spark, tmp_path):
+        """Micro-batched apply == one-shot batch apply (exactly-once)."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.cdc import changes_df
+        from spark_binlog_spark.operators import cdc_apply
+        from spark_binlog_spark.streaming.pipeline import run_cdc_upsert
+
+        rows = [
+            (i, T0 + i, i % 5, ["signup", "click", "view", "purchase", "error"][i % 5],
+             float(i), '{"k": %d}' % i)
+            for i in range(50)
+        ]
+        path = str(tmp_path / "events50.parquet")
+        _write_events(path, rows)
+
+        base = spark.createDataFrame(
+            [Row(c_custkey=k, c_name=f"n{k}", c_acctbal=float(k)) for k in range(8)]
+        )
+        sink = run_cdc_upsert(
+            spark, path, base,
+            state_dir=str(tmp_path / "state2"),
+            checkpoint_dir=str(tmp_path / "ckpt3"),
+            await_events=50,
+            maxEventsPerTrigger=7,
+        )
+        streamed = {(r["c_custkey"], r["c_acctbal"]) for r in sink.current().collect()}
+
+        # batch equivalent over the same events file
+        import spark_binlog_spark.cdc as cdc_mod
+        ev = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+        ch = ev.select(
+            F.col("event_id").alias("cdc_offset"),
+            F.col("user_id").alias("pk"),
+            F.when(F.col("event_type") == "signup", F.lit("insert"))
+            .when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("update")).alias("op"),
+            F.col("value"),
+        )
+        batch = cdc_apply(base, ch, key_col="c_custkey", set_cols={"c_acctbal": "value"})
+        expected = {(r["c_custkey"], r["c_acctbal"]) for r in batch.collect()}
+        assert streamed == expected
+
+
+class TestStreamingDedup:
+    def test_watermark_dedup_on_replay(self, spark, tmp_path):
+        """O6: a replayed (duplicated) stream collapses to distinct
+        (pk, offset) pairs."""
+        from spark_binlog_spark.streaming.pipeline import dedup_stream, parse_stream, read_stream
+
+        rows = [(i, T0 + i * 10**9, i % 3, "click", float(i), "{}") for i in range(10)]
+        dup_rows = rows + rows[:5]  # at-least-once replay of a prefix
+        path = str(tmp_path / "dups.parquet")
+        _write_events(path, sorted(dup_rows, key=lambda r: r[0]))
+
+        changes = dedup_stream(parse_stream(read_stream(spark, path, numPartitions=2)))
+        q = (
+            changes.writeStream.format("memory")
+            .queryName("deduped")
+            .option("checkpointLocation", str(tmp_path / "ckpt4"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("deduped")
+        assert got.count() == 10  # 15 raw -> 10 distinct (pk, offset)
