@@ -90,14 +90,17 @@ def parse_envelope(df: DataFrame, row_schema: StructType, value_col: str = "valu
     (BinlogSuite.scala:208-216 parses the emitted JSON).  Catalyst prunes
     the ``from_json`` projection to only the fields actually consumed.
     """
+    # parse once into a struct column, extract in a second projection —
+    # referencing the from_json expression per field would re-run the
+    # JSON parser once per extracted field
     env = F.from_json(F.col(value_col), envelope_schema(row_schema))
-    return df.select(
-        env["type"].alias("type"),
-        env["timestamp"].alias("timestamp"),
-        env["databaseName"].alias("databaseName"),
-        env["tableName"].alias("tableName"),
-        env["schema"].alias("schema"),
-        env["rows"].alias("rows"),
+    return df.select(env.alias("env")).select(
+        F.col("env.type").alias("type"),
+        F.col("env.timestamp").alias("timestamp"),
+        F.col("env.databaseName").alias("databaseName"),
+        F.col("env.tableName").alias("tableName"),
+        F.col("env.schema").alias("schema"),
+        F.col("env.rows").alias("rows"),
     )
 
 

@@ -56,31 +56,39 @@ def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame
     )
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text", n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, seed, minhash) — min over shingles of h48(shingle#seed).
+# Linear-permutation minhash family over a Mersenne-prime field:
+#   h_i(s) = (A[i] * (h48(s) % P) + B[i]) % P,  P = 2^31 - 1
+# ONE md5 per shingle (vs one per shingle×seed), then integer-only
+# arithmetic that both Spark and DuckDB evaluate bit-identically.
+# A[i]*h' < 2^13 * 2^31 stays far inside signed-64.
+MINHASH_P = (1 << 31) - 1
+MINHASH_A = [1223, 2741, 3571, 4391, 5279, 6101, 7001, 7919]
+MINHASH_B = [7, 101, 211, 307, 401, 503, 601, 701]
 
-    The seed dimension is exploded from a literal array, so the plan is
-    scan -> generate -> partial min -> final min: ONE shuffle keyed on
-    (doc_id, seed).
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, seed, minhash) — min over shingles of the i-th permuted hash.
+
+    Plan shape: scan -> generate(shingles) -> ONE hash-aggregate keyed on
+    doc_id computing all n_hashes mins as separate agg columns (map-side
+    partial min), then an unpivot projection.  No seed explosion: the
+    shuffle carries one row per doc, n_hashes columns wide.
     """
     sh = doc_shingles(df, text_col)
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("seed")
-    pairs = sh.select("doc_id", "shingle", seeds)
-    # seeded hash: h48(shingle + '#' + seed)
-    mh = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("seed").cast("string"))), 1, 12),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("mh")
-    )
-    return (
-        pairs.select("doc_id", "seed", mh)
-        .groupBy("doc_id", "seed")
-        .agg(F.min("mh").alias("minhash"))
-    )
+    hp = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10).cast("long") % MINHASH_P
+    ).alias("hp")
+    hashed = sh.select("doc_id", hp)
+    aggs = [
+        F.min((F.col("hp") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{i}, mh{i}" for i in range(n_hashes))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({n_hashes}, {stack}) AS (seed, minhash)"),
+    ).select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
 
 
 def minhash_candidate_pairs(
@@ -93,6 +101,11 @@ def minhash_candidate_pairs(
     est_jaccard4 = floor(10000 * agree / n_hashes).
     """
     sig = minhash_signatures(df, text_col, n_hashes)
+    # the signature relation feeds both sides of the self-join; persist
+    # so the shingle+md5 pipeline runs once, not twice
+    from pyspark.storagelevel import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -121,7 +134,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", min_jaccard4: int
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|); pairs that share no
     shingle never materialize.  Reported as floor(j * 10000).
     """
-    sh = doc_shingles(df, text_col).dropDuplicates(["doc_id", "shingle"])
+    # three consumers (sizes + both join sides): persist the exploded
+    # shingle relation so shingling runs once
+    from pyspark.storagelevel import StorageLevel
+
+    sh = (
+        doc_shingles(df, text_col)
+        .dropDuplicates(["doc_id", "shingle"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     common = (
         sh.alias("a")

@@ -47,6 +47,7 @@ def cdc_apply(
     op_col: str = "op",
     set_cols: dict[str, str] | None = None,
     broadcast_changes: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """D4 — apply a change stream onto a base snapshot (upsert + delete).
 
@@ -63,6 +64,15 @@ def cdc_apply(
     """
     set_cols = set_cols or {}
     latest = latest_image(changes, [change_key_col])
+    if materialize:
+        # latest is referenced THREE times below (merge join, key probe,
+        # insert anti-join); without materialization Catalyst replays the
+        # entire upstream changes pipeline — including its window
+        # shuffle — once per reference.  The latest-image set is small
+        # (<= one row per changed key per batch), so cache it.
+        from pyspark.storagelevel import StorageLevel
+
+        latest = latest.persist(StorageLevel.MEMORY_AND_DISK)
     maybe_bc = F.broadcast if broadcast_changes else (lambda df: df)
 
     # Pass 1 — ONE full scan of base, LEFT JOIN broadcast(latest): Spark

@@ -54,12 +54,15 @@ def flagship_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     wire = wire_stream(spark, sf_dir)
 
+    # single from_json into a struct, fields extracted in a second
+    # projection (multi-referencing the parse expression would re-parse
+    # the JSON once per extracted field)
     env = F.from_json(F.col("value"), envelope_schema(ROW_SCHEMA))
-    parsed = wire.select(
-        env["type"].alias("op"),
-        env["databaseName"].alias("database_name"),
-        env["tableName"].alias("table_name"),
-        env["rows"].alias("rows"),
+    parsed = wire.select(env.alias("env")).select(
+        F.col("env.type").alias("op"),
+        F.col("env.databaseName").alias("database_name"),
+        F.col("env.tableName").alias("table_name"),
+        F.col("env.rows").alias("rows"),
     )
     filtered = table_pattern_filter(parsed, "^db_[01]$", "^t_.*$")
     flat = flatten_rows(filtered).select(

@@ -183,15 +183,20 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows=F.array(F.struct(F.col("pk").alias("pk"), F.col("value").alias("value"))),
         ).alias("value"),
     )
+    # parse ONCE into a struct column in its own projection — referencing
+    # the from_json expression per output field would re-parse the JSON
+    # for every field (CollapseProject keeps this split because from_json
+    # is non-cheap and multi-referenced)
     env = F.from_json(F.col("value"), envelope_schema(row_schema))
-    return enveloped.select(
+    parsed = enveloped.select(F.col("cdc_offset"), env.alias("env"))
+    return parsed.select(
         F.col("cdc_offset"),
-        env["type"].alias("r_op"),
-        env["timestamp"].alias("r_ts"),
-        env["databaseName"].alias("r_db"),
-        env["tableName"].alias("r_table"),
-        env["rows"][0]["pk"].alias("r_pk"),
-        env["rows"][0]["value"].alias("r_value"),
+        F.col("env.type").alias("r_op"),
+        F.col("env.timestamp").alias("r_ts"),
+        F.col("env.databaseName").alias("r_db"),
+        F.col("env.tableName").alias("r_table"),
+        F.col("env.rows")[0]["pk"].alias("r_pk"),
+        F.col("env.rows")[0]["value"].alias("r_value"),
     )
 
 

@@ -61,15 +61,27 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(docs)
 
 
+def _minhash_sig_sql() -> str:
+    """Per-seed UNION arms mirroring the linear-permutation minhash."""
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {i} AS seed, "
+        f"min((hp * {dedup.MINHASH_A[i]} + {dedup.MINHASH_B[i]}) % {dedup.MINHASH_P}) AS minhash "
+        f"FROM hashed GROUP BY doc_id"
+        for i in range(dedup.N_MINHASH)
+    )
+    return arms
+
+
+_HASHED_SQL = f"""
+  SELECT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) % {dedup.MINHASH_P} AS hp
+  FROM sh
+"""
+
 ORACLE["q_minhash_signatures"] = f"""
 WITH sh AS ({_SHINGLES_SQL}),
-seeded AS (
-  SELECT doc_id, s.seed,
-         CAST('0x' || substr(md5(shingle || '#' || CAST(s.seed AS VARCHAR)), 1, 12) AS BIGINT) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
-)
-SELECT doc_id, CAST(seed AS INTEGER) AS seed, min(mh) AS minhash
-FROM seeded GROUP BY doc_id, seed
+hashed AS ({_HASHED_SQL})
+{_minhash_sig_sql()}
 """
 
 
@@ -83,12 +95,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q_dedup_minhash"] = f"""
 WITH sh AS ({_SHINGLES_SQL}),
-seeded AS (
-  SELECT doc_id, s.seed,
-         CAST('0x' || substr(md5(shingle || '#' || CAST(s.seed AS VARCHAR)), 1, 12) AS BIGINT) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+hashed AS ({_HASHED_SQL}),
+sig AS (
+{_minhash_sig_sql()}
 ),
-sig AS (SELECT doc_id, seed, min(mh) AS minhash FROM seeded GROUP BY doc_id, seed),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_agree
   FROM sig a JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id

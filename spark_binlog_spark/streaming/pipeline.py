@@ -49,13 +49,15 @@ def read_stream(spark: SparkSession, events_path: str, **options) -> DataFrame:
 
 def parse_stream(wire: DataFrame) -> DataFrame:
     """D1 on the stream: envelope -> flattened typed change rows."""
+    # single from_json into a struct; see pipeline.py — multi-referencing
+    # the parse expression re-parses the JSON per field
     env = F.from_json(F.col("value"), envelope_schema(STREAM_ROW_SCHEMA))
-    parsed = wire.select(
-        env["type"].alias("op"),
-        env["timestamp"].alias("ts_ms"),
-        env["databaseName"].alias("database_name"),
-        env["tableName"].alias("table_name"),
-        env["rows"].alias("rows"),
+    parsed = wire.select(env.alias("env")).select(
+        F.col("env.type").alias("op"),
+        F.col("env.timestamp").alias("ts_ms"),
+        F.col("env.databaseName").alias("database_name"),
+        F.col("env.tableName").alias("table_name"),
+        F.col("env.rows").alias("rows"),
     )
     flat = flatten_rows(parsed)
     return flat.select(
