@@ -540,3 +540,46 @@ SELECT c_custkey AS pk, 'snapshot' AS src, c_acctbal AS value FROM customer
 UNION ALL
 SELECT pk, 'stream' AS src, value FROM changes
 """
+
+
+# ---------------------------------------------------------------- HBase cells
+def q_hbase_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-less (HBase) payload path: events JSON-encoded as dynamic
+    ``{rowkey, family:qualifier -> string}`` maps (PutWriter.java:28-36),
+    parsed with the registry's MAP fallback (null-schema convention,
+    hbase-wal AbstractEventWriter.java:39), then exploded one row per
+    cell — the columnar inverse of the reference's cell loop."""
+    from spark_binlog_spark.schema_registry import SchemaRegistry, explode_hbase_cells
+
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    wire = ch.select(
+        "cdc_offset",
+        F.to_json(
+            F.array(
+                F.create_map(
+                    F.lit("rowkey"), F.col("pk").cast("string"),
+                    F.lit("f:k"), F.get_json_object(F.col("props"), "$.k"),
+                    F.lit("f:value"), F.col("value").cast("string"),
+                )
+            )
+        ).alias("rows_json"),
+    )
+    reg = SchemaRegistry()  # 'unknown' table -> HBASE_FALLBACK map schema
+    parsed = reg.parse_rows(wire, "hbase_db", "t", "rows_json").drop("rows_json")
+    return explode_hbase_cells(parsed)
+
+
+ORACLE["q_hbase_cells"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+cells AS (
+  SELECT cdc_offset, CAST(pk AS VARCHAR) AS rowkey, 'f:k' AS qualifier,
+         json_extract_string(props, '$.k') AS cell_value
+  FROM changes
+  UNION ALL
+  SELECT cdc_offset, CAST(pk AS VARCHAR) AS rowkey, 'f:value' AS qualifier,
+         CAST(value AS VARCHAR) AS cell_value
+  FROM changes
+)
+SELECT cdc_offset, rowkey, qualifier, cell_value FROM cells
+"""

@@ -1,0 +1,107 @@
+"""Per-(database, table) payload schema registry.
+
+The reference ships the payload schema INSIDE every event (`schema`
+field = StructType.json, io/AbstractEventWriter.java:35-39), resolved at
+ingest from the live database (JDBCRDD.resolveTable,
+BinLogSocketServerInExecutor.scala:264-275) and cached per
+(db, table, tableId) (TableInfo.java:8-53; cache at
+BinLogSocketServerInExecutor.scala:88,228-236).
+
+Spark-side we keep a driver-side dict (broadcast-sized: one StructType
+per table), resolve ``from_json`` against it before parsing, and fall
+back to ``MAP<STRING,STRING>`` for schema-less sources — the HBase case,
+whose events carry a null schema (hbase-wal AbstractEventWriter.java:39)
+and dynamic ``family:qualifier`` string columns (PutWriter.java:29-36).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import MapType, StringType, StructType
+
+# HBase-style schema-less payload: rowkey + family:qualifier -> string
+HBASE_FALLBACK = MapType(StringType(), StringType())
+
+
+class SchemaRegistry:
+    """Mutable per-(db, table) StructType catalog with a map fallback."""
+
+    def __init__(self) -> None:
+        self._schemas: dict[tuple[str, str], StructType] = {}
+
+    @staticmethod
+    def key(database: str, table: str) -> tuple[str, str]:
+        return (database, table)
+
+    def register(self, database: str, table: str, schema: StructType) -> None:
+        self._schemas[self.key(database, table)] = schema
+
+    def register_json(self, database: str, table: str, schema_json: str) -> None:
+        """Accepts the reference's wire form: StructType.json string."""
+        self.register(database, table, StructType.fromJson(json.loads(schema_json)))
+
+    def resolve_from_jdbc(self, spark, url: str, database: str, table: str, **options) -> StructType:
+        """S3 — infer the source table's schema from the live database,
+        the Spark-native equivalent of JDBCRDD.resolveTable
+        (BinLogSocketServerInExecutor.scala:264-275).  ``load()`` of a
+        JDBC reader resolves the schema without scanning rows.
+
+        Requires a JDBC driver on the classpath; in this container there
+        is none, so this is exercised only against mocks/docs.
+        """
+        reader = spark.read.format("jdbc").option("url", url).option(
+            "dbtable", f"{database}.{table}"
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        schema = reader.load().schema
+        self.register(database, table, schema)
+        return schema
+
+    def get(self, database: str, table: str) -> StructType | None:
+        return self._schemas.get(self.key(database, table))
+
+    def parse_rows(self, df: DataFrame, database: str, table: str, rows_json_col: str = "rows_json") -> DataFrame:
+        """Parse a JSON rows-array column using the registered schema, or
+        the HBase map fallback when the table is unregistered."""
+        schema = self.get(database, table)
+        payload = schema if schema is not None else HBASE_FALLBACK
+        from pyspark.sql.types import ArrayType
+
+        return df.withColumn("rows", F.from_json(F.col(rows_json_col), ArrayType(payload)))
+
+
+def hbase_cells_to_row(rows_map: Column) -> Column:
+    """HBase dynamic-column payload: one Put event's cells as a map.
+
+    The reference builds ``{"rowkey": ..., "family:qualifier": value}``
+    objects cell-by-cell (PutWriter.java:28-36); with a map-typed payload
+    the row image IS the map — extraction is ``element_at``.
+    """
+    return rows_map
+
+
+def explode_hbase_cells(df: DataFrame, rows_col: str = "rows") -> DataFrame:
+    """(event) -> one row per cell: rowkey, qualifier, cell_value.
+
+    map_entries + explode is the columnar inverse of the reference's
+    cell loop; rowkey is carried from the map's 'rowkey' entry."""
+    one_row = F.explode(F.col(rows_col)).alias("row_map")
+    exploded = df.select("*", one_row).drop(rows_col)
+    return (
+        exploded.select(
+            "*",
+            F.element_at(F.col("row_map"), "rowkey").alias("rowkey"),
+            F.explode(F.map_entries(F.col("row_map"))).alias("cell"),
+        )
+        .filter(F.col("cell.key") != "rowkey")
+        .select(
+            *[c for c in df.columns if c != rows_col],
+            "rowkey",
+            F.col("cell.key").alias("qualifier"),
+            F.col("cell.value").alias("cell_value"),
+        )
+    )
