@@ -583,3 +583,129 @@ cells AS (
 )
 SELECT cdc_offset, rowkey, qualifier, cell_value FROM cells
 """
+
+
+# ---------------------------------------------------------------- D5 windowed
+def q_change_counts_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 streaming-style monitoring as event-time tumbling-window counts
+    (1-hour windows on the envelope timestamp) — the batch equivalent of
+    ``groupBy(window(ts), op).count()`` with a watermark."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ch.groupBy(win.alias("w"), F.col("op"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "op",
+            "n_events",
+        )
+    )
+
+
+ORACLE["q_change_counts_windowed"] = f"""
+WITH changes AS ({CHANGES_SQL})
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       op, count(*) AS n_events
+FROM changes GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- relational
+def q_enriched_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-enrichment join: change stream joined to dimension tables
+    (customer -> nation), the stock-relational path the reference
+    delegates to Spark (SURVEY §2.C joins).  Small dims broadcast."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ch.join(F.broadcast(cust), ch["pk"] == cust["c_custkey"], "inner")
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"], "inner")
+        .groupBy("n_name", "c_mktsegment", "op")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+        )
+    )
+
+
+ORACLE["q_enriched_changes"] = f"""
+WITH changes AS ({CHANGES_SQL})
+SELECT n_name, c_mktsegment, op, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+FROM changes
+JOIN customer ON pk = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, c_mktsegment, op
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem — demonstrates the
+    stock columnar agg path (partial agg + single shuffle) the engine
+    inherits for snapshot analytics."""
+    _pin(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            # keep the product's scale-4 — casting down to scale 2 would
+            # round, and Spark/DuckDB rounding modes need not agree
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            ).cast("decimal(28,4)").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- streaming
+def q_stream_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END STREAMING correctness: run the binlog_fixture source to
+    completion (availableNow micro-batches through the Python DataSource,
+    envelope JSON wire format, from_json parse, flatten), then count per
+    op.  The replay is deterministic, so the result hash-matches the
+    batch SQL oracle — the streaming path itself is under the oracle."""
+    import tempfile
+    import uuid
+
+    from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+    _pin(spark)
+    name = f"stream_cc_{uuid.uuid4().hex[:8]}"
+    wire = read_stream(spark, f"{sf_dir}/events.parquet", numPartitions=8)
+    q = (
+        parse_stream(wire)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp() + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("op").agg(F.count("*").alias("n_events"))
+
+
+ORACLE["q_stream_change_counts"] = f"""
+WITH changes AS ({CHANGES_SQL})
+SELECT op, count(*) AS n_events FROM changes GROUP BY op
+"""
+
+
+ORACLE["q_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""

@@ -241,6 +241,75 @@ WHERE CAST(floor(
 """
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the LSH bucket path vs exact brute force: how many of
+    each query's true top-3 the bucketed search finds.  The standard
+    quality gate you'd run before trusting an ANN index at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(emb, n_queries=5, k=3).select(
+        "query_id", F.col("vec_id").alias("true_vec")
+    )
+    approx = similarity.lsh_topk(emb, n_queries=5, k=3, planes=4).select(
+        "query_id", F.col("vec_id").alias("got_vec")
+    )
+    hits = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"]) & (exact["true_vec"] == approx["got_vec"]),
+        "left_semi",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select("query_id", "n_hits", F.floor(F.col("n_hits") / 3.0 * 10000).cast("long").alias("recall4"))
+    )
+
+
+_TOPK_SCORED = f"""
+WITH quant AS ({_QUANT_SQL}),
+base0 AS ({_NORM_SQL}),
+base AS (
+  SELECT *, (CASE WHEN q[1] >= 0 THEN 1 ELSE 0 END
+           + CASE WHEN q[2] >= 0 THEN 2 ELSE 0 END
+           + CASE WHEN q[3] >= 0 THEN 4 ELSE 0 END
+           + CASE WHEN q[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM base0
+),
+exact_scored AS (
+  SELECT qs.vec_id AS query_id, b.vec_id,
+         CAST(floor(
+           CAST(CAST(list_sum([qs.q[i] * b.q[i] for i in generate_series(1, len(qs.q))]) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(qs.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) * 10000) AS BIGINT) AS cosine4
+  FROM base qs CROSS JOIN base b WHERE qs.vec_id < 5 AND b.vec_id >= 5
+),
+exact_top AS (
+  SELECT query_id, vec_id AS true_vec FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine4 DESC, vec_id) AS rnk
+    FROM exact_scored) WHERE rnk <= 3
+),
+approx_scored AS (
+  SELECT qs.vec_id AS query_id, b.vec_id,
+         CAST(floor(
+           CAST(CAST(list_sum([qs.q[i] * b.q[i] for i in generate_series(1, len(qs.q))]) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(qs.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) * 10000) AS BIGINT) AS cosine4
+  FROM base qs JOIN base b ON qs.bucket = b.bucket WHERE qs.vec_id < 5 AND b.vec_id >= 5
+),
+approx_top AS (
+  SELECT query_id, vec_id AS got_vec FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine4 DESC, vec_id) AS rnk
+    FROM approx_scored) WHERE rnk <= 3
+)
+"""
+
+ORACLE["q_lsh_recall"] = f"""{_TOPK_SCORED}
+SELECT e.query_id, count(*) AS n_hits,
+       CAST(floor(count(*) / 3.0 * 10000) AS BIGINT) AS recall4
+FROM exact_top e
+WHERE EXISTS (SELECT 1 FROM approx_top a
+              WHERE a.query_id = e.query_id AND a.got_vec = e.true_vec)
+GROUP BY e.query_id
+"""
+
+
 # ---------------------------------------------------------------- text
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
