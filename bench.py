@@ -71,6 +71,16 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # flagship: the full CDC slice (encode -> parse -> filter -> flatten
+    # -> latest-image -> apply)
+    from spark_binlog_spark.pipeline import flagship_cdc_pipeline
+
+    fdf = flagship_cdc_pipeline(spark, sf_dir)
+    fdf.write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    fdf.write.format("noop").mode("overwrite").save()
+    timings["flagship_cdc_pipeline"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -128,11 +128,22 @@ def minhash_candidate_pairs(
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", min_jaccard4: int = 2000) -> DataFrame:
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    min_jaccard4: int = 2000,
+    df_cap: int | None = None,
+) -> DataFrame:
     """Exact n-gram Jaccard on shingle-join candidates.
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|); pairs that share no
     shingle never materialize.  Reported as floor(j * 10000).
+
+    ``df_cap``: drop shingles whose document frequency exceeds the cap
+    before the candidate join — the standard guard against hot shingles
+    turning the join quadratic at scale.  Off by default because it
+    makes the measure approximate (candidates lost only if a pair shares
+    ONLY ubiquitous shingles); the declared oracle query runs uncapped.
     """
     # three consumers (sizes + both join sides): persist the exploded
     # shingle relation so shingling runs once
@@ -144,6 +155,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", min_jaccard4: int
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if df_cap is not None:
+        rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap)
+        sh = sh.join(F.broadcast(rare.select("shingle")), "shingle")
     common = (
         sh.alias("a")
         .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -1,0 +1,90 @@
+"""Physical-plan assertions: the scale properties PERF.md claims must
+show up in .explain output — pushdown, broadcast joins, codegen — so a
+refactor that silently loses them fails here, not at 100 TB.
+"""
+
+from pyspark.sql import functions as F
+
+from spark_binlog_spark.cdc import changes_df, load_table
+from spark_binlog_spark.operators import cdc_apply, offset_range
+from tests.conftest import SF_TEST
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestPushdown:
+    def test_offset_range_pushed_to_scan(self, spark):
+        ev = load_table(spark, SF_TEST, "events")
+        df = offset_range(ev.select(F.col("event_id").alias("cdc_offset"), "user_id"), 100, 900,
+                          offset_col="cdc_offset")
+        plan = _physical(df)
+        assert "PushedFilters:" in plan
+        pushed = plan.split("PushedFilters:")[1][:200]
+        assert "GreaterThanOrEqual(event_id,100)" in pushed and "LessThan(event_id,900)" in pushed
+
+    def test_column_pruning_reaches_scan(self, spark):
+        ev = load_table(spark, SF_TEST, "events")
+        df = ev.select("event_id")
+        plan = _physical(df)
+        read = plan.split("ReadSchema:")[1][:120]
+        assert "event_id" in read and "props" not in read  # only the projected column read
+
+    def test_event_type_filter_pushed(self, spark):
+        ev = load_table(spark, SF_TEST, "events")
+        df = ev.filter(F.col("event_type").isin("signup", "error")).select("event_id")
+        plan = _physical(df)
+        assert "In(event_type" in plan.split("PushedFilters:")[1][:200]
+
+
+class TestJoinStrategy:
+    def test_cdc_apply_broadcasts_never_smj(self, spark):
+        base = load_table(spark, SF_TEST, "customer")
+        ch = changes_df(spark, SF_TEST)
+        plan = _physical(cdc_apply(base, ch, key_col="c_custkey", set_cols={"c_acctbal": "value"}))
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "SortMergeJoin" not in plan  # base table is never shuffled for a join
+        assert "InMemoryTableScan" in plan  # latest-image materialized once
+
+    def test_latest_image_single_shuffle(self, spark):
+        from spark_binlog_spark.operators import latest_image
+
+        ch = changes_df(spark, SF_TEST)
+        plan = _physical(latest_image(ch, ["pk"]))
+        # one exchange for the window partitioning, nothing else
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestCodegen:
+    def test_quality_features_jvm_only_columnar_scan(self, spark):
+        from spark_binlog_spark.functions.text import quality_features
+
+        docs = load_table(spark, SF_TEST, "documents")
+        df = quality_features(docs)
+        plan = _physical(df)
+        formatted = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        # higher-order-function projections are JVM-interpreted (no
+        # codegen for lambdas) — the property that matters is: columnar
+        # batched scan, some codegen stage, and ZERO Python eval nodes
+        assert "Batched: true" in formatted
+        assert "codegen id" in formatted
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_no_python_udfs_in_cdc_queries(self, spark):
+        from spark_binlog_spark import registry
+
+        # every CDC query plan must be pure JVM (UDFs are the slow path);
+        # multimodal decode is the one sanctioned Arrow/Python stage and
+        # lives outside queries()
+        for name, fn in registry.queries().items():
+            if name.startswith("q_stream"):
+                continue  # builds a streaming query, not a plain DF plan
+            plan = _physical(fn(spark, SF_TEST))
+            assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
