@@ -25,7 +25,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -83,6 +85,48 @@ def frame_plan(df: DataFrame) -> DataFrame:
         "frame_len"
     )
     return out.select("media_id", "frame_idx", frame_offset, frame_len)
+
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+        StructField("feature_norm4", LongType()),
+    ]
+)
+
+
+def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Arrow-batched media feature extraction (mapInPandas).
+
+    Real systems run an image/audio encoder here; those libs aren't in
+    this container, so fake=False raises (clearly-marked stub) and
+    fake=True derives a deterministic FEATURE_DIM-float vector from the
+    md5 of the bytes — exercising the exact schema/batching a real
+    encoder stage would use, and feeding directly into the similarity
+    operators (functions/similarity.py) downstream.
+    """
+
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "media encoder libs are not installed; use fake=True "
+                        "for the deterministic test encoder"
+                    )
+                digest = hashlib.md5(bytes(content)).digest()
+                vec = [(b - 128) / 128.0 for b in digest[:FEATURE_DIM]]
+                norm4 = int(sum(x * x for x in vec) * 10000)
+                rows.append({"media_id": int(media_id), "feature": vec, "feature_norm4": norm4})
+            yield pd.DataFrame(rows, columns=["media_id", "feature", "feature_norm4"])
+
+    return df.select("media_id", "content").mapInPandas(run, FEATURE_SCHEMA)
 
 
 def decode_frames(df: DataFrame, fake: bool = False) -> DataFrame:

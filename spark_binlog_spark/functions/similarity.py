@@ -116,6 +116,76 @@ def lsh_topk(
     )
 
 
+def ivf_assign(df: DataFrame, n_centroids: int = 8, vec_col: str = "embedding") -> DataFrame:
+    """IVF cell assignment with deterministic centroids (the first
+    ``n_centroids`` vectors — a real system k-means-trains these; the
+    plan shape is identical).  Each vector joins only its nearest
+    centroid's cell at query time.
+
+    One broadcast of the centroid set + one pass over the corpus: the
+    assignment is an argmax over n_centroids cosines, computed columnar.
+    """
+    from pyspark.sql import Window
+
+    base = with_quantized(df, vec_col)
+    centroids = F.broadcast(
+        base.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("q").alias("cq"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
+    scored = base.join(centroids, how="cross").select(
+        "vec_id",
+        "q",
+        "norm",
+        "centroid_id",
+        cosine4(int_dot(F.col("q"), F.col("cq")), F.col("norm"), F.col("cnorm")).alias("c4"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c4").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", "norm", "centroid_id")
+    )
+
+
+def ivf_topk(
+    df: DataFrame, n_queries: int = 5, k: int = 3, n_centroids: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF search: probe only the query's own cell (nprobe=1).
+
+    Compared pairs shrink by ~n_centroids×; recall is the usual IVF
+    trade-off, measured the same way as q_lsh_recall."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(df, n_centroids, vec_col)
+    from pyspark.storagelevel import StorageLevel
+
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
+    queries = F.broadcast(
+        assigned.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("norm").alias("qnorm"),
+            F.col("centroid_id").alias("qcell"),
+        )
+    )
+    scored = queries.join(
+        assigned.filter(F.col("vec_id") >= n_queries), F.col("qcell") == F.col("centroid_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        cosine4(int_dot(F.col("qq"), F.col("q")), F.col("qnorm"), F.col("norm")).alias("cosine4"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine4").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine4")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, min_cosine4: int = 8000, planes: int = 4, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -241,6 +241,46 @@ WHERE CAST(floor(
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (nprobe=1, deterministic centroids): the
+    second scale path next to LSH buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, n_queries=5, k=3, n_centroids=8)
+
+
+_COS4 = (
+    "CAST(floor(CAST(CAST(list_sum([{a}.q[i] * {b}.q[i] for i in generate_series(1, len({a}.q))]) AS BIGINT) AS DOUBLE)"
+    " / sqrt(CAST({a}.{an} AS DOUBLE) * CAST({b}.{bn} AS DOUBLE)) * 10000) AS BIGINT)"
+)
+
+ORACLE["q_ivf_topk"] = f"""
+WITH quant AS ({_QUANT_SQL}),
+base0 AS ({_NORM_SQL}),
+cents AS (SELECT vec_id AS centroid_id, q, norm FROM base0 WHERE vec_id < 8),
+assign_scored AS (
+  SELECT b.vec_id, b.q, b.norm, c.centroid_id,
+         {_COS4.format(a='b', b='c', an='norm', bn='norm')} AS c4
+  FROM base0 b CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, q, norm, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c4 DESC, centroid_id) AS rn
+    FROM assign_scored) WHERE rn = 1
+),
+scored AS (
+  SELECT qs.vec_id AS query_id, b.vec_id,
+         {_COS4.format(a='qs', b='b', an='norm', bn='norm')} AS cosine4
+  FROM assigned qs JOIN assigned b ON qs.centroid_id = b.centroid_id
+  WHERE qs.vec_id < 5 AND b.vec_id >= 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine4 DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, cosine4 FROM ranked WHERE rnk <= 3
+"""
+
+
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the LSH bucket path vs exact brute force: how many of
     each query's true top-3 the bucketed search finds.  The standard

@@ -54,6 +54,9 @@ class TestJoinStrategy:
     def test_latest_image_single_shuffle(self, spark):
         from spark_binlog_spark.operators import latest_image
 
+        # other tests persist an identical latest-image subtree; cached
+        # substitution would hide the Exchange this test counts
+        spark.catalog.clearCache()
         ch = changes_df(spark, SF_TEST)
         plan = _physical(latest_image(ch, ["pk"]))
         # one exchange for the window partitioning, nothing else

@@ -96,6 +96,22 @@ class TestMultimodal:
                 for r in plan.collect()}
         assert got == want  # Arrow decode path agrees with the pure-DF plan
 
+    def test_extract_features_fake(self, spark):
+        from spark_binlog_spark.cdc import load_table
+        from spark_binlog_spark.functions import multimodal
+
+        docs = load_table(spark, SF_TEST, "documents").limit(10)
+        media = multimodal.as_media(docs, "doc_id", "text", "text_blob")
+        feats = multimodal.extract_features(media, fake=True)
+        rows = feats.collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert len(r["feature"]) == multimodal.FEATURE_DIM
+            assert all(-1.0 <= x <= 1.0 for x in r["feature"])
+        # deterministic: second run identical
+        again = {r["media_id"]: r["feature_norm4"] for r in multimodal.extract_features(media, fake=True).collect()}
+        assert again == {r["media_id"]: r["feature_norm4"] for r in rows}
+
     def test_decode_frames_stub_raises(self, spark):
         from spark_binlog_spark.cdc import load_table
         from spark_binlog_spark.functions import multimodal
