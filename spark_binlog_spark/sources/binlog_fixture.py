@@ -49,7 +49,8 @@ def _envelope_json(event_id: int, ts_ns: int, user_id: int, event_type: str, val
     op = OP_MAP.get(event_type, "update")
     row = {"pk": user_id, "value": value, "op": op, "cdc_offset": event_id}
     try:
-        row["k"] = json.loads(props).get("k")
+        payload = json.loads(props)
+        row["k"] = payload.get("k") if isinstance(payload, dict) else None
     except (TypeError, ValueError):
         row["k"] = None
     return json.dumps(
