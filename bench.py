@@ -81,7 +81,32 @@ def main() -> None:
     fdf.write.format("noop").mode("overwrite").save()
     timings["flagship_cdc_pipeline"] = round(time.perf_counter() - t0, 3)
 
+    # streaming ingest throughput: full events table through the
+    # binlog_fixture source (availableNow), rows/sec — the reference's
+    # only published number is 0.44 rows/sec on a 1-row demo batch
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from spark_binlog_spark.streaming.pipeline import read_stream
+
+    events_path = f"{sf_dir}/events.parquet"
+    n_events = spark.read.parquet(events_path).count()
+    t0 = time.perf_counter()
+    wire = read_stream(spark, events_path, numPartitions=int(cpus))
+    q = (
+        wire.writeStream.format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp() + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_sec = round(time.perf_counter() - t0, 3)
+
+    # headline total = batch queries + flagship; stream ingest reported
+    # separately (it measures source throughput, not query latency)
     total = round(sum(timings.values()), 3)
+    timings["stream_ingest"] = stream_sec
     print(
         json.dumps(
             {
@@ -90,6 +115,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "stream_rows_per_sec": round(n_events / stream_sec, 1) if stream_sec else None,
             }
         )
     )

@@ -182,25 +182,22 @@ def ngram_jaccard_pairs(
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """Per-document SimHash over word h16 hashes (bit-majority vote).
 
-    Plan: explode words × bit positions (literal array), sum the ±1
-    votes per (doc, bit), then fold bits back into one integer — two
-    narrow shuffles on small keys, no UDFs.
+    Plan: explode words, hash once per word, then ONE doc-keyed
+    hash-aggregate computing all ``bits`` ±1 vote sums as separate agg
+    columns (map-side partial agg; no ×bits row explosion), folded back
+    into one integer in a final projection.
     """
     w = df.select(F.col("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("word"))
     hashed = w.select("doc_id", h16(F.col("word")).alias("h"))
-    bit_arr = F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("bit")
-    # shiftright with a *column* shift amount needs the SQL form
-    votes = hashed.select("doc_id", "h", bit_arr).select(
-        "doc_id",
-        "bit",
-        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END").alias("vote"),
-    )
-    bit_sums = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
-    return (
-        bit_sums.select(
-            "doc_id",
-            F.expr("CASE WHEN s > 0 THEN CAST(shiftleft(1, bit) AS BIGINT) ELSE CAST(0 AS BIGINT) END").alias("bitval"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("long").alias("simhash16"))
-    )
+    vote_aggs = [
+        F.sum(
+            F.expr(f"CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END")
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*vote_aggs)
+    folded = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        folded = term if folded is None else folded + term
+    return wide.select("doc_id", folded.cast("long").alias("simhash16"))

@@ -78,7 +78,13 @@ def frame_plan(df: DataFrame) -> DataFrame:
     """Pure-DataFrame frame *planning* (no decode): one row per FRAME_SIZE
     slice of the blob.  This is the shuffle-able unit of decode work."""
     n_frames = F.floor((F.col("byte_len") - 1) / FRAME_SIZE).cast("int") + 1
-    idx = F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx")
+    # guard: for an empty blob n_frames=0 and sequence(0, -1) would emit a
+    # DESCENDING [0, -1] — emit no frames instead
+    idx = F.explode(
+        F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+    ).alias("frame_idx")
     out = df.select(F.col("media_id"), F.col("byte_len"), idx)
     frame_offset = (F.col("frame_idx").cast("long") * FRAME_SIZE).alias("frame_offset")
     frame_len = F.least(F.col("byte_len") - F.col("frame_idx") * FRAME_SIZE, F.lit(FRAME_SIZE)).alias(

@@ -10,7 +10,7 @@ All queries derive the change stream via the shared contract in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_binlog_spark import POW13
