@@ -146,21 +146,24 @@ def ngram_jaccard_pairs(
     ONLY ubiquitous shingles); the declared oracle query runs uncapped.
     """
     # three consumers (sizes + both join sides): persist the exploded
-    # shingle relation so shingling runs once
+    # shingle relation so shingling runs once.  Shingles join on their
+    # 48-bit hash, not the string — half the shuffle bytes; the oracle
+    # hashes identically so any collision affects both engines equally.
     from pyspark.storagelevel import StorageLevel
 
     sh = (
         doc_shingles(df, text_col)
-        .dropDuplicates(["doc_id", "shingle"])
+        .select("doc_id", F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10).cast("long").alias("sh_h"))
+        .dropDuplicates(["doc_id", "sh_h"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if df_cap is not None:
-        rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap)
-        sh = sh.join(F.broadcast(rare.select("shingle")), "shingle")
+        rare = sh.groupBy("sh_h").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap)
+        sh = sh.join(F.broadcast(rare.select("sh_h")), "sh_h")
     common = (
         sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .join(sh.alias("b"), (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )

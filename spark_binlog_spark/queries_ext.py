@@ -118,11 +118,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_ngram_jaccard"] = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh0 AS ({_SHINGLES_SQL}),
+sh AS (SELECT DISTINCT doc_id,
+              CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS sh_h
+       FROM sh0),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b, n_common,
@@ -428,6 +431,56 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_fingerprint"] = """
 WITH n AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_md5 FROM documents)
 SELECT doc_id, fp_md5, CAST('0x' || substr(fp_md5, 1, 12) AS BIGINT) AS fp48 FROM n
+"""
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data pipeline: quality-filter -> exact
+    dedup (keep smallest doc_id per content hash) -> emit with token
+    count and fingerprint.  One pass of per-doc projections + one
+    digest-keyed shuffle — the shape of a production corpus-cleaning
+    job."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    w = F.split(t, " ")
+    n_words = F.size(w)
+    featured = docs.select(
+        "doc_id",
+        "text",
+        F.length(t).cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.md5(t).alias("text_hash"),
+    ).filter((F.col("n_chars") >= 100) & (F.col("n_words") >= 20))
+    from pyspark.sql import Window
+
+    keep = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        featured.withColumn("rn", F.row_number().over(keep))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_words",
+            "text_hash",
+            F.conv(F.substring(F.col("text_hash"), 1, 12), 16, 10).cast("long").alias("fp48"),
+        )
+    )
+
+
+ORACLE["q_corpus_clean"] = """
+WITH featured AS (
+  SELECT doc_id, length(text) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         md5(text) AS text_hash
+  FROM documents
+  WHERE length(text) >= 100 AND len(string_split(text, ' ')) >= 20
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn FROM featured
+)
+SELECT doc_id, n_chars, n_words, text_hash,
+       CAST('0x' || substr(text_hash, 1, 12) AS BIGINT) AS fp48
+FROM ranked WHERE rn = 1
 """
 
 
