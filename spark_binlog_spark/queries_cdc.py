@@ -612,6 +612,73 @@ FROM changes GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------- sessions
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization: per-key session windows with a
+    30-minute inactivity gap (``session_window`` — the streaming-native
+    sessionizer, run in batch).  Oracle = classic gaps-and-islands SQL,
+    proving the window semantics against first principles."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ch.groupBy(sw.alias("w"), F.col("pk"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("session_value"),
+        )
+        .select(
+            "pk",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+ORACLE["q_user_sessions"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+flagged AS (
+  SELECT pk, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM changes
+  WINDOW w AS (PARTITION BY pk ORDER BY ts, cdc_offset)
+),
+runs AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY pk ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT pk, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS session_value
+FROM runs GROUP BY pk, sid
+"""
+
+
+# ---------------------------------------------------------------- distincts
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-key counts per table (Catalyst expands
+    countDistinct into a two-stage partial aggregation).  At 100 TB the
+    drop-in is ``approx_count_distinct`` (HLL++, one pass, fixed-size
+    sketch, mergeable across partitions) — not used here because the
+    oracle gate needs exact equality across engines."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    return ch.groupBy("table_name").agg(
+        F.countDistinct("pk").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+ORACLE["q_distinct_users"] = f"""
+WITH changes AS ({CHANGES_SQL})
+SELECT table_name, count(DISTINCT pk) AS n_users, count(*) AS n_events
+FROM changes GROUP BY table_name
+"""
+
+
 # ---------------------------------------------------------------- relational
 def q_enriched_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-enrichment join: change stream joined to dimension tables
