@@ -84,17 +84,31 @@ def dedup_stream(changes: DataFrame, watermark_ms: int = 60_000) -> DataFrame:
 class ParquetUpsertSink:
     """foreachBatch MERGE sink: applies each micro-batch onto the
     materialized state (the delta-plus idCols/syncType=binlog contract,
-    README.md:88-99)."""
+    README.md:88-99).
+
+    Exactly-once story: foreachBatch is at-least-once under hard crashes
+    (a batch can complete its writes but die before the checkpoint
+    commit, then replay).  That is safe here because ``cdc_apply`` is
+    IDEMPOTENT — re-merging a batch into state that already reflects it
+    upserts identical values and re-deletes absent keys, a fixpoint.
+    This is the same argument the reference makes with its monotonic
+    offset guard (O6) over the at-least-once WAL."""
 
     def __init__(self, spark: SparkSession, state_dir: str, base: DataFrame, key_col: str,
-                 set_cols: dict[str, str]):
+                 set_cols: dict[str, str], resume: bool = False):
         self.spark = spark
         self.state_dir = state_dir
         self.key_col = key_col
         self.set_cols = set_cols
         self._schema = base.schema
         self.applied_batches: list[tuple[int, int]] = []  # (batch_id, n_rows)
-        base.write.mode("overwrite").parquet(state_dir)
+        # resume=True: keep the existing materialized state (crash
+        # recovery — the stream restarts from its checkpoint and this
+        # sink must restart from ITS matching state, not re-bootstrap)
+        import os
+
+        if not (resume and os.path.isdir(state_dir)):
+            base.write.mode("overwrite").parquet(state_dir)
 
     @property
     def applied_rows(self) -> int:
@@ -163,6 +177,7 @@ def run_cdc_upsert(
     key_col: str = "c_custkey",
     set_cols: dict[str, str] | None = None,
     await_events: int | None = None,
+    resume: bool = False,
     **source_options,
 ) -> "ParquetUpsertSink":
     """Bootstrap + stream-apply: returns the sink whose ``current()`` is
@@ -171,9 +186,11 @@ def run_cdc_upsert(
     Without ``await_events``: one availableNow batch (uncapped sources).
     With ``await_events``: processing-time micro-batches until that many
     events have been applied — use together with maxEventsPerTrigger.
+    ``resume=True``: restart after a crash — keep the existing state dir
+    and let the checkpoint decide which offsets are still unprocessed.
     """
     set_cols = set_cols or {"c_acctbal": "value"}
-    sink = ParquetUpsertSink(spark, state_dir, base, key_col, set_cols)
+    sink = ParquetUpsertSink(spark, state_dir, base, key_col, set_cols, resume=resume)
     wire = read_stream(spark, events_path, **source_options)
     changes = parse_stream(wire)
     writer = changes.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)

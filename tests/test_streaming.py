@@ -193,6 +193,79 @@ class TestBinlogSuiteScenario:
         assert streamed == expected
 
 
+class TestCrashRecovery:
+    def test_kill_midstream_and_resume_exactly_once(self, spark, tmp_path):
+        """O7 — stop the query mid-stream, restart from the checkpoint
+        with resume=True: the final state must equal a one-shot batch
+        apply (no lost batches, no double-applied batches)."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.cdc import load_table  # noqa: F401
+        from spark_binlog_spark.operators import cdc_apply
+        from spark_binlog_spark.streaming.pipeline import (
+            ParquetUpsertSink,
+            await_stream,
+            parse_stream,
+            read_stream,
+        )
+
+        rows = [
+            (i, T0 + i, i % 6, ["signup", "click", "view", "purchase", "error"][i % 5],
+             float(i), "{}")
+            for i in range(40)
+        ]
+        path = str(tmp_path / "ev.parquet")
+        _write_events(path, rows)
+        base = spark.createDataFrame(
+            [Row(c_custkey=k, c_name=f"n{k}", c_acctbal=float(k)) for k in range(6)]
+        )
+        state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
+
+        # phase 1: run capped micro-batches, kill roughly midway
+        sink1 = ParquetUpsertSink(spark, state, base, "c_custkey", {"c_acctbal": "value"})
+        wire = read_stream(spark, path, numPartitions=2, maxEventsPerTrigger=8)
+        q1 = (
+            parse_stream(wire).writeStream.foreachBatch(sink1)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        await_stream(q1, lambda: sink1.applied_rows >= 16)  # stops the query
+        assert sink1.applied_rows < 40, "stream finished before the kill — raise the cap"
+
+        # phase 2: resume from the same checkpoint + state
+        sink2 = ParquetUpsertSink(
+            spark, state, base, "c_custkey", {"c_acctbal": "value"}, resume=True
+        )
+        wire2 = read_stream(spark, path, numPartitions=2, maxEventsPerTrigger=8)
+        q2 = (
+            parse_stream(wire2).writeStream.foreachBatch(sink2)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        await_stream(q2, lambda: sink1.applied_rows + sink2.applied_rows >= 40)
+        assert sink1.applied_rows + sink2.applied_rows == 40  # exactly once, no dups
+
+        from pyspark.sql import functions as F
+
+        ch = spark.read.parquet(path).select(
+            F.col("event_id").alias("cdc_offset"),
+            F.col("user_id").alias("pk"),
+            F.when(F.col("event_type") == "signup", "insert")
+            .when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("op"),
+            F.col("value"),
+        )
+        expected = {
+            (r["c_custkey"], r["c_acctbal"])
+            for r in cdc_apply(base, ch, key_col="c_custkey", set_cols={"c_acctbal": "value"}).collect()
+        }
+        got = {(r["c_custkey"], r["c_acctbal"]) for r in sink2.current().collect()}
+        assert got == expected
+
+
 class TestStreamingDedup:
     def test_watermark_dedup_on_replay(self, spark, tmp_path):
         """O6: a replayed (duplicated) stream collapses to distinct
