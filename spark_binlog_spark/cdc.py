@@ -42,9 +42,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver's parquet stores nanosecond timestamps, which Spark
     # rejects by default; read them as long ns-since-epoch and convert
     # where needed (see changes_df).  Session TZ pinned to UTC so wall
-    # times agree with DuckDB's naive timestamps.
+    # times agree with DuckDB's naive timestamps.  AQE on so shuffle
+    # partition counts adapt to the (small-to-huge) per-query data
+    # volume regardless of the caller's session defaults.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
