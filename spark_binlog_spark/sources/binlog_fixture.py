@@ -75,16 +75,45 @@ class OffsetRangePartition(InputPartition):
     path: str
 
 
-def _read_range(path: str, start: int, end: int):
+def _read_range(path: str, start: int, end: int, filters: dict | None = None):
     """Executor-side range read: offset-predicate pushdown into parquet
-    (the O3 scan, BinLogSocketServerInExecutor.scala:436-447)."""
+    (the O3 scan, BinLogSocketServerInExecutor.scala:436-447).
+
+    ``filters`` mirrors the reference's ingest-side gates — events for
+    non-matching tables/times never materialize (F1 applied at source,
+    BinLogSocketServerInExecutor.scala:219-237; HBase ``startTime``
+    option, MLSQLHBaseWALDataSource):
+      db_pattern / table_pattern: regex on the derived db/table names
+      start_time_ns: minimum event timestamp (pushed into the scan)
+    ``path`` may be a comma-separated list of files/dirs (the reference
+    reads walLogPath + oldWALLogPath)."""
+    import re
+
     import pyarrow.dataset as ds
 
-    dataset = ds.dataset(path)
+    filters = filters or {}
+    paths = [p.strip() for p in path.split(",") if p.strip()]
+    dataset = ds.dataset(paths if len(paths) > 1 else paths[0])
     flt = (ds.field("event_id") >= start) & (ds.field("event_id") < end)
+    if filters.get("start_time_ns") is not None:
+        import pyarrow as pa
+
+        flt = flt & (ds.field("ts") >= pa.scalar(filters["start_time_ns"], pa.timestamp("ns")))
+    db_re = re.compile(filters["db_pattern"]) if filters.get("db_pattern") else None
+    table_re = re.compile(filters["table_pattern"]) if filters.get("table_pattern") else None
+
+    def _table_match(user_id: int) -> bool:
+        if db_re and not db_re.search(f"db_{user_id % 2}"):
+            return False
+        if table_re and not table_re.search(f"t_{user_id % 4}"):
+            return False
+        return True
+
     for batch in dataset.to_table(filter=flt).to_batches():
         cols = batch.to_pydict()
         for i in range(batch.num_rows):
+            if (db_re or table_re) and not _table_match(cols["user_id"][i]):
+                continue
             yield (
                 _envelope_json(
                     cols["event_id"][i],
@@ -97,6 +126,40 @@ def _read_range(path: str, start: int, end: int):
             )
 
 
+def _probe_end(path: str) -> int:
+    """max(event_id)+1 across all files from row-group statistics —
+    metadata-only, no data read (the O2 latest-offset probe)."""
+    import pyarrow.dataset as ds
+
+    paths = [p.strip() for p in path.split(",") if p.strip()]
+    dataset = ds.dataset(paths if len(paths) > 1 else paths[0])
+    end = 0
+    for frag in dataset.get_fragments():
+        md = frag.metadata
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            if col.statistics is not None:
+                end = max(end, col.statistics.max + 1)
+    return end
+
+
+def _parse_filters(options: dict) -> dict:
+    """Ingest-side filter options, mirroring the reference's source
+    options: databaseNamePattern/tableNamePattern
+    (MLSQLBinLogDataSource), startTimeMs (HBase startTime)."""
+    f: dict = {}
+    db = options.get("databasenamepattern", options.get("databaseNamePattern"))
+    if db:
+        f["db_pattern"] = db
+    tb = options.get("tablenamepattern", options.get("tableNamePattern"))
+    if tb:
+        f["table_pattern"] = tb
+    st = options.get("starttimems", options.get("startTimeMs"))
+    if st is not None:
+        f["start_time_ns"] = int(st) * 1_000_000
+    return f
+
+
 class BinlogFixtureStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -105,21 +168,13 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         self.num_partitions = int(options.get("numpartitions", options.get("numPartitions", 4)))
         self.max_per_trigger = int(options.get("maxeventspertrigger", options.get("maxEventsPerTrigger", 0)))
         self.start_offset = int(options.get("startingoffset", options.get("startingOffset", 0)))
+        self.filters = _parse_filters(options)
         self._end = None  # lazily-probed end of stream
         self._cur = None  # admission-control cursor (see latestOffset)
 
     def _stream_end(self) -> int:
         if self._end is None:
-            import pyarrow.parquet as pq
-
-            md = pq.ParquetFile(self.path).metadata
-            # offset column is the first; max event_id + 1 from row-group stats
-            end = 0
-            for rg in range(md.num_row_groups):
-                col = md.row_group(rg).column(0)
-                if col.statistics is not None:
-                    end = max(end, col.statistics.max + 1)
-            self._end = end
+            self._end = _probe_end(self.path)
         return self._end
 
     def initialOffset(self) -> dict:
@@ -160,7 +215,7 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
     def read(self, partition: OffsetRangePartition):
         if partition.end <= partition.start:
             return iter(())
-        return _read_range(partition.path, partition.start, partition.end)
+        return _read_range(partition.path, partition.start, partition.end, self.filters)
 
     def commit(self, end: dict) -> None:
         # replayable backing store -> nothing to clean up (the reference
@@ -178,17 +233,10 @@ class BinlogFixtureBatchReader(DataSourceReader):
         self.num_partitions = int(options.get("numpartitions", options.get("numPartitions", 4)))
         self.start = int(options.get("startingoffset", options.get("startingOffset", 0)))
         self.end = int(options.get("endingoffset", options.get("endingOffset", 1 << 62)))
+        self.filters = _parse_filters(options)
 
     def partitions(self):
-        import pyarrow.parquet as pq
-
-        md = pq.ParquetFile(self.path).metadata
-        hi = 0
-        for rg in range(md.num_row_groups):
-            col = md.row_group(rg).column(0)
-            if col.statistics is not None:
-                hi = max(hi, col.statistics.max + 1)
-        e = min(self.end, hi)
+        e = min(self.end, _probe_end(self.path))
         s = self.start
         if e <= s:
             return [OffsetRangePartition(s, s, self.path)]
@@ -199,7 +247,7 @@ class BinlogFixtureBatchReader(DataSourceReader):
     def read(self, partition: OffsetRangePartition):
         if partition.end <= partition.start:
             return iter(())
-        return _read_range(partition.path, partition.start, partition.end)
+        return _read_range(partition.path, partition.start, partition.end, self.filters)
 
 
 class BinlogFixtureDataSource(DataSource):

@@ -90,6 +90,47 @@ class TestFixtureSource:
         assert len(nonzero) >= 4  # ceil(20/6) batches at least
         assert max(nonzero) <= 6  # admission cap respected per batch
 
+    def test_source_option_filters(self, spark, tmp_path):
+        """Reference option parity: databaseNamePattern/tableNamePattern
+        gate events at INGEST (F1 at the source,
+        BinLogSocketServerInExecutor.scala:219-237), startTimeMs skips
+        older events, and path accepts a comma-separated list (the
+        walLogPath + oldWALLogPath shape)."""
+        import json as _json
+
+        from spark_binlog_spark.sources.binlog_fixture import register
+
+        rows_a = [(i, T0 + i * 10**9, i % 8, "click", 1.0, "{}") for i in range(10)]
+        rows_b = [(10 + i, T0 + (10 + i) * 10**9, i % 8, "click", 1.0, "{}") for i in range(10)]
+        pa_, pb_ = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+        _write_events(pa_, rows_a)
+        _write_events(pb_, rows_b)
+        register(spark)
+
+        # multi-path + table pattern (db_1 only => odd user ids)
+        df = (
+            spark.read.format("binlog_fixture")
+            .option("path", f"{pa_},{pb_}")
+            .option("databaseNamePattern", "^db_1$")
+            .load()
+        )
+        envs = [_json.loads(r["value"]) for r in df.collect()]
+        assert len(envs) == 10  # half of 20 events
+        assert {e["databaseName"] for e in envs} == {"db_1"}
+        offs = {e["rows"][0]["cdc_offset"] for e in envs}
+        assert offs & set(range(10)) and offs & set(range(10, 20))  # both files read
+
+        # startTimeMs skips the first half by event time
+        cutoff_ms = (T0 + 10 * 10**9) // 1_000_000
+        df2 = (
+            spark.read.format("binlog_fixture")
+            .option("path", f"{pa_},{pb_}")
+            .option("startTimeMs", str(cutoff_ms))
+            .load()
+        )
+        offs2 = {_json.loads(r["value"])["rows"][0]["cdc_offset"] for r in df2.collect()}
+        assert offs2 == set(range(10, 20))
+
     def test_batch_reader_offset_range(self, spark, tmp_path):
         """Bounded replay through the batch reader with [start, end)."""
         from spark_binlog_spark.sources.binlog_fixture import register
