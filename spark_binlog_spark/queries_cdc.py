@@ -734,6 +734,66 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- top-k
+def q_top_events_per_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per table — the grouped-top-k pattern
+    (rank window + filter; Spark pushes a per-partition limit into the
+    sort via WindowGroupLimit)."""
+    from pyspark.sql import Window
+
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    w = Window.partitionBy("table_name").orderBy(F.col("value").desc(), F.col("cdc_offset"))
+    return (
+        ch.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("table_name", F.col("rnk").cast("long").alias("rnk"), "cdc_offset", "value")
+    )
+
+
+ORACLE["q_top_events_per_table"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+ranked AS (
+  SELECT table_name, cdc_offset, value,
+         row_number() OVER (PARTITION BY table_name ORDER BY value DESC, cdc_offset) AS rnk
+  FROM changes
+)
+SELECT table_name, CAST(rnk AS BIGINT) AS rnk, cdc_offset, value FROM ranked WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------- integrity
+def q_offset_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-loss detection: find holes in the per-region offset sequence
+    (the condition the reference turns into an error when
+    until < from — MLSQLHBaseWALDataSource.scala:220-241).  Gaps are
+    synthesized by dropping offsets divisible by 97."""
+    from pyspark.sql import Window
+
+    _pin(spark)
+    ch = changes_df(spark, sf_dir).filter(F.col("cdc_offset") % 97 != 0)
+    w = Window.orderBy("cdc_offset")
+    return (
+        ch.select("cdc_offset", F.lag("cdc_offset").over(w).alias("prev_offset"))
+        .filter(F.col("prev_offset").isNotNull() & (F.col("cdc_offset") - F.col("prev_offset") > 1))
+        .select(
+            (F.col("prev_offset") + 1).alias("gap_start"),
+            (F.col("cdc_offset") - 1).alias("gap_end"),
+            (F.col("cdc_offset") - F.col("prev_offset") - 1).alias("n_missing"),
+        )
+    )
+
+
+ORACLE["q_offset_gaps"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+kept AS (SELECT cdc_offset FROM changes WHERE cdc_offset % 97 != 0),
+seq AS (SELECT cdc_offset, lag(cdc_offset) OVER (ORDER BY cdc_offset) AS prev_offset FROM kept)
+SELECT prev_offset + 1 AS gap_start, cdc_offset - 1 AS gap_end,
+       cdc_offset - prev_offset - 1 AS n_missing
+FROM seq WHERE prev_offset IS NOT NULL AND cdc_offset - prev_offset > 1
+"""
+
+
 # ---------------------------------------------------------------- streaming
 def q_stream_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END STREAMING correctness: run the binlog_fixture source to
