@@ -92,6 +92,22 @@ def main() -> None:
 
     events_path = f"{sf_dir}/events.parquet"
     n_events = spark.read.parquet(events_path).count()
+    spark.catalog.clearCache()  # drop query-phase persists; measure the source alone
+    # warm the Python datasource worker pool (earlier queries are
+    # JVM-only) — same warm-run policy as the query timings above
+    from spark_binlog_spark.sources.binlog_fixture import register as _register
+
+    _register(spark)
+    (
+        spark.read.format("binlog_fixture")
+        .option("path", events_path)
+        .option("endingOffset", "1000")
+        .option("numPartitions", cpus)
+        .load()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     t0 = time.perf_counter()
     wire = read_stream(spark, events_path, numPartitions=int(cpus))
     q = (

@@ -109,21 +109,57 @@ def _read_range(path: str, start: int, end: int, filters: dict | None = None):
             return False
         return True
 
+    import pyarrow as pa
+
     for batch in dataset.to_table(filter=flt).to_batches():
-        cols = batch.to_pydict()
-        for i in range(batch.num_rows):
-            if (db_re or table_re) and not _table_match(cols["user_id"][i]):
-                continue
-            yield (
-                _envelope_json(
-                    cols["event_id"][i],
-                    cols["ts"][i].value if hasattr(cols["ts"][i], "value") else cols["ts"][i],
-                    cols["user_id"][i],
-                    cols["event_type"][i],
-                    cols["value"][i],
-                    cols["props"][i],
-                ),
-            )
+        arr = _encode_batch_vectorized(batch, _table_match if (db_re or table_re) else None)
+        if len(arr):
+            yield pa.RecordBatch.from_arrays([arr], ["value"])
+
+
+def _encode_batch_vectorized(batch, table_match=None):
+    """Vectorized wire encoding: one pandas string-concat per column
+    instead of a Python dict+json.dumps per row (~10× the per-row
+    encoder; read() then yields arrow RecordBatches straight through,
+    no per-row Python→Arrow conversion).
+
+    Produces byte-compatible JSON with ``_envelope_json`` — every field
+    is numeric or from a controlled vocabulary, so no string escaping is
+    required; ``k`` is extracted from props with a regex accepting only
+    integer payloads (anything else → null, matching the scalar path).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    pdf = batch.to_pandas()
+    if table_match is not None:
+        mask = pdf["user_id"].map(table_match)
+        pdf = pdf[mask]
+        if len(pdf) == 0:
+            return pa.array([], pa.string())
+
+    op = pdf["event_type"].map(lambda t: OP_MAP.get(t, "update"))
+    ts_ms = (pdf["ts"].astype("int64") // 1_000_000).astype(str)
+    uid = pdf["user_id"].astype("int64")
+    pk = uid.astype(str)
+    db = "db_" + (uid % 2).astype(str)
+    tbl = "t_" + (uid % 4).astype(str)
+    off = pdf["event_id"].astype("int64").astype(str)
+    val = pdf["value"].map(lambda v: json.dumps(v) if v == v else "null")
+    k = (
+        pdf["props"]
+        .astype("string")
+        .str.extract(r'^\s*\{.*"k"\s*:\s*(-?\d+)', expand=False)
+        .fillna("null")
+    )
+    lines = (
+        '{"type":"' + op + '","timestamp":' + ts_ms
+        + ',"databaseName":"' + db + '","tableName":"' + tbl
+        + '","rows":[{"pk":' + pk + ',"value":' + val + ',"op":"' + op
+        + '","cdc_offset":' + off + ',"k":' + k + "}]}"
+    )
+    return pa.array(np.asarray(lines, dtype=object), pa.string())
 
 
 def _probe_end(path: str) -> int:
