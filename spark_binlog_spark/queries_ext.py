@@ -353,6 +353,79 @@ GROUP BY e.query_id
 """
 
 
+N_LP_ROUNDS = 3
+
+
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the MinHash
+    candidate-pair graph via UNROLLED min-label propagation
+    (N_LP_ROUNDS rounds — exact for components of diameter <= rounds,
+    which covers near-dup clusters; the general iterative form is the
+    same join loop driven from the driver).  Demonstrates the
+    fixed-point-iteration class on DataFrames without RDD loops."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs, min_agree=2).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .withColumnRenamed("doc_a", "src")
+        .withColumnRenamed("doc_b", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select(F.col("src").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    for _ in range(N_LP_ROUNDS):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["v"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nb_min"))
+        )
+        labels = (
+            labels.join(neigh, labels["v"] == neigh["src"], "left")
+            .select(
+                F.col("v"),
+                F.least(F.col("lbl"), F.coalesce(F.col("nb_min"), F.col("lbl"))).alias("lbl"),
+            )
+        )
+    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
+
+
+def _lp_rounds_sql() -> str:
+    out = ["lab0 AS (SELECT v, v AS lbl FROM (SELECT DISTINCT src AS v FROM edges))"]
+    for i in range(N_LP_ROUNDS):
+        out.append(
+            f"n{i+1} AS (SELECT e.src AS v, min(l.lbl) AS nb_min "
+            f"FROM edges e JOIN lab{i} l ON e.dst = l.v GROUP BY e.src)"
+        )
+        out.append(
+            f"lab{i+1} AS (SELECT l.v, least(l.lbl, coalesce(n.nb_min, l.lbl)) AS lbl "
+            f"FROM lab{i} l LEFT JOIN n{i+1} n ON l.v = n.v)"
+        )
+    return ",\n".join(out)
+
+
+ORACLE["q_dup_components"] = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashed AS ({_HASHED_SQL}),
+sig AS (
+{_minhash_sig_sql()}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+{_lp_rounds_sql()}
+SELECT v AS doc_id, lbl AS component FROM lab{N_LP_ROUNDS}
+"""
+
+
 # ---------------------------------------------------------------- text
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
