@@ -353,6 +353,36 @@ GROUP BY e.query_id
 """
 
 
+def q_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution per language: exact quartiles of
+    n_chars (Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    linear-interpolation definition, so values match bit-for-bit).  At
+    100 TB swap in ``approx_percentile`` (t-digest sketch, mergeable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = F.expr("percentile(n_chars, array(0.25, 0.5, 0.75))")
+    return (
+        docs.groupBy("lang")
+        .agg(p.alias("p"), F.count("*").alias("n_docs"))
+        .select(
+            "lang",
+            F.element_at("p", 1).alias("p25"),
+            F.element_at("p", 2).alias("p50"),
+            F.element_at("p", 3).alias("p75"),
+            "n_docs",
+        )
+    )
+
+
+ORACLE["q_length_stats"] = """
+SELECT lang,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.50) AS p50,
+       quantile_cont(n_chars, 0.75) AS p75,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
 N_LP_ROUNDS = 3
 
 
