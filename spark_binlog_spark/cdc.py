@@ -55,6 +55,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def changes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical change stream as a DataFrame (mirror of CHANGES_SQL)."""
     ev = load_table(spark, sf_dir, "events")
+    # ts arrives as long ns-since-epoch for ns-precision parquet
+    # (nanosAsLong) but as a real timestamp for us/ms-precision files —
+    # dispatch on the resolved type
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ts_col = F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+    else:
+        ts_col = F.col("ts")
     return ev.select(
         F.col("event_id").alias("cdc_offset"),
         F.col("user_id").alias("pk"),
@@ -64,9 +71,7 @@ def changes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
         F.concat(F.lit("db_"), (F.col("user_id") % 2).cast("string")).alias("database_name"),
         F.concat(F.lit("t_"), (F.col("user_id") % 4).cast("string")).alias("table_name"),
-        # ts arrives as long nanoseconds (nanosAsLong); truncate to micros
-        # exactly like DuckDB's TIMESTAMP cast does
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        ts_col,
         F.col("value"),
         F.col("props"),
     )

@@ -140,7 +140,9 @@ def _encode_batch_vectorized(batch, table_match=None):
             return pa.array([], pa.string())
 
     op = pdf["event_type"].map(lambda t: OP_MAP.get(t, "update"))
-    ts_ms = (pdf["ts"].astype("int64") // 1_000_000).astype(str)
+    # normalize to ns before the ms division — datetime64[us]/[ms] files
+    # would otherwise be misinterpreted as ns
+    ts_ms = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000).astype(str)
     uid = pdf["user_id"].astype("int64")
     pk = uid.astype(str)
     db = "db_" + (uid % 2).astype(str)
