@@ -73,6 +73,8 @@ class OffsetRangePartition(InputPartition):
     start: int
     end: int
     path: str
+    region: int | None = None  # region mode: only rows of this region
+    n_regions: int = 0
 
 
 def _read_range(path: str, start: int, end: int, filters: dict | None = None):
@@ -111,13 +113,20 @@ def _read_range(path: str, start: int, end: int, filters: dict | None = None):
 
     import pyarrow as pa
 
+    region = filters.get("region")
+    n_regions = filters.get("n_regions", 0)
     for batch in dataset.to_table(filter=flt).to_batches():
-        arr = _encode_batch_vectorized(batch, _table_match if (db_re or table_re) else None)
+        arr = _encode_batch_vectorized(
+            batch,
+            _table_match if (db_re or table_re) else None,
+            region=region,
+            n_regions=n_regions,
+        )
         if len(arr):
             yield pa.RecordBatch.from_arrays([arr], ["value"])
 
 
-def _encode_batch_vectorized(batch, table_match=None):
+def _encode_batch_vectorized(batch, table_match=None, region=None, n_regions=0):
     """Vectorized wire encoding: one pandas string-concat per column
     instead of a Python dict+json.dumps per row (~10× the per-row
     encoder; read() then yields arrow RecordBatches straight through,
@@ -133,11 +142,14 @@ def _encode_batch_vectorized(batch, table_match=None):
     import pyarrow as pa
 
     pdf = batch.to_pandas()
+    if region is not None:
+        # region mode: region key derived from the row key, exactly the
+        # HBase source's per-region WAL ownership (one task per region)
+        pdf = pdf[(pdf["user_id"] % n_regions) == region]
     if table_match is not None:
-        mask = pdf["user_id"].map(table_match)
-        pdf = pdf[mask]
-        if len(pdf) == 0:
-            return pa.array([], pa.string())
+        pdf = pdf[pdf["user_id"].map(table_match)]
+    if len(pdf) == 0:
+        return pa.array([], pa.string())
 
     op = pdf["event_type"].map(lambda t: OP_MAP.get(t, "update"))
     # normalize to ns before the ms division — datetime64[us]/[ms] files
@@ -207,6 +219,10 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         self.max_per_trigger = int(options.get("maxeventspertrigger", options.get("maxEventsPerTrigger", 0)))
         self.start_offset = int(options.get("startingoffset", options.get("startingOffset", 0)))
         self.filters = _parse_filters(options)
+        # region mode: per-region map offsets, the HBase CommonSourceOffset
+        # JSON shape {"<region>": seq} (CommonSourceOffset.scala:24-54);
+        # one partition per region per micro-batch
+        self.regions = int(options.get("regions", 0))
         self._end = None  # lazily-probed end of stream
         self._cur = None  # admission-control cursor (see latestOffset)
 
@@ -217,7 +233,11 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         # user-supplied or 0 — mirroring binlogIndex/binlogFileOffset
-        # bootstrap (MLSQLBinLogDataSource.scala:70-98)
+        # bootstrap (MLSQLBinLogDataSource.scala:70-98).  Region mode
+        # emits the map shape with deterministic sorted keys
+        # (CommonSourceOffset.scala:27-39).
+        if self.regions:
+            return {f"r{r}": self.start_offset for r in range(self.regions)}
         return {"offset": self.start_offset}
 
     def latestOffset(self) -> dict:
@@ -228,6 +248,10 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         # lose the tail.  A driver-side cursor ratchets the reported
         # offset forward by at most the cap per planning round.
         end = self._stream_end()
+        if self.regions:
+            # every region's seq watermark advances to the shared log end
+            # (regions share the event-id sequence in the fixture)
+            return {f"r{r}": end for r in range(self.regions)}
         if not self.max_per_trigger:
             return {"offset": end}
         cur = self.start_offset if self._cur is None else self._cur
@@ -236,6 +260,20 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         return {"offset": nxt}
 
     def partitions(self, start: dict, end: dict):
+        if self.regions:
+            # O4 — per-region CommonOffsetRange alignment
+            # (MLSQLHBaseWALDataSource.scala:220-241): a region present
+            # only in `end` is new and starts from the initial offset;
+            # one partition per region (":248 parallelize per region")
+            out = []
+            for r in range(self.regions):
+                key = f"r{r}"
+                s = start.get(key, self.start_offset)
+                e = end.get(key, s)
+                out.append(
+                    OffsetRangePartition(s, max(s, e), self.path, region=r, n_regions=self.regions)
+                )
+            return out
         s, e = start["offset"], end["offset"]
         # keep the admission cursor ahead of what Spark actually planned
         # (handles checkpoint restarts, where start > our fresh cursor)
@@ -253,7 +291,10 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
     def read(self, partition: OffsetRangePartition):
         if partition.end <= partition.start:
             return iter(())
-        return _read_range(partition.path, partition.start, partition.end, self.filters)
+        filters = self.filters
+        if partition.region is not None:
+            filters = dict(filters, region=partition.region, n_regions=partition.n_regions)
+        return _read_range(partition.path, partition.start, partition.end, filters)
 
     def commit(self, end: dict) -> None:
         # replayable backing store -> nothing to clean up (the reference

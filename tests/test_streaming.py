@@ -150,6 +150,42 @@ class TestFixtureSource:
         assert sorted(vals) == [3, 4, 5, 6, 7]
 
 
+class TestRegionOffsets:
+    def test_region_mode_map_offsets(self, spark, tmp_path):
+        """HBase-style per-region map offsets (CommonSourceOffset shape):
+        one partition per region per batch, union of regions == the
+        whole stream, offsets checkpoint as {"r<N>": seq} JSON."""
+        import json as _json
+
+        from spark_binlog_spark.streaming.pipeline import read_stream
+
+        rows = [(i, T0 + i, i % 5, "click", float(i), "{}") for i in range(30)]
+        path = str(tmp_path / "ev.parquet")
+        _write_events(path, rows)
+
+        wire = read_stream(spark, path, regions=4)
+        q = (
+            wire.writeStream.format("memory")
+            .queryName("region_stream")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        envs = [_json.loads(r["value"]) for r in spark.table("region_stream").collect()]
+        assert len(envs) == 30  # regions partition the stream exactly
+        offs = sorted(e["rows"][0]["cdc_offset"] for e in envs)
+        assert offs == list(range(30))
+
+        # the committed offset in the checkpoint is the region map
+        import os
+
+        off_files = sorted(os.listdir(str(tmp_path / "ck" / "offsets")))
+        content = open(str(tmp_path / "ck" / "offsets" / off_files[-1])).read().splitlines()
+        committed = _json.loads(content[-1])
+        assert committed == {"r0": 30, "r1": 30, "r2": 30, "r3": 30}
+
+
 class TestBinlogSuiteScenario:
     """The reference's canonical scenario (BinlogSuite.scala:168-217 /
     FIXTURES.md §1): insert -> update ×2 -> delete, then the key is gone."""
