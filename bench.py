@@ -37,6 +37,9 @@ HEADLINE = [
     "q_similarity_lsh",
     "q_text_quality",
     "q_token_count",
+    "q_tfidf_topterms",
+    # stock-relational join path
+    "q_ship_priority",
 ]
 
 

@@ -128,6 +128,25 @@ def minhash_candidate_pairs(
     )
 
 
+def boilerplate_shingles(
+    df: DataFrame, min_df: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Corpus boilerplate detection: shingles shared by >= min_df docs.
+
+    The CCNet-style pre-pass for line/paragraph boilerplate removal,
+    expressed on word shingles (the synthetic corpus has no newlines):
+    one explode + ONE shingle-keyed count shuffle; the survivors are the
+    candidate boilerplate dictionary a cleaning pass would anti-join
+    documents against.  Output is vocabulary-sized, not corpus-sized.
+    """
+    sh = doc_shingles(df, text_col)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs_with"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs_with") >= min_df)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

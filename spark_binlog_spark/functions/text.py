@@ -104,6 +104,47 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def term_salience_topk(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """TF-IDF-style top-k salient terms per document.
+
+    idf here is the integer corpus ratio N/df (scaled ×10000 with
+    integer division) rather than log(N/df): for a fixed tf the two are
+    order-isomorphic, and integer arithmetic is bit-exact across engines
+    (libm ``ln`` implementations can differ by an ulp right at a floor
+    boundary).  salience4 = tf * N * 10000 div df.
+
+    Plan shape: explode words -> ONE (doc, term) count shuffle; document
+    frequency is a second agg over that relation (persisted — it feeds
+    both the df agg and the scoring join); df table is vocabulary-sized,
+    so it broadcasts.  Top-k via per-doc rank window.
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    w = df.select(F.col("doc_id"), F.explode(words(F.col(text_col))).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.expr("tf * n_docs * 10000 div dfreq").alias("salience4"),
+        )
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(F.col("salience4").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "salience4", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the normalized text + 48-bit int form.
 

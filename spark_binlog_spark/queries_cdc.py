@@ -497,6 +497,46 @@ SELECT * FROM untouched UNION ALL SELECT * FROM upserts
 """
 
 
+# ---------------------------------------------------------------- D4 + MV
+def q_mv_segment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained materialized view: aggregate over the CDC-applied
+    state (D4) — per-mktsegment balance totals AFTER replaying the
+    change stream.  The downstream contract of a binlog pipeline: any
+    view computed over the maintained table equals the same view over a
+    fresh snapshot.  Plan: the MERGE-shaped apply (base never shuffled)
+    feeding one partial+final hash agg."""
+    _pin(spark)
+    base = load_table(spark, sf_dir, "customer")
+    ch = changes_df(spark, sf_dir)
+    applied = cdc_apply(base, ch, key_col="c_custkey", set_cols={"c_acctbal": "value"})
+    return applied.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_balance"),
+    )
+
+
+ORACLE["q_mv_segment_balance"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY cdc_offset DESC) AS rn FROM changes
+),
+latest AS (SELECT * FROM ranked WHERE rn = 1),
+untouched AS (
+  SELECT cu.* FROM customer cu
+  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.pk = cu.c_custkey)
+),
+upserts AS (
+  SELECT l.pk AS c_custkey, b.c_name, b.c_nationkey, l.value AS c_acctbal, b.c_mktsegment
+  FROM latest l LEFT JOIN customer b ON b.c_custkey = l.pk
+  WHERE l.op != 'delete'
+),
+applied AS (SELECT * FROM untouched UNION ALL SELECT * FROM upserts)
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_balance
+FROM applied GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------- D5
 def q_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 — per (db, table, op) monitoring counts (numInputRows-style,
@@ -609,6 +649,171 @@ WITH changes AS ({CHANGES_SQL})
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        op, count(*) AS n_events
 FROM changes GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- D5 sliding
+def q_change_counts_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 as SLIDING event-time windows (2-hour width, 1-hour slide):
+    each event lands in exactly two overlapping windows.  Spark's
+    ``window(ts, width, slide)`` expands rows generator-side before one
+    hash agg; the oracle derives the same windows from first principles
+    (bucket minus k·slide)."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    win = F.window(F.col("ts"), "2 hours", "1 hour")
+    return (
+        ch.groupBy(win.alias("w"), F.col("op"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "op",
+            "n_events",
+        )
+    )
+
+
+ORACLE["q_change_counts_sliding"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+expanded AS (
+  SELECT op, time_bucket(INTERVAL 1 HOUR, ts) - k.k * INTERVAL 1 HOUR AS wstart
+  FROM changes CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, op, count(*) AS n_events
+FROM expanded GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- datetime quirk
+def q_datetime_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DATETIME decode quirk (MySQLCDCUtils.java:63-69):
+    a binlog DATETIME is a zoneless wall-clock reading in the server's
+    zone; the reference subtracts the raw zone offset to normalize
+    before formatting.  Spark equivalents: from_utc_timestamp (UTC
+    instant -> server wall reading) and to_utc_timestamp (the quirk's
+    minus-offset normalization).  A fixed-offset zone (+05:30) keeps
+    the arithmetic exact in both engines (no DST table dependence)."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return ch.select(
+        "cdc_offset",
+        F.date_format(F.col("ts"), fmt).alias("wall_utc"),
+        F.date_format(F.from_utc_timestamp(F.col("ts"), "+05:30"), fmt).alias("wall_server"),
+        F.date_format(F.to_utc_timestamp(F.col("ts"), "+05:30"), fmt).alias("normalized"),
+    )
+
+
+ORACLE["q_datetime_normalize"] = f"""
+WITH changes AS ({CHANGES_SQL})
+SELECT cdc_offset,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS wall_utc,
+       strftime(ts + INTERVAL 330 MINUTE, '%Y-%m-%d %H:%M:%S') AS wall_server,
+       strftime(ts - INTERVAL 330 MINUTE, '%Y-%m-%d %H:%M:%S') AS normalized
+FROM changes
+"""
+
+
+# ---------------------------------------------------------------- schema evolution
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload schema evolution (SURVEY §7 hard-part #3): the first half
+    of the stream carries v1 rows {pk, value}; the second half carries
+    v2 rows {pk, value, k} (column added mid-stream, as a live ALTER
+    TABLE would).  One from_json with the MERGED schema reads both —
+    missing keys resolve to null, exactly the reference's omitted-column
+    convention (InsertRowsWriter.java:51-53)."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    half = ch.agg(F.floor(F.max("cdc_offset") / 2).cast("long").alias("half"))
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    wire = ch.crossJoin(F.broadcast(half)).select(
+        "cdc_offset",
+        F.when(
+            F.col("cdc_offset") < F.col("half"),
+            F.to_json(F.struct(F.col("pk"), F.col("value"))),
+        )
+        .otherwise(F.to_json(F.struct(F.col("pk"), F.col("value"), k.alias("k"))))
+        .alias("row_json"),
+        (F.col("cdc_offset") >= F.col("half")).alias("is_v2"),
+    )
+    parsed = wire.select(
+        "cdc_offset",
+        "is_v2",
+        F.from_json(F.col("row_json"), "pk BIGINT, value DOUBLE, k BIGINT").alias("r"),
+    )
+    return parsed.select(
+        "cdc_offset",
+        F.when(F.col("is_v2"), F.lit(2)).otherwise(F.lit(1)).cast("long").alias("schema_ver"),
+        F.col("r.pk").alias("pk"),
+        F.col("r.value").alias("value"),
+        F.col("r.k").alias("k"),
+    )
+
+
+ORACLE["q_schema_evolution"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+half AS (SELECT CAST(floor(max(cdc_offset) / 2) AS BIGINT) AS half FROM changes)
+SELECT cdc_offset,
+       CASE WHEN cdc_offset >= half THEN 2 ELSE 1 END AS schema_ver,
+       pk, value,
+       CASE WHEN cdc_offset >= half
+            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+FROM changes CROSS JOIN half
+"""
+
+
+# ---------------------------------------------------------------- relational Q3
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: 3-table join (customer filter →
+    orders → lineitem) + grouped revenue + global top-10.  The stock
+    join-heavy snapshot-analytics path: the customer filter broadcasts,
+    orders⋈lineitem is the one big shuffle, top-k is
+    TakeOrderedAndProject (no global sort materialized).  Revenue is
+    floor(extendedprice·(1-discount)·100) per row — exact integer cents,
+    deterministic across engines."""
+    _pin(spark)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+    ).cast("long")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_c).alias("revenue_c"))
+        .select(
+            F.col("o_orderkey"),
+            F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            "revenue_c",
+        )
+        .orderBy(F.col("revenue_c").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE["q_ship_priority"] = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_c DESC, o_orderkey
+LIMIT 10
 """
 
 

@@ -456,6 +456,48 @@ SELECT v AS doc_id, lbl AS component FROM lab{N_LP_ROUNDS}
 """
 
 
+# ---------------------------------------------------------------- ANN multiprobe
+def q_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: the recall knob between nprobe=1
+    (q_ivf_topk) and brute force (q_similarity_topk) — compared pairs
+    grow linearly in nprobe, plan shape unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_multiprobe(emb, n_queries=5, k=3, n_centroids=8, nprobe=2)
+
+
+ORACLE["q_ivf_multiprobe"] = f"""
+WITH quant AS ({_QUANT_SQL}),
+base0 AS ({_NORM_SQL}),
+cents AS (SELECT vec_id AS centroid_id, q, norm FROM base0 WHERE vec_id < 8),
+assign_scored AS (
+  SELECT b.vec_id, b.q, b.norm, c.centroid_id,
+         {_COS4.format(a='b', b='c', an='norm', bn='norm')} AS c4
+  FROM base0 b CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, q, norm, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c4 DESC, centroid_id) AS rn
+    FROM assign_scored) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, q, norm, centroid_id AS qcell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c4 DESC, centroid_id) AS rn
+    FROM assign_scored WHERE vec_id < 5) WHERE rn <= 2
+),
+scored AS (
+  SELECT qs.query_id, b.vec_id,
+         {_COS4.format(a='qs', b='b', an='norm', bn='norm')} AS cosine4
+  FROM probes qs JOIN assigned b ON qs.qcell = b.centroid_id
+  WHERE b.vec_id >= 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine4 DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, cosine4 FROM ranked WHERE rnk <= 3
+"""
+
+
 # ---------------------------------------------------------------- text
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -523,6 +565,47 @@ SELECT doc_id,
             ELSE 'und' END AS pred_lang,
        {", ".join(f"score_{lang}" for lang in text.LANG_MARKERS)}
 FROM scored
+"""
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document (integer TF-IDF: tf * N div df,
+    scaled ×10000 — order-isomorphic to tf·log(N/df) for fixed tf and
+    bit-exact across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.term_salience_topk(docs, k=3)
+
+
+ORACLE["q_tfidf_topterms"] = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term, tf,
+         (tf * n_docs * 10000) // dfreq AS salience4
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY salience4 DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, salience4, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate dictionary: 3-gram shingles appearing in >= 2
+    distinct documents (the CCNet-style pre-pass a cleaning job
+    anti-joins against)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.boilerplate_shingles(docs, min_df=2)
+
+
+ORACLE["q_boilerplate_shingles"] = f"""
+WITH sh AS ({_SHINGLES_SQL})
+SELECT shingle, count(*) AS n_docs_with, min(doc_id) AS first_doc
+FROM sh GROUP BY shingle HAVING count(*) >= 2
 """
 
 

@@ -63,6 +63,19 @@ class TestJoinStrategy:
         assert plan.count("Exchange hashpartitioning") == 1
 
 
+class TestShipPriority:
+    def test_topk_is_take_ordered_and_dim_broadcasts(self, spark):
+        """q_ship_priority: the filtered customer dim must broadcast and
+        the global top-10 must be TakeOrderedAndProject (per-partition
+        heap + merge), never a full global Sort materialization."""
+        from spark_binlog_spark.queries_cdc import q_ship_priority
+
+        df = q_ship_priority(spark, SF_TEST)
+        plan = _physical(df)
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+
+
 class TestCodegen:
     def test_quality_features_jvm_only_columnar_scan(self, spark):
         from spark_binlog_spark.functions.text import quality_features

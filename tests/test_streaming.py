@@ -272,12 +272,14 @@ class TestBinlogSuiteScenario:
 
 class TestCrashRecovery:
     def test_kill_midstream_and_resume_exactly_once(self, spark, tmp_path):
-        """O7 — stop the query mid-stream, restart from the checkpoint
-        with resume=True: the final state must equal a one-shot batch
-        apply (no lost batches, no double-applied batches)."""
+        """O7 — crash the query mid-stream (injected exception AFTER the
+        state write but BEFORE the batch commit — the worst-case crash
+        point), restart from the checkpoint with resume=True: the
+        uncommitted batch is redelivered (at-least-once), the idempotent
+        merge absorbs the replay, and the final state equals a one-shot
+        batch apply (effectively-once)."""
         from pyspark.sql import Row
 
-        from spark_binlog_spark.cdc import load_table  # noqa: F401
         from spark_binlog_spark.operators import cdc_apply
         from spark_binlog_spark.streaming.pipeline import (
             ParquetUpsertSink,
@@ -298,19 +300,30 @@ class TestCrashRecovery:
         )
         state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
 
-        # phase 1: run capped micro-batches, kill roughly midway
+        # phase 1: crash deterministically once >= 16 rows are applied —
+        # the state for that batch is already written, its offset commit
+        # never happens, so the batch MUST be redelivered on resume
         sink1 = ParquetUpsertSink(spark, state, base, "c_custkey", {"c_acctbal": "value"})
+
+        def crashing(batch_df, batch_id):
+            sink1(batch_df, batch_id)
+            if sink1.applied_rows >= 16:
+                raise RuntimeError("injected crash after state write")
+
         wire = read_stream(spark, path, numPartitions=2, maxEventsPerTrigger=8)
         q1 = (
-            parse_stream(wire).writeStream.foreachBatch(sink1)
+            parse_stream(wire).writeStream.foreachBatch(crashing)
             .option("checkpointLocation", ckpt)
             .trigger(processingTime="200 milliseconds")
             .start()
         )
-        await_stream(q1, lambda: sink1.applied_rows >= 16)  # stops the query
-        assert sink1.applied_rows < 40, "stream finished before the kill — raise the cap"
+        with pytest.raises(Exception):
+            q1.awaitTermination()
+        assert 16 <= sink1.applied_rows < 40
 
-        # phase 2: resume from the same checkpoint + state
+        # phase 2: resume from the same checkpoint + state; the crashed
+        # batch is replayed, so total applied rows exceed the input —
+        # at-least-once delivery, absorbed by the idempotent merge
         sink2 = ParquetUpsertSink(
             spark, state, base, "c_custkey", {"c_acctbal": "value"}, resume=True
         )
@@ -321,8 +334,11 @@ class TestCrashRecovery:
             .trigger(processingTime="200 milliseconds")
             .start()
         )
-        await_stream(q2, lambda: sink1.applied_rows + sink2.applied_rows >= 40)
-        assert sink1.applied_rows + sink2.applied_rows == 40  # exactly once, no dups
+        replayed = sink1.applied_batches[-1][1]  # uncommitted batch size
+        await_stream(
+            q2, lambda: sink1.applied_rows + sink2.applied_rows >= 40 + replayed
+        )
+        assert sink1.applied_rows + sink2.applied_rows == 40 + replayed
 
         from pyspark.sql import functions as F
 
