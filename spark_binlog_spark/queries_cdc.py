@@ -537,6 +537,49 @@ FROM applied GROUP BY c_mktsegment
 """
 
 
+def q_stream_mv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END INCREMENTAL MV: run the streaming source through the
+    per-key-delta aggregate sink (streaming/mv.py) to completion, then
+    return the maintained aggregate.  Same oracle as
+    q_mv_segment_balance — the incremental path must land on exactly
+    the batch-recompute answer (DECIMAL arithmetic makes ⊕ exact)."""
+    import tempfile
+
+    from spark_binlog_spark.streaming.mv import IncrementalAggSink
+    from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+    _pin(spark)
+    base = load_table(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp()
+    sink = IncrementalAggSink(
+        spark,
+        f"{tmp}/state",
+        f"{tmp}/agg",
+        base,
+        key_col="c_custkey",
+        group_col="c_mktsegment",
+        val_col="c_acctbal",
+    )
+    wire = read_stream(spark, f"{sf_dir}/events.parquet", numPartitions=8)
+    q = (
+        parse_stream(wire)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmp}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.current_agg().select(
+        "c_mktsegment",
+        F.col("n_rows").alias("n_customers"),
+        F.col("total").alias("total_balance"),
+    )
+
+
+# identical oracle: the incremental result must equal the recompute
+ORACLE["q_stream_mv_maintain"] = ORACLE["q_mv_segment_balance"]
+
+
 # ---------------------------------------------------------------- D5
 def q_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 — per (db, table, op) monitoring counts (numInputRows-style,

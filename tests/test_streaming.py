@@ -359,6 +359,68 @@ class TestCrashRecovery:
         assert got == expected
 
 
+class TestWatermarkLateData:
+    def test_late_events_dropped_after_window_eviction(self, spark, tmp_path):
+        """Event-time windowed counts with a 10 s watermark in append
+        mode - the late-data contract the reference lacks entirely
+        (SURVEY 2.C streaming-only row).  Spark's GUARANTEE is:
+        a finalized (evicted) window is emitted exactly once and later
+        arrivals for it are dropped; while the window state is still
+        live, late-but-within-state merges are best-effort allowed.
+
+        Staging (cap=3/batch): [1,2,3] advance nothing; [12,13,25]
+        push the watermark to 15 s; [26,27,28] trigger the eviction of
+        window [0,10) (emitted with count 3); THEN 5 s arrives - its
+        window is gone, the row must be dropped, and [0,10) must never
+        be re-emitted (count stays 3, no duplicate)."""
+        import time
+
+        from pyspark.sql import functions as F
+
+        from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+        S = 10**9  # ns per second
+        ts_s = [1, 2, 3, 12, 13, 25, 26, 27, 28, 5, 41, 42]  # 5 = LATE
+        rows = [(i, T0 + t * S, i, "click", 1.0, "{}") for i, t in enumerate(ts_s)]
+        path = str(tmp_path / "late.parquet")
+        _write_events(path, rows)
+
+        changes = parse_stream(read_stream(spark, path, numPartitions=2, maxEventsPerTrigger=3))
+        counts = (
+            changes.withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+            .withWatermark("event_time", "10 seconds")
+            .groupBy(F.window("event_time", "10 seconds").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").cast("long").alias("w_start"), "n")
+        )
+        name = "late_counts"
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        # [0,10) flushes once wm=15 passes it; [10,20)+[20,30) flush
+        # after the 41/42 s batch pushes wm to 32
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline:
+            if q.exception() is not None or spark.table(name).count() >= 3:
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+        t0s = T0 // S
+        emitted = [(r["w_start"] - t0s, r["n"]) for r in spark.table(name).collect()]
+        got = dict(emitted)
+        assert len(emitted) == len(got), f"window re-emitted after late data: {emitted}"
+        assert got[0] == 3, f"late event leaked into the evicted window: {got}"
+        assert got[10] == 2 and got[20] == 4
+        # the 40 s window never finalizes (watermark stops at 32 s)
+        assert 40 not in got
+
+
 class TestStreamingDedup:
     def test_watermark_dedup_on_replay(self, spark, tmp_path):
         """O6: a replayed (duplicated) stream collapses to distinct
