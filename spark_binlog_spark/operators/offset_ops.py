@@ -67,20 +67,37 @@ def partition_ranges(
     until_map: DataFrame,
     partition_col: str = "partition",
     new_partition_start: int = -1,
+    fail_on_data_loss: bool = True,
 ) -> DataFrame:
     """O4 — per-partition offset ranges from (from, until) offset maps.
 
     Reference: MLSQLHBaseWALDataSource.scala:220-241 — full alignment of
     two region->offset maps; a region present only in ``until`` is new
-    and starts at -1.  ``until < from`` would be data loss (left as a
-    downstream assertion).  Expressed as a full outer join — broadcast
-    by the planner since offset maps are tiny (one row per region).
+    and starts at -1.  ``until < from`` is data loss: the reference
+    raises (and Kafka's source calls it failOnDataLoss) — here a lazy
+    ``raise_error`` branch inside the projection, so the check runs
+    distributed at execution time with no extra action.  Expressed as a
+    full outer join — broadcast by the planner since offset maps are
+    tiny (one row per region).
     """
     f = from_map.withColumnRenamed("offset", "from_offset")
     u = until_map.withColumnRenamed("offset", "until_offset")
     joined = f.join(u, on=partition_col, how="full_outer")
+    from_resolved = F.coalesce(F.col("from_offset"), F.lit(new_partition_start))
+    until = F.col("until_offset")
+    if fail_on_data_loss:
+        until = F.when(
+            until < from_resolved,
+            F.raise_error(
+                F.concat(
+                    F.lit("offset data loss on partition '"),
+                    F.col(partition_col),
+                    F.lit("': until < from (pass fail_on_data_loss=False to continue)"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("until_offset"))
     return joined.select(
         F.col(partition_col),
-        F.coalesce(F.col("from_offset"), F.lit(new_partition_start)).alias("from_offset"),
-        F.col("until_offset"),
+        from_resolved.alias("from_offset"),
+        until.alias("until_offset"),
     )

@@ -120,3 +120,63 @@ class TestMultimodal:
         media = multimodal.as_media(docs, "doc_id", "text", "text_blob")
         with pytest.raises(Exception):  # NotImplementedError inside executor
             multimodal.decode_frames(media, fake=False).collect()
+
+
+class TestPartitionRangeDataLoss:
+    def test_until_before_from_raises(self, spark):
+        """O4 parity: the reference errors when until < from (data loss,
+        MLSQLHBaseWALDataSource.scala:220-241); ours raises lazily at
+        execution via raise_error inside the projection."""
+        import pytest
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.operators import partition_ranges
+
+        fmap = spark.createDataFrame([Row(partition="r0", offset=100)])
+        umap = spark.createDataFrame([Row(partition="r0", offset=50)])
+        ranges = partition_ranges(fmap, umap)
+        with pytest.raises(Exception, match="data loss"):
+            ranges.collect()
+        # opt-out mirrors Kafka's failOnDataLoss=false
+        ok = partition_ranges(fmap, umap, fail_on_data_loss=False).collect()
+        assert ok[0]["until_offset"] == 50
+
+    def test_new_partition_starts_at_minus_one(self, spark):
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.operators import partition_ranges
+
+        fmap = spark.createDataFrame([Row(partition="r0", offset=10)])
+        umap = spark.createDataFrame(
+            [Row(partition="r0", offset=20), Row(partition="r1", offset=5)]
+        )
+        got = {r["partition"]: (r["from_offset"], r["until_offset"])
+               for r in partition_ranges(fmap, umap).collect()}
+        assert got == {"r0": (10, 20), "r1": (-1, 5)}
+
+
+class TestSketchPath:
+    def test_approx_count_distinct_drop_in(self, spark):
+        """The documented 100 TB drop-in for q_distinct_users: HLL++
+        (approx_count_distinct) — one pass, fixed-size mergeable sketch,
+        no exact-distinct expansion.  Bounds check at 2% rsd against the
+        exact count (not oracle-checked: approx by nature)."""
+        from pyspark.sql import functions as F
+
+        from spark_binlog_spark.cdc import changes_df
+        from tests.conftest import SF_TEST
+
+        ch = changes_df(spark, SF_TEST)
+        exact = {r["table_name"]: r["n"] for r in
+                 ch.groupBy("table_name").agg(F.countDistinct("pk").alias("n")).collect()}
+        approx = {r["table_name"]: r["n"] for r in
+                  ch.groupBy("table_name")
+                  .agg(F.approx_count_distinct("pk", 0.02).alias("n")).collect()}
+        for t, n in exact.items():
+            assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, n, approx[t])
+        # plan: single aggregation pass, no Expand (exact distinct would
+        # rewrite through a two-phase expand)
+        plan = (ch.groupBy("table_name")
+                .agg(F.approx_count_distinct("pk", 0.02).alias("n"))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Expand" not in plan
