@@ -216,6 +216,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 2, bits: int = 16, bands: int = 4
+) -> DataFrame:
+    """SimHash near-duplicate pairs: hamming(sig_a, sig_b) <= max_hamming.
+
+    The classic hamming-LSH argument (Charikar-style dedup): split the
+    ``bits``-bit signature into ``bands`` equal bands — any pair within
+    hamming distance < ``bands`` agrees EXACTLY on at least one band
+    (pigeonhole), so a self-join keyed on (band_idx, band_value) finds
+    every such pair without an n² compare; popcount(xor) then verifies
+    the true distance.  Shuffle volume is O(docs·bands + matching
+    pairs), the same content-keyed-join shape as the MinHash path.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    assert max_hamming < bands, "pigeonhole completeness needs max_hamming < bands"
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash(df, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sig.select(
+        "doc_id",
+        "simhash16",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("simhash16"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash16", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash16").alias("sim_a"),
+            F.col("b.simhash16").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])  # a pair can share several bands
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """Per-document SimHash over word h16 hashes (bit-majority vote).
 

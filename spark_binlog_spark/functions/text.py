@@ -145,6 +145,49 @@ def term_salience_topk(df: DataFrame, k: int = 3, text_col: str = "text") -> Dat
     )
 
 
+def boilerplate_ratio(df: DataFrame, min_df: int = 5, text_col: str = "text") -> DataFrame:
+    """Per-document boilerplate contamination: the fraction of a doc's
+    shingles that belong to the corpus boilerplate dictionary (shingles
+    shared by >= min_df docs).  The quality signal a cleaning pass
+    thresholds on before dropping/trimming documents.
+
+    Plan: ONE persisted shingle relation feeds the dictionary agg, the
+    per-doc totals, and the boilerplate-hit counts; the dictionary is
+    vocabulary-sized so it broadcasts into the hit join.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from spark_binlog_spark.functions import dedup
+
+    sh = dedup.doc_shingles(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    dict_ = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs_with"))
+        .filter(F.col("n_docs_with") >= min_df)
+        .select("shingle")
+    )
+    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hits = (
+        sh.join(F.broadcast(dict_), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    base = df.select("doc_id")
+    return (
+        base.join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_sh"), F.lit(0)).cast("long").alias("n_sh"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            ratio4(
+                F.coalesce(F.col("n_boiler"), F.lit(0)),
+                F.coalesce(F.col("n_sh"), F.lit(0)),
+            ).alias("boiler_ratio4"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the normalized text + 48-bit int form.
 

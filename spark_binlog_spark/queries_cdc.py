@@ -393,6 +393,44 @@ FROM runs GROUP BY run_id
 """
 
 
+# ---------------------------------------------------------------- P5 regional
+def q_cell_rollup_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 at scale: the SAME run grouping with the window PARTITIONED by
+    region (region = 'r_' || pk % 8) — each region's WAL order is
+    independent, exactly how the reference reads per-region WAL files
+    (HBaseWALClient.scala:66,128), so state shards across executors
+    instead of serializing on one global sort."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir).withColumn(
+        "region", F.concat(F.lit("r_"), (F.col("pk") % 8).cast("string"))
+    )
+    return cell_run_rollup(
+        ch.select("region", "cdc_offset", "pk", "op"), partition_cols=["region"]
+    )
+
+
+ORACLE["q_cell_rollup_regional"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+regioned AS (SELECT *, 'r_' || CAST(pk % 8 AS VARCHAR) AS region FROM changes),
+flagged AS (
+  SELECT region, cdc_offset, pk, op,
+         CASE WHEN lag(pk) OVER w IS NULL
+                   OR lag(pk) OVER w != pk
+                   OR lag(op) OVER w != op THEN 1 ELSE 0 END AS brk
+  FROM regioned
+  WINDOW w AS (PARTITION BY region ORDER BY cdc_offset)
+),
+runs AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY region ORDER BY cdc_offset
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+  FROM flagged
+)
+SELECT region, run_id, min(pk) AS rowkey, min(op) AS op, count(*) AS n_cells,
+       min(cdc_offset) AS from_offset, max(cdc_offset) AS to_offset
+FROM runs GROUP BY region, run_id
+"""
+
+
 # ---------------------------------------------------------------- D1
 def q_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 — parse the JSON payload column into typed fields with from_json

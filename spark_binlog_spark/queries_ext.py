@@ -159,6 +159,39 @@ FROM sums GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------- dedup: simhash pairs
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs: hamming <= 2 over 16-bit
+    signatures, found via 4-band hamming-LSH self-join (pigeonhole:
+    hamming < bands => at least one exact-matching band), verified by
+    popcount(xor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, max_hamming=2)
+
+
+_SIMHASH_SQL = """
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash16
+  FROM (
+    SELECT doc_id, bit, CAST(sum(vote) AS BIGINT) AS s FROM (
+      SELECT doc_id, b.bit,
+             CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+      FROM (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 4) AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents))
+      CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
+    ) GROUP BY doc_id, bit
+  ) GROUP BY doc_id
+"""
+
+ORACLE["q_simhash_near_dups"] = f"""
+WITH sig AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
+"""
+
+
 # ---------------------------------------------------------------- similarity
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for the first 5 vectors (exact baseline)."""
@@ -606,6 +639,31 @@ ORACLE["q_boilerplate_shingles"] = f"""
 WITH sh AS ({_SHINGLES_SQL})
 SELECT shingle, count(*) AS n_docs_with, min(doc_id) AS first_doc
 FROM sh GROUP BY shingle HAVING count(*) >= 2
+"""
+
+
+def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate contamination vs the corpus dictionary
+    (shingles shared by >= 5 docs) — the threshold signal of a cleaning
+    pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.boilerplate_ratio(docs, min_df=5)
+
+
+ORACLE["q_boilerplate_ratio"] = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+dict AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 5),
+totals AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+hits AS (SELECT doc_id, count(*) AS n_boiler FROM sh JOIN dict USING (shingle) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_sh, 0) AS BIGINT) AS n_sh,
+       CAST(coalesce(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CASE WHEN coalesce(t.n_sh, 0) = 0 THEN 0
+            ELSE CAST(floor(CAST(coalesce(h.n_boiler, 0) AS DOUBLE)
+                 / CAST(t.n_sh AS DOUBLE) * 10000) AS BIGINT) END AS boiler_ratio4
+FROM documents d
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
