@@ -72,3 +72,16 @@ class TestMinhashProperties:
         v = (hp * MINHASH_A[seed] + MINHASH_B[seed]) % MINHASH_P
         assert 0 <= v < MINHASH_P
         assert hp * MINHASH_A[seed] + MINHASH_B[seed] < 2**63  # no signed-64 overflow
+
+
+class TestSimhashBandProperties:
+    # the completeness argument q_simhash_near_dups rests on: any pair
+    # within hamming distance < bands agrees exactly on >= 1 of the
+    # equal-width bands (pigeonhole over the positions that differ)
+    @given(a=st.integers(0, 65535), b=st.integers(0, 65535))
+    @settings(max_examples=500, deadline=None)
+    def test_pigeonhole_band_completeness(self, a, b):
+        hamming = bin(a ^ b).count("1")
+        band_match = any(((a >> (i * 4)) & 15) == ((b >> (i * 4)) & 15) for i in range(4))
+        if hamming < 4:
+            assert band_match
