@@ -998,6 +998,48 @@ GROUP BY n_name, c_mktsegment, op
 """
 
 
+def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC JOIN under the oracle: the live change stream joins
+    the static customer dimension inside the streaming query (broadcast
+    per micro-batch), aggregated per (mktsegment, op) in the sink.
+    Stream-static joins are stateless in Spark — each batch joins
+    against the table as-of that batch, the standard enrichment shape
+    for a CDC pipeline feeding per-dimension monitoring."""
+    import tempfile
+    import uuid
+
+    from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+    _pin(spark)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    name = f"stream_enriched_{uuid.uuid4().hex[:8]}"
+    wire = read_stream(spark, f"{sf_dir}/events.parquet", numPartitions=8)
+    enriched = parse_stream(wire).join(cust, F.col("pk") == F.col("c_custkey"), "inner")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp() + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("c_mktsegment", "op")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+ORACLE["q_stream_enriched_counts"] = f"""
+WITH changes AS ({CHANGES_SQL})
+SELECT c_mktsegment, op, count(*) AS n_events
+FROM changes JOIN customer ON pk = c_custkey
+GROUP BY c_mktsegment, op
+"""
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary over lineitem — demonstrates the
     stock columnar agg path (partial agg + single shuffle) the engine

@@ -50,7 +50,13 @@ from spark_binlog_spark.operators import latest_image
 
 
 class MergeOnReadSink:
-    """foreachBatch sink with O(batch) writes and window-merge reads."""
+    """foreachBatch sink with O(batch) writes and window-merge reads.
+
+    Concurrency contract: single writer (Structured Streaming runs
+    foreachBatch serially), reads between batches.  A table format with
+    a transaction log (Delta/Iceberg) would make reads snapshot-
+    isolated against a concurrent compactor; the directory form keeps
+    the container dependency-free and the plan shapes identical."""
 
     def __init__(
         self,
