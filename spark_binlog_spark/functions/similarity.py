@@ -186,6 +186,40 @@ def ivf_topk(
     )
 
 
+def kmeans_step(df: DataFrame, n_centroids: int = 8, vec_col: str = "embedding") -> DataFrame:
+    """One Lloyd iteration over the IVF assignment: per-cell, per-dim
+    centroid means — the update step that turns the deterministic seed
+    centroids into trained ones (drive it in a driver-side loop for k
+    iterations; each iteration is this same shuffle-once plan).
+
+    Output: (centroid_id, dim, n_members, mean_q4) with
+    mean_q4 = floor(sum(q[dim]) * 10000 / n) over the quantized
+    components — exact int sums + one floored double division, the
+    cross-engine-deterministic form (integer `div` would disagree on
+    negative operands: Spark truncates, DuckDB floors).
+
+    Plan: assignment (broadcast centroids, one pass) -> posexplode to
+    (cell, dim) -> ONE hash-agg shuffle keyed on (cell, dim) with
+    map-side partial sums.  64·n_centroids output rows.
+    """
+    assigned = ivf_assign(df, n_centroids, vec_col)
+    dims = assigned.select(
+        "centroid_id", F.posexplode(F.col("q")).alias("dim", "val")
+    )
+    agg = dims.groupBy("centroid_id", "dim").agg(
+        F.sum("val").alias("s"), F.count("*").alias("n_members")
+    )
+    mean_q4 = F.floor(F.col("s").cast("double") * 10000 / F.col("n_members").cast("double")).cast(
+        "long"
+    )
+    return agg.select(
+        "centroid_id",
+        F.col("dim").cast("long").alias("dim"),
+        "n_members",
+        mean_q4.alias("mean_q4"),
+    )
+
+
 def ivf_topk_multiprobe(
     df: DataFrame,
     n_queries: int = 5,

@@ -489,6 +489,49 @@ SELECT v AS doc_id, lbl AS component FROM lab{N_LP_ROUNDS}
 """
 
 
+# ---------------------------------------------------------------- k-means step
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd update over the IVF cells: per-(cell, dim) member
+    counts and floored mean components — the iterative-algorithm step
+    class (driver-side loop of shuffle-once DataFrame plans), checked
+    exactly against the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_step(emb, n_centroids=8)
+
+
+ORACLE["q_kmeans_step"] = """
+WITH quant AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+base0 AS (
+  SELECT vec_id, q,
+         CAST(list_sum([q[i] * q[i] for i in generate_series(1, len(q))]) AS BIGINT) AS norm
+  FROM quant
+),
+cents AS (SELECT vec_id AS centroid_id, q, norm FROM base0 WHERE vec_id < 8),
+assign_scored AS (
+  SELECT b.vec_id, b.q, c.centroid_id,
+         CAST(floor(CAST(CAST(list_sum([b.q[i] * c.q[i] for i in generate_series(1, len(b.q))]) AS BIGINT) AS DOUBLE)
+              / sqrt(CAST(b.norm AS DOUBLE) * CAST(c.norm AS DOUBLE)) * 10000) AS BIGINT) AS c4
+  FROM base0 b CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, q, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c4 DESC, centroid_id) AS rn
+    FROM assign_scored) WHERE rn = 1
+),
+dims AS (
+  SELECT centroid_id, i - 1 AS dim, q[i] AS val
+  FROM assigned CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) idx
+)
+SELECT centroid_id, CAST(dim AS BIGINT) AS dim, count(*) AS n_members,
+       CAST(floor(CAST(sum(val) AS DOUBLE) * 10000 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_q4
+FROM dims GROUP BY centroid_id, dim
+"""
+
+
 # ---------------------------------------------------------------- ANN multiprobe
 def q_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with nprobe=2: the recall knob between nprobe=1

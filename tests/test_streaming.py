@@ -444,3 +444,73 @@ class TestStreamingDedup:
         q.awaitTermination()
         got = spark.table("deduped")
         assert got.count() == 10  # 15 raw -> 10 distinct (pk, offset)
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_insert_to_delete(self, spark, tmp_path):
+        """Stream-stream INNER interval join with watermarks on both
+        sides (state-backed, multi-batch): pair each insert with the
+        delete of the same pk arriving within 10 s of event time.
+        The final pair set must equal the batch interval join."""
+        import time
+
+        from pyspark.sql import functions as F
+
+        from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+        S = 10**9
+        # pk1: insert@1 delete@5   -> pair
+        # pk2: insert@2 delete@30  -> outside the 10 s bound, no pair
+        # pk3: insert@8 delete@12  -> pair (crosses batch boundary)
+        # pk4: delete@3 only       -> no pair
+        rows = [
+            (0, T0 + 1 * S, 1, "signup", 1.0, "{}"),
+            (1, T0 + 2 * S, 2, "signup", 1.0, "{}"),
+            (2, T0 + 3 * S, 4, "error", 0.0, "{}"),
+            (3, T0 + 5 * S, 1, "error", 0.0, "{}"),
+            (4, T0 + 8 * S, 3, "signup", 1.0, "{}"),
+            (5, T0 + 12 * S, 3, "error", 0.0, "{}"),
+            (6, T0 + 30 * S, 2, "error", 0.0, "{}"),
+            (7, T0 + 40 * S, 9, "click", 1.0, "{}"),  # watermark pusher
+        ]
+        path = str(tmp_path / "ssj.parquet")
+        _write_events(path, rows)
+
+        def side(op_name, prefix):
+            ch = parse_stream(read_stream(spark, path, numPartitions=2, maxEventsPerTrigger=3))
+            return (
+                ch.filter(F.col("op") == op_name)
+                .withColumn(f"{prefix}_time", F.timestamp_millis(F.col("ts_ms")))
+                .select(
+                    F.col("pk").alias(f"{prefix}_pk"),
+                    F.col(f"{prefix}_time"),
+                    F.col("cdc_offset").alias(f"{prefix}_off"),
+                )
+                .withWatermark(f"{prefix}_time", "10 seconds")
+            )
+
+        joined = side("insert", "i").join(
+            side("delete", "d"),
+            F.expr(
+                "i_pk = d_pk AND d_time >= i_time AND d_time <= i_time + interval 10 seconds"
+            ),
+        ).select("i_pk", "i_off", "d_off")
+
+        name = "ssj_pairs"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline:
+            if q.exception() is not None or spark.table(name).count() >= 2:
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+        got = {(r["i_pk"], r["i_off"], r["d_off"]) for r in spark.table(name).collect()}
+        assert got == {(1, 0, 3), (3, 4, 5)}, got
