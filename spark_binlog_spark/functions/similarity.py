@@ -116,26 +116,17 @@ def lsh_topk(
     )
 
 
-def ivf_assign(df: DataFrame, n_centroids: int = 8, vec_col: str = "embedding") -> DataFrame:
-    """IVF cell assignment with deterministic centroids (the first
-    ``n_centroids`` vectors — a real system k-means-trains these; the
-    plan shape is identical).  Each vector joins only its nearest
-    centroid's cell at query time.
+def assign_to_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment of a quantized corpus.
 
-    One broadcast of the centroid set + one pass over the corpus: the
-    assignment is an argmax over n_centroids cosines, computed columnar.
+    ``base``: (vec_id, q, norm) from ``with_quantized``;
+    ``centroids``: (centroid_id, cq, cnorm) — any centroid set (seeded
+    or trained).  One broadcast + one pass; argmax over cosines with
+    deterministic (score desc, centroid_id) tie-break.
     """
     from pyspark.sql import Window
 
-    base = with_quantized(df, vec_col)
-    centroids = F.broadcast(
-        base.filter(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("q").alias("cq"),
-            F.col("norm").alias("cnorm"),
-        )
-    )
-    scored = base.join(centroids, how="cross").select(
+    scored = base.join(F.broadcast(centroids), how="cross").select(
         "vec_id",
         "q",
         "norm",
@@ -146,8 +137,76 @@ def ivf_assign(df: DataFrame, n_centroids: int = 8, vec_col: str = "embedding") 
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "q", "norm", "centroid_id")
+        .select("vec_id", "q", "norm", "centroid_id", "c4")
     )
+
+
+def seed_centroids(base: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic seeds: the first ``n_centroids`` vectors by id."""
+    return base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("q").alias("cq"),
+        F.col("norm").alias("cnorm"),
+    )
+
+
+def ivf_assign(df: DataFrame, n_centroids: int = 8, vec_col: str = "embedding") -> DataFrame:
+    """IVF cell assignment with deterministic centroids (the first
+    ``n_centroids`` vectors — ``kmeans_train`` produces trained ones;
+    the plan shape is identical).  Each vector joins only its nearest
+    centroid's cell at query time.
+
+    One broadcast of the centroid set + one pass over the corpus: the
+    assignment is an argmax over n_centroids cosines, computed columnar.
+    """
+    base = with_quantized(df, vec_col)
+    return assign_to_centroids(base, seed_centroids(base, n_centroids)).drop("c4")
+
+
+def kmeans_train(
+    df: DataFrame, n_centroids: int = 8, iterations: int = 3, vec_col: str = "embedding"
+) -> DataFrame:
+    """Full Lloyd training: a driver-side loop of shuffle-once steps
+    (assign -> per-(cell, dim) mean -> rebuild centroid vectors).
+    Deterministic end-to-end: seeds are the first vectors by id, means
+    are exact integer sums with one floored division, ties break on id.
+
+    Returns the trained centroid set (centroid_id, cq, cnorm) ready for
+    ``assign_to_centroids``.  Each iteration materializes only
+    n_centroids rows on the driver side of the loop condition — the
+    corpus never leaves the cluster.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    base = with_quantized(df, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    centroids = seed_centroids(base, n_centroids)
+    for _ in range(iterations):
+        assigned = assign_to_centroids(base, centroids)
+        dims = assigned.select("centroid_id", F.posexplode(F.col("q")).alias("dim", "val"))
+        means = (
+            dims.groupBy("centroid_id", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .select(
+                "centroid_id",
+                "dim",
+                F.floor(F.col("s").cast("double") / F.col("n").cast("double"))
+                .cast("long")
+                .alias("m"),
+            )
+        )
+        # rebuild ordered vectors: collect (dim, m) per cell into an array
+        vecs = (
+            means.groupBy("centroid_id")
+            .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("dm"), lambda x: x["m"]).alias("cq"),
+            )
+        )
+        centroids = vecs.select(
+            "centroid_id", "cq", int_dot(F.col("cq"), F.col("cq")).alias("cnorm")
+        )
+    return centroids
 
 
 def ivf_topk(

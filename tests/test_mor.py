@@ -151,3 +151,31 @@ class TestMergeOnRead:
         assert _rows(sink.current()) == _rows(
             cdc_apply(base, ch, key_col="c_custkey", set_cols={"c_acctbal": "value"})
         )
+
+
+class TestMorResume:
+    def test_resume_keeps_state_and_continues(self, spark, tmp_path):
+        """resume=True must keep base + deltas intact (crash recovery:
+        the restarted query's checkpoint decides what replays) and new
+        batches must continue the (batch_id, offset) total order."""
+        from spark_binlog_spark.operators import cdc_apply
+        from spark_binlog_spark.streaming.mor import MergeOnReadSink
+
+        path = str(tmp_path / "ev.parquet")
+        _write_events(path, EVENTS)
+        base = _base(spark)
+        ch = _changes(spark, path)
+        first, second = ch.filter(F.col("cdc_offset") < 4), ch.filter(F.col("cdc_offset") >= 4)
+
+        s1 = MergeOnReadSink(spark, str(tmp_path / "st"), base, "c_custkey",
+                             {"c_acctbal": "value"}, compact_every=100)
+        s1(first, 0)
+        mid = _rows(s1.current())
+
+        s2 = MergeOnReadSink(spark, str(tmp_path / "st"), base, "c_custkey",
+                             {"c_acctbal": "value"}, compact_every=100, resume=True)
+        assert _rows(s2.current()) == mid  # state survived the "restart"
+        s2(second, 1)
+        expected = _rows(cdc_apply(base, ch, key_col="c_custkey",
+                                   set_cols={"c_acctbal": "value"}))
+        assert _rows(s2.current()) == expected

@@ -180,3 +180,43 @@ class TestSketchPath:
                 .agg(F.approx_count_distinct("pk", 0.02).alias("n"))
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Expand" not in plan
+
+
+class TestKmeansTrain:
+    def test_training_improves_assignment_quality(self, spark):
+        """kmeans_train: after Lloyd iterations the mean cosine of each
+        vector to its assigned centroid must not be worse than under
+        the seed centroids (Lloyd monotonicity, up to quantization),
+        with deterministic output shape."""
+        from pyspark.sql import functions as F
+
+        from spark_binlog_spark.functions import similarity
+        from tests.conftest import SF_TEST
+
+        emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        base = similarity.with_quantized(emb)
+        seeds = similarity.seed_centroids(base, 8)
+        before = (
+            similarity.assign_to_centroids(base, seeds)
+            .agg(F.avg("c4").alias("m")).collect()[0]["m"]
+        )
+        trained = similarity.kmeans_train(emb, n_centroids=8, iterations=3)
+        rows = trained.collect()
+        assert len(rows) == 8
+        assert all(len(r["cq"]) == 64 for r in rows)
+        after = (
+            similarity.assign_to_centroids(base, trained)
+            .agg(F.avg("c4").alias("m")).collect()[0]["m"]
+        )
+        assert after >= before, (before, after)
+
+    def test_training_is_deterministic(self, spark):
+        from spark_binlog_spark.functions import similarity
+        from tests.conftest import SF_TEST
+
+        emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        a = {(r["centroid_id"], tuple(r["cq"])) for r in
+             similarity.kmeans_train(emb, 8, 2).collect()}
+        b = {(r["centroid_id"], tuple(r["cq"])) for r in
+             similarity.kmeans_train(emb, 8, 2).collect()}
+        assert a == b
