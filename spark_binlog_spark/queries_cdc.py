@@ -505,6 +505,36 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_latest_image_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 with a COMPOSITE key: latest change per (database, table, pk)
+    — the idCols="a,b,..." form of the delta-plus contract (README.md:64
+    takes a comma-separated column list).  Same single window shuffle,
+    keyed on all id columns."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    li = latest_image(ch, ["database_name", "table_name", "pk"])
+    return li.select(
+        "database_name",
+        "table_name",
+        "pk",
+        F.col("cdc_offset").alias("last_offset"),
+        F.col("op").alias("last_op"),
+    )
+
+
+ORACLE["q_latest_image_composite"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+ranked AS (
+  SELECT database_name, table_name, pk, cdc_offset, op,
+         row_number() OVER (PARTITION BY database_name, table_name, pk
+                            ORDER BY cdc_offset DESC) AS rn
+  FROM changes
+)
+SELECT database_name, table_name, pk, cdc_offset AS last_offset, op AS last_op
+FROM ranked WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------- D4
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 — apply the change stream onto the customer snapshot: latest
@@ -1060,6 +1090,54 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item ranking: 4-table join
+    (lineitem filtered to returns ⋈ orders window ⋈ customer ⋈ nation)
+    + grouped revenue + global top-20.  Two broadcast dims, ONE big
+    shuffle (the grouped agg); top-k via TakeOrderedAndProject.
+    Revenue in exact integer cents (floor per row)."""
+    _pin(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+    ).cast("long")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev_c).alias("revenue_c"))
+        .orderBy(F.col("revenue_c").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE["q_returned_top_customers"] = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue_c DESC, c_custkey
+LIMIT 20
+"""
 
 
 # ---------------------------------------------------------------- top-k

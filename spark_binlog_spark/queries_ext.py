@@ -532,6 +532,102 @@ FROM dims GROUP BY centroid_id, dim
 """
 
 
+# ---------------------------------------------------------------- trained IVF
+def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over TRAINED centroids (one Lloyd iteration from the
+    deterministic seeds): the full index-build -> search flow under the
+    oracle — train, re-assign the corpus to the trained cells, probe
+    the query's own cell, top-3."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = similarity.with_quantized(emb)
+    trained = similarity.kmeans_train(emb, n_centroids=8, iterations=1)
+    assigned = similarity.assign_to_centroids(base, trained).drop("c4").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    queries = F.broadcast(
+        assigned.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("norm").alias("qnorm"),
+            F.col("centroid_id").alias("qcell"),
+        )
+    )
+    scored = queries.join(
+        assigned.filter(F.col("vec_id") >= 5), F.col("qcell") == F.col("centroid_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        similarity.cosine4(
+            similarity.int_dot(F.col("qq"), F.col("q")), F.col("qnorm"), F.col("norm")
+        ).alias("cosine4"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine4").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine4")
+    )
+
+
+ORACLE["q_ivf_trained_topk"] = f"""
+WITH quant AS ({_QUANT_SQL}),
+base0 AS ({_NORM_SQL}),
+cents AS (SELECT vec_id AS centroid_id, q, norm FROM base0 WHERE vec_id < 8),
+seed_scored AS (
+  SELECT b.vec_id, b.q, b.norm, c.centroid_id,
+         {_COS4.format(a='b', b='c', an='norm', bn='norm')} AS c4
+  FROM base0 b CROSS JOIN cents c
+),
+seed_assigned AS (
+  SELECT vec_id, q, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c4 DESC, centroid_id) AS rn
+    FROM seed_scored) WHERE rn = 1
+),
+dims AS (
+  SELECT centroid_id, i - 1 AS dim, q[i] AS val
+  FROM seed_assigned CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) idx
+),
+means AS (
+  SELECT centroid_id, dim,
+         CAST(floor(CAST(sum(val) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+  FROM dims GROUP BY centroid_id, dim
+),
+trained AS (
+  SELECT centroid_id, list(m ORDER BY dim) AS cq FROM means GROUP BY centroid_id
+),
+trained_n AS (
+  SELECT centroid_id, cq,
+         CAST(list_sum([cq[i] * cq[i] for i in generate_series(1, len(cq))]) AS BIGINT) AS cnorm
+  FROM trained
+),
+re_scored AS (
+  SELECT b.vec_id, b.q, b.norm, t.centroid_id,
+         CAST(floor(CAST(CAST(list_sum([b.q[i] * t.cq[i] for i in generate_series(1, len(b.q))]) AS BIGINT) AS DOUBLE)
+              / sqrt(CAST(b.norm AS DOUBLE) * CAST(t.cnorm AS DOUBLE)) * 10000) AS BIGINT) AS c4
+  FROM base0 b CROSS JOIN trained_n t
+),
+re_assigned AS (
+  SELECT vec_id, q, norm, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c4 DESC, centroid_id) AS rn
+    FROM re_scored) WHERE rn = 1
+),
+scored AS (
+  SELECT qs.vec_id AS query_id, b.vec_id,
+         {_COS4.format(a='qs', b='b', an='norm', bn='norm')} AS cosine4
+  FROM re_assigned qs JOIN re_assigned b ON qs.centroid_id = b.centroid_id
+  WHERE qs.vec_id < 5 AND b.vec_id >= 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine4 DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, cosine4 FROM ranked WHERE rnk <= 3
+"""
+
+
 # ---------------------------------------------------------------- ANN multiprobe
 def q_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with nprobe=2: the recall knob between nprobe=1
