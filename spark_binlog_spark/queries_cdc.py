@@ -795,6 +795,29 @@ FROM expanded GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------- payload drift
+def q_payload_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-payload drift report: which JSON keys appear in each
+    table's payloads, with counts — the monitoring query behind the
+    per-(db,table) schema registry (S3/D1): a new key showing up here
+    is a schema change upstream.  MAP-typed parse (the HBase null-
+    schema convention) so unknown keys need no declared schema."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    keys = ch.select(
+        "table_name",
+        F.explode(F.map_keys(F.from_json(F.col("props"), "map<string,string>"))).alias("key"),
+    )
+    return keys.groupBy("table_name", "key").agg(F.count("*").alias("n_rows"))
+
+
+ORACLE["q_payload_key_stats"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+keys AS (SELECT table_name, unnest(json_keys(props)) AS key FROM changes)
+SELECT table_name, key, count(*) AS n_rows FROM keys GROUP BY table_name, key
+"""
+
+
 # ---------------------------------------------------------------- datetime quirk
 def q_datetime_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's DATETIME decode quirk (MySQLCDCUtils.java:63-69):

@@ -817,6 +817,33 @@ SELECT doc_id, fp_md5, CAST('0x' || substr(fp_md5, 1, 12) AS BIGINT) AS fp48 FRO
 """
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample: keep docs whose content-hash
+    bucket (h48 % 100) falls under the rate.  The reproducible sampling
+    primitive of training-data pipelines — same doc set on every run
+    and every engine, no RNG, stable under repartitioning; sampling by
+    CONTENT also keeps exact duplicates together (they land in the same
+    bucket), which row-random sampling cannot."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 12), 16, 10).cast("long") % 100
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < 10)
+    )
+
+
+ORACLE["q_hash_sample"] = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM b WHERE bucket < 10
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite training-data pipeline: quality-filter -> exact
     dedup (keep smallest doc_id per content hash) -> emit with token
