@@ -795,6 +795,60 @@ FROM expanded GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------- as-of join
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (the temporal operator Spark lacks natively): each
+    change event picks up the latest BUSY-hour marker of its table at
+    or before its event time (the "last known reference state" join —
+    rates, configs, feature snapshots).  Spark side: union +
+    last-ignorenulls window, ONE key shuffle, no range explosion;
+    oracle side: DuckDB's native ASOF JOIN — two independent
+    formulations that must agree exactly."""
+    from spark_binlog_spark.operators.asof import asof_join
+
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    hours = ch.groupBy(
+        "table_name", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count("*").alias("hour_events"))
+    busy = hours.filter(F.col("hour_events") >= 8).select(
+        "table_name", "hour_start", "hour_events"
+    )
+    left = ch.select("cdc_offset", "table_name", "ts")
+    joined = asof_join(
+        left,
+        busy.withColumnRenamed("hour_start", "ref_ts"),
+        on=["table_name"],
+        left_time="ts",
+        right_time="ref_ts",
+        value_cols=["ref_ts", "hour_events"],
+    )
+    return joined.select(
+        "cdc_offset",
+        "table_name",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.date_format("ref_ts", "yyyy-MM-dd HH:mm:ss").alias("busy_hour"),
+        F.col("hour_events").alias("busy_hour_events"),
+    )
+
+
+ORACLE["q_asof_enrich"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+hours AS (
+  SELECT table_name, date_trunc('hour', ts) AS ref_ts, count(*) AS hour_events
+  FROM changes GROUP BY 1, 2
+),
+busy AS (SELECT * FROM hours WHERE hour_events >= 8)
+SELECT c.cdc_offset, c.table_name,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       strftime(b.ref_ts, '%Y-%m-%d %H:%M:%S') AS busy_hour,
+       b.hour_events AS busy_hour_events
+FROM changes c
+ASOF LEFT JOIN busy b
+  ON c.table_name = b.table_name AND c.ts >= b.ref_ts
+"""
+
+
 # ---------------------------------------------------------------- payload drift
 def q_payload_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-payload drift report: which JSON keys appear in each

@@ -817,6 +817,47 @@ SELECT doc_id, fp_md5, CAST('0x' || substr(fp_md5, 1, 12) AS BIGINT) AS fp48 FRO
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card per (source, lang): doc counts, exact median
+    length, mean stopword ratio, and exact-duplicate counts — the
+    pre-training dashboard over every ingest source.  One grouped pass;
+    at 100 TB the exact percentile swaps for approx_percentile and the
+    distinct count for an HLL sketch (both mergeable), same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*text.STOPWORDS)))
+    ratio4 = F.when(F.size(w) == 0, F.lit(0)).otherwise(
+        F.floor(stop_hits.cast("double") / F.size(w).cast("double") * 10000)
+    ).cast("long")
+    featured = docs.select(
+        "source", "lang", "n_chars", ratio4.alias("sw4"), F.md5("text").alias("h")
+    )
+    return featured.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        F.floor(F.avg("sw4")).cast("long").alias("avg_stopword4"),
+        (F.count("*") - F.countDistinct("h")).alias("n_exact_dups"),
+    )
+
+
+ORACLE["q_corpus_report"] = """
+WITH featured AS (
+  SELECT source, lang, n_chars,
+         CASE WHEN len(string_split(text, ' ')) = 0 THEN 0
+              ELSE CAST(floor(CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10000) AS BIGINT) END AS sw4,
+         md5(text) AS h
+  FROM documents
+)
+SELECT source, lang, count(*) AS n_docs,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       CAST(floor(avg(sw4)) AS BIGINT) AS avg_stopword4,
+       count(*) - count(DISTINCT h) AS n_exact_dups
+FROM featured GROUP BY source, lang
+"""
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% corpus sample: keep docs whose content-hash
     bucket (h48 % 100) falls under the rate.  The reproducible sampling

@@ -220,3 +220,29 @@ class TestKmeansTrain:
         b = {(r["centroid_id"], tuple(r["cq"])) for r in
              similarity.kmeans_train(emb, 8, 2).collect()}
         assert a == b
+
+
+class TestAsofJoin:
+    def test_inclusive_boundary_and_no_preceding(self, spark):
+        """asof_join: right row at exactly the left timestamp matches
+        (inclusive); left rows before any right row keep nulls; latest
+        preceding right row wins."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [Row(k="a", t=5), Row(k="a", t=10), Row(k="a", t=20), Row(k="b", t=7)]
+        )
+        right = spark.createDataFrame(
+            [Row(k="a", rt=10, v="x"), Row(k="a", rt=15, v="y"), Row(k="b", rt=9, v="z")]
+        )
+        out = asof_join(left, right, on=["k"], left_time="t", right_time="rt",
+                        value_cols=["rt", "v"])
+        got = {(r["k"], r["t"]): (r["rt"], r["v"]) for r in out.collect()}
+        assert got == {
+            ("a", 5): (None, None),    # nothing at-or-before 5
+            ("a", 10): (10, "x"),      # inclusive boundary
+            ("a", 20): (15, "y"),      # latest preceding wins
+            ("b", 7): (None, None),    # b's only right row is later
+        }
