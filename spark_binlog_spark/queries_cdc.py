@@ -849,6 +849,68 @@ ASOF LEFT JOIN busy b
 """
 
 
+# ---------------------------------------------------------------- range join
+def q_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN: classify each event into its table's quartile value
+    band — a non-equi join against a derived (lo, hi] band dimension.
+    The scale shape: the band table is dimension-sized, so it
+    BROADCASTS and the equi key (table_name) keeps it a hash join with
+    a residual range filter — no shuffle of the fact side, no row
+    explosion.  (Large×large range joins instead bucketize both sides
+    on a grid; not needed when one side is a dimension.)  Quartile
+    boundaries come from ``percentile`` ⇔ ``quantile_cont`` — the
+    shared linear-interpolation definition both engines evaluate
+    bit-identically."""
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    qs = ch.groupBy("table_name").agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("q")
+    )
+    band_structs = F.array(
+        F.struct(F.lit(0).alias("band_id"), F.lit(None).cast("double").alias("lo"),
+                 F.element_at("q", 1).alias("hi")),
+        F.struct(F.lit(1).alias("band_id"), F.element_at("q", 1).alias("lo"),
+                 F.element_at("q", 2).alias("hi")),
+        F.struct(F.lit(2).alias("band_id"), F.element_at("q", 2).alias("lo"),
+                 F.element_at("q", 3).alias("hi")),
+        F.struct(F.lit(3).alias("band_id"), F.element_at("q", 3).alias("lo"),
+                 F.lit(None).cast("double").alias("hi")),
+    )
+    bands = qs.select(
+        "table_name", F.explode(band_structs).alias("b")
+    ).select("table_name", F.col("b.band_id").alias("band_id"),
+             F.col("b.lo").alias("lo"), F.col("b.hi").alias("hi"))
+    bands = F.broadcast(bands.withColumnRenamed("table_name", "b_table"))
+    joined = ch.join(
+        bands,
+        (F.col("table_name") == F.col("b_table"))
+        & (F.col("lo").isNull() | (F.col("value") > F.col("lo")))
+        & (F.col("hi").isNull() | (F.col("value") <= F.col("hi"))),
+    )
+    return joined.groupBy("table_name", "band_id").agg(
+        F.count("*").alias("n_events")
+    ).select("table_name", F.col("band_id").cast("long").alias("band_id"), "n_events")
+
+
+ORACLE["q_range_band"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+qs AS (SELECT table_name, quantile_cont(value, [0.25, 0.5, 0.75]) AS q
+       FROM changes GROUP BY table_name),
+bands AS (
+  SELECT table_name, 0 AS band_id, NULL AS lo, q[1] AS hi FROM qs
+  UNION ALL SELECT table_name, 1, q[1], q[2] FROM qs
+  UNION ALL SELECT table_name, 2, q[2], q[3] FROM qs
+  UNION ALL SELECT table_name, 3, q[3], NULL FROM qs
+)
+SELECT c.table_name, CAST(b.band_id AS BIGINT) AS band_id, count(*) AS n_events
+FROM changes c JOIN bands b
+  ON c.table_name = b.table_name
+ AND (b.lo IS NULL OR c.value > b.lo)
+ AND (b.hi IS NULL OR c.value <= b.hi)
+GROUP BY c.table_name, b.band_id
+"""
+
+
 # ---------------------------------------------------------------- payload drift
 def q_payload_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-payload drift report: which JSON keys appear in each

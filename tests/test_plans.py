@@ -76,6 +76,19 @@ class TestShipPriority:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestRangeBand:
+    def test_equi_key_keeps_hash_join_with_residual_range(self, spark):
+        """q_range_band: the equi component (table_name) must keep the
+        non-equi band join a BroadcastHashJoin with a residual range
+        condition — NOT a nested-loop — and the fact side unshuffled
+        before the join."""
+        from spark_binlog_spark.queries_cdc import q_range_band
+
+        plan = _physical(q_range_band(spark, SF_TEST))
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 class TestCodegen:
     def test_quality_features_jvm_only_columnar_scan(self, spark):
         from spark_binlog_spark.functions.text import quality_features
