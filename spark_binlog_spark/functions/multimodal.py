@@ -93,6 +93,20 @@ def frame_plan(df: DataFrame) -> DataFrame:
     return out.select("media_id", "frame_idx", frame_offset, frame_len)
 
 
+def balance_decode_work(plan: DataFrame, num_partitions: int) -> DataFrame:
+    """Spread frame-decode work evenly across tasks.
+
+    Partitioning frames by media id puts ALL frames of a 4 GB video in
+    one task while 10 KB images finish instantly — the classic media
+    skew.  Range-partitioning on (media_id, frame_idx) instead slices
+    each big blob's frames across consecutive partitions (range bounds
+    come from sampling, so partition sizes track the actual frame
+    distribution), giving every decode task ~equal frame counts while
+    keeping a blob's frames mostly adjacent (sequential reads).
+    """
+    return plan.repartitionByRange(num_partitions, F.col("media_id"), F.col("frame_idx"))
+
+
 FEATURE_DIM = 16
 
 FEATURE_SCHEMA = StructType(

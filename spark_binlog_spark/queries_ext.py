@@ -817,6 +817,44 @@ SELECT doc_id, fp_md5, CAST('0x' || substr(fp_md5, 1, 12) AS BIGINT) AS fp48 FRO
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: new documents (odd ids) are admitted
+    only if their content hash is absent from the already-ingested
+    index (even ids) AND they are the first copy within their own
+    batch.  The daily-ingest shape: one anti-join against the
+    fingerprint index (index side is hash-bucketed at scale) + one
+    in-batch digest window — no full-corpus rescan."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("seen_hash"))
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    fresh = new.join(
+        seen.distinct(), new["text_hash"] == F.col("seen_hash"), "left_anti"
+    )
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text_hash")
+    )
+
+
+ORACLE["q_incremental_dedup"] = """
+WITH seen AS (SELECT DISTINCT md5(text) AS seen_hash FROM documents WHERE doc_id % 2 = 0),
+new_docs AS (SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id % 2 = 1),
+fresh AS (
+  SELECT * FROM new_docs WHERE text_hash NOT IN (SELECT seen_hash FROM seen)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn FROM fresh
+)
+SELECT doc_id, text_hash FROM ranked WHERE rn = 1
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus report card per (source, lang): doc counts, exact median
     length, mean stopword ratio, and exact-duplicate counts — the

@@ -246,3 +246,28 @@ class TestAsofJoin:
             ("a", 20): (15, "y"),      # latest preceding wins
             ("b", 7): (None, None),    # b's only right row is later
         }
+
+
+class TestDecodeBalance:
+    def test_skewed_media_spreads_across_partitions(self, spark):
+        """balance_decode_work: one huge blob must not pin a whole
+        partition — range partitioning on (media_id, frame_idx) splits
+        its frames across tasks, unlike media-keyed hashing."""
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+
+        from spark_binlog_spark.functions.multimodal import FRAME_SIZE, balance_decode_work, frame_plan
+
+        rows = [Row(media_id=0, byte_len=200 * FRAME_SIZE)] + [
+            Row(media_id=i, byte_len=FRAME_SIZE) for i in range(1, 21)
+        ]
+        plan = frame_plan(spark.createDataFrame(rows))  # 220 frames, 200 in blob 0
+        balanced = balance_decode_work(plan, 8)
+        sizes = [
+            r["n"] for r in balanced.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count("*").alias("n")).collect()
+        ]
+        assert sum(sizes) == 220
+        # the giant blob's 200 frames cannot sit in one task
+        assert max(sizes) < 100, sizes
+        assert len(sizes) >= 4
