@@ -85,3 +85,52 @@ class TestSimhashBandProperties:
         band_match = any(((a >> (i * 4)) & 15) == ((b >> (i * 4)) & 15) for i in range(4))
         if hamming < 4:
             assert band_match
+
+
+class TestAsofJoinModel:
+    def test_matches_python_reference_model_on_seeded_random(self, spark):
+        """asof_join vs a brute-force python reference on one seeded
+        random dataset (200 left x 60 right rows, 5 keys, duplicate
+        timestamps included) — the windowed-union implementation must
+        match exact latest-at-or-before semantics everywhere."""
+        import random
+
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.operators.asof import asof_join
+
+        rng = random.Random(42)
+        keys = ["k0", "k1", "k2", "k3", "k4"]
+        left = [Row(k=rng.choice(keys), t=rng.randint(0, 100), lid=i) for i in range(200)]
+        right = [
+            Row(k=rng.choice(keys), rt=rng.randint(0, 100), v=i) for i in range(60)
+        ]
+        # unique (k, rt) on the right: the reference and the window agree
+        # only when the right side has one row per timestamp per key
+        seen, runiq = set(), []
+        for r in right:
+            if (r.k, r.rt) not in seen:
+                seen.add((r.k, r.rt))
+                runiq.append(r)
+
+        ldf = spark.createDataFrame(left)
+        rdf = spark.createDataFrame(runiq)
+        out = asof_join(ldf, rdf, on=["k"], left_time="t", right_time="rt",
+                        value_cols=["rt", "v"])
+        got = {r["lid"]: (r["rt"], r["v"]) for r in out.collect()}
+
+        by_key = {}
+        for r in runiq:
+            by_key.setdefault(r.k, []).append((r.rt, r.v))
+        for rows in by_key.values():
+            rows.sort()
+        expected = {}
+        for row in left:
+            best = (None, None)
+            for rt, v in by_key.get(row.k, []):
+                if rt <= row.t:
+                    best = (rt, v)
+                else:
+                    break
+            expected[row.lid] = best
+        assert got == expected
