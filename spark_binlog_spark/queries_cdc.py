@@ -946,6 +946,47 @@ GROUP BY c.table_name, b.band_id
 """
 
 
+def q_grid_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGE×LARGE range join via grid bucketing: every update event
+    joined to the insert events whose [value, value+2) window contains
+    it, per table — thousands of intervals, no broadcast, no cross
+    product: both sides shuffle on (table, grid cell) and the exact
+    predicate filters candidates (operators/rangejoin.py).  Output is
+    the per-interval containment count."""
+    from spark_binlog_spark.operators.rangejoin import grid_range_join
+
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    intervals = ch.filter(F.col("op") == "insert").select(
+        "table_name",
+        F.col("cdc_offset").alias("interval_offset"),
+        F.col("value").alias("lo"),
+        (F.col("value") + F.lit(2.0)).alias("hi"),
+    )
+    points = ch.filter(F.col("op") == "update").select(
+        "table_name", F.col("cdc_offset").alias("point_offset"), F.col("value")
+    )
+    joined = grid_range_join(
+        points, intervals, on=["table_name"], point_col="value",
+        lo_col="lo", hi_col="hi", grid=2.0,
+    )
+    return joined.groupBy("table_name", "interval_offset").agg(
+        F.count("*").alias("n_inside")
+    )
+
+
+ORACLE["q_grid_range_join"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+iv AS (SELECT table_name, cdc_offset AS interval_offset, value AS lo, value + 2.0 AS hi
+       FROM changes WHERE op = 'insert'),
+pt AS (SELECT table_name, cdc_offset AS point_offset, value FROM changes WHERE op = 'update')
+SELECT pt.table_name, iv.interval_offset, count(*) AS n_inside
+FROM pt JOIN iv ON pt.table_name = iv.table_name
+              AND pt.value >= iv.lo AND pt.value < iv.hi
+GROUP BY pt.table_name, iv.interval_offset
+"""
+
+
 # ---------------------------------------------------------------- payload drift
 def q_payload_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-payload drift report: which JSON keys appear in each

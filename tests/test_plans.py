@@ -89,6 +89,18 @@ class TestRangeBand:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestGridRangeJoin:
+    def test_no_cross_product(self, spark):
+        """q_grid_range_join: large×large interval containment must stay
+        an equi join on (key, cell) — never a nested-loop or cartesian
+        fallback."""
+        from spark_binlog_spark.queries_cdc import q_grid_range_join
+
+        plan = _physical(q_grid_range_join(spark, SF_TEST))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 class TestCodegen:
     def test_quality_features_jvm_only_columnar_scan(self, spark):
         from spark_binlog_spark.functions.text import quality_features

@@ -271,3 +271,34 @@ class TestDecodeBalance:
         # the giant blob's 200 frames cannot sit in one task
         assert max(sizes) < 100, sizes
         assert len(sizes) >= 4
+
+
+class TestGridRangeJoin:
+    def test_boundaries_and_cell_spans(self, spark):
+        """grid_range_join: hi-exclusive, lo-inclusive, intervals
+        spanning multiple cells found exactly once, grid-boundary
+        points land correctly."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.operators.rangejoin import grid_range_join
+
+        intervals = spark.createDataFrame(
+            [
+                Row(k="a", iid=1, lo=0.0, hi=10.0),    # spans cells 0..5 at g=2
+                Row(k="a", iid=2, lo=4.0, hi=6.0),     # exact cell boundaries
+                Row(k="b", iid=3, lo=0.0, hi=100.0),
+            ]
+        )
+        points = spark.createDataFrame(
+            [
+                Row(k="a", pid=1, v=0.0),    # lo-inclusive -> iid 1
+                Row(k="a", pid=2, v=4.0),    # in both 1 and 2
+                Row(k="a", pid=3, v=6.0),    # hi-exclusive for 2 -> only 1
+                Row(k="a", pid=4, v=10.0),   # hi-exclusive for 1 -> nothing
+                Row(k="b", pid=5, v=99.9),   # far cell of a wide interval
+            ]
+        )
+        out = grid_range_join(points, intervals, on=["k"], point_col="v",
+                              lo_col="lo", hi_col="hi", grid=2.0)
+        got = sorted((r["pid"], r["iid"]) for r in out.collect())
+        assert got == [(1, 1), (2, 1), (2, 2), (3, 1), (5, 3)]
