@@ -23,6 +23,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def grid_interval_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    on: list[str],
+    lo_a: str,
+    hi_a: str,
+    lo_b: str,
+    hi_b: str,
+    grid: float,
+) -> DataFrame:
+    """Interval×interval overlap join (a.lo < b.hi AND b.lo < a.hi),
+    both sides large.
+
+    Overlapping intervals share EVERY cell of their intersection, so a
+    naive cell join emits duplicates; the standard dedup-free trick is
+    CELL OWNERSHIP — a pair is emitted only in the first cell of the
+    intersection, ``max(floor(lo_a/g), floor(lo_b/g))`` — turning the
+    distinct into a cheap filter.  Shuffle stays O(Σ interval-cells).
+    """
+    # caller contract: outside ``on``, the two sides use DISJOINT column
+    # names (rename before calling), so the name-list join dedups the
+    # keys and every other column stays unambiguous
+    def celled(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        cells = F.sequence(
+            F.floor(F.col(lo) / grid).cast("long"),
+            F.floor(F.col(hi) / grid).cast("long"),
+        )
+        return df.withColumn("__cell", F.explode(cells))
+
+    joined = celled(a, lo_a, hi_a).join(celled(b, lo_b, hi_b), on + ["__cell"])
+    owner = F.greatest(
+        F.floor(F.col(lo_a) / grid).cast("long"),
+        F.floor(F.col(lo_b) / grid).cast("long"),
+    )
+    return (
+        joined.filter(
+            (F.col(lo_a) < F.col(hi_b))
+            & (F.col(lo_b) < F.col(hi_a))
+            & (F.col("__cell") == owner)
+        )
+        .drop("__cell")
+    )
+
+
 def grid_range_join(
     points: DataFrame,
     intervals: DataFrame,

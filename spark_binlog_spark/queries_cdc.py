@@ -987,6 +987,47 @@ GROUP BY pt.table_name, iv.interval_offset
 """
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join, both sides large: which insert
+    windows [value, value+2) overlap each other per table.  Same grid
+    shuffle as q_grid_range_join, with the dedup-free CELL-OWNERSHIP
+    trick — a pair is emitted only in the first shared cell, so no
+    distinct pass despite intervals sharing many cells."""
+    from spark_binlog_spark.operators.rangejoin import grid_interval_overlap
+
+    _pin(spark)
+    iv = changes_df(spark, sf_dir).filter(F.col("op") == "insert")
+    a = iv.select(
+        "table_name",
+        F.col("cdc_offset").alias("off_a"),
+        F.col("value").alias("lo_a"),
+        (F.col("value") + F.lit(2.0)).alias("hi_a"),
+    )
+    b = iv.select(
+        "table_name",
+        F.col("cdc_offset").alias("off_b"),
+        F.col("value").alias("lo_b"),
+        (F.col("value") + F.lit(2.0)).alias("hi_b"),
+    )
+    pairs = grid_interval_overlap(
+        a, b, on=["table_name"], lo_a="lo_a", hi_a="hi_a", lo_b="lo_b", hi_b="hi_b",
+        grid=2.0,
+    ).filter(F.col("off_a") < F.col("off_b"))
+    return pairs.groupBy("table_name").agg(F.count("*").alias("n_overlaps"))
+
+
+ORACLE["q_interval_overlap"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+iv AS (SELECT table_name, cdc_offset, value AS lo, value + 2.0 AS hi
+       FROM changes WHERE op = 'insert')
+SELECT a.table_name, count(*) AS n_overlaps
+FROM iv a JOIN iv b ON a.table_name = b.table_name
+              AND a.cdc_offset < b.cdc_offset
+              AND a.lo < b.hi AND b.lo < a.hi
+GROUP BY a.table_name
+"""
+
+
 # ---------------------------------------------------------------- payload drift
 def q_payload_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-payload drift report: which JSON keys appear in each

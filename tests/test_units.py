@@ -302,3 +302,28 @@ class TestGridRangeJoin:
                               lo_col="lo", hi_col="hi", grid=2.0)
         got = sorted((r["pid"], r["iid"]) for r in out.collect())
         assert got == [(1, 1), (2, 1), (2, 2), (3, 1), (5, 3)]
+
+
+class TestIntervalOverlap:
+    def test_cell_ownership_emits_each_pair_once(self, spark):
+        """grid_interval_overlap: widely-overlapping intervals share
+        many grid cells; the ownership rule must still emit exactly one
+        row per overlapping pair, and touching-but-not-overlapping
+        intervals (a.hi == b.lo) must not match."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.operators.rangejoin import grid_interval_overlap
+
+        a = spark.createDataFrame(
+            [Row(k="x", ia=1, lo_a=0.0, hi_a=20.0), Row(k="x", ia=2, lo_a=5.0, hi_a=7.0),
+             Row(k="x", ia=3, lo_a=20.0, hi_a=22.0)]
+        )
+        b = spark.createDataFrame(
+            [Row(k="x", ib=10, lo_b=6.0, hi_b=30.0), Row(k="x", ib=11, lo_b=40.0, hi_b=41.0)]
+        )
+        out = grid_interval_overlap(a, b, on=["k"], lo_a="lo_a", hi_a="hi_a",
+                                    lo_b="lo_b", hi_b="hi_b", grid=2.0)
+        got = sorted((r["ia"], r["ib"]) for r in out.collect())
+        # ia=1 overlaps ib=10 across 7 shared cells -> exactly once;
+        # ia=2 overlaps ib=10; ia=3 overlaps ib=10 (20 < 30, 6 < 22)
+        assert got == [(1, 10), (2, 10), (3, 10)]
