@@ -683,6 +683,40 @@ SELECT c_custkey FROM applied
 """
 
 
+def q_retained_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-ops complement of q_churned_keys: snapshot keys that SURVIVE
+    the change stream — snapshot INTERSECT applied (Catalyst rewrites
+    to a left-semi aggregate).  churned ∪ retained = snapshot keys, the
+    partition a retention report needs."""
+    _pin(spark)
+    base = load_table(spark, sf_dir, "customer")
+    ch = changes_df(spark, sf_dir)
+    applied = cdc_apply(base, ch, key_col="c_custkey", set_cols={"c_acctbal": "value"})
+    return base.select("c_custkey").intersect(applied.select("c_custkey"))
+
+
+ORACLE["q_retained_keys"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY cdc_offset DESC) AS rn FROM changes
+),
+latest AS (SELECT * FROM ranked WHERE rn = 1),
+untouched AS (
+  SELECT cu.* FROM customer cu
+  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.pk = cu.c_custkey)
+),
+upserts AS (
+  SELECT l.pk AS c_custkey, b.c_name, b.c_nationkey, l.value AS c_acctbal, b.c_mktsegment
+  FROM latest l LEFT JOIN customer b ON b.c_custkey = l.pk
+  WHERE l.op != 'delete'
+),
+applied AS (SELECT * FROM untouched UNION ALL SELECT * FROM upserts)
+SELECT c_custkey FROM customer
+INTERSECT
+SELECT c_custkey FROM applied
+"""
+
+
 # ---------------------------------------------------------------- D5
 def q_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 — per (db, table, op) monitoring counts (numInputRows-style,
