@@ -579,7 +579,10 @@ def q_mv_segment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied = cdc_apply(base, ch, key_col="c_custkey", set_cols={"c_acctbal": "value"})
     return applied.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"),
-        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_balance"),
+        # DECIMAL ⊕-exact internally, integer-cents on the wire
+        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("total_balance_c"),
     )
 
 
@@ -600,7 +603,7 @@ upserts AS (
 ),
 applied AS (SELECT * FROM untouched UNION ALL SELECT * FROM upserts)
 SELECT c_mktsegment, count(*) AS n_customers,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_balance
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_balance_c
 FROM applied GROUP BY c_mktsegment
 """
 
@@ -640,7 +643,7 @@ def q_stream_mv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.current_agg().select(
         "c_mktsegment",
         F.col("n_rows").alias("n_customers"),
-        F.col("total").alias("total_balance"),
+        (F.col("total") * 100).cast("long").alias("total_balance_c"),
     )
 
 
@@ -725,14 +728,18 @@ def q_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = changes_df(spark, sf_dir)
     return ch.groupBy("database_name", "table_name", "op").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+        # exact DECIMAL sum internally; output as integer cents (BIGINT) —
+        # engines canonicalize DECIMAL text differently, integers never
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("total_value_c"),
     )
 
 
 ORACLE["q_change_counts"] = f"""
 WITH changes AS ({CHANGES_SQL})
 SELECT database_name, table_name, op, count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_c
 FROM changes GROUP BY database_name, table_name, op
 """
 
@@ -1231,13 +1238,15 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch.groupBy(sw.alias("w"), F.col("pk"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("session_value"),
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("session_value_c"),
         )
         .select(
             "pk",
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             "n_events",
-            "session_value",
+            "session_value_c",
         )
     )
 
@@ -1258,7 +1267,7 @@ runs AS (
 )
 SELECT pk, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS session_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS session_value_c
 FROM runs GROUP BY pk, sid
 """
 
@@ -1302,7 +1311,9 @@ def q_enriched_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "c_mktsegment", "op")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("total_value_c"),
         )
     )
 
@@ -1310,7 +1321,7 @@ def q_enriched_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_enriched_changes"] = f"""
 WITH changes AS ({CHANGES_SQL})
 SELECT n_name, c_mktsegment, op, count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_c
 FROM changes
 JOIN customer ON pk = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -1370,13 +1381,17 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
-            # keep the product's scale-4 — casting down to scale 2 would
-            # round, and Spark/DuckDB rounding modes need not agree
-            F.sum(
-                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
-            ).cast("decimal(28,4)").alias("sum_disc_price"),
+            # DECIMAL-exact sums internally; integer fixed-point on the
+            # wire (cents / ten-thousandths) so the hash is engine-neutral
+            (F.sum(dec("l_quantity")) * 100).cast("long").alias("sum_qty_c"),
+            (F.sum(dec("l_extendedprice")) * 100).cast("long").alias("sum_base_price_c"),
+            (
+                F.sum(
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+                )
+                * 10000
+            ).cast("long").alias("sum_disc_price_c4"),
             F.count("*").alias("count_order"),
         )
     )
@@ -1525,10 +1540,10 @@ SELECT op, count(*) AS n_events FROM changes GROUP BY op
 
 ORACLE["q_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price_c,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS sum_disc_price_c4,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
