@@ -166,18 +166,23 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     min_jaccard4: int = 2000,
-    df_cap: int | None = None,
+    df_cap: int | None = 64,
 ) -> DataFrame:
-    """Exact n-gram Jaccard on shingle-join candidates.
+    """N-gram Jaccard on shingle-join candidates.
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|); pairs that share no
     shingle never materialize.  Reported as floor(j * 10000).
 
-    ``df_cap``: drop shingles whose document frequency exceeds the cap
-    before the candidate join — the standard guard against hot shingles
-    turning the join quadratic at scale.  Off by default because it
-    makes the measure approximate (candidates lost only if a pair shares
-    ONLY ubiquitous shingles); the declared oracle query runs uncapped.
+    ``df_cap`` (ON by default): exclude shingles whose document
+    frequency exceeds the cap from the candidate join — the standard
+    guard against hot shingles turning the join quadratic (a shingle in
+    k docs emits k² candidate rows; one boilerplate shingle across a
+    100 TB corpus is a job-killer).  Denominators stay full-size, so
+    capping only LOWERS a pair's score (candidates lost only when a
+    pair shares nothing but ubiquitous shingles).  The exclusion is a
+    broadcast ANTI-join against the hot set — Zipf makes the hot set
+    tiny, whereas the rare set is vocabulary-sized and must never be
+    broadcast.  Pass ``df_cap=None`` for the exact uncapped measure.
     """
     # three consumers (sizes + both join sides): persist the exploded
     # shingle relation so shingling runs once.  Shingles join on their
@@ -193,8 +198,8 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if df_cap is not None:
-        rare = sh.groupBy("sh_h").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap)
-        sh = sh.join(F.broadcast(rare.select("sh_h")), "sh_h")
+        hot = sh.groupBy("sh_h").agg(F.count("*").alias("df")).filter(F.col("df") > df_cap)
+        sh = sh.join(F.broadcast(hot.select("sh_h")), "sh_h", "left_anti")
     common = (
         sh.alias("a")
         .join(sh.alias("b"), (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -112,9 +112,10 @@ FROM pairs WHERE n_agree >= 2
 
 # ---------------------------------------------------------------- dedup: exact jaccard
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shingle-Jaccard on join-generated candidates (no cross join)."""
+    """Shingle-Jaccard on join-generated candidates (no cross join),
+    hot-shingle cap ON (df_cap=64) — the 100 TB-safe default."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, min_jaccard4=500)
+    return dedup.ngram_jaccard_pairs(docs, min_jaccard4=500, df_cap=64)
 
 
 ORACLE["q_ngram_jaccard"] = f"""
@@ -123,9 +124,11 @@ sh AS (SELECT DISTINCT doc_id,
               CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS sh_h
        FROM sh0),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (SELECT sh_h FROM sh GROUP BY sh_h HAVING count(*) > 64),
+capped AS (SELECT * FROM sh WHERE sh_h NOT IN (SELECT sh_h FROM hot)),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b, n_common,
