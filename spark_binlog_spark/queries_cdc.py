@@ -432,23 +432,61 @@ FROM runs GROUP BY region, run_id
 
 
 # ---------------------------------------------------------------- D1
+_ENV_ROW_SCHEMA = StructType(
+    [StructField("pk", LongType()), StructField("value", DoubleType())]
+)
+_ENV_ROW_SCHEMA_JSON = _ENV_ROW_SCHEMA.json()
+
+
 def q_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 — parse the JSON payload column into typed fields with from_json
-    (what every consumer does first, BinlogSuite.scala:208-216)."""
+    (what every consumer does first, BinlogSuite.scala:208-216), INCLUDING
+    the reference's per-event embedded schema: every MySQL event carries
+    the row StructType JSON (AbstractEventWriter.java:35-39), and
+    downstream discovers column types from the event itself — the
+    tinyint(1)->int discovery mechanism.  Round-trips the envelope with
+    the schema embedded, then extracts field #2's name/type from the
+    SHIPPED schema string (the BinlogSuite.scala:208-216 assertion as a
+    query)."""
     _pin(spark)
     ev = load_table(spark, sf_dir, "events")
-    parsed = F.from_json(F.col("props"), "k BIGINT")
-    return ev.select(
+    enveloped = ev.select(
         F.col("event_id").alias("cdc_offset"),
-        parsed["k"].alias("k"),
+        F.col("props"),
+        encode_envelope(
+            op=F.lit("insert"),
+            timestamp_ms=F.col("event_id"),
+            database_name=F.lit("db"),
+            table_name=F.lit("t"),
+            rows=F.array(
+                F.struct(
+                    F.col("user_id").cast("long").alias("pk"),
+                    F.col("value").cast("double").alias("value"),
+                )
+            ),
+            schema_json=F.lit(_ENV_ROW_SCHEMA_JSON),
+        ).alias("wire"),
+    )
+    env = F.from_json(F.col("wire"), envelope_schema(_ENV_ROW_SCHEMA))
+    parsed = enveloped.select("cdc_offset", "props", env.alias("env"))
+    return parsed.select(
+        F.col("cdc_offset"),
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
         F.col("props").isNotNull().alias("has_payload"),
+        # type discovery FROM THE EVENT: parse the shipped schema JSON
+        F.get_json_object(F.col("env.schema"), "$.fields[1].name").alias("col2_name"),
+        F.get_json_object(F.col("env.schema"), "$.fields[1].type").alias("col2_type"),
+        F.col("env.rows")[0]["pk"].alias("r_pk"),
     )
 
 
-ORACLE["q_envelope_parse"] = """
+ORACLE["q_envelope_parse"] = f"""
 SELECT event_id AS cdc_offset,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-       props IS NOT NULL AS has_payload
+       props IS NOT NULL AS has_payload,
+       json_extract_string('{_ENV_ROW_SCHEMA_JSON}', '$.fields[1].name') AS col2_name,
+       json_extract_string('{_ENV_ROW_SCHEMA_JSON}', '$.fields[1].type') AS col2_type,
+       user_id AS r_pk
 FROM events
 """
 

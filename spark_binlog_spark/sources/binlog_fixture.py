@@ -35,17 +35,40 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
 WIRE_SCHEMA = StructType([StructField("value", StringType())])
 
 OP_MAP = {"signup": "insert", "error": "delete"}  # else 'update' (cdc.py contract)
 
+# Per-event embedded schema: the reference ships the Spark StructType JSON
+# inside EVERY MySQL event (io/AbstractEventWriter.java:35-39; consumers
+# discover column types from the event itself, BinlogSuite.scala:208-216).
+ROW_SCHEMA = StructType(
+    [
+        StructField("pk", LongType()),
+        StructField("value", DoubleType()),
+        StructField("op", StringType()),
+        StructField("cdc_offset", LongType()),
+        StructField("k", LongType()),
+    ]
+)
+ROW_SCHEMA_JSON = ROW_SCHEMA.json()
 
-def _envelope_json(event_id: int, ts_ns: int, user_id: int, event_type: str, value, props: str) -> str:
+
+def _envelope_json(
+    event_id: int,
+    ts_ns: int,
+    user_id: int,
+    event_type: str,
+    value,
+    props: str,
+    schema_json: str | None = ROW_SCHEMA_JSON,
+) -> str:
     """One wire record — field order exactly as io/AbstractEventWriter.java:22-46
-    (type, timestamp, databaseName, tableName, rows; null schema omitted,
-    matching Spark to_json's drop-null behavior)."""
+    (type, timestamp, databaseName, tableName, schema, rows).  MySQL-mode
+    events embed the row StructType JSON in ``schema``; the HBase path
+    (schema-less) sends null instead (hbase-wal AbstractEventWriter.java:39)."""
     op = OP_MAP.get(event_type, "update")
     row = {"pk": user_id, "value": value, "op": op, "cdc_offset": event_id}
     try:
@@ -59,6 +82,7 @@ def _envelope_json(event_id: int, ts_ns: int, user_id: int, event_type: str, val
             "timestamp": ts_ns // 1_000_000,
             "databaseName": f"db_{user_id % 2}",
             "tableName": f"t_{user_id % 4}",
+            "schema": schema_json,
             "rows": [row],
         },
         separators=(",", ":"),
@@ -167,10 +191,14 @@ def _encode_batch_vectorized(batch, table_match=None, region=None, n_regions=0):
         .str.extract(r'^\s*\{.*"k"\s*:\s*(-?\d+)', expand=False)
         .fillna("null")
     )
+    # region (HBase WAL) mode is schema-less -> "schema":null; MySQL mode
+    # embeds the row StructType JSON, escaped once as a constant
+    schema_field = "null" if region is not None else json.dumps(ROW_SCHEMA_JSON)
     lines = (
         '{"type":"' + op + '","timestamp":' + ts_ms
         + ',"databaseName":"' + db + '","tableName":"' + tbl
-        + '","rows":[{"pk":' + pk + ',"value":' + val + ',"op":"' + op
+        + '","schema":' + schema_field
+        + ',"rows":[{"pk":' + pk + ',"value":' + val + ',"op":"' + op
         + '","cdc_offset":' + off + ',"k":' + k + "}]}"
     )
     return pa.array(np.asarray(lines, dtype=object), pa.string())

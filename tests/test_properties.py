@@ -50,8 +50,10 @@ class TestEnvelopeJsonProperties:
         s = _envelope_json(1, 1_000_000, pk, "signup", 1.5, json.dumps({"k": 3}))
         env = json.loads(s)
         # exact field order of AbstractEventWriter.java:22-46
-        assert list(env.keys()) == ["type", "timestamp", "databaseName", "tableName", "rows"]
+        assert list(env.keys()) == ["type", "timestamp", "databaseName", "tableName", "schema", "rows"]
         assert env["rows"][0]["pk"] == pk
+        # every MySQL event ships its row StructType (AbstractEventWriter.java:35-39)
+        assert json.loads(env["schema"])["type"] == "struct"
 
     @given(props=st.one_of(st.none(), st.text(max_size=30)))
     @settings(max_examples=100, deadline=None)

@@ -57,9 +57,14 @@ class TestFixtureSource:
 
         env = json.loads(got.limit(1).collect()[0]["value"])
         # envelope field presence + order (AbstractEventWriter.java:22-46)
-        assert list(env.keys()) == ["type", "timestamp", "databaseName", "tableName", "rows"]
+        assert list(env.keys()) == ["type", "timestamp", "databaseName", "tableName", "schema", "rows"]
         assert env["type"] in ("insert", "update", "delete")
         assert isinstance(env["rows"], list) and "pk" in env["rows"][0]
+        # embedded per-event schema (AbstractEventWriter.java:35-39): the
+        # shipped StructType JSON declares the row column types
+        shipped = json.loads(env["schema"])
+        types = {f["name"]: f["type"] for f in shipped["fields"]}
+        assert types["pk"] == "long" and types["value"] == "double"
 
     def test_offset_range_batching(self, spark, tmp_path):
         """maxEventsPerTrigger caps each micro-batch (B2 admission control)."""
