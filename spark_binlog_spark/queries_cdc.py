@@ -84,19 +84,54 @@ SELECT cdc_offset, pk, op FROM changes WHERE op IN ('insert', 'delete')
 
 # ---------------------------------------------------------------- P1
 def q_project_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 — row decode + projection: JSON payload field extraction plus the
-    reference's type-decode corners (MySQLCDCUtils.java:28-84): BIT(1)->bool,
-    BIT(n)->long, tinyint(1)->int, charset decode, TZ-pinned time format."""
+    """P1 — row decode + projection over REAL wire bytes
+    (MySQLCDCUtils.java:28-84): CHAR/BINARY arrive as raw byte arrays
+    (compat mode CHAR_AND_BINARY_AS_BYTE_ARRAY) and are decoded per the
+    ``binlog.field.decode.<col>`` charset options (SchemaTool.scala:43-50)
+    via operators/decode.py; BIT(n) arrives as a byte array and is
+    assembled little-endian (BitSet.valueOf, MySQLCDCUtils.java:45-53,
+    bit-order probe Main2.java:11-27).  The query materializes binary
+    columns first (encode / unhex), then decodes them — the decode logic
+    itself is what the oracle checks."""
+    from spark_binlog_spark.operators.decode import (
+        bit1_to_bool,
+        bitn_to_long,
+        decode_binary_columns,
+    )
+
     _pin(spark)
     ch = changes_df(spark, sf_dir)
-    return ch.select(
+    # the wire: CHAR bytes (utf-8), a high-byte CHAR (latin-1), and a
+    # 2-byte BIT(16) pattern [b0, b1]
+    wire = ch.select(
+        "cdc_offset",
+        "pk",
+        "props",
+        "ts",
+        F.encode(F.col("op"), "utf-8").alias("op_raw"),
+        F.unhex(F.format_string("%02x", F.lit(128) + F.col("pk") % 128)).alias("hi_raw"),
+        F.unhex(
+            F.format_string("%02x%02x", F.col("pk") % 256, (F.col("pk") * 7) % 256)
+        ).alias("bits_raw"),
+    )
+    decoded = decode_binary_columns(
+        wire,
+        ["op_raw", "hi_raw"],
+        {"binlog.field.decode.op_raw": "utf-8", "binlog.field.decode.*": "ISO-8859-1"},
+    )
+    # BitSet.valueOf little-endian assembly: byte 0 holds bits 0-7
+    hexs = F.hex(F.col("bits_raw"))
+    b0 = F.conv(F.substring(hexs, 1, 2), 16, 10).cast("long")
+    b1 = F.conv(F.substring(hexs, 3, 2), 16, 10).cast("long")
+    return decoded.select(
         F.col("cdc_offset"),
         F.col("pk"),
         F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
-        ((F.col("pk") % 2) == 1).alias("bit1"),  # BIT(1) -> BooleanType
-        (F.col("pk") % 256).cast("long").alias("bitn"),  # BIT(n) -> LongType
+        bit1_to_bool(b0).alias("bit1"),  # BIT(1) -> BooleanType
+        bitn_to_long(b0 + b1 * 256).alias("bitn"),  # BIT(16) -> LongType
         (F.col("pk") % 128).cast("int").alias("tiny"),  # tinyint(1) -> IntegerType
-        F.upper(F.col("op")).alias("decoded_op"),  # charset-decode stand-in
+        F.upper(F.col("op_raw")).alias("decoded_op"),  # decoded CHAR column
+        F.col("hi_raw").alias("latin1_char"),  # per-column charset decode
         F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
     )
 
@@ -106,9 +141,10 @@ WITH changes AS ({CHANGES_SQL})
 SELECT cdc_offset, pk,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
        (pk % 2) = 1 AS bit1,
-       CAST(pk % 256 AS BIGINT) AS bitn,
+       CAST((pk % 256) + 256 * ((pk * 7) % 256) AS BIGINT) AS bitn,
        CAST(pk % 128 AS INTEGER) AS tiny,
        upper(op) AS decoded_op,
+       chr(128 + CAST(pk % 128 AS INTEGER)) AS latin1_char,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
 FROM changes
 """
