@@ -24,7 +24,8 @@ HEADLINE = [
     # the CDC value proposition
     "q_cdc_apply",
     "q_latest_image",
-    "q_cell_rollup",
+    "q_cell_rollup_regional",  # scale-safe rollup (per-region windows); the
+    # global-order form exists only as a parity reference, not a headline
     "q_change_counts",
     "q_json_roundtrip",
     "q_monotonic_dedup",

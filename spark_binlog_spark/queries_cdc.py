@@ -1549,23 +1549,48 @@ SELECT table_name, CAST(rnk AS BIGINT) AS rnk, cdc_offset, value FROM ranked WHE
 
 # ---------------------------------------------------------------- integrity
 def q_offset_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-loss detection: find holes in the per-region offset sequence
-    (the condition the reference turns into an error when
-    until < from — MLSQLHBaseWALDataSource.scala:220-241).  Gaps are
-    synthesized by dropping offsets divisible by 97."""
+    """Data-loss detection: find holes in the offset sequence (the
+    condition the reference turns into an error when until < from —
+    MLSQLHBaseWALDataSource.scala:220-241).  Gaps are synthesized by
+    dropping offsets divisible by 97.
+
+    SCALE SHAPE: a global ``Window.orderBy(offset)`` would funnel the
+    whole relation through one partition.  Instead, two-level
+    gaps-and-islands: (1) in-bucket lag, windows partitioned by
+    ``offset div B`` — fully parallel over the big relation; (2) a lag
+    over the per-bucket min/max summary (|offsets|/B rows; B=8192 cuts
+    the ordered set by 4 decimal orders, and the reduction can be
+    applied recursively if the summary is still large) catches gaps
+    that cross bucket boundaries, including wholly-empty buckets.  A
+    cross-boundary consecutive pair is provably (bucket-max,
+    next-nonempty-bucket-min), so the union is exactly the global-lag
+    answer — same oracle."""
     from pyspark.sql import Window
 
     _pin(spark)
+    B = 8192
     ch = changes_df(spark, sf_dir).filter(F.col("cdc_offset") % 97 != 0)
-    w = Window.orderBy("cdc_offset")
-    return (
-        ch.select("cdc_offset", F.lag("cdc_offset").over(w).alias("prev_offset"))
-        .filter(F.col("prev_offset").isNotNull() & (F.col("cdc_offset") - F.col("prev_offset") > 1))
-        .select(
-            (F.col("prev_offset") + 1).alias("gap_start"),
-            (F.col("cdc_offset") - 1).alias("gap_end"),
-            (F.col("cdc_offset") - F.col("prev_offset") - 1).alias("n_missing"),
-        )
+    kept = ch.select("cdc_offset", F.expr(f"cdc_offset div {B}").alias("bucket"))
+    w_in = Window.partitionBy("bucket").orderBy("cdc_offset")
+    in_bucket = kept.select(
+        "cdc_offset", F.lag("cdc_offset").over(w_in).alias("prev_offset")
+    ).filter(
+        F.col("prev_offset").isNotNull() & (F.col("cdc_offset") - F.col("prev_offset") > 1)
+    )
+    summary = kept.groupBy("bucket").agg(
+        F.min("cdc_offset").alias("b_min"), F.max("cdc_offset").alias("b_max")
+    )
+    w_b = Window.orderBy("bucket")  # reduced relation only
+    boundary = (
+        summary.select("b_min", F.lag("b_max").over(w_b).alias("prev_offset"))
+        .filter(F.col("prev_offset").isNotNull() & (F.col("b_min") - F.col("prev_offset") > 1))
+        .select(F.col("b_min").alias("cdc_offset"), "prev_offset")
+    )
+    gaps = in_bucket.select("cdc_offset", "prev_offset").unionByName(boundary)
+    return gaps.select(
+        (F.col("prev_offset") + 1).alias("gap_start"),
+        (F.col("cdc_offset") - 1).alias("gap_end"),
+        (F.col("cdc_offset") - F.col("prev_offset") - 1).alias("n_missing"),
     )
 
 

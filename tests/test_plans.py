@@ -101,6 +101,27 @@ class TestGridRangeJoin:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestScaleSafeWindows:
+    def test_offset_gaps_no_global_sort_of_big_relation(self, spark):
+        """q_offset_gaps: the big relation flows through bucket-partitioned
+        windows; the only single-partition window allowed is over the
+        per-bucket min/max summary (|offsets|/8192 rows)."""
+        from spark_binlog_spark.queries_cdc import q_offset_gaps
+
+        plan = _physical(q_offset_gaps(spark, SF_TEST))
+        assert "hashpartitioning(bucket" in plan  # parallel in-bucket lag
+        assert plan.count("Exchange SinglePartition") <= 1  # summary only
+
+    def test_cell_rollup_regional_fully_partitioned(self, spark):
+        """Headline rollup (regional form): no single-partition exchange
+        anywhere — every window is sharded by region."""
+        from spark_binlog_spark.queries_cdc import q_cell_rollup_regional
+
+        plan = _physical(q_cell_rollup_regional(spark, SF_TEST))
+        assert "Exchange SinglePartition" not in plan
+        assert "hashpartitioning" in plan
+
+
 class TestCodegen:
     def test_quality_features_jvm_only_columnar_scan(self, spark):
         from spark_binlog_spark.functions.text import quality_features
