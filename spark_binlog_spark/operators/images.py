@@ -24,14 +24,21 @@ from pyspark.sql import functions as F
 def latest_image(
     df: DataFrame,
     key_cols: list[str],
-    offset_col: str = "cdc_offset",
+    offset_col: str | list[str] = "cdc_offset",
 ) -> DataFrame:
     """D3 — keep the last change event per primary key, by offset order.
 
     Offset total order per protocols.scala:24-26 makes ``row_number``
     over (key, offset desc) deterministic — offsets are unique.
+
+    ``offset_col`` may be a LIST of columns for a lexicographic order
+    (e.g. ``["batch_id", "cdc_offset"]``): packing multiple dimensions
+    into one integer (``a * 2^40 + b``) silently inverts the order once
+    ``b`` outgrows the shift, so compound orders are expressed as
+    compound sort keys instead.
     """
-    w = Window.partitionBy(*key_cols).orderBy(F.col(offset_col).desc())
+    order_cols = [offset_col] if isinstance(offset_col, str) else list(offset_col)
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_binlog_spark.operators import latest_image
+from spark_binlog_spark.streaming.swap import recover_dir, safe_swap
 
 
 class MergeOnReadSink:
@@ -67,6 +68,9 @@ class MergeOnReadSink:
         set_cols: dict[str, str],
         compact_every: int = 16,
         resume: bool = False,
+        change_key_col: str = "pk",
+        op_col: str = "op",
+        offset_col: str = "cdc_offset",
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -74,10 +78,14 @@ class MergeOnReadSink:
         self.delta_dir = os.path.join(state_dir, "deltas")
         self.key_col = key_col
         self.set_cols = set_cols  # base_col -> change_col (e.g. c_acctbal: value)
+        self.change_key_col = change_key_col
+        self.op_col = op_col
+        self.offset_col = offset_col
         self.compact_every = compact_every
         self._schema = base.schema
         self.applied_batches: list[tuple[int, int]] = []
-        if not (resume and os.path.isdir(self.base_dir)):
+        recovered = recover_dir(self.base_dir)  # repair an interrupted compact()
+        if not (resume and recovered):
             base.write.mode("overwrite").parquet(self.base_dir)
             shutil.rmtree(self.delta_dir, ignore_errors=True)
         os.makedirs(self.delta_dir, exist_ok=True)
@@ -88,8 +96,15 @@ class MergeOnReadSink:
         return sum(n for _, n in self.applied_batches)
 
     def _delta_files(self) -> list[str]:
+        # only COMPLETE deltas (_SUCCESS is written last): a crash mid-write
+        # leaves a partial b{N} that replay will overwrite; reading it
+        # before then would surface torn state
         return sorted(
-            d for d in os.listdir(self.delta_dir) if d.startswith("b") and not d.endswith(".tmp")
+            d
+            for d in os.listdir(self.delta_dir)
+            if d.startswith("b")
+            and not d.endswith(".tmp")
+            and os.path.exists(os.path.join(self.delta_dir, d, "_SUCCESS"))
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -100,11 +115,12 @@ class MergeOnReadSink:
             return
         # one row per key: the in-batch latest image (D3), stamped with
         # the batch id so cross-batch ordering is (batch_id, offset)
-        delta = latest_image(batch_df, ["pk"]).select(
-            F.col("pk"),
-            F.col("op"),
-            F.col("value"),
-            F.col("cdc_offset"),
+        keep = [self.change_key_col, self.op_col]
+        keep += [c for c in sorted(set(self.set_cols.values())) if c not in keep]
+        if self.offset_col not in keep:
+            keep.append(self.offset_col)
+        delta = latest_image(batch_df, [self.change_key_col], offset_col=self.offset_col).select(
+            *[F.col(c) for c in keep],
             F.lit(batch_id).cast("long").alias("batch_id"),
         )
         # deterministic path => a replayed batch OVERWRITES its own file
@@ -135,28 +151,27 @@ class MergeOnReadSink:
         deltas = self._deltas()
         if deltas is None:
             return base
-        winner = latest_image(
-            deltas.withColumn(
-                "__ord", F.col("batch_id") * F.lit(1 << 40) + F.col("cdc_offset")
-            ),
-            ["pk"],
-            offset_col="__ord",
-        )
+        # compound sort key, NOT a packed integer: batch_id * 2^40 + offset
+        # would invert the order once a packed reference-style offset
+        # (fileId * 10^13 + pos > 2^40) shows up in cdc_offset
+        winner = latest_image(deltas, [self.change_key_col], offset_col=["batch_id", self.offset_col])
         from pyspark.storagelevel import StorageLevel
 
         winner = winner.persist(StorageLevel.MEMORY_AND_DISK)  # 3 consumers below
-        upserts_src = winner.filter(F.col("op") != "delete")
+        upserts_src = winner.filter(F.col(self.op_col) != "delete")
         # broadcasting the PRESERVED side of an outer join is
         # unsupported (would silently shuffle the base) — so, as in
         # cdc_apply: anti-join for untouched, inner for matched, pruned
         # key probe + small anti-join for the brand-new keys.  The base
         # is scanned twice (once key-pruned), shuffled never.
-        touched_keys = winner.select(F.col("pk").alias("__k"))
+        touched_keys = winner.select(F.col(self.change_key_col).alias("__k"))
         untouched = base.join(
             F.broadcast(touched_keys), base[self.key_col] == F.col("__k"), "left_anti"
         )
         matched = base.join(
-            F.broadcast(upserts_src), base[self.key_col] == upserts_src["pk"], "inner"
+            F.broadcast(upserts_src),
+            base[self.key_col] == upserts_src[self.change_key_col],
+            "inner",
         )
         out_cols = []
         for f in self._schema.fields:
@@ -173,12 +188,14 @@ class MergeOnReadSink:
             .select("__bk")
         )
         new_rows = upserts_src.join(
-            F.broadcast(matched_keys), upserts_src["pk"] == F.col("__bk"), "left_anti"
+            F.broadcast(matched_keys),
+            upserts_src[self.change_key_col] == F.col("__bk"),
+            "left_anti",
         )
         ins_cols = []
         for f in self._schema.fields:
             if f.name == self.key_col:
-                ins_cols.append(new_rows["pk"].cast(f.dataType).alias(f.name))
+                ins_cols.append(new_rows[self.change_key_col].cast(f.dataType).alias(f.name))
             elif f.name in self.set_cols:
                 ins_cols.append(new_rows[self.set_cols[f.name]].cast(f.dataType).alias(f.name))
             else:
@@ -189,18 +206,17 @@ class MergeOnReadSink:
     def compact(self) -> None:
         """Fold deltas into the base (two-phase) and clear them.
 
-        Crash-safe: the new base materializes under a tmp name first; a
-        crash before the swap leaves the old base + deltas intact, a
-        crash between base swap and delta cleanup leaves deltas whose
-        reapplication is convergent (same winning rows)."""
+        Crash-safe: the new base materializes under a tmp name first,
+        then ``safe_swap`` (move-aside ordering — a complete copy exists
+        at every instant; ``recover_dir`` in ``__init__`` repairs any
+        crash point on restart).  A crash between base swap and delta
+        cleanup leaves deltas whose reapplication is convergent (same
+        winning rows)."""
         files = self._delta_files()
         if not files:
             return
         tmp = self.base_dir + ".compact"
         self.current().write.mode("overwrite").parquet(tmp)
-        old = self.base_dir + ".old"
-        shutil.move(self.base_dir, old)
-        shutil.move(tmp, self.base_dir)
-        shutil.rmtree(old)
+        safe_swap(self.base_dir, tmp)
         for f in files:
             shutil.rmtree(os.path.join(self.delta_dir, f))

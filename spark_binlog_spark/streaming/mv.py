@@ -32,8 +32,6 @@ agree bit-for-bit (float addition would drift with application order).
 
 from __future__ import annotations
 
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -44,6 +42,7 @@ from pyspark.sql.types import (
 )
 
 from spark_binlog_spark.operators import cdc_apply, latest_image
+from spark_binlog_spark.streaming.swap import recover_dir, safe_swap
 
 DEC = "decimal(18,2)"
 
@@ -86,7 +85,13 @@ class IncrementalAggSink:
             ]
         )
         self.applied_batches: list[tuple[int, int]] = []
-        if not (resume and os.path.isdir(state_dir) and os.path.isdir(agg_dir)):
+        # repair an interrupted swap BEFORE deciding whether to bootstrap:
+        # a crash inside a naive rmtree/move window would otherwise look
+        # like a missing dir and silently re-bootstrap from the snapshot
+        # while the checkpoint already marks batches committed
+        state_ok = recover_dir(state_dir)
+        agg_ok = recover_dir(agg_dir)
+        if not (resume and state_ok and agg_ok):
             base.write.mode("overwrite").parquet(state_dir)
             # the ONE full scan: bootstrap the aggregate (S4-style)
             boot = base.groupBy(group_col).agg(
@@ -201,11 +206,14 @@ class IncrementalAggSink:
         merged_state.write.mode("overwrite").parquet(state_tmp)
 
         # swap agg first: if we crash between the swaps, replay skips the
-        # agg (batch_id recorded) and the state merge is idempotent
+        # agg (batch_id recorded) and the state merge is idempotent.
+        # safe_swap keeps a complete copy at every instant; recover_dir
+        # in __init__ repairs any crash point (a finished .b{N} tmp wins
+        # over .old — both tmps are fully written before either swap, so
+        # recovery can only land on (old,old), (new,old) or (new,new),
+        # each reconciled by replay)
         if agg_tmp is not None:
-            shutil.rmtree(self.agg_dir)
-            shutil.move(agg_tmp, self.agg_dir)
-        shutil.rmtree(self.state_dir)
-        shutil.move(state_tmp, self.state_dir)
+            safe_swap(self.agg_dir, agg_tmp)
+        safe_swap(self.state_dir, state_tmp)
         batch_df.unpersist()
         self.applied_batches.append((batch_id, n))

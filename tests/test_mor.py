@@ -179,3 +179,69 @@ class TestMorResume:
         expected = _rows(cdc_apply(base, ch, key_col="c_custkey",
                                    set_cols={"c_acctbal": "value"}))
         assert _rows(s2.current()) == expected
+
+
+class TestCompoundOrdering:
+    def test_packed_offsets_beyond_2_40_still_ordered(self, spark, tmp_path):
+        """Reference-style packed offsets (fileId*10^13 + pos) exceed 2^40:
+        a packed (batch_id << 40) + offset ordering would let an old
+        batch's huge offset outrank a newer batch — the compound
+        (batch_id, offset) sort key must not."""
+        from spark_binlog_spark.streaming.mor import MergeOnReadSink
+
+        base = _base(spark)
+        sink = MergeOnReadSink(spark, str(tmp_path / "st"), base, "c_custkey",
+                               {"c_acctbal": "value"}, compact_every=100)
+        big = 7 * 10**13 + 123  # > 2^40
+        b0 = spark.createDataFrame([Row(cdc_offset=big, pk=1, op="update", value=111.0)])
+        b1 = spark.createDataFrame([Row(cdc_offset=5, pk=1, op="update", value=222.0)])
+        sink(b0, 0)
+        sink(b1, 1)  # newer batch, small offset — must win
+        got = {r["c_custkey"]: r["c_acctbal"] for r in sink.current().collect()}
+        assert got[1] == 222.0
+
+
+class TestCrashRecovery:
+    def _interrupt_swap(self, live):
+        """Simulate a crash between safe_swap's two moves: live moved
+        aside, finished tmp not yet moved in."""
+        import shutil
+
+        shutil.copytree(live, live + ".b999")  # a finished tmp (_SUCCESS inside)
+        shutil.move(live, live + ".old")
+
+    def test_mor_resume_recovers_interrupted_compact(self, spark, tmp_path):
+        from spark_binlog_spark.streaming.mor import MergeOnReadSink
+
+        path = str(tmp_path / "ev.parquet")
+        _write_events(path, EVENTS)
+        base = _base(spark)
+        s1 = MergeOnReadSink(spark, str(tmp_path / "st"), base, "c_custkey",
+                             {"c_acctbal": "value"}, compact_every=100)
+        s1(_changes(spark, path), 0)
+        s1.compact()
+        before = _rows(s1.current())
+        self._interrupt_swap(str(tmp_path / "st" / "base"))
+
+        s2 = MergeOnReadSink(spark, str(tmp_path / "st"), base, "c_custkey",
+                             {"c_acctbal": "value"}, compact_every=100, resume=True)
+        # recovery restored the compacted base — NOT a silent re-bootstrap
+        assert _rows(s2.current()) == before
+
+    def test_mv_resume_recovers_interrupted_swap(self, spark, tmp_path):
+        from spark_binlog_spark.streaming.mv import IncrementalAggSink
+
+        path = str(tmp_path / "ev.parquet")
+        _write_events(path, EVENTS)
+        base = _base(spark).withColumn("c_mktsegment", (F.col("c_custkey") % 2).cast("string"))
+        s1 = IncrementalAggSink(spark, str(tmp_path / "state"), str(tmp_path / "agg"),
+                                base, key_col="c_custkey", group_col="c_mktsegment",
+                                val_col="c_acctbal")
+        s1(_changes(spark, path), 0)
+        agg_before = {tuple(r) for r in s1.current_agg().collect()}
+        self._interrupt_swap(str(tmp_path / "agg"))
+
+        s2 = IncrementalAggSink(spark, str(tmp_path / "state"), str(tmp_path / "agg"),
+                                base, key_col="c_custkey", group_col="c_mktsegment",
+                                val_col="c_acctbal", resume=True)
+        assert {tuple(r) for r in s2.current_agg().collect()} == agg_before
