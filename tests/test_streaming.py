@@ -623,3 +623,42 @@ class TestFullPipeline:
             for r in sink2.current().collect()
         }
         assert got == expected
+
+
+class TestRegionPartitionedStore:
+    def test_pruned_scan_and_identical_stream(self, spark, tmp_path):
+        """A region-partitioned store must (a) let a region task open
+        only its own fragments — ~1/N of the data — and (b) produce the
+        identical stream to the flat store."""
+        import json as _json
+
+        import pyarrow.dataset as ds
+
+        from spark_binlog_spark.sources.binlog_fixture import region_partition_dataset
+        from spark_binlog_spark.streaming.pipeline import read_stream
+
+        rows = [(i, T0 + i, i % 5, "click", float(i), "{}") for i in range(30)]
+        flat = str(tmp_path / "ev.parquet")
+        _write_events(flat, rows)
+        part = region_partition_dataset(flat, str(tmp_path / "by_region"), 4)
+
+        # (a) fragment pruning: the per-region filter opens a strict
+        # subset of fragments (one directory of four)
+        dataset = ds.dataset(part, partitioning="hive")
+        all_frags = len(list(dataset.get_fragments()))
+        r1_frags = len(list(dataset.get_fragments(ds.field("region") == 1)))
+        assert all_frags >= 4 and r1_frags <= all_frags // 4
+
+        # (b) same stream content as the flat store
+        wire = read_stream(spark, part, regions=4)
+        q = (
+            wire.writeStream.format("memory")
+            .queryName("region_part_stream")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        envs = [_json.loads(r["value"]) for r in spark.table("region_part_stream").collect()]
+        assert sorted(e["rows"][0]["cdc_offset"] for e in envs) == list(range(30))
+        assert all(e["schema"] is None for e in envs)  # region mode = schema-less
