@@ -2,11 +2,13 @@
 
 Images/audio/video are opaque ``binary`` columns + a typed metadata
 struct.  The Spark-side plumbing — schema, batch shape, partitioning,
-Arrow transfer — is real and tested; the actual media decode is STUBBED
-(decode libs are not in this container): ``decode_frames`` raises
-NotImplementedError unless ``fake=True``, in which case it produces a
-deterministic fake derived from the bytes so pipelines are testable
-end-to-end.
+Arrow transfer — is real and tested; the actual media decode runs
+behind executor-side import-tries (PIL for images, soundfile for audio
+— neither ships in this container).  With the libs installed,
+``extract_features(fake=False)`` produces real features from the
+identical plan; without them it raises the clearly-marked
+NotImplementedError stub, and ``fake=True`` produces a deterministic
+fake derived from the bytes so pipelines are testable end-to-end.
 
 Scale notes: media blobs ride in their own column so parquet column
 pruning skips them unless a stage touches them; ``mapInPandas`` streams
@@ -118,15 +120,45 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _real_image_features(content: bytes) -> list[float] | None:
+    """PIL-backed encoder (import-try, executor-side): grayscale 4×4
+    thumbnail -> FEATURE_DIM pixel intensities in [-1, 1).  Returns None
+    when PIL is not importable so the caller can fall back."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+    img = Image.open(io.BytesIO(content)).convert("L").resize((4, 4))
+    return [(p - 128) / 128.0 for p in img.getdata()][:FEATURE_DIM]
+
+
+def _real_audio_features(content: bytes) -> list[float] | None:
+    """soundfile-backed encoder (import-try): first FEATURE_DIM samples,
+    zero-padded.  Returns None when soundfile is not importable."""
+    try:
+        import io
+
+        import soundfile as sf
+    except ImportError:
+        return None
+    data, _rate = sf.read(io.BytesIO(content))
+    flat = [float(x) for x in (data[:, 0] if getattr(data, "ndim", 1) > 1 else data)]
+    return (flat + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+
+
 def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Arrow-batched media feature extraction (mapInPandas).
 
-    Real systems run an image/audio encoder here; those libs aren't in
-    this container, so fake=False raises (clearly-marked stub) and
-    fake=True derives a deterministic FEATURE_DIM-float vector from the
-    md5 of the bytes — exercising the exact schema/batching a real
-    encoder stage would use, and feeding directly into the similarity
-    operators (functions/similarity.py) downstream.
+    With ``fake=False`` the REAL encoders run behind executor-side
+    import-tries — PIL for images, soundfile for audio (neither is in
+    this container; with the libs installed real features come out of
+    the identical plan).  When the lib for a row's media_type is absent
+    this raises the clearly-marked NotImplementedError stub.  ``fake=True``
+    is the deterministic test path: a FEATURE_DIM-float vector derived
+    from the md5 of the bytes — same schema/batching as the real
+    encoders, feeding the similarity operators downstream.
     """
 
     def run(batches):
@@ -134,19 +166,30 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "media encoder libs are not installed; use fake=True "
-                        "for the deterministic test encoder"
+            for media_id, content, mtype in zip(
+                pdf["media_id"], pdf["content"], pdf["media_type"]
+            ):
+                data = bytes(content)
+                if fake:
+                    digest = hashlib.md5(data).digest()
+                    vec = [(b - 128) / 128.0 for b in digest[:FEATURE_DIM]]
+                else:
+                    vec = (
+                        _real_image_features(data)
+                        if mtype == "image"
+                        else _real_audio_features(data) if mtype == "audio" else None
                     )
-                digest = hashlib.md5(bytes(content)).digest()
-                vec = [(b - 128) / 128.0 for b in digest[:FEATURE_DIM]]
+                    if vec is None:
+                        raise NotImplementedError(
+                            f"no encoder available for media_type={mtype!r} "
+                            "(PIL/soundfile not installed, or unsupported type); "
+                            "use fake=True for the deterministic test encoder"
+                        )
                 norm4 = int(sum(x * x for x in vec) * 10000)
                 rows.append({"media_id": int(media_id), "feature": vec, "feature_norm4": norm4})
             yield pd.DataFrame(rows, columns=["media_id", "feature", "feature_norm4"])
 
-    return df.select("media_id", "content").mapInPandas(run, FEATURE_SCHEMA)
+    return df.select("media_id", "content", "media_type").mapInPandas(run, FEATURE_SCHEMA)
 
 
 def decode_frames(df: DataFrame, fake: bool = False) -> DataFrame:

@@ -49,8 +49,10 @@ class SchemaRegistry:
         (BinLogSocketServerInExecutor.scala:264-275).  ``load()`` of a
         JDBC reader resolves the schema without scanning rows.
 
-        Requires a JDBC driver on the classpath; in this container there
-        is none, so this is exercised only against mocks/docs.
+        Needs a JDBC driver on the classpath.  Against MySQL that is the
+        connector jar; the test battery exercises the identical code path
+        against the embedded Derby engine Spark already ships
+        (tests/test_schema_registry.py::TestJdbcResolution).
         """
         reader = spark.read.format("jdbc").option("url", url).option(
             "dbtable", f"{database}.{table}"

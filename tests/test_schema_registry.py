@@ -48,3 +48,35 @@ class TestRegistry:
         cells = explode_hbase_cells(parsed.drop("rows_json"))
         got = {(r["rowkey"], r["qualifier"], r["cell_value"]) for r in cells.collect()}
         assert got == {("rk1", "cf:a", "x"), ("rk1", "cf:b", "y")}
+
+
+class TestJdbcResolution:
+    def test_resolve_from_live_derby(self, spark, tmp_path):
+        """S3 live-JDBC schema resolution: create a table over JDBC in
+        the embedded Derby engine (ships with Spark), then resolve its
+        schema through the registry exactly as the reference does
+        against MySQL (JDBCRDD.resolveTable,
+        BinLogSocketServerInExecutor.scala:264-275)."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.schema_registry import SchemaRegistry
+
+        url = f"jdbc:derby:{tmp_path}/derby_db;create=true"
+        driver = "org.apache.derby.jdbc.EmbeddedDriver"
+        (
+            spark.createDataFrame([Row(id=1, name="a", score=1.5)])
+            .write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "db1.users")
+            .option("driver", driver)
+            .save()
+        )
+
+        reg = SchemaRegistry()
+        schema = reg.resolve_from_jdbc(spark, url, "db1", "users", driver=driver)
+        assert [f.name.lower() for f in schema.fields] == ["id", "name", "score"]
+        assert [f.dataType.simpleString() for f in schema.fields] == [
+            "bigint", "string", "double",
+        ]
+        # resolution registers the schema for downstream from_json parsing
+        assert reg.get("db1", "users") == schema

@@ -327,3 +327,47 @@ class TestIntervalOverlap:
         # ia=1 overlaps ib=10 across 7 shared cells -> exactly once;
         # ia=2 overlaps ib=10; ia=3 overlaps ib=10 (20 < 30, 6 < 22)
         assert got == [(1, 10), (2, 10), (3, 10)]
+
+
+class TestRealMediaGating:
+    def _media(self, spark):
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import multimodal
+
+        docs = spark.createDataFrame([Row(doc_id=1, text="hello world")])
+        return multimodal.as_media(docs, "doc_id", "text", "image")
+
+    def test_fake_false_without_libs_raises_stub(self, spark):
+        import pytest
+
+        from spark_binlog_spark.functions import multimodal
+
+        try:
+            import PIL  # noqa: F401
+
+            pytest.skip("PIL installed — stub not reachable for images")
+        except ImportError:
+            pass
+        with pytest.raises(Exception, match="no encoder available"):
+            multimodal.extract_features(self._media(spark), fake=False).collect()
+
+    def test_real_image_features_when_pil_present(self, spark):
+        import pytest
+
+        pytest.importorskip("PIL")
+        import io
+
+        from PIL import Image
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import multimodal
+
+        buf = io.BytesIO()
+        Image.new("L", (8, 8), color=200).save(buf, format="PNG")
+        media = spark.createDataFrame(
+            [Row(media_id=1, content=bytearray(buf.getvalue()),
+                 media_type="image", byte_len=len(buf.getvalue()), content_key="x")]
+        )
+        feats = multimodal.extract_features(media, fake=False).collect()
+        assert len(feats) == 1 and len(feats[0]["feature"]) == multimodal.FEATURE_DIM
