@@ -184,28 +184,56 @@ def ngram_jaccard_pairs(
     tiny, whereas the rare set is vocabulary-sized and must never be
     broadcast.  Pass ``df_cap=None`` for the exact uncapped measure.
     """
-    # three consumers (sizes + both join sides): persist the exploded
-    # shingle relation so shingling runs once.  Shingles join on their
-    # 48-bit hash, not the string — half the shuffle bytes; the oracle
-    # hashes identically so any collision affects both engines equally.
+    # two consumers (sizes + candidate generation): persist the exploded
+    # shingle relation so shingling runs once.  Shingles carry their
+    # 48-bit hash, not the string — half the shuffle bytes; the hash is
+    # applied AFTER the doc-local string distinct (shingles() ends in
+    # array_distinct), so no extra dropDuplicates shuffle is needed and
+    # both engines see the identical multiset even under h48 collisions.
     from pyspark.storagelevel import StorageLevel
 
     sh = (
         doc_shingles(spread_small_input(df), text_col)
         .select("doc_id", F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10).cast("long").alias("sh_h"))
-        .dropDuplicates(["doc_id", "sh_h"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if df_cap is not None:
-        hot = sh.groupBy("sh_h").agg(F.count("*").alias("df")).filter(F.col("df") > df_cap)
-        sh = sh.join(F.broadcast(hot.select("sh_h")), "sh_h", "left_anti")
-    common = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+        # capped path: ONE groupBy on the shingle hash; the cap bounds
+        # each shingle's doc list, so pairs explode array-side (≤ cap²/2
+        # per shingle, JVM codegen) — no self-join, and hot-shingle
+        # filtering is the same size() predicate instead of a separate
+        # count + anti-join pass
+        grouped = (
+            sh.groupBy("sh_h")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap))
+        )
+        pairs = grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        ).select("p.doc_a", "p.doc_b")
+        # strict inequality guards the self-pair an in-doc h48 collision
+        # would produce (duplicate doc_id in one shingle's sorted list)
+        pairs = pairs.filter(F.col("doc_a") < F.col("doc_b"))
+        common = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
+    else:
+        # exact mode: hash-join candidate generation (a ubiquitous
+        # shingle makes this quadratic — that is what df_cap guards)
+        common = (
+            sh.alias("a")
+            .join(
+                sh.alias("b"),
+                (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
     sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
     sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
     j4 = F.floor(

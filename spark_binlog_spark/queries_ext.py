@@ -120,7 +120,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q_ngram_jaccard"] = f"""
 WITH sh0 AS ({_SHINGLES_SQL}),
-sh AS (SELECT DISTINCT doc_id,
+sh AS (SELECT doc_id,
               CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS sh_h
        FROM sh0),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
