@@ -97,8 +97,11 @@ def main() -> None:
     events_path = f"{sf_dir}/events.parquet"
     n_events = spark.read.parquet(events_path).count()
     spark.catalog.clearCache()  # drop query-phase persists; measure the source alone
-    # warm the Python datasource worker pool (earlier queries are
-    # JVM-only) — same warm-run policy as the query timings above
+    # warm the STREAMING path (earlier queries are JVM-only): a small
+    # bounded streaming query spins up the streaming Python worker pool
+    # and JITs the microbatch machinery — same warm-run policy as the
+    # query timings above; the measured run below then reflects source
+    # throughput, not one-time session spin-up
     from spark_binlog_spark.sources.binlog_fixture import register as _register
 
     _register(spark)
@@ -112,6 +115,14 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    warm = read_stream(spark, events_path, numPartitions=int(cpus), startingOffset=max(0, n_events - 1000))
+    wq = (
+        warm.writeStream.format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp() + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wq.awaitTermination()
     t0 = time.perf_counter()
     wire = read_stream(spark, events_path, numPartitions=int(cpus))
     q = (
