@@ -179,10 +179,11 @@ def ngram_jaccard_pairs(
     k docs emits k² candidate rows; one boilerplate shingle across a
     100 TB corpus is a job-killer).  Denominators stay full-size, so
     capping only LOWERS a pair's score (candidates lost only when a
-    pair shares nothing but ubiquitous shingles).  The exclusion is a
-    broadcast ANTI-join against the hot set — Zipf makes the hot set
-    tiny, whereas the rare set is vocabulary-sized and must never be
-    broadcast.  Pass ``df_cap=None`` for the exact uncapped measure.
+    pair shares nothing but ubiquitous shingles).  The cap is enforced
+    as a ``size() <= df_cap`` predicate on the per-shingle doc list —
+    hot shingles drop in the same grouped pass that generates
+    candidates, no separate hot-set count or join.  Pass
+    ``df_cap=None`` for the exact uncapped join-based measure.
     """
     # two consumers (sizes + candidate generation): persist the exploded
     # shingle relation so shingling runs once.  Shingles carry their

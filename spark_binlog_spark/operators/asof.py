@@ -48,10 +48,11 @@ def asof_join(
     the winner among equal timestamps is partition-order-dependent.
     """
     overlap = set(value_cols) & set(left.columns)
-    assert not overlap, (
-        f"value_cols {sorted(overlap)} collide with left columns — "
-        "rename/prefix them on the right side before the as-of join"
-    )
+    if overlap:  # not an assert: must survive python -O
+        raise ValueError(
+            f"value_cols {sorted(overlap)} collide with left columns — "
+            "rename/prefix them on the right side before the as-of join"
+        )
     tb_type = dict(right.dtypes)[tie_break] if tie_break else "long"
     l_tag = left.select(
         *[F.col(c) for c in left.columns],

@@ -1567,10 +1567,16 @@ def q_offset_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer — same oracle."""
     from pyspark.sql import Window
 
+    from pyspark.storagelevel import StorageLevel
+
     _pin(spark)
     B = 8192
     ch = changes_df(spark, sf_dir).filter(F.col("cdc_offset") % 97 != 0)
-    kept = ch.select("cdc_offset", F.expr(f"cdc_offset div {B}").alias("bucket"))
+    # two consumers (in-bucket windows + bucket summary): persist so the
+    # scan + filter + bucket projection run once
+    kept = ch.select(
+        "cdc_offset", F.expr(f"cdc_offset div {B}").alias("bucket")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     w_in = Window.partitionBy("bucket").orderBy("cdc_offset")
     in_bucket = kept.select(
         "cdc_offset", F.lag("cdc_offset").over(w_in).alias("prev_offset")

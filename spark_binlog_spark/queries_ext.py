@@ -111,11 +111,16 @@ FROM pairs WHERE n_agree >= 2
 
 
 # ---------------------------------------------------------------- dedup: exact jaccard
+# ONE cap constant shared by the Spark call and the DuckDB oracle — a
+# drifting pair would silently break parity
+NGRAM_DF_CAP = 64
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle-Jaccard on join-generated candidates (no cross join),
-    hot-shingle cap ON (df_cap=64) — the 100 TB-safe default."""
+    """Shingle-Jaccard on grouped-explode candidates (no cross join),
+    hot-shingle cap ON (NGRAM_DF_CAP) — the 100 TB-safe default."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, min_jaccard4=500, df_cap=64)
+    return dedup.ngram_jaccard_pairs(docs, min_jaccard4=500, df_cap=NGRAM_DF_CAP)
 
 
 ORACLE["q_ngram_jaccard"] = f"""
@@ -124,7 +129,7 @@ sh AS (SELECT doc_id,
               CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS sh_h
        FROM sh0),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-hot AS (SELECT sh_h FROM sh GROUP BY sh_h HAVING count(*) > 64),
+hot AS (SELECT sh_h FROM sh GROUP BY sh_h HAVING count(*) > {NGRAM_DF_CAP}),
 capped AS (SELECT * FROM sh WHERE sh_h NOT IN (SELECT sh_h FROM hot)),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common

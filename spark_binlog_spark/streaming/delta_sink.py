@@ -81,8 +81,6 @@ class DeltaMergeSink:
         self.change_key_col = change_key_col
         self.op_col = op_col
         self.offset_col = offset_col
-        self._base_cols = base.columns
-        self._base_types = dict(base.dtypes)
         if not (resume and DeltaTable.isDeltaTable(spark, table_path)):
             # bootstrap = S4 full-sync; Delta's log makes this atomic
             base.write.format("delta").mode("overwrite").save(table_path)

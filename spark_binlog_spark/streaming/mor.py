@@ -96,15 +96,23 @@ class MergeOnReadSink:
         return sum(n for _, n in self.applied_batches)
 
     def _delta_files(self) -> list[str]:
-        # only COMPLETE deltas (_SUCCESS is written last): a crash mid-write
-        # leaves a partial b{N} that replay will overwrite; reading it
-        # before then would surface torn state
+        # only COMPLETE deltas: prefer the _SUCCESS marker (written last),
+        # but sessions with success markers disabled (common on object
+        # stores) must not be treated as having zero deltas — fall back
+        # to "has parquet output and no in-flight _temporary dir".  A
+        # crash mid-write leaves a partial b{N} that replay overwrites.
+        def complete(d: str) -> bool:
+            p = os.path.join(self.delta_dir, d)
+            if os.path.exists(os.path.join(p, "_SUCCESS")):
+                return True
+            if os.path.isdir(os.path.join(p, "_temporary")):
+                return False
+            return any(f.endswith(".parquet") for f in os.listdir(p))
+
         return sorted(
             d
             for d in os.listdir(self.delta_dir)
-            if d.startswith("b")
-            and not d.endswith(".tmp")
-            and os.path.exists(os.path.join(self.delta_dir, d, "_SUCCESS"))
+            if d.startswith("b") and not d.endswith(".tmp") and complete(d)
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:

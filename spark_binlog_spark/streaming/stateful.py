@@ -128,5 +128,7 @@ def latest_image_tws(changes: DataFrame, ttl_ms: int | None = None) -> DataFrame
         statefulProcessor=LatestImageProcessor(),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        # TTL state is only legal under ProcessingTime time mode —
+        # Spark rejects getValueState(..., ttl) with timeMode="None"
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )
