@@ -371,3 +371,55 @@ class TestRealMediaGating:
         )
         feats = multimodal.extract_features(media, fake=False).collect()
         assert len(feats) == 1 and len(feats[0]["feature"]) == multimodal.FEATURE_DIM
+
+
+class TestBucketedGapEquivalence:
+    def test_random_offset_sets_match_global_lag(self, spark):
+        """The two-level (in-bucket + summary) gap detection must equal
+        the global-lag answer on adversarial offset sets: random drops,
+        wholly-empty buckets, gaps spanning multiple buckets, bucket
+        boundaries ±1."""
+        import random
+
+        from pyspark.sql import Row, Window
+        from pyspark.sql import functions as F
+
+        rng = random.Random(42)
+        B = 16  # small bucket size to force many boundary cases
+
+        def bucketed(df):
+            kept = df.select("off", F.expr(f"off div {B}").alias("bucket"))
+            w_in = Window.partitionBy("bucket").orderBy("off")
+            in_b = kept.select("off", F.lag("off").over(w_in).alias("prev")).filter(
+                F.col("prev").isNotNull() & (F.col("off") - F.col("prev") > 1)
+            )
+            summ = kept.groupBy("bucket").agg(
+                F.min("off").alias("mn"), F.max("off").alias("mx")
+            )
+            w_b = Window.orderBy("bucket")
+            bd = (
+                summ.select("mn", F.lag("mx").over(w_b).alias("prev"))
+                .filter(F.col("prev").isNotNull() & (F.col("mn") - F.col("prev") > 1))
+                .select(F.col("mn").alias("off"), "prev")
+            )
+            return {(r["prev"], r["off"]) for r in in_b.select("off", "prev").unionByName(bd).collect()}
+
+        def global_lag(df):
+            w = Window.orderBy("off")
+            g = df.select("off", F.lag("off").over(w).alias("prev")).filter(
+                F.col("prev").isNotNull() & (F.col("off") - F.col("prev") > 1)
+            )
+            return {(r["prev"], r["off"]) for r in g.collect()}
+
+        cases = []
+        for _ in range(6):
+            n = rng.randint(5, 200)
+            offs = sorted(rng.sample(range(0, 400), n))
+            cases.append(offs)
+        # adversarial: exact bucket boundaries, empty middle buckets
+        cases.append([0, 15, 16, 17, 31, 32, 96, 97])   # boundary ±1, empty 2..5
+        cases.append([5, 100])                            # one giant gap
+        cases.append([7])                                 # single offset
+        for offs in cases:
+            df = spark.createDataFrame([Row(off=o) for o in offs])
+            assert bucketed(df) == global_lag(df), f"mismatch for {offs}"
