@@ -202,3 +202,32 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         fp_md5.alias("fp_md5"),
         F.conv(F.substring(fp_md5, 1, 12), 16, 10).cast("long").alias("fp48"),
     )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common subset so Spark
+# and DuckDB match identically; assumed pairwise non-overlapping (counts
+# are taken on the ORIGINAL text, redaction applied sequentially)
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the standard pre-training cleaning pass: replace
+    emails/phones/IPv4s with typed tokens and report per-type counts.
+
+    All JVM built-ins (regexp_count / chained regexp_replace), one
+    narrow projection, no shuffle: at 100 TB this runs at scan speed and
+    parallelism equals input splits.  Redaction order: email, phone,
+    ipv4 (patterns are disjoint; counts use the original text).
+    """
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return df.select(F.col("doc_id"), *counts, redacted.alias("redacted"))

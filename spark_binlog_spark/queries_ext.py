@@ -1033,3 +1033,54 @@ SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        least(byte_len - frame_idx * {multimodal.FRAME_SIZE}, {multimodal.FRAME_SIZE}) AS frame_len
 FROM f
 """
+
+
+# ---------------------------------------------------------------- PII scrub
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (pre-training cleaning pass): the synthetic corpus
+    carries no PII, so a deterministic contact block (email, phone,
+    IPv4 derived from doc_id) is appended first, then redacted via
+    text.redact_pii — per-type counts + md5 of the scrubbed text.
+    Scan-speed projection, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = text.redact_pii(aug)
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", F.md5(F.col("redacted")).alias("redacted_md5")
+    )
+
+
+_PII_AUG_SQL = """
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS text
+  FROM documents
+"""
+
+ORACLE["q_pii_redact"] = f"""
+WITH aug AS ({_PII_AUG_SQL})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["ipv4"]}')) AS BIGINT) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{text.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+             '{text.PII_PATTERNS["phone"]}', '<PHONE>', 'g'),
+             '{text.PII_PATTERNS["ipv4"]}', '<IPV4>', 'g')) AS redacted_md5
+FROM aug
+"""

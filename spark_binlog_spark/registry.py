@@ -79,13 +79,14 @@ PRIORITY = [
     "q_incremental_dedup",
     "q_hash_sample",
     "q_lang_id",
+    "q_pii_redact",
     "q_corpus_report",
-    "q_corpus_clean",
 ]
 
 # Value-ranked tail (variants / parity forms / building-block views);
 # graded only if the driver's cap exceeds len(PRIORITY).
 TAIL = [
+    "q_corpus_clean",
     "q_text_quality",
     "q_token_count",
     "q_boilerplate_ratio",
