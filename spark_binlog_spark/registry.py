@@ -61,7 +61,6 @@ PRIORITY = [
     "q_churned_keys",
     "q_top_events_per_table",
     "q_user_sessions",
-    "q_change_counts_windowed",
     "q_datetime_normalize",
     "q_schema_evolution",
     "q_stream_mv_maintain",
@@ -71,6 +70,7 @@ PRIORITY = [
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_ngram_jaccard",
+    "q_embedding_dedup",
     "q_similarity_topk",
     "q_similarity_lsh",
     "q_ivf_topk",
@@ -86,12 +86,12 @@ PRIORITY = [
 # Value-ranked tail (variants / parity forms / building-block views);
 # graded only if the driver's cap exceeds len(PRIORITY).
 TAIL = [
+    "q_change_counts_windowed",
     "q_corpus_clean",
     "q_text_quality",
     "q_token_count",
     "q_boilerplate_ratio",
     "q_boilerplate_shingles",
-    "q_embedding_dedup",
     "q_simhash_near_dups",
     "q_lsh_recall",
     "q_ivf_multiprobe",
