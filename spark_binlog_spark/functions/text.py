@@ -231,3 +231,48 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
     return df.select(F.col("doc_id"), *counts, redacted.alias("redacted"))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rule family): the
+    fraction of tokens taken by the single most frequent word, and by
+    the most frequent word bigram.  High values flag degenerate /
+    template text that length- and stopword-based scores miss.
+
+    Plan: one explode + one combiner-friendly (doc, term) count + one
+    per-doc max — two partial-aggregated shuffles keyed by doc, the
+    standard scalable shape (no per-doc collect, no Python).
+    """
+    w = F.split(F.col(text_col), " ")
+    # word counts (NOT distinct — frequency is the point)
+    words_df = df.select("doc_id", F.explode(w).alias("term"))
+    # bigram counts, non-distinct: i in 1..len-1, join adjacent words
+    idx = F.when(F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)))
+    bigrams_df = df.select("doc_id", F.explode(grams).alias("term"))
+
+    def top_frac(exploded, out_col):
+        per_term = exploded.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+        return per_term.groupBy("doc_id").agg(
+            F.sum("c").alias("__n"),
+            F.max("c").alias("__top"),
+        ).select(
+            "doc_id",
+            F.col("__n").alias(out_col.replace("_frac4", "_n")),
+            F.floor(F.col("__top") / F.col("__n") * 10000).cast("long").alias(out_col),
+        )
+
+    tw = top_frac(words_df, "top_word_frac4")
+    tb = top_frac(bigrams_df, "top_bigram_frac4")
+    # left join: docs with < 2 words have no bigrams -> null-safe zeros
+    return (
+        tw.join(tb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("top_word_n").alias("n_words"),
+            "top_word_frac4",
+            F.coalesce(F.col("top_bigram_frac4"), F.lit(0)).cast("long").alias("top_bigram_frac4"),
+        )
+    )

@@ -1084,3 +1084,33 @@ SELECT doc_id,
              '{text.PII_PATTERNS["ipv4"]}', '<IPV4>', 'g')) AS redacted_md5
 FROM aug
 """
+
+
+# ---------------------------------------------------------------- repetition
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: top-word and top-bigram
+    token fractions per document (floor-scaled) — flags degenerate or
+    templated text that length/stopword scores miss."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_signals(docs)
+
+
+ORACLE["q_repetition"] = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+wc AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY doc_id, term),
+tw AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+              CAST(floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 10000) AS BIGINT) AS top_word_frac4
+       FROM wc GROUP BY doc_id),
+b AS (SELECT doc_id, unnest(
+         CASE WHEN len(ws) >= 2
+              THEN [ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws) - 1)]
+              ELSE [] END) AS term
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+bc AS (SELECT doc_id, term, count(*) AS c FROM b GROUP BY doc_id, term),
+tb AS (SELECT doc_id,
+              CAST(floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 10000) AS BIGINT) AS top_bigram_frac4
+       FROM bc GROUP BY doc_id)
+SELECT tw.doc_id, tw.n_words, tw.top_word_frac4,
+       CAST(coalesce(tb.top_bigram_frac4, 0) AS BIGINT) AS top_bigram_frac4
+FROM tw LEFT JOIN tb ON tw.doc_id = tb.doc_id
+"""
