@@ -200,15 +200,26 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if df_cap is not None:
-        # capped path: ONE groupBy on the shingle hash; the cap bounds
-        # each shingle's doc list, so pairs explode array-side (≤ cap²/2
-        # per shingle, JVM codegen) — no self-join, and hot-shingle
-        # filtering is the same size() predicate instead of a separate
-        # count + anti-join pass
+        # capped path: window-count docs per shingle hash, filter to
+        # [2, df_cap], THEN collect_list — all inside one hash
+        # partitioning on sh_h (Window and the aggregate share it, so
+        # the relation shuffles once).  A boilerplate shingle present
+        # in millions of docs is dropped by the count predicate before
+        # any list materializes, and WindowExec's per-key row buffer
+        # spills to disk (ExternalAppendOnlyUnsafeRowArray) — so no
+        # aggregation buffer is ever unbounded, unlike collect_list on
+        # an unfiltered hot key.  count(*) equals the collected list's
+        # size() exactly (h48-collision dups included): semantics
+        # unchanged.  Candidate pairs then explode array-side (≤
+        # cap²/2 per shingle, JVM codegen) — no doc×doc self-join.
+        from pyspark.sql import Window
+
+        n_docs = F.count("*").over(Window.partitionBy("sh_h"))
         grouped = (
-            sh.groupBy("sh_h")
+            sh.withColumn("n_docs", n_docs)
+            .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= df_cap))
+            .groupBy("sh_h")
             .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-            .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap))
         )
         pairs = grouped.select(
             F.explode(
