@@ -141,4 +141,10 @@ def oracle_sql() -> dict[str, str]:
     pool: dict[str, str] = {}
     pool.update(queries_cdc.ORACLE)
     pool.update(queries_ext.ORACLE)
-    return {name: pool[name] for name in queries() if name in pool}
+    q = queries()
+    # fail fast on an oracle orphaned by a query rename/typo — mirrors
+    # the KeyError queries() raises for stale PRIORITY/TAIL entries
+    orphans = sorted(set(pool) - set(q))
+    if orphans:
+        raise KeyError(f"oracle entries without a query fn: {orphans}")
+    return {name: pool[name] for name in q if name in pool}

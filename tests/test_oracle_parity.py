@@ -18,8 +18,23 @@ def test_every_query_has_an_oracle():
 
 
 def test_no_orphan_oracles():
-    orphans = sorted(set(ORACLES) - set(QUERIES))
+    # check the raw ORACLE pools, not oracle_sql()'s output (which now
+    # fail-fasts on orphans itself — see next test)
+    from spark_binlog_spark import queries_cdc, queries_ext
+
+    pool = {**queries_cdc.ORACLE, **queries_ext.ORACLE}
+    orphans = sorted(set(pool) - set(QUERIES))
     assert not orphans, f"oracle entries without a query fn: {orphans}"
+
+
+def test_oracle_sql_raises_on_orphan(monkeypatch):
+    # an oracle left behind by a query rename must fail loudly, not be
+    # silently dropped from the driver's correctness sweep
+    from spark_binlog_spark import queries_ext
+
+    monkeypatch.setitem(queries_ext.ORACLE, "q_renamed_away", "SELECT 1")
+    with pytest.raises(KeyError, match="q_renamed_away"):
+        registry.oracle_sql()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

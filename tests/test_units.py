@@ -247,6 +247,33 @@ class TestAsofJoin:
             ("b", 7): (None, None),    # b's only right row is later
         }
 
+    def test_tie_break_largest_wins_and_null_sorts_first(self, spark):
+        """Duplicate (key, time) right rows: the LARGEST tie_break value
+        wins deterministically, and a NULL tie_break loses to any
+        non-null one (asc_nulls_first puts it earliest in the frame)."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([Row(k="a", t=10), Row(k="b", t=10)])
+        right = spark.createDataFrame(
+            [
+                # key a: three right rows at the same time, distinct offsets
+                Row(k="a", rt=10, off=3, v="lo"),
+                Row(k="a", rt=10, off=9, v="hi"),
+                Row(k="a", rt=10, off=7, v="mid"),
+                # key b: a NULL tie_break must lose to the non-null row
+                Row(k="b", rt=10, off=None, v="null_tb"),
+                Row(k="b", rt=10, off=1, v="real_tb"),
+            ]
+        )
+        out = asof_join(
+            left, right, on=["k"], left_time="t", right_time="rt",
+            value_cols=["v"], tie_break="off",
+        )
+        got = {r["k"]: r["v"] for r in out.collect()}
+        assert got == {"a": "hi", "b": "real_tb"}
+
 
 class TestDecodeBalance:
     def test_skewed_media_spreads_across_partitions(self, spark):
