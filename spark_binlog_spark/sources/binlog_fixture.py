@@ -70,10 +70,19 @@ def _envelope_json(
     events embed the row StructType JSON in ``schema``; the HBase path
     (schema-less) sends null instead (hbase-wal AbstractEventWriter.java:39)."""
     op = OP_MAP.get(event_type, "update")
-    row = {"pk": user_id, "value": value, "op": op, "cdc_offset": event_id}
+    # NaN -> null: json.dumps would emit the invalid-JSON `NaN` literal
+    row = {
+        "pk": user_id,
+        "value": None if value != value else value,
+        "op": op,
+        "cdc_offset": event_id,
+    }
     try:
         payload = json.loads(props)
-        row["k"] = payload.get("k") if isinstance(payload, dict) else None
+        k = payload.get("k") if isinstance(payload, dict) else None
+        # integer payloads only (k is declared long in the row schema);
+        # bool is an int subclass in Python — exclude it too
+        row["k"] = k if isinstance(k, int) and not isinstance(k, bool) else None
     except (TypeError, ValueError):
         row["k"] = None
     return json.dumps(
@@ -113,8 +122,6 @@ def _read_range(path: str, start: int, end: int, filters: dict | None = None):
       start_time_ns: minimum event timestamp (pushed into the scan)
     ``path`` may be a comma-separated list of files/dirs (the reference
     reads walLogPath + oldWALLogPath)."""
-    import re
-
     import pyarrow.dataset as ds
 
     filters = filters or {}
@@ -136,23 +143,14 @@ def _read_range(path: str, start: int, end: int, filters: dict | None = None):
         import pyarrow as pa
 
         flt = flt & (ds.field("ts") >= pa.scalar(filters["start_time_ns"], pa.timestamp("ns")))
-    db_re = re.compile(filters["db_pattern"]) if filters.get("db_pattern") else None
-    table_re = re.compile(filters["table_pattern"]) if filters.get("table_pattern") else None
-
-    def _table_match(user_id: int) -> bool:
-        if db_re and not db_re.search(f"db_{user_id % 2}"):
-            return False
-        if table_re and not table_re.search(f"t_{user_id % 4}"):
-            return False
-        return True
-
     import pyarrow as pa
 
     n_regions = filters.get("n_regions", 0)
     for batch in dataset.to_table(filter=flt).to_batches():
         arr = _encode_batch_vectorized(
             batch,
-            _table_match if (db_re or table_re) else None,
+            db_pattern=filters.get("db_pattern"),
+            table_pattern=filters.get("table_pattern"),
             region=region,
             n_regions=n_regions,
         )
@@ -160,58 +158,89 @@ def _read_range(path: str, start: int, end: int, filters: dict | None = None):
             yield pa.RecordBatch.from_arrays([arr], ["value"])
 
 
-def _encode_batch_vectorized(batch, table_match=None, region=None, n_regions=0):
-    """Vectorized wire encoding: one pandas string-concat per column
-    instead of a Python dict+json.dumps per row (~10× the per-row
-    encoder; read() then yields arrow RecordBatches straight through,
-    no per-row Python→Arrow conversion).
-
-    Produces byte-compatible JSON with ``_envelope_json`` — every field
-    is numeric or from a controlled vocabulary, so no string escaping is
-    required; ``k`` is extracted from props with a regex accepting only
-    integer payloads (anything else → null, matching the scalar path).
-    """
-    import numpy as np
-    import pandas as pd
+def _mod(x, m):
+    """Integer x % m on arrow arrays (no modulo kernel in pyarrow):
+    x - (x / m) * m — arrow's integer divide truncates, uids are >= 0."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    pdf = batch.to_pandas()
+    m = pa.scalar(m, pa.int64())
+    return pc.subtract(x, pc.multiply(pc.divide(x, m), m))
+
+
+def _encode_batch_vectorized(batch, db_pattern=None, table_pattern=None, region=None, n_regions=0):
+    """Pure-arrow wire encoding: every step is an Arrow C++ kernel —
+    regex filters, modular key derivation, and one
+    ``binary_join_element_wise`` building the envelope line per row.
+    No pandas round-trip, no per-row Python anywhere (the previous
+    pandas version still ran the table-pattern filter as a rowwise
+    ``.map``); read() yields the resulting arrays straight through as
+    RecordBatches.
+
+    Wire parity with ``_envelope_json`` is SEMANTIC: identical field
+    order, identical values after JSON parse (covered by
+    test_streaming's parity test).  The only byte-level divergence is
+    float formatting — Arrow renders 3.0 as ``3`` where Python writes
+    ``3.0`` — which ``from_json``'s double parse erases; every other
+    field is integer or controlled-vocabulary, so no escaping needed.
+    ``k`` is extracted from props with a regex accepting only integer
+    payloads (anything else → null, matching the scalar path).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    uid = batch.column("user_id")
+    mask = None
     if region is not None:
         # region mode: region key derived from the row key, exactly the
         # HBase source's per-region WAL ownership (one task per region)
-        pdf = pdf[(pdf["user_id"] % n_regions) == region]
-    if table_match is not None:
-        pdf = pdf[pdf["user_id"].map(table_match)]
-    if len(pdf) == 0:
+        mask = pc.equal(_mod(uid, n_regions), pa.scalar(region, pa.int64()))
+    db = pc.binary_join_element_wise("db_", pc.cast(_mod(uid, 2), pa.string()), "")
+    tbl = pc.binary_join_element_wise("t_", pc.cast(_mod(uid, 4), pa.string()), "")
+    if db_pattern:
+        m = pc.match_substring_regex(db, db_pattern)
+        mask = m if mask is None else pc.and_(mask, m)
+    if table_pattern:
+        m = pc.match_substring_regex(tbl, table_pattern)
+        mask = m if mask is None else pc.and_(mask, m)
+    if mask is not None:
+        batch = batch.filter(mask)
+        uid, db, tbl = uid.filter(mask), db.filter(mask), tbl.filter(mask)
+    if batch.num_rows == 0:
         return pa.array([], pa.string())
 
-    op = pdf["event_type"].map(lambda t: OP_MAP.get(t, "update"))
-    # normalize to ns before the ms division — datetime64[us]/[ms] files
+    et = batch.column("event_type")
+    op = pa.scalar("update", pa.string())
+    for evt, mapped in OP_MAP.items():
+        op = pc.if_else(pc.equal(et, evt), pa.scalar(mapped, pa.string()), op)
+    # normalize to ns before the ms division — timestamp[us]/[ms] files
     # would otherwise be misinterpreted as ns
-    ts_ms = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000).astype(str)
-    uid = pdf["user_id"].astype("int64")
-    pk = uid.astype(str)
-    db = "db_" + (uid % 2).astype(str)
-    tbl = "t_" + (uid % 4).astype(str)
-    off = pdf["event_id"].astype("int64").astype(str)
-    val = pdf["value"].map(lambda v: json.dumps(v) if v == v else "null")
-    k = (
-        pdf["props"]
-        .astype("string")
-        .str.extract(r'^\s*\{.*"k"\s*:\s*(-?\d+)', expand=False)
-        .fillna("null")
+    ts_ns = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("ns")), pa.int64())
+    ts_ms = pc.cast(pc.divide(ts_ns, pa.scalar(1_000_000, pa.int64())), pa.string())
+    pk = pc.cast(uid, pa.string())
+    off = pc.cast(batch.column("event_id"), pa.string())
+    raw_val = batch.column("value")
+    val = pc.if_else(
+        pc.or_kleene(pc.is_null(raw_val), pc.is_nan(raw_val)),
+        pa.scalar("null", pa.string()),
+        pc.cast(raw_val, pa.string()),
     )
+    k = pc.extract_regex(
+        pc.cast(batch.column("props"), pa.string()),
+        r'^\s*\{.*"k"\s*:\s*(?P<k>-?\d+)',
+    )
+    k = pc.fill_null(pc.struct_field(k, "k"), "null")
     # region (HBase WAL) mode is schema-less -> "schema":null; MySQL mode
     # embeds the row StructType JSON, escaped once as a constant
     schema_field = "null" if region is not None else json.dumps(ROW_SCHEMA_JSON)
-    lines = (
-        '{"type":"' + op + '","timestamp":' + ts_ms
-        + ',"databaseName":"' + db + '","tableName":"' + tbl
-        + '","schema":' + schema_field
-        + ',"rows":[{"pk":' + pk + ',"value":' + val + ',"op":"' + op
-        + '","cdc_offset":' + off + ',"k":' + k + "}]}"
+    return pc.binary_join_element_wise(
+        '{"type":"', op, '","timestamp":', ts_ms,
+        ',"databaseName":"', db, '","tableName":"', tbl,
+        '","schema":', schema_field,
+        ',"rows":[{"pk":', pk, ',"value":', val, ',"op":"', op,
+        '","cdc_offset":', off, ',"k":', k, "}]}",
+        "",
     )
-    return pa.array(np.asarray(lines, dtype=object), pa.string())
 
 
 def _probe_end(path: str) -> int:

@@ -34,6 +34,77 @@ def _write_events(path, rows):
 T0 = 1_700_000_000_000_000_000  # ns
 
 
+class TestArrowEncoderParity:
+    def test_vectorized_matches_scalar_encoder(self):
+        """The pure-arrow batch encoder must produce envelopes that
+        parse to EXACTLY what the scalar ``_envelope_json`` produces —
+        same field order, same values (the one allowed byte divergence
+        is float rendering, e.g. ``3`` vs ``3.0``, which the JSON parse
+        erases) — across the quirk cases: NaN value, integral value,
+        negative k, malformed / null props."""
+        from spark_binlog_spark.sources.binlog_fixture import (
+            _encode_batch_vectorized,
+            _envelope_json,
+        )
+
+        rows = [
+            (0, T0, 1, "signup", 1.5, json.dumps({"k": 3})),
+            (1, T0 + 10**9, 2, "error", float("nan"), json.dumps({"k": -7})),
+            (2, T0 + 2 * 10**9, 3, "click", 42.0, "not json"),
+            (3, T0 + 3 * 10**9, 4, "view", -0.25, None),
+            (4, T0 + 4 * 10**9, 5, "click", 1e20, json.dumps({"k": "str"})),
+        ]
+        batch = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ).to_batches()[0]
+        got = _encode_batch_vectorized(batch).to_pylist()
+        assert len(got) == len(rows)
+        for line, r in zip(got, rows):
+            expected = _envelope_json(r[0], r[1], r[2], r[3], r[4], r[5])
+            g = json.loads(line)
+            e = json.loads(expected)
+            # NaN serializes as null in both paths; parsed dicts equal
+            assert g == e, f"parsed envelope mismatch for {r}: {g} != {e}"
+            # exact field order on the wire (AbstractEventWriter.java:22-46)
+            assert list(g.keys()) == list(e.keys())
+            assert list(g["rows"][0].keys()) == list(e["rows"][0].keys())
+
+    def test_vectorized_filters_match_python_semantics(self):
+        """db/table regex filters now run as Arrow RE2 kernels — must
+        keep re.search (substring) semantics, and region mode must
+        filter by uid % n_regions."""
+        from spark_binlog_spark.sources.binlog_fixture import _encode_batch_vectorized
+
+        rows = [(i, T0 + i, uid, "click", 1.0, None) for i, uid in enumerate(range(8))]
+        batch = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ).to_batches()[0]
+        tables = [
+            json.loads(s)["tableName"]
+            for s in _encode_batch_vectorized(batch, table_pattern="t_[13]").to_pylist()
+        ]
+        assert tables and set(tables) == {"t_1", "t_3"}
+        pks = [
+            json.loads(s)["rows"][0]["pk"]
+            for s in _encode_batch_vectorized(batch, region=2, n_regions=4).to_pylist()
+        ]
+        assert pks == [2, 6]  # uid % 4 == 2
+
+
 class TestFixtureSource:
     def test_stream_counts_and_wire_format(self, spark, tmp_path):
         from spark_binlog_spark.streaming.pipeline import read_stream
