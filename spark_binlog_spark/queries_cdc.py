@@ -284,29 +284,72 @@ FROM enc
 
 # ---------------------------------------------------------------- O2
 def q_latest_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2 — latest-offset probe: current (file, nextPos) as a composite
-    offset (BinLogSocketServerInExecutor.scala:413-427; auto-discovery
-    MLSQLBinLogDataSource.scala:76-98)."""
-    _pin(spark)
-    ch = changes_df(spark, sf_dir)
-    agg = ch.agg(F.max("cdc_offset").alias("latest_offset"))
-    return agg.select(
-        "latest_offset",
-        (F.expr("latest_offset div 1000") + 1).alias("file_id"),
-        ((F.col("latest_offset") % 1000) * 4 + 8).alias("next_pos"),
-    ).withColumn(
-        "packed_next", F.col("file_id") * F.lit(POW13) + F.col("next_pos")
+    """O2 — latest-offset probe over a ROTATING binlog: the event log
+    split into four real ``mysql-bin.%06d`` segment files, probed from
+    parquet FOOTER METADATA only (the same statistics probe the
+    streaming reader's ``latestOffset`` runs each trigger,
+    BinLogSocketServerInExecutor.scala:413-427), reporting each file's
+    packed (fileId, pos) composite offsets — fileId advances across
+    rotation boundaries, pos restarts at 4 per file
+    (protocols.scala:6-26; ROTATE handling
+    BinLogSocketServerInExecutor.scala:252-255).  The probe is
+    driver-side and metadata-only by design — exactly what the real
+    ``latestOffset`` does per planning round; no event data is read."""
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from spark_binlog_spark.sources.binlog_fixture import (
+        _segment_index,
+        write_segments,
     )
 
+    _pin(spark)
+    seg_dir = tempfile.mkdtemp(prefix="binlog_probe_")
+    write_segments(f"{sf_dir}/events.parquet", seg_dir, n_segments=4)
+    index = _segment_index(seg_dir)
+    rows = [
+        (
+            s["fid"],
+            f"mysql-bin.{s['fid']:06d}",
+            s["rows"],
+            s["fid"] * POW13 + 4,
+            s["fid"] * POW13 + (s["max"] - s["min"] + 4),
+            s["fid"] * POW13 + (s["max"] - s["min"] + 5),
+        )
+        for s in index
+    ]
+    schema = StructType(
+        [
+            StructField("file_id", LongType()),
+            StructField("file_name", StringType()),
+            StructField("n_events", LongType()),
+            StructField("packed_first", LongType()),
+            StructField("packed_last", LongType()),
+            StructField("packed_next", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
+
+# the oracle mirrors write_segments' split rule arithmetically:
+# file for event e = e div eps + 1, eps = ceil((max+1)/4); pos of e =
+# (e - file_min) + 4
 ORACLE["q_latest_offset"] = f"""
-WITH changes AS ({CHANGES_SQL}),
-m AS (SELECT max(cdc_offset) AS latest_offset FROM changes)
-SELECT latest_offset,
-       latest_offset // 1000 + 1 AS file_id,
-       (latest_offset % 1000) * 4 + 8 AS next_pos,
-       (latest_offset // 1000 + 1) * {POW13} + ((latest_offset % 1000) * 4 + 8) AS packed_next
-FROM m
+WITH m AS (SELECT max(event_id) + 1 AS n FROM events),
+seg AS (
+  SELECT event_id // ((n + 3) // 4) + 1 AS file_id,
+         count(*) AS n_events,
+         min(event_id) AS mn, max(event_id) AS mx
+  FROM events, m GROUP BY 1
+)
+SELECT file_id,
+       'mysql-bin.' || lpad(CAST(file_id AS VARCHAR), 6, '0') AS file_name,
+       n_events,
+       file_id * {POW13} + 4 AS packed_first,
+       file_id * {POW13} + (mx - mn + 4) AS packed_last,
+       file_id * {POW13} + (mx - mn + 5) AS packed_next
+FROM seg
 """
 
 
@@ -1640,6 +1683,53 @@ def q_stream_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_stream_change_counts"] = f"""
 WITH changes AS ({CHANGES_SQL})
 SELECT op, count(*) AS n_events FROM changes GROUP BY op
+"""
+
+
+def q_rotate_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROTATION end-to-end under the oracle: replay the event log from
+    a real four-file ``mysql-bin.%06d`` segmented store THROUGH the
+    source (multi-file scan, wire encode, envelope parse), then
+    aggregate per binlog file: event count and the min/max packed
+    (fileId, pos) composite offsets.  Every event must cross its
+    rotation boundary exactly once (protocols.scala:6-26;
+    BinLogSocketServerInExecutor.scala:252-255)."""
+    import tempfile
+
+    from spark_binlog_spark.sources.binlog_fixture import register, write_segments
+    from spark_binlog_spark.streaming.pipeline import parse_stream
+
+    _pin(spark)
+    seg_dir = tempfile.mkdtemp(prefix="binlog_rot_")
+    eps = write_segments(f"{sf_dir}/events.parquet", seg_dir, n_segments=4)
+    register(spark)
+    wire = (
+        spark.read.format("binlog_fixture")
+        .option("path", seg_dir)
+        .option("numPartitions", 8)
+        .load()
+    )
+    parsed = parse_stream(wire)  # same D1 parse; works on the batch view
+    fid = F.expr(f"cdc_offset div {eps}") + 1
+    packed = fid * F.lit(POW13) + (F.col("cdc_offset") % eps) + 4
+    return (
+        parsed.select(fid.alias("file_id"), packed.alias("packed"))
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("packed").alias("packed_first"),
+            F.max("packed").alias("packed_last"),
+        )
+    )
+
+
+ORACLE["q_rotate_offsets"] = f"""
+WITH m AS (SELECT (max(event_id) + 1 + 3) // 4 AS eps FROM events)
+SELECT event_id // eps + 1 AS file_id,
+       count(*) AS n_events,
+       min((event_id // eps + 1) * {POW13} + event_id % eps + 4) AS packed_first,
+       max((event_id // eps + 1) * {POW13} + event_id % eps + 4) AS packed_last
+FROM events, m GROUP BY 1
 """
 
 

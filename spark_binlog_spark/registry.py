@@ -86,6 +86,7 @@ PRIORITY = [
 # Value-ranked tail (variants / parity forms / building-block views);
 # graded only if the driver's cap exceeds len(PRIORITY).
 TAIL = [
+    "q_rotate_offsets",
     "q_change_counts_windowed",
     "q_repetition",
     "q_corpus_clean",

@@ -37,6 +37,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
+from spark_binlog_spark import POW13
+
 WIRE_SCHEMA = StructType([StructField("value", StringType())])
 
 OP_MAP = {"signup": "insert", "error": "delete"}  # else 'update' (cdc.py contract)
@@ -243,6 +245,174 @@ def _encode_batch_vectorized(batch, db_pattern=None, table_pattern=None, region=
     )
 
 
+# ------------------------------------------------------------------
+# Multi-segment (rotating binlog) mode.
+#
+# A segmented store is a DIRECTORY of parquet files named
+# ``mysql-bin.%06d`` (protocols.scala:15-17), each holding a contiguous
+# ``event_id`` range — the analogue of a rotating binlog: MySQL closes
+# mysql-bin.000001 at its size cap and starts mysql-bin.000002 (the
+# ROTATE event the reference handles at
+# BinLogSocketServerInExecutor.scala:252-255).  Source offsets become
+# the reference's packed composite ``fileId * 10^13 + pos``
+# (protocols.scala:6-26) with pos 4-based (binlog files start at byte 4
+# after the magic header); WIRE rows keep the global event_id — the
+# composite lives in the offset protocol, which is where the reference
+# uses it.  New segments appearing between micro-batches are picked up
+# by re-probing the directory in ``latestOffset`` (tail mode).
+
+_SEGMENT_RE = r"^(.+)\.(\d{6})$"
+
+
+def is_segmented(path: str) -> bool:
+    """A directory with at least one ``<prefix>.%06d`` member."""
+    import os
+    import re
+
+    if "," in path or not os.path.isdir(path):
+        return False
+    return any(re.match(_SEGMENT_RE, n) for n in os.listdir(path))
+
+
+def _segment_index(dir_path: str) -> list[dict]:
+    """Probe the segment directory: per file (file_id, min/max event_id,
+    row count) from parquet FOOTER METADATA only — no data read (the
+    same O2 stats probe as ``_probe_end``), re-run per planning round
+    so freshly-rotated segments join the index."""
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    segs = []
+    for name in sorted(os.listdir(dir_path)):
+        m = re.match(_SEGMENT_RE, name)
+        if not m:
+            continue
+        fp = os.path.join(dir_path, name)
+        md = pq.ParquetFile(fp).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("event_id")
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None:
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            continue  # empty/stat-less file: not yet visible
+        segs.append(
+            {"fid": int(m.group(2)), "path": fp, "min": lo, "max": hi, "rows": md.num_rows}
+        )
+    segs.sort(key=lambda s: s["fid"])
+    for a, b in zip(segs, segs[1:]):
+        if b["min"] != a["max"] + 1:
+            raise ValueError(
+                f"segment gap: {a['path']} ends at event {a['max']} but "
+                f"{b['path']} starts at {b['min']} — purged/missing binlog file "
+                "(the reference fails the stream on a missing binlog too)"
+            )
+    if not segs:
+        raise ValueError(f"no '<prefix>.NNNNNN' segment files in {dir_path}")
+    return segs
+
+
+def _packed_to_global(index: list[dict], packed: int) -> int:
+    """packed (fileId, pos) -> global event_id; pos 4 = first event of
+    the file.  A packed offset naming a file no longer in the index is
+    data loss (binlog purged under a checkpointed stream) -> raise."""
+    fid, pos = divmod(packed, POW13)
+    for seg in index:
+        if seg["fid"] == fid:
+            return seg["min"] + (pos - 4)
+    raise ValueError(
+        f"offset references binlog file id {fid} which is not in the segment "
+        f"index ({[s['fid'] for s in index]}) — binlog purged? cannot resume"
+    )
+
+
+def _global_to_packed(index: list[dict], eid: int) -> int:
+    """Global event_id -> packed offset.  eid == last.max+1 (stream end)
+    packs as one-past-last IN THE LAST FILE, never as pos 4 of a
+    not-yet-existing next file — keeps latestOffset stable across
+    planning rounds when no data arrives."""
+    for seg in index:
+        if seg["min"] <= eid <= seg["max"]:
+            return seg["fid"] * POW13 + (eid - seg["min"] + 4)
+    last = index[-1]
+    if eid == last["max"] + 1:
+        return last["fid"] * POW13 + (eid - last["min"] + 4)
+    if eid < index[0]["min"]:
+        return index[0]["fid"] * POW13 + 4
+    raise ValueError(f"event {eid} outside segment index")
+
+
+def _segment_partitions(
+    index: list[dict], start_packed: int, end_packed: int, num_partitions: int
+) -> list["OffsetRangePartition"]:
+    """Split packed [start, end) into per-segment, per-task event-id
+    ranges.  A partition NEVER spans a file boundary (each task reads
+    one binlog file — the rotation analogue); within the batch, splits
+    are allocated to segments proportionally to their event counts so a
+    1000-task cluster still balances when one file holds the tail."""
+    s = _packed_to_global(index, start_packed)
+    e = _packed_to_global(index, end_packed)
+    spans = []  # (path, lo, hi) global-eid half-open per segment
+    for seg in index:
+        lo, hi = max(s, seg["min"]), min(e, seg["max"] + 1)
+        if lo < hi:
+            spans.append((seg["path"], lo, hi))
+    if not spans:
+        return [OffsetRangePartition(s, s, index[0]["path"])]
+    total = sum(hi - lo for _, lo, hi in spans)
+    out = []
+    for path, lo, hi in spans:
+        n = max(1, round(num_partitions * (hi - lo) / total))
+        step = (hi - lo + n - 1) // n
+        out.extend(
+            OffsetRangePartition(x, min(x + step, hi), path)
+            for x in range(lo, hi, step)
+        )
+    return out
+
+
+def write_segments(
+    src_path: str,
+    dest_dir: str,
+    n_segments: int = 4,
+    prefix: str = "mysql-bin",
+    only: list[int] | None = None,
+) -> int:
+    """Fixture prep: split a flat events table into ``n_segments``
+    rotating binlog files ``<prefix>.%06d`` by ``event_id div eps``
+    (eps = ceil((max_id+1)/n_segments)).  ``only`` writes just those
+    file ids (1-based) — a test appends later files to simulate
+    rotation under a live tail.  Returns eps so callers/oracles can
+    mirror the split arithmetic.  Scan-filtered per segment: never
+    materializes the whole table."""
+    import os
+
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    os.makedirs(dest_dir, exist_ok=True)
+    end = _probe_end(src_path)
+    eps = (end + n_segments - 1) // n_segments
+    dataset = ds.dataset(src_path)
+    for i in range(n_segments):
+        fid = i + 1
+        if only is not None and fid not in only:
+            continue
+        lo, hi = i * eps, min((i + 1) * eps, end)
+        if lo >= hi:
+            continue
+        tbl = dataset.to_table(
+            filter=(ds.field("event_id") >= lo) & (ds.field("event_id") < hi)
+        )
+        tbl = tbl.sort_by("event_id")
+        pq.write_table(tbl, os.path.join(dest_dir, f"{prefix}.{fid:06d}"))
+    return eps
+
+
 def _probe_end(path: str) -> int:
     """max(event_id)+1 across all files from row-group statistics —
     metadata-only, no data read (the O2 latest-offset probe)."""
@@ -290,6 +460,13 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         # JSON shape {"<region>": seq} (CommonSourceOffset.scala:24-54);
         # one partition per region per micro-batch
         self.regions = int(options.get("regions", 0))
+        # rotating-binlog mode: a directory of <prefix>.%06d segment
+        # files; offsets become the packed (fileId, pos) composite and
+        # the directory is re-probed per planning round (live tail)
+        self.segmented = is_segmented(self.path) if self.path else False
+        if self.segmented and self.regions:
+            raise ValueError("segmented (MySQL rotate) and regions (HBase) modes are exclusive")
+        self._index = None  # segment index, refreshed per latestOffset
         self._end = None  # lazily-probed end of stream
         self._cur = None  # admission-control cursor (see latestOffset)
 
@@ -298,11 +475,20 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
             self._end = _probe_end(self.path)
         return self._end
 
+    def _seg_index(self, refresh: bool = False) -> list[dict]:
+        if self._index is None or refresh:
+            self._index = _segment_index(self.path)
+        return self._index
+
     def initialOffset(self) -> dict:
         # user-supplied or 0 — mirroring binlogIndex/binlogFileOffset
         # bootstrap (MLSQLBinLogDataSource.scala:70-98).  Region mode
         # emits the map shape with deterministic sorted keys
-        # (CommonSourceOffset.scala:27-39).
+        # (CommonSourceOffset.scala:27-39).  Segmented mode packs the
+        # global start event into (fileId, pos) — the same composite
+        # the reference bootstraps from binlogIndex/binlogFileOffset.
+        if self.segmented:
+            return {"offset": _global_to_packed(self._seg_index(), self.start_offset)}
         if self.regions:
             return {f"r{r}": self.start_offset for r in range(self.regions)}
         return {"offset": self.start_offset}
@@ -314,6 +500,22 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         # partitions() that reads less than that range would silently
         # lose the tail.  A driver-side cursor ratchets the reported
         # offset forward by at most the cap per planning round.
+        if self.segmented:
+            # RE-PROBE the directory: segments written since the last
+            # trigger (rotation under a live tail) join the index now
+            index = self._seg_index(refresh=True)
+            last = index[-1]
+            end_eid = last["max"] + 1
+            if not self.max_per_trigger:
+                return {"offset": _global_to_packed(index, end_eid)}
+            cur_eid = (
+                max(self.start_offset, index[0]["min"])
+                if self._cur is None
+                else _packed_to_global(index, self._cur)
+            )
+            nxt = _global_to_packed(index, min(end_eid, cur_eid + self.max_per_trigger))
+            self._cur = nxt
+            return {"offset": nxt}
         end = self._stream_end()
         if self.regions:
             # every region's seq watermark advances to the shared log end
@@ -327,6 +529,13 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         return {"offset": nxt}
 
     def partitions(self, start: dict, end: dict):
+        if self.segmented:
+            s, e = start["offset"], end["offset"]
+            if self._cur is None or e > self._cur:
+                self._cur = e
+            # checkpoint restart may hand us offsets before any
+            # latestOffset probe — build the index on demand
+            return _segment_partitions(self._seg_index(), s, e, self.num_partitions)
         if self.regions:
             # O4 — per-region CommonOffsetRange alignment
             # (MLSQLHBaseWALDataSource.scala:220-241): a region present

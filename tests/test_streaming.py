@@ -207,6 +207,135 @@ class TestFixtureSource:
         offs2 = {_json.loads(r["value"])["rows"][0]["cdc_offset"] for r in df2.collect()}
         assert offs2 == set(range(10, 20))
 
+    def test_segmented_stream_matches_flat_with_packed_offsets(self, spark, tmp_path):
+        """ROTATION, bounded: the same events split across four
+        mysql-bin.%06d segment files stream to the identical row set as
+        the flat file, and the offsets Spark CHECKPOINTS are the packed
+        (fileId, pos) composites (protocols.scala:6-26) — file id
+        advances across the rotation boundaries, pos restarts at 4."""
+        import json as _json
+
+        from spark_binlog_spark import POW13
+        from spark_binlog_spark.sources.binlog_fixture import (
+            BinlogFixtureStreamReader,
+            write_segments,
+        )
+        from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+        flat = f"{SF_TEST}/events.parquet"
+        seg_dir = str(tmp_path / "binlog")
+        write_segments(flat, seg_dir, n_segments=4)
+
+        wire = read_stream(spark, seg_dir, numPartitions=4)
+        q = (
+            parse_stream(wire)
+            .writeStream.format("memory")
+            .queryName("seg_stream")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("seg_stream")
+        expected = spark.read.parquet(flat)
+        assert got.count() == expected.count()
+        assert got.select("cdc_offset").distinct().count() == expected.count()
+
+        # the committed offset in the checkpoint log is the packed form
+        with open(tmp_path / "ck" / "offsets" / "0") as fh:
+            last = fh.read().strip().splitlines()[-1]
+        packed = _json.loads(last)["offset"]
+        assert packed >= POW13, f"checkpointed offset {packed} is not packed"
+        assert packed // POW13 == 4  # ended inside mysql-bin.000004
+
+        # offset protocol: initialOffset starts at (file 1, pos 4);
+        # latestOffset names the last file with pos past its row count
+        r = BinlogFixtureStreamReader({"path": seg_dir})
+        first = r.initialOffset()["offset"]
+        assert (first // POW13, first % POW13) == (1, 4)
+        last_off = r.latestOffset()["offset"]
+        n = expected.count()
+        per_seg = (n + 3) // 4
+        assert last_off // POW13 == 4
+        assert last_off % POW13 == (n - 3 * per_seg) + 4  # one past last event
+
+    def test_rotation_appears_midstream_tail(self, spark, tmp_path):
+        """LIVE TAIL across rotation: start a processing-time stream on
+        a directory holding only mysql-bin.000001/2; while it runs,
+        write segments 3 and 4 (the ROTATE the reference handles at
+        BinLogSocketServerInExecutor.scala:252-255).  latestOffset's
+        per-round re-probe must pick the new files up and ingest every
+        event exactly once, no restart."""
+        from spark_binlog_spark.sources.binlog_fixture import write_segments
+        from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+        import time
+
+        flat = f"{SF_TEST}/events.parquet"
+        seg_dir = str(tmp_path / "binlog")
+        write_segments(flat, seg_dir, n_segments=4, only=[1, 2])
+        n_total = spark.read.parquet(flat).count()
+        seen = []
+
+        def record(bdf, bid):
+            seen.extend(r["cdc_offset"] for r in bdf.select("cdc_offset").collect())
+
+        wire = read_stream(spark, seg_dir, numPartitions=4, maxEventsPerTrigger=200)
+        q = (
+            parse_stream(wire)
+            .writeStream.foreachBatch(record)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+        def wait_for(target, timeout_s=120.0):
+            deadline = time.monotonic() + timeout_s
+            while time.monotonic() < deadline:
+                if q.exception() is not None:
+                    raise AssertionError(f"stream died: {q.exception()}")
+                if len(seen) >= target:
+                    return True
+                time.sleep(0.2)
+            return False
+
+        # the first two segments drain through the SAME live query...
+        assert wait_for(n_total // 2), f"first half stalled at {len(seen)}"
+        # ...then the binlog rotates TWICE under it — no restart
+        write_segments(flat, seg_dir, n_segments=4, only=[3, 4])
+        assert wait_for(n_total), f"tail stalled at {len(seen)}/{n_total}"
+        q.stop()
+        q.awaitTermination()
+        assert sorted(seen) == list(range(n_total))  # exactly once, no gaps
+
+    def test_segment_gap_and_purged_file_raise(self, tmp_path):
+        """Integrity: a missing middle segment (purged binlog) fails the
+        index probe; an offset naming a vanished file fails resume —
+        the reference's data-loss failfast, not silent skip."""
+        import os
+
+        import pytest as _pytest
+
+        from spark_binlog_spark import POW13
+        from spark_binlog_spark.sources.binlog_fixture import (
+            _packed_to_global,
+            _segment_index,
+            write_segments,
+        )
+
+        flat = f"{SF_TEST}/events.parquet"
+        seg_dir = str(tmp_path / "binlog")
+        write_segments(flat, seg_dir, n_segments=4)
+        os.remove(os.path.join(seg_dir, "mysql-bin.000002"))
+        with _pytest.raises(ValueError, match="segment gap"):
+            _segment_index(seg_dir)
+
+        seg_dir2 = str(tmp_path / "binlog2")
+        write_segments(flat, seg_dir2, n_segments=2)
+        idx = _segment_index(seg_dir2)
+        with _pytest.raises(ValueError, match="not in the segment index"):
+            _packed_to_global(idx, 7 * POW13 + 4)
+
     def test_batch_reader_offset_range(self, spark, tmp_path):
         """Bounded replay through the batch reader with [start, end)."""
         from spark_binlog_spark.sources.binlog_fixture import register
