@@ -1733,6 +1733,63 @@ FROM events, m GROUP BY 1
 """
 
 
+def q_stream_schema_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MID-STREAM SCHEMA CHANGE under the oracle: the source flips its
+    embedded schema to v2 (adds ts_ms) at the half-way offset — the
+    reference re-ships the schema on every TABLE_MAP, so a live ALTER
+    TABLE appears in the next event
+    (BinLogSocketServerInExecutor.scala:228-236).  The consumer parses
+    with the MERGED schema and recovers each event's epoch FROM ITS OWN
+    embedded schema; per-epoch row counts, ts_ms coverage and sums must
+    match the batch oracle exactly."""
+    import tempfile
+    import uuid
+
+    from spark_binlog_spark.sources.binlog_fixture import _probe_end
+    from spark_binlog_spark.streaming.pipeline import (
+        parse_stream_evolving,
+        read_stream,
+    )
+
+    _pin(spark)
+    events = f"{sf_dir}/events.parquet"
+    epoch = _probe_end(events) // 2  # metadata-only probe
+    name = f"schema_epochs_{uuid.uuid4().hex[:8]}"
+    wire = read_stream(spark, events, numPartitions=8, schemaEpochOffset=epoch)
+    q = (
+        parse_stream_evolving(wire)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp() + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("schema_ver")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("ts_ms").alias("n_with_ts"),
+            F.sum("ts_ms").alias("sum_ts_ms"),
+            F.min("cdc_offset").alias("min_offset"),
+            F.max("cdc_offset").alias("max_offset"),
+        )
+    )
+
+
+ORACLE["q_stream_schema_epochs"] = """
+WITH m AS (SELECT (max(event_id) + 1) // 2 AS half FROM events)
+SELECT CASE WHEN event_id >= half THEN 2 ELSE 1 END AS schema_ver,
+       count(*) AS n_events,
+       count(CASE WHEN event_id >= half THEN 1 END) AS n_with_ts,
+       CAST(sum(CASE WHEN event_id >= half THEN epoch_ns(ts) // 1000000 END) AS BIGINT) AS sum_ts_ms,
+       min(event_id) AS min_offset,
+       max(event_id) AS max_offset
+FROM events, m GROUP BY 1
+"""
+
+
 ORACLE["q_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c,

@@ -87,6 +87,7 @@ PRIORITY = [
 # graded only if the driver's cap exceeds len(PRIORITY).
 TAIL = [
     "q_rotate_offsets",
+    "q_stream_schema_epochs",
     "q_change_counts_windowed",
     "q_repetition",
     "q_corpus_clean",

@@ -57,6 +57,15 @@ ROW_SCHEMA = StructType(
 )
 ROW_SCHEMA_JSON = ROW_SCHEMA.json()
 
+# Schema epoch 2 (live ALTER TABLE mid-stream): the reference re-resolves
+# and re-ships the schema on every TABLE_MAP event
+# (BinLogSocketServerInExecutor.scala:228-236), so a column added while
+# the stream runs shows up in the very next event's embedded ``schema``.
+# With source option ``schemaEpochOffset=K``, events with id >= K embed
+# this v2 schema and carry the extra ``ts_ms`` column in their rows.
+ROW_SCHEMA_V2 = StructType(ROW_SCHEMA.fields + [StructField("ts_ms", LongType())])
+ROW_SCHEMA_V2_JSON = ROW_SCHEMA_V2.json()
+
 
 def _envelope_json(
     event_id: int,
@@ -66,12 +75,18 @@ def _envelope_json(
     value,
     props: str,
     schema_json: str | None = ROW_SCHEMA_JSON,
+    schema_epoch: int | None = None,
 ) -> str:
     """One wire record — field order exactly as io/AbstractEventWriter.java:22-46
     (type, timestamp, databaseName, tableName, schema, rows).  MySQL-mode
     events embed the row StructType JSON in ``schema``; the HBase path
-    (schema-less) sends null instead (hbase-wal AbstractEventWriter.java:39)."""
+    (schema-less) sends null instead (hbase-wal AbstractEventWriter.java:39).
+    ``schema_epoch``: events at-or-after it ship the v2 schema + ts_ms
+    column (mid-stream ALTER TABLE)."""
     op = OP_MAP.get(event_type, "update")
+    v2 = schema_epoch is not None and event_id >= schema_epoch
+    if v2 and schema_json == ROW_SCHEMA_JSON:
+        schema_json = ROW_SCHEMA_V2_JSON
     # NaN -> null: json.dumps would emit the invalid-JSON `NaN` literal
     row = {
         "pk": user_id,
@@ -87,6 +102,8 @@ def _envelope_json(
         row["k"] = k if isinstance(k, int) and not isinstance(k, bool) else None
     except (TypeError, ValueError):
         row["k"] = None
+    if v2:
+        row["ts_ms"] = ts_ns // 1_000_000
     return json.dumps(
         {
             "type": op,
@@ -155,6 +172,7 @@ def _read_range(path: str, start: int, end: int, filters: dict | None = None):
             table_pattern=filters.get("table_pattern"),
             region=region,
             n_regions=n_regions,
+            schema_epoch=filters.get("schema_epoch"),
         )
         if len(arr):
             yield pa.RecordBatch.from_arrays([arr], ["value"])
@@ -170,7 +188,9 @@ def _mod(x, m):
     return pc.subtract(x, pc.multiply(pc.divide(x, m), m))
 
 
-def _encode_batch_vectorized(batch, db_pattern=None, table_pattern=None, region=None, n_regions=0):
+def _encode_batch_vectorized(
+    batch, db_pattern=None, table_pattern=None, region=None, n_regions=0, schema_epoch=None
+):
     """Pure-arrow wire encoding: every step is an Arrow C++ kernel —
     regex filters, modular key derivation, and one
     ``binary_join_element_wise`` building the envelope line per row.
@@ -233,14 +253,33 @@ def _encode_batch_vectorized(batch, db_pattern=None, table_pattern=None, region=
     )
     k = pc.fill_null(pc.struct_field(k, "k"), "null")
     # region (HBase WAL) mode is schema-less -> "schema":null; MySQL mode
-    # embeds the row StructType JSON, escaped once as a constant
-    schema_field = "null" if region is not None else json.dumps(ROW_SCHEMA_JSON)
+    # embeds the row StructType JSON, escaped once as a constant.  Under
+    # a schema epoch, events at-or-after the flip ship the v2 schema and
+    # the extra ts_ms row column — per-row if_else, still pure arrow.
+    if region is not None:
+        schema_field = pa.scalar("null", pa.string())
+        tail = pa.scalar("}]}", pa.string())
+    elif schema_epoch is not None:
+        v2 = pc.greater_equal(batch.column("event_id"), pa.scalar(schema_epoch, pa.int64()))
+        schema_field = pc.if_else(
+            v2,
+            pa.scalar(json.dumps(ROW_SCHEMA_V2_JSON), pa.string()),
+            pa.scalar(json.dumps(ROW_SCHEMA_JSON), pa.string()),
+        )
+        tail = pc.if_else(
+            v2,
+            pc.binary_join_element_wise(',"ts_ms":', ts_ms, "}]}", ""),
+            pa.scalar("}]}", pa.string()),
+        )
+    else:
+        schema_field = pa.scalar(json.dumps(ROW_SCHEMA_JSON), pa.string())
+        tail = pa.scalar("}]}", pa.string())
     return pc.binary_join_element_wise(
         '{"type":"', op, '","timestamp":', ts_ms,
         ',"databaseName":"', db, '","tableName":"', tbl,
         '","schema":', schema_field,
         ',"rows":[{"pk":', pk, ',"value":', val, ',"op":"', op,
-        '","cdc_offset":', off, ',"k":', k, "}]}",
+        '","cdc_offset":', off, ',"k":', k, tail,
         "",
     )
 
@@ -444,6 +483,9 @@ def _parse_filters(options: dict) -> dict:
     st = options.get("starttimems", options.get("startTimeMs"))
     if st is not None:
         f["start_time_ns"] = int(st) * 1_000_000
+    se = options.get("schemaepochoffset", options.get("schemaEpochOffset"))
+    if se is not None:
+        f["schema_epoch"] = int(se)
     return f
 
 

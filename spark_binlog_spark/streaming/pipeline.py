@@ -72,6 +72,53 @@ def parse_stream(wire: DataFrame) -> DataFrame:
     )
 
 
+STREAM_ROW_SCHEMA_V2 = StructType(
+    STREAM_ROW_SCHEMA.fields + [StructField("ts_ms", LongType())]
+)
+
+
+def parse_stream_evolving(wire: DataFrame) -> DataFrame:
+    """D1 under a MID-STREAM SCHEMA CHANGE: parse with the MERGED
+    (v1 ∪ v2) row schema — v1 events simply lack the added column and
+    resolve it to null (the reference's omitted-column convention,
+    InsertRowsWriter.java:51-53) — and read each event's OWN embedded
+    ``schema`` field to recover which epoch it was written under (the
+    reference re-ships the schema on every TABLE_MAP,
+    BinLogSocketServerInExecutor.scala:228-236, so an ALTER TABLE is
+    visible in the very next event).  schema_ver = 1 + (the embedded
+    schema declares the ts_ms field) — derived per event from the wire,
+    not assumed."""
+    env = F.from_json(F.col("value"), envelope_schema(STREAM_ROW_SCHEMA_V2))
+    parsed = wire.select(env.alias("env")).select(
+        F.col("env.type").alias("op"),
+        F.col("env.timestamp").alias("ts_ms_event"),
+        F.col("env.databaseName").alias("database_name"),
+        F.col("env.tableName").alias("table_name"),
+        # the shipped schema is a StructType JSON string; count its
+        # declared fields to identify the epoch (5 = v1, 6 = v2)
+        F.when(
+            F.get_json_object(F.col("env.schema"), "$.fields[5].name").isNotNull(),
+            F.lit(2),
+        )
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("schema_ver"),
+        F.col("env.rows").alias("rows"),
+    )
+    flat = flatten_rows(parsed)
+    return flat.select(
+        "op",
+        "database_name",
+        "table_name",
+        "schema_ver",
+        F.col("row.pk").alias("pk"),
+        F.col("row.value").alias("value"),
+        F.col("row.cdc_offset").alias("cdc_offset"),
+        F.col("row.k").alias("k"),
+        F.col("row.ts_ms").alias("ts_ms"),
+    )
+
+
 def dedup_stream(changes: DataFrame, watermark_ms: int = 60_000) -> DataFrame:
     """O6 — streaming monotonic dedup: watermark + dropDuplicates on
     (key, offset) (OriginalSourceServerInExecutor.scala:164-171)."""

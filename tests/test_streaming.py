@@ -308,6 +308,79 @@ class TestFixtureSource:
         q.awaitTermination()
         assert sorted(seen) == list(range(n_total))  # exactly once, no gaps
 
+    def test_schema_flips_between_microbatches(self, spark, tmp_path):
+        """MID-STREAM ALTER TABLE: with schemaEpochOffset at the batch
+        boundary, micro-batch 0's events all embed the v1 schema and
+        micro-batch 1's all embed v2 (extra ts_ms column) — different
+        embedded schemas in CONSECUTIVE batches of one query, resolved
+        per-event by the consumer (the reference ships the new schema
+        on the next TABLE_MAP, BinLogSocketServerInExecutor.scala:228-236).
+        The merged parse must agree with the batch recompute from the
+        raw events table."""
+        import time
+
+        from spark_binlog_spark.streaming.pipeline import (
+            parse_stream_evolving,
+            read_stream,
+        )
+
+        flat = f"{SF_TEST}/events.parquet"
+        events = spark.read.parquet(flat)
+        n = events.count()
+        half = n // 2
+        per_batch = []  # (batch_id, set(schema_ver), rows)
+
+        def record(bdf, bid):
+            rows = bdf.collect()
+            if rows:
+                per_batch.append((bid, {r["schema_ver"] for r in rows}, rows))
+
+        wire = read_stream(
+            spark, flat, numPartitions=4, maxEventsPerTrigger=half, schemaEpochOffset=half
+        )
+        q = (
+            parse_stream_evolving(wire)
+            .writeStream.foreachBatch(record)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(f"stream died: {q.exception()}")
+            if sum(len(r) for _, _, r in per_batch) >= n:
+                break
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+
+        assert sum(len(r) for _, _, r in per_batch) == n
+        # consecutive batches carry DIFFERENT embedded schemas
+        assert per_batch[0][1] == {1}, f"batch 0 versions: {per_batch[0][1]}"
+        assert per_batch[1][1] == {2}, f"batch 1 versions: {per_batch[1][1]}"
+        # merged parse == batch recompute from the raw table
+        all_rows = [r for _, _, rows in per_batch for r in rows]
+        got_v1 = {r["cdc_offset"] for r in all_rows if r["schema_ver"] == 1}
+        assert got_v1 == set(range(half))
+        assert all(r["ts_ms"] is None for r in all_rows if r["schema_ver"] == 1)
+        from pyspark.sql import functions as F
+
+        # integer arithmetic only — double division loses precision at
+        # 1.7e18 ns; ts may read as long ns (nanosAsLong) or timestamp
+        ms_expr = (
+            "ts div 1000000"
+            if dict(events.dtypes)["ts"] == "bigint"
+            else "unix_micros(cast(ts as timestamp)) div 1000"
+        )
+        expected_ts = {
+            r["event_id"]: r["ms"]
+            for r in events.select("event_id", F.expr(ms_expr).alias("ms")).collect()
+            if r["event_id"] >= half
+        }
+        got_ts = {r["cdc_offset"]: r["ts_ms"] for r in all_rows if r["schema_ver"] == 2}
+        assert got_ts == expected_ts
+
     def test_segment_gap_and_purged_file_raise(self, tmp_path):
         """Integrity: a missing middle segment (purged binlog) fails the
         index probe; an offset naming a vanished file fails resume —
