@@ -319,6 +319,66 @@ def simhash_near_dup_pairs(
     )
 
 
+def min_label_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Connected components over an undirected pair graph by min-label
+    propagation TO A FIXPOINT: a driver loop over shuffle-once rounds
+    (the kmeans_train pattern — the data never leaves the cluster, the
+    driver sees one scalar per round).  Exact for ANY component
+    diameter; rounds = graph diameter.
+
+    Convergence probe: labels only ever DECREASE (least of self and
+    neighborhood min), so the per-round label sum is strictly
+    decreasing until the fixpoint — an unchanged sum IS convergence.
+    Summed as decimal(38,0): a long sum could overflow on billions of
+    64-bit ids and silently wrap.
+
+    Each round ``localCheckpoint``s its labels: iterative self-joins
+    otherwise nest every prior round's plan inside the next (analyzer
+    blowup — the driver, not the data, OOMs past ~5 rounds).  The
+    checkpoint truncates lineage to the materialized round; superseded
+    rounds' cache blocks are reclaimed by Spark's ContextCleaner once
+    the old DataFrame is unreferenced.  Near-dup graphs are shallow, so
+    rounds stay single-digit; for adversarially deep graphs the classic
+    alternative is large-star/small-star (more shuffle per round,
+    O(log n) rounds).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint()
+    )
+    probe = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(probe).collect()[0][0]
+    while True:
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["v"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nb_min"))
+        )
+        labels = (
+            labels.join(neigh, labels["v"] == neigh["src"], "left")
+            .select(
+                labels["v"],
+                F.least(F.col("lbl"), F.coalesce(F.col("nb_min"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(probe).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """Per-document SimHash over word h16 hashes (bit-majority vote).
 

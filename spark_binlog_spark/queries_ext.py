@@ -424,59 +424,23 @@ FROM documents GROUP BY lang
 """
 
 
-N_LP_ROUNDS = 3
-
-
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: connected components over the MinHash
-    candidate-pair graph via UNROLLED min-label propagation
-    (N_LP_ROUNDS rounds — exact for components of diameter <= rounds,
-    which covers near-dup clusters; the general iterative form is the
-    same join loop driven from the driver).  Demonstrates the
-    fixed-point-iteration class on DataFrames without RDD loops."""
-    from pyspark.storagelevel import StorageLevel
-
+    candidate-pair graph, min-label propagation looped from the driver
+    TO A FIXPOINT (dedup.min_label_components — the kmeans_train
+    driver-loop pattern).  Exact for ANY component diameter, unlike the
+    earlier unrolled-3-rounds form; the oracle is exact too via a
+    recursive transitive-closure CTE."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_candidate_pairs(docs, min_agree=2).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-        .withColumnRenamed("doc_a", "src")
-        .withColumnRenamed("doc_b", "dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    labels = edges.select(F.col("src").alias("v")).distinct().withColumn("lbl", F.col("v"))
-    for _ in range(N_LP_ROUNDS):
-        neigh = (
-            edges.join(labels, edges["dst"] == labels["v"])
-            .groupBy("src")
-            .agg(F.min("lbl").alias("nb_min"))
-        )
-        labels = (
-            labels.join(neigh, labels["v"] == neigh["src"], "left")
-            .select(
-                F.col("v"),
-                F.least(F.col("lbl"), F.coalesce(F.col("nb_min"), F.col("lbl"))).alias("lbl"),
-            )
-        )
-    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
+    return dedup.min_label_components(pairs)
 
 
-def _lp_rounds_sql() -> str:
-    out = ["lab0 AS (SELECT v, v AS lbl FROM (SELECT DISTINCT src AS v FROM edges))"]
-    for i in range(N_LP_ROUNDS):
-        out.append(
-            f"n{i+1} AS (SELECT e.src AS v, min(l.lbl) AS nb_min "
-            f"FROM edges e JOIN lab{i} l ON e.dst = l.v GROUP BY e.src)"
-        )
-        out.append(
-            f"lab{i+1} AS (SELECT l.v, least(l.lbl, coalesce(n.nb_min, l.lbl)) AS lbl "
-            f"FROM lab{i} l LEFT JOIN n{i+1} n ON l.v = n.v)"
-        )
-    return ",\n".join(out)
-
-
+# the recursive CTE materializes each vertex's full reachable set and
+# takes the min — exact components at oracle scale (sf <= 0.01); the
+# Spark side converges in diameter rounds without any transitive blowup
 ORACLE["q_dup_components"] = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
 hashed AS ({_HASHED_SQL}),
 sig AS (
 {_minhash_sig_sql()}
@@ -492,8 +456,12 @@ edges AS (
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM pairs
 ),
-{_lp_rounds_sql()}
-SELECT v AS doc_id, lbl AS component FROM lab{N_LP_ROUNDS}
+reach(v, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.v
+)
+SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v
 """
 
 

@@ -275,6 +275,33 @@ class TestAsofJoin:
         assert got == {"a": "hi", "b": "real_tb"}
 
 
+class TestMinLabelComponents:
+    def test_diameter_six_chain_converges_exactly(self, spark):
+        """A 7-node path graph (diameter 6) — the unrolled-3-rounds form
+        this replaced would mislabel the far end; the fixpoint loop must
+        give every node the chain's min label, and an isolated pair plus
+        a triangle must keep their own components."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions.dedup import min_label_components
+
+        pairs = (
+            # chain 10-11-...-16 (edges listed high-to-low to resist
+            # any single-pass luck), diameter 6
+            [Row(doc_a=i + 1, doc_b=i) for i in range(15, 9, -1)]
+            # isolated pair and a triangle
+            + [Row(doc_a=100, doc_b=101)]
+            + [Row(doc_a=200, doc_b=201), Row(doc_a=201, doc_b=202), Row(doc_a=200, doc_b=202)]
+        )
+        out = min_label_components(spark.createDataFrame(pairs))
+        got = {r["doc_id"]: r["component"] for r in out.collect()}
+        assert got == {
+            **{v: 10 for v in range(10, 17)},
+            100: 100, 101: 100,
+            200: 200, 201: 200, 202: 200,
+        }
+
+
 class TestDecodeBalance:
     def test_skewed_media_spreads_across_partitions(self, spark):
         """balance_decode_work: one huge blob must not pin a whole
