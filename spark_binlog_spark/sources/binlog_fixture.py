@@ -666,30 +666,33 @@ class BinlogFixtureDataSource(DataSource):
         return BinlogFixtureBatchReader(self.options)
 
 
-def region_partition_dataset(src_path: str, dest_dir: str, n_regions: int) -> str:
+def region_partition_dataset(spark, src_path: str, dest_dir: str, n_regions: int) -> str:
     """Rewrite an events table hive-partitioned by region (user_id %
     n_regions) — the layout a real HBase deployment already has (one WAL
     directory per region, MLSQLHBaseWALDataSource's per-region readers).
+
+    DISTRIBUTED rewrite: ``partitionBy("region")`` lands each region in
+    its own ``region=N`` directory with every task writing only its own
+    rows — nothing ever materializes on the driver, so the same call
+    works on a 100 TB store (the earlier pyarrow form pulled the whole
+    table into driver memory).  The ``repartition`` on the partition key
+    shuffles once so each region is one file, not one per task.
+    pyarrow's dataset discovery skips Spark's ``_SUCCESS``/dot markers,
+    so ``_read_range``'s pruned scans read the layout unchanged.
 
     With this layout each region task's scan is PRUNED to its own
     directory (see _read_range), eliminating the N-regions × full-scan
     read amplification of a flat store.  Returns ``dest_dir``.
     """
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.dataset as ds
+    from pyspark.sql import functions as F
 
-    table = ds.dataset(src_path).to_table()
-    uid = table["user_id"]
-    n = pa.scalar(n_regions, pa.int64())
-    region = pc.subtract(uid, pc.multiply(pc.divide(uid, n), n))  # uid % n
-    table = table.append_column("region", region)
-    ds.write_dataset(
-        table,
-        dest_dir,
-        format="parquet",
-        partitioning=ds.partitioning(pa.schema([("region", pa.int64())]), flavor="hive"),
-        existing_data_behavior="overwrite_or_ignore",
+    df = spark.read.parquet(src_path)
+    (
+        df.withColumn("region", F.col("user_id") % n_regions)
+        .repartition("region")
+        .write.partitionBy("region")
+        .mode("overwrite")
+        .parquet(dest_dir)
     )
     return dest_dir
 

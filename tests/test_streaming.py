@@ -913,7 +913,7 @@ class TestRegionPartitionedStore:
         rows = [(i, T0 + i, i % 5, "click", float(i), "{}") for i in range(30)]
         flat = str(tmp_path / "ev.parquet")
         _write_events(flat, rows)
-        part = region_partition_dataset(flat, str(tmp_path / "by_region"), 4)
+        part = region_partition_dataset(spark, flat, str(tmp_path / "by_region"), 4)
 
         # (a) fragment pruning: the per-region filter opens a strict
         # subset of fragments (one directory of four)
