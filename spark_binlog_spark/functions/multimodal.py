@@ -134,9 +134,42 @@ def _real_image_features(content: bytes) -> list[float] | None:
     return [(p - 128) / 128.0 for p in img.getdata()][:FEATURE_DIM]
 
 
+def _wav_features_stdlib(content: bytes) -> list[float] | None:
+    """Dependency-free REAL audio decode: stdlib ``wave`` parses
+    PCM WAV (8/16-bit), normalizing the first channel's first
+    FEATURE_DIM samples to [-1, 1) exactly like soundfile does
+    (sample / 2^(bits-1)).  Returns None for non-WAV bytes or sample
+    widths wave can't express, so the soundfile path can still try."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(FEATURE_DIM)
+    except (wave.Error, EOFError):
+        return None
+    if width == 2:
+        n = len(raw) // 2
+        samples = struct.unpack(f"<{n}h", raw[: n * 2])
+        flat = [s / 32768.0 for s in samples[::nch]]
+    elif width == 1:  # WAV 8-bit is unsigned
+        flat = [(b - 128) / 128.0 for b in raw[::nch]]
+    else:
+        return None
+    return (flat + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+
+
 def _real_audio_features(content: bytes) -> list[float] | None:
-    """soundfile-backed encoder (import-try): first FEATURE_DIM samples,
-    zero-padded.  Returns None when soundfile is not importable."""
+    """Audio encoder: stdlib-``wave`` WAV decode first (always
+    available — a real, non-stub decode path even in this container),
+    then the soundfile import-try for every other format.  First
+    FEATURE_DIM samples, zero-padded."""
+    wav = _wav_features_stdlib(content)
+    if wav is not None:
+        return wav
     try:
         import io
 

@@ -406,6 +406,55 @@ class TestRealMediaGating:
         with pytest.raises(Exception, match="no encoder available"):
             multimodal.extract_features(self._media(spark), fake=False).collect()
 
+    def test_real_wav_decode_via_stdlib_wave(self, spark):
+        """A REAL (non-stub) decode path that runs dependency-free: a
+        16-bit stereo PCM WAV built with stdlib wave goes through the
+        full mapInPandas extract_features(fake=False) plan and comes
+        back as the first channel's samples normalized by 2^15 —
+        bit-exact, no PIL/soundfile needed."""
+        import io
+        import struct
+        import wave as wave_mod
+
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import multimodal
+
+        # stereo: L channel ramps 0,1000,2000..., R channel constant -5
+        n = multimodal.FEATURE_DIM + 4
+        frames = b"".join(
+            struct.pack("<hh", i * 1000 % 32768, -5) for i in range(n)
+        )
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(frames)
+        wav_bytes = buf.getvalue()
+
+        media = spark.createDataFrame(
+            [Row(media_id=7, content=bytearray(wav_bytes), media_type="audio",
+                 byte_len=len(wav_bytes), content_key="x")]
+        )
+        feats = multimodal.extract_features(media, fake=False).collect()
+        assert len(feats) == 1
+        got = feats[0]["feature"]
+        expected = [(i * 1000 % 32768) / 32768.0 for i in range(multimodal.FEATURE_DIM)]
+        assert got == pytest.approx(expected, abs=1e-7)
+
+        # mono 8-bit path too (unsigned samples)
+        buf8 = io.BytesIO()
+        with wave_mod.open(buf8, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(bytes([0, 128, 255] + [128] * 32))
+        v8 = multimodal._wav_features_stdlib(buf8.getvalue())
+        assert v8[:3] == pytest.approx([-1.0, 0.0, 127 / 128.0])
+        # non-WAV bytes stay None so soundfile/stub handling is reached
+        assert multimodal._wav_features_stdlib(b"not a wav") is None
+
     def test_real_image_features_when_pil_present(self, spark):
         import pytest
 
