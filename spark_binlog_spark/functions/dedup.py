@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spark_binlog_spark.functions.hashing import h16
+from spark_binlog_spark.functions.hashing import h16, h48
 
 N_MINHASH = 8  # seeds 0..7; each seed is a 1-row LSH band
 
@@ -317,6 +317,53 @@ def simhash_near_dup_pairs(
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with an evaluation corpus — the GPT-3/Pile-style leakage
+    sweep run before training (production uses 8–13-grams; ``n`` is a
+    parameter).
+
+    Scale shape: the benchmark reduces to a DISTINCT 48-bit gram-hash
+    set — eval suites are tiny next to a training corpus — which is
+    BROADCAST, so the 100 TB side is ONE scan with a map-side semi
+    join: no shuffle of training data at all.  The per-doc gram count
+    comes from a second scan-projection joined to the (small) hit set,
+    still shuffle-free on the corpus.  ``broadcast_benchmark=False``
+    falls back to a shuffled hash join for adversarially large
+    benchmark sets.  h48 collisions can only over-flag (both engines
+    hash identically, so the oracle agrees bit-for-bit).
+
+    Output: one row per CONTAMINATED doc — (doc_id, n_hits = distinct
+    leaked grams, n_grams, contamination4 = floor(10^4·n_hits/n_grams)).
+    """
+    bench = (
+        doc_shingles(benchmark, text_col, n)
+        .select(h48(F.col("shingle")).alias("sh_h"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    sh = doc_shingles(spread_small_input(docs), text_col, n).select(
+        "doc_id", h48(F.col("shingle")).alias("sh_h")
+    )
+    hits = sh.join(bench, "sh_h").groupBy("doc_id").agg(F.count("*").alias("n_hits"))
+    sizes = docs.select(
+        F.col("doc_id"), F.size(shingles(F.col(text_col), n)).cast("long").alias("n_grams")
+    )
+    c4 = (
+        F.floor(F.col("n_hits").cast("double") / F.col("n_grams").cast("double") * 10000)
+        .cast("long")
+        .alias("contamination4")
+    )
+    return hits.join(sizes, "doc_id").select("doc_id", "n_hits", "n_grams", c4)
 
 
 def min_label_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:

@@ -793,6 +793,58 @@ SELECT doc_id, fp_md5, CAST('0x' || substr(fp_md5, 1, 12) AS BIGINT) AS fp48 FRO
 """
 
 
+def _ngram_sql(n: int, source: str) -> str:
+    """DuckDB per-doc distinct word n-grams over ``source`` (a table or
+    parenthesized subquery) — the generalized form of _SHINGLES_SQL."""
+    gram = " || ' ' || ".join("ws[i]" if j == 0 else f"ws[i+{j}]" for j in range(n))
+    return f"""
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(ws) >= {n}
+                THEN [{gram} for i in generate_series(1, len(ws) - {n - 1})]
+                ELSE [] END)) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {source})
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION (the GPT-3/Pile pre-training leakage
+    sweep): docs sharing any word 4-gram with the held-out benchmark
+    slice (doc_id % 97 == 0) are flagged with their leaked-gram count
+    and contamination ratio.  The benchmark gram-hash set broadcasts;
+    the corpus side is one scan, no shuffle (functions/dedup.py
+    decontaminate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.decontaminate(corpus, bench, n=4)
+
+
+def _h48_shingle() -> str:
+    from spark_binlog_spark.functions.hashing import h48_sql
+
+    return h48_sql("shingle")
+
+
+ORACLE["q_decontaminate"] = f"""
+WITH bsh AS (
+  SELECT DISTINCT {_h48_shingle()} AS sh_h
+  FROM ({_ngram_sql(4, "(SELECT * FROM documents WHERE doc_id % 97 = 0)")})
+),
+dsh AS (
+  SELECT doc_id, {_h48_shingle()} AS sh_h
+  FROM ({_ngram_sql(4, "(SELECT * FROM documents WHERE doc_id % 97 != 0)")})
+),
+gs AS (SELECT doc_id, count(*) AS n_grams FROM dsh GROUP BY doc_id),
+hits AS (
+  SELECT d.doc_id, count(*) AS n_hits
+  FROM dsh d JOIN bsh b ON d.sh_h = b.sh_h GROUP BY d.doc_id
+)
+SELECT h.doc_id, h.n_hits, g.n_grams,
+       CAST(floor(h.n_hits / CAST(g.n_grams AS DOUBLE) * 10000) AS BIGINT) AS contamination4
+FROM hits h JOIN gs g ON h.doc_id = g.doc_id
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: new documents (odd ids) are admitted
     only if their content hash is absent from the already-ingested

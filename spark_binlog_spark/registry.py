@@ -88,6 +88,7 @@ PRIORITY = [
 TAIL = [
     "q_rotate_offsets",
     "q_stream_schema_epochs",
+    "q_decontaminate",
     "q_change_counts_windowed",
     "q_repetition",
     "q_corpus_clean",
