@@ -276,3 +276,30 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.coalesce(F.col("top_bigram_frac4"), F.lit(0)).cast("long").alias("top_bigram_frac4"),
         )
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates4: dict[str, int],
+    stratum_col: str = "lang",
+    key_col: str = "text",
+    default_rate4: int = 0,
+) -> DataFrame:
+    """Deterministic PER-STRATUM sampling: keep rows whose content-hash
+    bucket (h48 % 10000) falls below their stratum's per-10000 rate —
+    the corpus-rebalancing primitive (downsample the dominant language,
+    keep all of a rare one).  Same guarantees as the flat hash sample:
+    no RNG, identical picks on every run/engine/partitioning, and exact
+    duplicates travel together (same content bucket).
+
+    The rate lookup compiles to a literal CASE chain — zero joins, zero
+    shuffle, pure codegen; for thousands of strata swap in a broadcast
+    join against a rates dimension instead.  Strata absent from
+    ``rates4`` fall back to ``default_rate4`` (0 = drop)."""
+    from spark_binlog_spark.functions.hashing import h48
+
+    bucket = (h48(F.col(key_col)) % 10000).alias("bucket4")
+    rate = F.lit(default_rate4)
+    for k, v in sorted(rates4.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
+    return df.withColumn("bucket4", bucket).filter(F.col("bucket4") < rate)

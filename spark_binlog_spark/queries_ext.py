@@ -951,6 +951,37 @@ SELECT doc_id, lang, bucket FROM b WHERE bucket < 10
 """
 
 
+STRATUM_RATES4 = {"en": 2000, "zh": 5000, "es": 5000, "de": 5000, "fr": 10000}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus REBALANCING sample: per-language deterministic rates
+    (downsample dominant en to 20%, keep all fr, half the rest) via
+    content-hash buckets — functions/text.py stratified_hash_sample.
+    Zero shuffle: the rate map compiles to a CASE chain in codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.stratified_hash_sample(docs, STRATUM_RATES4).select(
+        "doc_id", "lang", "bucket4"
+    )
+
+
+def _rates_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(STRATUM_RATES4.items())
+    )
+    return f"CASE {arms} ELSE 0 END"
+
+
+ORACLE["q_stratified_sample"] = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) % 10000 AS bucket4
+  FROM documents
+)
+SELECT doc_id, lang, bucket4 FROM b WHERE bucket4 < {_rates_case_sql()}
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite training-data pipeline: quality-filter -> exact
     dedup (keep smallest doc_id per content hash) -> emit with token

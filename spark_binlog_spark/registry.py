@@ -89,6 +89,7 @@ TAIL = [
     "q_rotate_offsets",
     "q_stream_schema_epochs",
     "q_decontaminate",
+    "q_stratified_sample",
     "q_change_counts_windowed",
     "q_repetition",
     "q_corpus_clean",
