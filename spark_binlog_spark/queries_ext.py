@@ -438,9 +438,9 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the recursive CTE materializes each vertex's full reachable set and
 # takes the min — exact components at oracle scale (sf <= 0.01); the
-# Spark side converges in diameter rounds without any transitive blowup
-ORACLE["q_dup_components"] = f"""
-WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+# Spark side converges in diameter rounds without any transitive blowup.
+# Shared by q_dup_components and q_dedup_canonical.
+_COMPONENTS_CTES = f"""sh AS ({_SHINGLES_SQL}),
 hashed AS ({_HASHED_SQL}),
 sig AS (
 {_minhash_sig_sql()}
@@ -460,8 +460,55 @@ reach(v, r) AS (
   SELECT DISTINCT src, src FROM edges
   UNION
   SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.v
+),
+comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v)"""
+
+ORACLE["q_dup_components"] = f"""
+WITH RECURSIVE {_COMPONENTS_CTES}
+SELECT doc_id, component FROM comp
+"""
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL near-dup dedup pipeline, end to end: MinHash-LSH pairs
+    -> fixpoint connected components -> ONE canonical survivor per
+    cluster (longest text wins, lowest doc_id breaks ties; unclustered
+    docs are their own component).  This is the stage a training
+    pipeline actually ships — the surviving corpus — not just the pair
+    list.  One extra shuffle over the component key for the per-cluster
+    window; everything upstream keeps its bucketed shapes."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs, min_agree=2).select("doc_a", "doc_b")
+    comp = dedup.min_label_components(pairs)
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col("doc_id")))
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("component")))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("keep_doc_id"), "n_members")
+    )
+
+
+ORACLE["q_dedup_canonical"] = f"""
+WITH RECURSIVE {_COMPONENTS_CTES},
+labeled AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY component) AS n_members
+  FROM labeled
 )
-SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v
+SELECT component, doc_id AS keep_doc_id, n_members FROM ranked WHERE rn = 1
 """
 
 

@@ -90,6 +90,7 @@ TAIL = [
     "q_stream_schema_epochs",
     "q_decontaminate",
     "q_stratified_sample",
+    "q_dedup_canonical",
     "q_change_counts_windowed",
     "q_repetition",
     "q_corpus_clean",
