@@ -1029,6 +1029,31 @@ SELECT doc_id, lang, bucket4 FROM b WHERE bucket4 < {_rates_case_sql()}
 """
 
 
+def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language QUALITY PRUNING: drop each language's bottom
+    quartile by length — the percentile-threshold filter stage of a
+    corpus pipeline.  The thresholds are a 5-row per-language aggregate
+    BROADCAST into the filter, so the corpus is one scan with no
+    shuffle; the exact `percentile` matches DuckDB's `quantile_cont`
+    bit-for-bit (shared linear-interpolation definition), and at 100 TB
+    the drop-in is `approx_percentile` (t-digest sketch, mergeable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    th = docs.groupBy("lang").agg(F.expr("percentile(n_chars, 0.25)").alias("p25"))
+    return (
+        docs.join(F.broadcast(th), "lang")
+        .filter(F.col("n_chars").cast("double") >= F.col("p25"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+ORACLE["q_quality_prune"] = """
+WITH th AS (SELECT lang, quantile_cont(n_chars, 0.25) AS p25 FROM documents GROUP BY lang)
+SELECT doc_id, d.lang, n_chars
+FROM documents d JOIN th ON d.lang = th.lang
+WHERE n_chars >= p25
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite training-data pipeline: quality-filter -> exact
     dedup (keep smallest doc_id per content hash) -> emit with token

@@ -91,6 +91,7 @@ TAIL = [
     "q_decontaminate",
     "q_stratified_sample",
     "q_dedup_canonical",
+    "q_quality_prune",
     "q_change_counts_windowed",
     "q_repetition",
     "q_corpus_clean",
