@@ -122,6 +122,41 @@ class TestScaleSafeWindows:
         assert "hashpartitioning" in plan
 
 
+class TestTrainingDataOps:
+    def test_decontaminate_never_shuffles_corpus_for_joins(self, spark):
+        """q_decontaminate: the benchmark gram set and the hit set both
+        BROADCAST — the training-corpus side must never sort-merge; the
+        only exchanges are the two small aggregates (bench distinct,
+        per-doc hit counts)."""
+        from spark_binlog_spark.queries_ext import q_decontaminate
+
+        plan = _physical(q_decontaminate(spark, SF_TEST))
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+        assert "Exchange SinglePartition" not in plan
+
+    def test_stratified_sample_is_pure_scan(self, spark):
+        """q_stratified_sample: the rate map is a literal CASE chain —
+        the whole query must be a single scan-project-filter with no
+        exchange and no join of any kind."""
+        from spark_binlog_spark.queries_ext import q_stratified_sample
+
+        plan = _physical(q_stratified_sample(spark, SF_TEST))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
+    def test_quality_prune_broadcasts_thresholds(self, spark):
+        """q_quality_prune: the per-language threshold aggregate (5
+        rows) broadcasts into the filter; the corpus is one scan — the
+        only exchange is the tiny threshold agg."""
+        from spark_binlog_spark.queries_ext import q_quality_prune
+
+        plan = _physical(q_quality_prune(spark, SF_TEST))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 1
+
+
 class TestCodegen:
     def test_quality_features_jvm_only_columnar_scan(self, spark):
         from spark_binlog_spark.functions.text import quality_features
