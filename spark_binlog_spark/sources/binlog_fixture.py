@@ -508,6 +508,19 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         self.segmented = is_segmented(self.path) if self.path else False
         if self.segmented and self.regions:
             raise ValueError("segmented (MySQL rotate) and regions (HBase) modes are exclusive")
+        # reference bootstrap options (MLSQLBinLogDataSource.scala:70-98):
+        # start the stream at an explicit (binlogIndex, binlogFileOffset)
+        # composite; binlogFileOffset defaults to 4 (first event of the
+        # file, after the magic header) like the reference's fallback
+        bi = options.get("binlogindex", options.get("binlogIndex"))
+        bf = options.get("binlogfileoffset", options.get("binlogFileOffset"))
+        self.start_packed = None
+        if bi is not None:
+            if not self.segmented:
+                raise ValueError("binlogIndex requires a segmented (mysql-bin.%06d) store")
+            self.start_packed = int(bi) * POW13 + int(bf if bf is not None else 4)
+        elif bf is not None:
+            raise ValueError("binlogFileOffset requires binlogIndex")
         self._index = None  # segment index, refreshed per latestOffset
         self._end = None  # lazily-probed end of stream
         self._cur = None  # admission-control cursor (see latestOffset)
@@ -530,6 +543,10 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         # global start event into (fileId, pos) — the same composite
         # the reference bootstraps from binlogIndex/binlogFileOffset.
         if self.segmented:
+            if self.start_packed is not None:
+                # validate the named file exists (same failfast as resume)
+                _packed_to_global(self._seg_index(), self.start_packed)
+                return {"offset": self.start_packed}
             return {"offset": _global_to_packed(self._seg_index(), self.start_offset)}
         if self.regions:
             return {f"r{r}": self.start_offset for r in range(self.regions)}
@@ -550,11 +567,12 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
             end_eid = last["max"] + 1
             if not self.max_per_trigger:
                 return {"offset": _global_to_packed(index, end_eid)}
-            cur_eid = (
-                max(self.start_offset, index[0]["min"])
-                if self._cur is None
-                else _packed_to_global(index, self._cur)
-            )
+            if self._cur is not None:
+                cur_eid = _packed_to_global(index, self._cur)
+            elif self.start_packed is not None:
+                cur_eid = _packed_to_global(index, self.start_packed)
+            else:
+                cur_eid = max(self.start_offset, index[0]["min"])
             nxt = _global_to_packed(index, min(end_eid, cur_eid + self.max_per_trigger))
             self._cur = nxt
             return {"offset": nxt}

@@ -451,6 +451,50 @@ class TestFixtureSource:
         overlap = set(seen) & set(replayed)
         assert len(overlap) <= 100, f"replayed {len(overlap)} rows (> one capped batch)"
 
+    def test_binlog_index_bootstrap_options(self, spark, tmp_path):
+        """Reference option parity (MLSQLBinLogDataSource.scala:70-98):
+        binlogIndex/binlogFileOffset start the stream at an explicit
+        (file, pos) composite — events before it are never ingested;
+        binlogFileOffset defaults to 4 (start of the named file)."""
+        from spark_binlog_spark.sources.binlog_fixture import write_segments
+        from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+        flat = f"{SF_TEST}/events.parquet"
+        seg_dir = str(tmp_path / "binlog")
+        write_segments(flat, seg_dir, n_segments=4)
+        n = spark.read.parquet(flat).count()
+        per_seg = (n + 3) // 4
+
+        # start at file 3, pos 4 -> exactly files 3 and 4
+        wire = read_stream(spark, seg_dir, numPartitions=4, binlogIndex=3)
+        q = (
+            parse_stream(wire)
+            .writeStream.format("memory")
+            .queryName("bootstrap_f3")
+            .option("checkpointLocation", str(tmp_path / "ck1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        offs = {r["cdc_offset"] for r in spark.table("bootstrap_f3").collect()}
+        assert offs == set(range(2 * per_seg, n))
+
+        # mid-file pos: skip the first 10 events of file 3
+        wire2 = read_stream(
+            spark, seg_dir, numPartitions=4, binlogIndex=3, binlogFileOffset=14
+        )
+        q2 = (
+            parse_stream(wire2)
+            .writeStream.format("memory")
+            .queryName("bootstrap_f3p")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        offs2 = {r["cdc_offset"] for r in spark.table("bootstrap_f3p").collect()}
+        assert offs2 == set(range(2 * per_seg + 10, n))
+
     def test_segment_gap_and_purged_file_raise(self, tmp_path):
         """Integrity: a missing middle segment (purged binlog) fails the
         index probe; an offset naming a vanished file fails resume —
