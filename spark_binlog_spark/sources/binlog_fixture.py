@@ -426,8 +426,11 @@ def write_segments(
     (eps = ceil((max_id+1)/n_segments)).  ``only`` writes just those
     file ids (1-based) — a test appends later files to simulate
     rotation under a live tail.  Returns eps so callers/oracles can
-    mirror the split arithmetic.  Scan-filtered per segment: never
-    materializes the whole table."""
+    mirror the split arithmetic.  Scan-filtered per segment (never the
+    whole table at once); the per-segment materialization is the
+    fixture stand-in for the DATABASE SERVER's serial binlog writer —
+    this is test-bed prep, not a data-plane operator (the data-plane
+    READS the layout distributed, see _segment_partitions)."""
     import os
 
     import pyarrow.dataset as ds
