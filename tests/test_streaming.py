@@ -495,7 +495,75 @@ class TestFixtureSource:
         offs2 = {r["cdc_offset"] for r in spark.table("bootstrap_f3p").collect()}
         assert offs2 == set(range(2 * per_seg + 10, n))
 
-    def test_segment_gap_and_purged_file_raise(self, tmp_path):
+    def test_cdc_upsert_over_rotating_store_matches_batch_apply(self, spark, tmp_path):
+        """INTEGRATION: the full CDC upsert pipeline (parse -> merge
+        sink) fed from a ROTATING segmented store, with the last two
+        segments appearing only after the stream has started — the
+        final materialized state must equal a one-shot batch cdc_apply
+        of the whole change stream."""
+        import time
+
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.operators import cdc_apply
+        from spark_binlog_spark.sources.binlog_fixture import write_segments
+        from spark_binlog_spark.streaming.pipeline import (
+            ParquetUpsertSink,
+            parse_stream,
+            read_stream,
+        )
+
+        rows = [
+            (i, T0 + i, i % 6, ["signup", "click", "view", "purchase", "error"][i % 5],
+             float(i), "{}")
+            for i in range(40)
+        ]
+        flat = str(tmp_path / "ev.parquet")
+        _write_events(flat, rows)
+        seg_dir = str(tmp_path / "binlog")
+        write_segments(flat, seg_dir, n_segments=4, only=[1, 2])
+        base = spark.createDataFrame(
+            [Row(c_custkey=k, c_name=f"n{k}", c_acctbal=float(k)) for k in range(6)]
+        )
+
+        sink = ParquetUpsertSink(
+            spark, str(tmp_path / "state"), base, "c_custkey", {"c_acctbal": "value"}
+        )
+        wire = read_stream(spark, seg_dir, numPartitions=2, maxEventsPerTrigger=10)
+        q = (
+            parse_stream(wire)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+        def wait_applied(target, timeout_s=120.0):
+            deadline = time.monotonic() + timeout_s
+            while time.monotonic() < deadline:
+                if q.exception() is not None:
+                    raise AssertionError(f"stream died: {q.exception()}")
+                if sink.applied_rows >= target:
+                    return True
+                time.sleep(0.2)
+            return False
+
+        assert wait_applied(20), f"first half stalled at {sink.applied_rows}"
+        write_segments(flat, seg_dir, n_segments=4, only=[3, 4])  # live rotation
+        assert wait_applied(40), f"tail stalled at {sink.applied_rows}/40"
+        q.stop()
+        q.awaitTermination()
+
+        # batch replay of the identical store for the expected state
+        batch_changes = parse_stream(
+            spark.read.format("binlog_fixture").option("path", seg_dir).load()
+        )
+        expected = cdc_apply(
+            base, batch_changes, key_col="c_custkey", set_cols={"c_acctbal": "value"}
+        )
+        got = {(r["c_custkey"], r["c_acctbal"]) for r in sink.current().collect()}
+        want = {(r["c_custkey"], r["c_acctbal"]) for r in expected.collect()}
+        assert got == want
         """Integrity: a missing middle segment (purged binlog) fails the
         index probe; an offset naming a vanished file fails resume —
         the reference's data-loss failfast, not silent skip."""
