@@ -564,6 +564,75 @@ class TestFixtureSource:
         got = {(r["c_custkey"], r["c_acctbal"]) for r in sink.current().collect()}
         want = {(r["c_custkey"], r["c_acctbal"]) for r in expected.collect()}
         assert got == want
+
+    def test_segmented_composes_with_schema_epochs_and_filters(self, spark, tmp_path):
+        """Feature composition: a ROTATING store read with BOTH a
+        schemaEpochOffset and a databaseNamePattern — the per-segment
+        reads must apply the ingest filter AND flip the embedded schema
+        at the epoch, across file boundaries."""
+        import json as _json
+
+        from spark_binlog_spark.sources.binlog_fixture import register, write_segments
+
+        flat = f"{SF_TEST}/events.parquet"
+        seg_dir = str(tmp_path / "binlog")
+        write_segments(flat, seg_dir, n_segments=4)
+        n = spark.read.parquet(flat).count()
+        half = n // 2
+        per_seg = (n + 3) // 4
+
+        register(spark)
+        df = (
+            spark.read.format("binlog_fixture")
+            .option("path", seg_dir)
+            .option("databaseNamePattern", "^db_1$")
+            .option("schemaEpochOffset", str(half))
+            .load()
+        )
+        envs = [_json.loads(r["value"]) for r in df.collect()]
+        assert envs and all(e["databaseName"] == "db_1" for e in envs)
+        offs = {e["rows"][0]["cdc_offset"] for e in envs}
+        # survivors from every quarter of the log (all four files read)
+        assert all(any(q * per_seg <= o < (q + 1) * per_seg for o in offs) for q in range(4))
+        # schema flips exactly at the epoch, regardless of which file
+        for e in envs:
+            fields = [f["name"] for f in _json.loads(e["schema"])["fields"]]
+            if e["rows"][0]["cdc_offset"] >= half:
+                assert fields[-1] == "ts_ms" and e["rows"][0].get("ts_ms") is not None
+            else:
+                assert "ts_ms" not in fields and "ts_ms" not in e["rows"][0]
+
+    def test_empty_segment_is_benign(self, spark, tmp_path):
+        """An empty binlog file (rotation with no writes) must neither
+        break the contiguity check nor the stream."""
+        from spark_binlog_spark.sources.binlog_fixture import (
+            _segment_index,
+            write_segments,
+        )
+
+        flat = f"{SF_TEST}/events.parquet"
+        seg_dir = str(tmp_path / "binlog")
+        write_segments(flat, seg_dir, n_segments=2)
+        _write_events(f"{seg_dir}/mysql-bin.000003", [])  # schema-only, zero rows
+        idx = _segment_index(seg_dir)
+        assert [s["fid"] for s in idx] == [1, 2]  # empty file skipped, no gap error
+
+        from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+        wire = read_stream(spark, seg_dir, numPartitions=2)
+        q = (
+            parse_stream(wire)
+            .writeStream.format("memory")
+            .queryName("empty_seg_stream")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(flat).count()
+        assert spark.table("empty_seg_stream").count() == n
+
+    def test_segment_gap_and_purged_file_raise(self, tmp_path):
         """Integrity: a missing middle segment (purged binlog) fails the
         index probe; an offset naming a vanished file fails resume —
         the reference's data-loss failfast, not silent skip."""
