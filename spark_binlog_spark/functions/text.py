@@ -303,3 +303,52 @@ def stratified_hash_sample(
     for k, v in sorted(rates4.items()):
         rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
     return df.withColumn("bucket4", bucket).filter(F.col("bucket4") < rate)
+
+
+def token_shards(
+    df: DataFrame,
+    budget: int = 4096,
+    bucket_size: int = 8192,
+    text_col: str = "text",
+) -> DataFrame:
+    """SEQUENCE PACKING: assign documents (in deterministic doc_id
+    order) to fixed-token-budget training shards — shard_id =
+    floor(running_token_start / budget).
+
+    The running sum is the classic global-order trap (a naive window
+    drags the whole corpus through one partition).  Two-level form,
+    same shape as the bucketed gaps-and-islands: in-bucket running
+    sums over ``doc_id div bucket_size`` partitions (fully parallel) +
+    a bucket-prefix table of |docs|/bucket_size rows — the only
+    single-partition window — broadcast back.  Exact, deterministic,
+    and the big relation never leaves its hash partitioning."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col("doc_id"),
+        F.size(F.split(F.col(text_col), "\\s+")).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {bucket_size}").alias("bucket"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = toks.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    totals = toks.groupBy("bucket").agg(F.sum("n_tokens").alias("tot"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "bucket",
+        F.coalesce(F.sum("tot").over(w_b), F.lit(0)).cast("long").alias("prefix"),
+    )
+    start = (F.col("prefix") + F.col("cum_in") - F.col("n_tokens")).alias("token_start")
+    return (
+        with_cum.join(F.broadcast(prefix), "bucket")
+        .select("doc_id", "n_tokens", start)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "token_start",
+            F.expr(f"token_start div {budget}").alias("shard_id"),
+        )
+    )

@@ -1054,6 +1054,31 @@ WHERE n_chars >= p25
 """
 
 
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING: documents assigned to fixed 4096-token
+    training shards by a deterministic running token total — the
+    shard-writing stage of a training-data pipeline.  The running sum
+    is two-level bucketed (functions/text.py token_shards): in-bucket
+    windows fully parallel, one tiny bucket-prefix window, prefix
+    broadcast back — the corpus never passes through one partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_shards(docs, budget=4096)
+
+
+ORACLE["q_token_shards"] = r"""
+WITH toks AS (
+  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS token_start
+  FROM toks
+)
+SELECT doc_id, n_tokens, token_start, token_start // 4096 AS shard_id FROM cum
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite training-data pipeline: quality-filter -> exact
     dedup (keep smallest doc_id per content hash) -> emit with token

@@ -92,6 +92,7 @@ TAIL = [
     "q_stratified_sample",
     "q_dedup_canonical",
     "q_quality_prune",
+    "q_token_shards",
     "q_change_counts_windowed",
     "q_repetition",
     "q_corpus_clean",

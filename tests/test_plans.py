@@ -145,6 +145,18 @@ class TestTrainingDataOps:
         assert "Exchange" not in plan
         assert "Join" not in plan
 
+    def test_token_shards_no_global_window_on_corpus(self, spark):
+        """q_token_shards: the corpus-wide running sum must run as
+        bucket-partitioned windows; the only single-partition exchange
+        allowed is the |docs|/8192-row bucket-prefix table, which then
+        broadcasts."""
+        from spark_binlog_spark.queries_ext import q_token_shards
+
+        plan = _physical(q_token_shards(spark, SF_TEST))
+        assert "hashpartitioning(bucket" in plan
+        assert plan.count("Exchange SinglePartition") <= 1
+        assert "BroadcastHashJoin" in plan
+
     def test_quality_prune_broadcasts_thresholds(self, spark):
         """q_quality_prune: the per-language threshold aggregate (5
         rows) broadcasts into the filter; the corpus is one scan — the
