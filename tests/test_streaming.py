@@ -53,6 +53,13 @@ class TestArrowEncoderParity:
             (2, T0 + 2 * 10**9, 3, "click", 42.0, "not json"),
             (3, T0 + 3 * 10**9, 4, "view", -0.25, None),
             (4, T0 + 4 * 10**9, 5, "click", 1e20, json.dumps({"k": "str"})),
+            # float k -> null on BOTH paths (integer-only contract)
+            (5, T0 + 5 * 10**9, 6, "click", 1.0, json.dumps({"k": 5.0})),
+            # k only inside a nested object -> null on BOTH paths
+            (6, T0 + 6 * 10**9, 7, "click", 1.0, json.dumps({"a": {"k": 9}})),
+            # null event_type -> op 'update' on BOTH paths (never a
+            # null wire line)
+            (7, T0 + 7 * 10**9, 8, None, 1.0, json.dumps({"k": 1})),
         ]
         batch = pa.table(
             {
@@ -601,6 +608,67 @@ class TestFixtureSource:
                 assert fields[-1] == "ts_ms" and e["rows"][0].get("ts_ms") is not None
             else:
                 assert "ts_ms" not in fields and "ts_ms" not in e["rows"][0]
+
+    def test_capped_clean_stop_restart_never_redelivers(self, spark, tmp_path):
+        """Exactly-once across a CLEAN-STOP restart of a capped stream:
+        on restart the fresh admission cursor under-reports (the Python
+        stream API gives latestOffset no committed-offset input), Spark
+        plans one regressed batch — and the committed-position floor
+        must clamp every later batch so no already-committed event is
+        re-delivered, while new events (two segments written while the
+        stream was down) all arrive."""
+        import time
+
+        from spark_binlog_spark.sources.binlog_fixture import write_segments
+        from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+        flat = f"{SF_TEST}/events.parquet"
+        seg_dir = str(tmp_path / "binlog")
+        write_segments(flat, seg_dir, n_segments=4, only=[1, 2])
+        n_total = spark.read.parquet(flat).count()
+        n_half = (n_total + 3) // 4 * 2
+
+        def run_until(target, seen, timeout_s=120.0):
+            wire = read_stream(spark, seg_dir, numPartitions=4, maxEventsPerTrigger=100)
+            q = (
+                parse_stream(wire)
+                .writeStream.foreachBatch(
+                    lambda bdf, bid: seen.extend(
+                        r["cdc_offset"] for r in bdf.select("cdc_offset").collect()
+                    )
+                )
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .trigger(processingTime="200 milliseconds")
+                .start()
+            )
+            deadline = time.monotonic() + timeout_s
+            while time.monotonic() < deadline:
+                if q.exception() is not None:
+                    raise AssertionError(f"stream died: {q.exception()}")
+                if len(seen) >= target:
+                    break
+                time.sleep(0.2)
+            q.stop()
+            q.awaitTermination()
+
+        phase1 = []
+        run_until(n_half, phase1)
+        # drain fully: wait one extra poll round for a trailing batch
+        assert sorted(set(phase1)) == list(range(n_half))
+        assert len(phase1) == len(set(phase1))  # no dupes in phase 1
+
+        # the binlog rotates twice while the stream is DOWN, then a
+        # RESTARTED capped stream continues from the same checkpoint
+        write_segments(flat, seg_dir, n_segments=4, only=[3, 4])
+        phase2 = []
+        run_until(n_total - len(set(phase1)), phase2)
+
+        assert set(phase1) | set(phase2) == set(range(n_total))
+        # the floor must suppress every committed event: phase 2 may
+        # only deliver the new segments (plus nothing twice)
+        assert len(phase2) == len(set(phase2)), "duplicates within the restart"
+        redelivered = set(phase1) & set(phase2)
+        assert not redelivered, f"re-delivered {len(redelivered)} committed events"
 
     def test_empty_segment_is_benign(self, spark, tmp_path):
         """An empty binlog file (rotation with no writes) must neither
