@@ -930,6 +930,60 @@ SELECT doc_id, text_hash FROM ranked WHERE rn = 1
 """
 
 
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest dedup under the oracle: the documents table
+    arrives as two micro-batches (even ids, then odd ids — one file per
+    trigger) through a real Structured Streaming query into the
+    crash-safe DedupIngestSink; the accepted store after the stream
+    must equal the batch recompute (first copy per normalized
+    fingerprint, earlier batch wins)."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from spark_binlog_spark.streaming.dedup_sink import run_dedup_ingest
+
+    d = tempfile.mkdtemp(prefix="dedup_ingest_")
+    docs_dir = os.path.join(d, "docs")
+    os.makedirs(docs_dir)
+    tbl = pds.dataset(f"{sf_dir}/documents.parquet").to_table()
+    parity = pc.bit_wise_and(tbl["doc_id"], 1)
+    for i, mask in enumerate([pc.equal(parity, 0), pc.equal(parity, 1)]):
+        path = os.path.join(docs_dir, f"batch-{i}.parquet")
+        pq.write_table(tbl.filter(mask), path)
+        os.utime(path, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sink = run_dedup_ingest(
+        spark, docs_dir, os.path.join(d, "store"), os.path.join(d, "ck"), schema
+    )
+    return sink.accepted().select("doc_id", "fp_md5")
+
+
+ORACLE["q_stream_incremental_dedup"] = r"""
+WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5
+  FROM documents
+),
+b1 AS (SELECT * FROM fp WHERE doc_id % 2 = 0),
+b2 AS (SELECT * FROM fp WHERE doc_id % 2 = 1),
+a1 AS (
+  SELECT doc_id, fp_md5 FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) AS rn FROM b1
+  ) WHERE rn = 1
+),
+a2 AS (
+  SELECT doc_id, fp_md5 FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) AS rn FROM b2
+  ) WHERE rn = 1 AND fp_md5 NOT IN (SELECT fp_md5 FROM a1)
+)
+SELECT doc_id, fp_md5 FROM a1 UNION ALL SELECT doc_id, fp_md5 FROM a2
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus report card per (source, lang): doc counts, exact median
     length, mean stopword ratio, and exact-duplicate counts — the

@@ -93,6 +93,7 @@ TAIL = [
     "q_dedup_canonical",
     "q_quality_prune",
     "q_token_shards",
+    "q_stream_incremental_dedup",
     "q_change_counts_windowed",
     "q_repetition",
     "q_corpus_clean",

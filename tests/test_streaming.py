@@ -1217,6 +1217,75 @@ class TestFullPipeline:
         assert got == expected
 
 
+class TestDedupIngestSink:
+    def test_streaming_dedup_admits_first_copies_and_replays_idempotently(
+        self, spark, tmp_path
+    ):
+        """Two micro-batches with in-batch and cross-batch duplicates:
+        only first copies are admitted (earlier batch wins); a replayed
+        batch admits nothing (at-least-once absorbed); a RESUMED stream
+        over the same checkpoint picks up a new file and dedups it
+        against everything accepted before."""
+        import os
+
+        import pyarrow as pa_
+        import pyarrow.parquet as pq_
+
+        from spark_binlog_spark.streaming.dedup_sink import (
+            DedupIngestSink,
+            run_dedup_ingest,
+        )
+
+        def write_docs(name, rows, mtime):
+            path = str(tmp_path / "docs" / name)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pq_.write_table(
+                pa_.table(
+                    {
+                        "doc_id": pa_.array([r[0] for r in rows], pa_.int64()),
+                        "text": pa_.array([r[1] for r in rows], pa_.string()),
+                    }
+                ),
+                path,
+            )
+            os.utime(path, (mtime, mtime))
+            return path
+
+        # batch 0: one internal dup pair (1 wins over 3)
+        write_docs("b0.parquet", [(1, "alpha beta"), (2, "gamma"), (3, "Alpha  Beta")], 1e9)
+        # batch 1: cross-batch dup of doc 2, internal dup pair, one new
+        write_docs(
+            "b1.parquet",
+            [(10, "GAMMA"), (11, "delta"), (12, "delta"), (13, "epsilon")],
+            1e9 + 100,
+        )
+        store = str(tmp_path / "store")
+        sink = run_dedup_ingest(
+            spark, str(tmp_path / "docs"), store, str(tmp_path / "ck"),
+            "doc_id long, text string",
+        )
+        accepted = {r["doc_id"] for r in sink.accepted().collect()}
+        assert accepted == {1, 2, 11, 13}
+        assert [n for _, n in sink.admitted_batches] == [2, 2]
+
+        # at-least-once replay: the same batch admits nothing
+        sink2 = DedupIngestSink(spark, store)
+        sink2(
+            spark.createDataFrame([(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"),
+            99,
+        )
+        assert sink2.admitted_batches == [(99, 0)]
+        assert {r["doc_id"] for r in sink2.accepted().collect()} == {1, 2, 11, 13}
+
+        # resume: a THIRD file appears; same checkpoint, only new text admitted
+        write_docs("b2.parquet", [(20, "alpha beta"), (21, "zeta")], 1e9 + 200)
+        sink3 = run_dedup_ingest(
+            spark, str(tmp_path / "docs"), store, str(tmp_path / "ck"),
+            "doc_id long, text string",
+        )
+        assert {r["doc_id"] for r in sink3.accepted().collect()} == {1, 2, 11, 13, 21}
+
+
 class TestRegionPartitionedStore:
     def test_pruned_scan_and_identical_stream(self, spark, tmp_path):
         """A region-partitioned store must (a) let a region task open
