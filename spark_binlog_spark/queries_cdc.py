@@ -282,7 +282,7 @@ FROM enc
 """
 
 
-_SEG_STORE_CACHE: dict[tuple[str, int], tuple[str, int]] = {}
+_SEG_STORE_CACHE: dict[tuple, tuple[str, int]] = {}
 
 
 def _segmented_store(events_path: str, n_segments: int = 4) -> tuple[str, int]:
@@ -294,7 +294,12 @@ def _segmented_store(events_path: str, n_segments: int = 4) -> tuple[str, int]:
 
     from spark_binlog_spark.sources.binlog_fixture import write_segments
 
-    key = (events_path, n_segments)
+    import os
+
+    st = os.stat(events_path)
+    # mtime+size in the key: a fixture regenerated in-place at the same
+    # path must invalidate the cached split
+    key = (events_path, n_segments, st.st_mtime_ns, st.st_size)
     if key not in _SEG_STORE_CACHE:
         seg_dir = tempfile.mkdtemp(prefix="binlog_seg_")
         eps = write_segments(events_path, seg_dir, n_segments=n_segments)

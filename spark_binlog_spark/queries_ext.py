@@ -921,7 +921,11 @@ ORACLE["q_incremental_dedup"] = """
 WITH seen AS (SELECT DISTINCT md5(text) AS seen_hash FROM documents WHERE doc_id % 2 = 0),
 new_docs AS (SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id % 2 = 1),
 fresh AS (
-  SELECT * FROM new_docs WHERE text_hash NOT IN (SELECT seen_hash FROM seen)
+  -- NOT EXISTS, not NOT IN: one NULL hash in `seen` would null out the
+  -- whole NOT IN predicate, while the Spark side's left_anti join
+  -- never matches null keys — NOT EXISTS has the anti-join semantics
+  SELECT n.* FROM new_docs n
+  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.seen_hash = n.text_hash)
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn FROM fresh
@@ -978,7 +982,7 @@ a1 AS (
 a2 AS (
   SELECT doc_id, fp_md5 FROM (
     SELECT *, row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) AS rn FROM b2
-  ) WHERE rn = 1 AND fp_md5 NOT IN (SELECT fp_md5 FROM a1)
+  ) r WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM a1 WHERE a1.fp_md5 = r.fp_md5)
 )
 SELECT doc_id, fp_md5 FROM a1 UNION ALL SELECT doc_id, fp_md5 FROM a2
 """

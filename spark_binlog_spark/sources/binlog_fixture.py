@@ -646,7 +646,18 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         position Spark handed us, as a read floor: Spark's own position
         moves back to the regressed end, so later batches legitimately
         span already-committed offsets — the floor clamps those reads
-        to re-deliver nothing."""
+        to re-deliver nothing.
+
+        Scope: the floor lives for this reader's process lifetime —
+        enough to cover the restart that created the regression.  If
+        the stream is stopped AGAIN before the clamped batches commit
+        past the old position, a third process starts with no floor
+        and the already-rewound offset log replays the gap (the Python
+        stream API offers no committed-offset input or source-side
+        state to persist the floor into).  Downstream idempotent sinks
+        (cdc_apply merge, DedupIngestSink) absorb that replay; pair a
+        capped source with an idempotent sink if double restarts
+        mid-catch-up are a concern."""
         for off in (s, e):
             if self._cur is None or off > self._cur:
                 self._cur = off

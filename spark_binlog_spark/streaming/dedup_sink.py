@@ -9,16 +9,21 @@ anti-join + one in-batch first-copy window per micro-batch.  No
 full-corpus rescan ever happens.
 
 Exactly-once: foreachBatch is at-least-once under hard crashes.  The
-sink is idempotent because admission anti-joins against the SWAPPED-IN
+sink is idempotent because admission anti-joins against the published
 store: a replayed batch finds its own fingerprints already present and
-admits nothing.  The store update is a single crash-safe directory
-swap (``swap.safe_swap`` — a complete copy exists at every instant;
-``recover_dir`` repairs any crash point at construction), so there is
-no window where the docs landed but their fingerprints did not.
+admits nothing.  Publication is APPEND-ONLY and per-fingerprint
+convergent: each batch's fresh rows are written aside and then moved
+into the store one ``os.replace`` at a time (atomic per file — a
+half-written file is never visible), so a crash mid-publish leaves a
+prefix of the batch in the store and the replay re-admits exactly the
+missing remainder.
 
 Scale: the batch side is small (one micro-batch); the store side is
-the corpus-so-far.  The anti-join's shuffle is bounded by the batch —
-at 100 TB keep the store bucketed by ``fp48 % N`` so the join prunes to
+the corpus-so-far but is only ever SCANNED for the anti-join, never
+rewritten — per-batch write I/O is O(admitted batch), not O(corpus)
+(an earlier draft rewrote the whole store per batch; at B batches
+that is quadratic and unusable for a long-running ingest).  At 100 TB
+keep the store bucketed by ``fp48 % N`` so the anti-join prunes to
 matching buckets (same layout note as the batch query); the fixture
 store stays a flat parquet dir for container-freedom.
 """
@@ -29,9 +34,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_binlog_spark.functions.text import fingerprint
-from spark_binlog_spark.streaming.swap import recover_dir, safe_swap
 
 ACCEPTED_COLS = ["doc_id", "fp_md5", "fp48"]
+ACCEPTED_SCHEMA = "doc_id long, fp_md5 string, fp48 long"
 
 
 class DedupIngestSink:
@@ -41,45 +46,58 @@ class DedupIngestSink:
 
     def __init__(self, spark: SparkSession, store_dir: str):
         import os
+        import shutil
 
         self.spark = spark
         self.store_dir = store_dir
         self.admitted_batches: list[tuple[int, int]] = []  # (batch_id, n_admitted)
-        recover_dir(store_dir)
-        if not os.path.isdir(store_dir):
-            empty = spark.createDataFrame([], "doc_id long, fp_md5 string, fp48 long")
-            empty.write.mode("overwrite").parquet(store_dir)
+        os.makedirs(store_dir, exist_ok=True)
+        # a crashed publish leaves only a write-aside dir; its moved
+        # prefix is already live and the replay re-admits the rest
+        for leftover in [p for p in os.listdir(store_dir) if p.startswith("_aside")]:
+            shutil.rmtree(os.path.join(store_dir, leftover), ignore_errors=True)
 
     @property
     def admitted_rows(self) -> int:
         return sum(n for _, n in self.admitted_batches)
 
     def accepted(self) -> DataFrame:
-        return self.spark.read.schema("doc_id long, fp_md5 string, fp48 long").parquet(
-            self.store_dir
-        )
+        return self.spark.read.schema(ACCEPTED_SCHEMA).parquet(self.store_dir)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        fp = fingerprint(batch_df).persist()
+        import glob
+        import os
+        import shutil
+
+        # in-batch first copy (smallest doc_id per fingerprint)...
+        fp = fingerprint(batch_df)
+        w = Window.partitionBy("fp_md5").orderBy("doc_id")
+        firsts = fp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        # ...then anti-join the store-so-far; replayed batches find
+        # their own fingerprints and admit nothing (idempotence).
+        # persist: counted once AND published once below
+        fresh = (
+            firsts.join(self.accepted(), "fp_md5", "left_anti")
+            .select(*ACCEPTED_COLS)
+            .persist()
+        )
         try:
-            # in-batch first copy (smallest doc_id per fingerprint)...
-            w = Window.partitionBy("fp_md5").orderBy("doc_id")
-            firsts = fp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-            # ...then anti-join the store-so-far; replayed batches find
-            # their own fingerprints and admit nothing (idempotence)
-            fresh = firsts.join(self.accepted(), "fp_md5", "left_anti").select(*ACCEPTED_COLS)
             n = fresh.count()
             if n == 0:
                 self.admitted_batches.append((batch_id, 0))
                 return
-            tmp = self.store_dir + f".b{batch_id}"
-            self.accepted().select(*ACCEPTED_COLS).unionByName(fresh).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            safe_swap(self.store_dir, tmp)
+            # append-only publish: write aside (inside the store dir so
+            # os.replace stays same-filesystem; Spark's reader skips
+            # underscore-prefixed dirs), then move each part file into
+            # place atomically
+            aside = os.path.join(self.store_dir, f"_aside_b{batch_id}")
+            fresh.write.mode("overwrite").parquet(aside)
+            for i, part in enumerate(sorted(glob.glob(os.path.join(aside, "part-*")))):
+                os.replace(part, os.path.join(self.store_dir, f"b{batch_id}-{i:05d}.parquet"))
+            shutil.rmtree(aside, ignore_errors=True)
             self.admitted_batches.append((batch_id, n))
         finally:
-            fp.unpersist()
+            fresh.unpersist()
 
 
 def run_dedup_ingest(

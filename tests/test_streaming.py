@@ -648,12 +648,16 @@ class TestFixtureSource:
                 if len(seen) >= target:
                     break
                 time.sleep(0.2)
+            # drain AND COMMIT everything available before stopping —
+            # stopping right after foreachBatch filled `seen` could
+            # leave that batch uncommitted, and its legitimate replay
+            # would then look like a re-delivery to the assertions below
+            q.processAllAvailable()
             q.stop()
             q.awaitTermination()
 
         phase1 = []
         run_until(n_half, phase1)
-        # drain fully: wait one extra poll round for a trailing batch
         assert sorted(set(phase1)) == list(range(n_half))
         assert len(phase1) == len(set(phase1))  # no dupes in phase 1
 
