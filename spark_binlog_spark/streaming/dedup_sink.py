@@ -92,8 +92,18 @@ class DedupIngestSink:
             # place atomically
             aside = os.path.join(self.store_dir, f"_aside_b{batch_id}")
             fresh.write.mode("overwrite").parquet(aside)
+            # publish names are unique PER ATTEMPT (uuid): a replay
+            # after a crash mid-publish admits only the remainder, and
+            # reusing attempt-0's names would os.replace-overwrite the
+            # already-published prefix and lose its fingerprints
+            import uuid
+
+            attempt = uuid.uuid4().hex[:8]
             for i, part in enumerate(sorted(glob.glob(os.path.join(aside, "part-*")))):
-                os.replace(part, os.path.join(self.store_dir, f"b{batch_id}-{i:05d}.parquet"))
+                os.replace(
+                    part,
+                    os.path.join(self.store_dir, f"b{batch_id}-{attempt}-{i:05d}.parquet"),
+                )
             shutil.rmtree(aside, ignore_errors=True)
             self.admitted_batches.append((batch_id, n))
         finally:

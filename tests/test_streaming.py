@@ -1289,6 +1289,25 @@ class TestDedupIngestSink:
         )
         assert {r["doc_id"] for r in sink3.accepted().collect()} == {1, 2, 11, 13, 21}
 
+    def test_crash_mid_publish_replay_preserves_published_prefix(self, spark, tmp_path):
+        """Crash between part-file moves: the first attempt published
+        only a prefix of the batch ({eta}); the replay of the SAME
+        batch id admits the remainder — and must not overwrite the
+        prefix's store file (publish names are unique per attempt)."""
+        from spark_binlog_spark.streaming.dedup_sink import DedupIngestSink
+
+        store = str(tmp_path / "store")
+        sink = DedupIngestSink(spark, store)
+        # attempt 1 got only the first doc in before "crashing"
+        sink(spark.createDataFrame([(1, "eta")], "doc_id long, text string"), 7)
+        # replay of batch 7 with its full content
+        sink2 = DedupIngestSink(spark, store)
+        sink2(
+            spark.createDataFrame([(1, "eta"), (2, "theta")], "doc_id long, text string"),
+            7,
+        )
+        assert {r["doc_id"] for r in sink2.accepted().collect()} == {1, 2}
+
 
 class TestRegionPartitionedStore:
     def test_pruned_scan_and_identical_stream(self, spark, tmp_path):
