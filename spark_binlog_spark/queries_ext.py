@@ -988,6 +988,77 @@ SELECT doc_id, fp_md5 FROM a1 UNION ALL SELECT doc_id, fp_md5 FROM a2
 """
 
 
+def q_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup admission under the oracle: documents arrive
+    as two micro-batches (even ids, then odd ids) through a real
+    Structured Streaming query into the NearDupIngestSink (MinHash
+    band-join admission, min_agree=2 of 8 bands, bucketed signature
+    index, atomic per-batch publish); the admitted doc set must equal
+    the batch-sequential recompute: batch-0 survivors form the index,
+    batch-1 docs are rejected on >=2-band agreement with any admitted
+    doc or any smaller-id doc in their own batch."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from spark_binlog_spark.streaming.neardup_sink import run_neardup_ingest
+
+    d = tempfile.mkdtemp(prefix="neardup_ingest_")
+    docs_dir = os.path.join(d, "docs")
+    os.makedirs(docs_dir)
+    tbl = pds.dataset(f"{sf_dir}/documents.parquet").to_table()
+    parity = pc.bit_wise_and(tbl["doc_id"], 1)
+    for i, mask in enumerate([pc.equal(parity, 0), pc.equal(parity, 1)]):
+        path = os.path.join(docs_dir, f"batch-{i}.parquet")
+        pq.write_table(tbl.filter(mask), path)
+        os.utime(path, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sink = run_neardup_ingest(
+        spark, docs_dir, os.path.join(d, "store"), os.path.join(d, "ck"), schema,
+        min_agree=2,
+    )
+    return sink.accepted()
+
+
+ORACLE["q_stream_neardup_dedup"] = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashed AS ({_HASHED_SQL}),
+sig AS (
+{_minhash_sig_sql()}
+),
+b0 AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+b1 AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+-- in-batch rule: rejected by some smaller-id doc in the same batch
+rej0 AS (
+  SELECT DISTINCT b.doc_id FROM b0 a
+  JOIN b0 b ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+),
+adm0 AS (SELECT DISTINCT doc_id FROM b0
+         WHERE NOT EXISTS (SELECT 1 FROM rej0 WHERE rej0.doc_id = b0.doc_id)),
+idx AS (SELECT s.* FROM sig s JOIN adm0 ON s.doc_id = adm0.doc_id),
+-- batch 1 vs the admitted index: some SINGLE index doc agrees >= 2
+rej1x AS (
+  SELECT DISTINCT s.doc_id FROM b1 s
+  JOIN idx i ON s.seed = i.seed AND s.minhash = i.minhash
+  GROUP BY s.doc_id, i.doc_id HAVING count(DISTINCT s.seed) >= 2
+),
+rej1b AS (
+  SELECT DISTINCT b.doc_id FROM b1 a
+  JOIN b1 b ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+),
+adm1 AS (SELECT DISTINCT doc_id FROM b1
+         WHERE NOT EXISTS (SELECT 1 FROM rej1x WHERE rej1x.doc_id = b1.doc_id)
+           AND NOT EXISTS (SELECT 1 FROM rej1b WHERE rej1b.doc_id = b1.doc_id))
+SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus report card per (source, lang): doc counts, exact median
     length, mean stopword ratio, and exact-duplicate counts — the

@@ -94,6 +94,7 @@ TAIL = [
     "q_quality_prune",
     "q_token_shards",
     "q_stream_incremental_dedup",
+    "q_stream_neardup_dedup",
     "q_change_counts_windowed",
     "q_repetition",
     "q_corpus_clean",

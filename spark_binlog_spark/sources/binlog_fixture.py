@@ -254,14 +254,32 @@ def _encode_batch_vectorized(
     # integer-valued TOP-LEVEL k only: [^{}] forbids crossing into a
     # nested object (so {"a":{"k":9}} -> null, like the scalar
     # json.loads spec) and the [,}] tail rejects float payloads (so
-    # {"k":5.0} -> null, not a truncated 5).  Known approximation: a
-    # top-level k AFTER a nested value ({"x":{"a":1},"k":2}) is missed
-    # (RE2 cannot balance braces); the scalar path would find it.
-    k = pc.extract_regex(
-        pc.cast(batch.column("props"), pa.string()),
-        r'^\s*\{[^{}]*"k"\s*:\s*(?P<k>-?\d+)\s*[,}]',
+    # {"k":5.0} -> null, not a truncated 5).
+    props_str = pc.cast(batch.column("props"), pa.string())
+    k = pc.extract_regex(props_str, r'^\s*\{[^{}]*"k"\s*:\s*(?P<k>-?\d+)\s*[,}]')
+    k = pc.struct_field(k, "k")
+    # RE2 cannot balance braces, so a top-level k AFTER a nested value
+    # ({"x":{"a":1},"k":2}) misses above.  Route only the missed rows
+    # that still mention "k" through the scalar json.loads spec and
+    # scatter the results back — the hot path stays pure-arrow and the
+    # two encoders agree on every payload shape.
+    miss = pc.fill_null(
+        pc.and_kleene(pc.is_null(k), pc.match_substring_regex(props_str, r'"k"\s*:')),
+        False,
     )
-    k = pc.fill_null(pc.struct_field(k, "k"), "null")
+    if pc.any(miss).as_py():
+        vals = []
+        for s in pc.filter(props_str, miss).to_pylist():
+            try:
+                payload = json.loads(s)
+                kv = payload.get("k") if isinstance(payload, dict) else None
+                vals.append(
+                    str(kv) if isinstance(kv, int) and not isinstance(kv, bool) else None
+                )
+            except (TypeError, ValueError):
+                vals.append(None)
+        k = pc.replace_with_mask(k, miss, pa.array(vals, pa.string()))
+    k = pc.fill_null(k, "null")
     # region (HBase WAL) mode is schema-less -> "schema":null; MySQL mode
     # embeds the row StructType JSON, escaped once as a constant.  Under
     # a schema epoch, events at-or-after the flip ship the v2 schema and

@@ -18,17 +18,27 @@ half-written file is never visible), so a crash mid-publish leaves a
 prefix of the batch in the store and the replay re-admits exactly the
 missing remainder.
 
-Scale: the batch side is small (one micro-batch); the store side is
-the corpus-so-far but is only ever SCANNED for the anti-join, never
-rewritten — per-batch write I/O is O(admitted batch), not O(corpus)
-(an earlier draft rewrote the whole store per batch; at B batches
-that is quadratic and unusable for a long-running ingest).  At 100 TB
-keep the store bucketed by ``fp48 % N`` so the anti-join prunes to
-matching buckets (same layout note as the batch query); the fixture
-store stays a flat parquet dir for container-freedom.
+Scale — the store is BUCKETED by ``fp48 % n_buckets`` (hive-style
+``bucket=K/`` subdirectories): per micro-batch, admission reads ONLY
+the bucket directories the batch's own fingerprints hash into, so
+both write I/O (O(admitted batch)) AND read I/O (O(store ∩ batch
+buckets)) stay bounded as the corpus grows.  An earlier draft scanned
+the whole accepted store per trigger — read cost O(corpus-so-far),
+unusable for a long-running 100 TB ingest; the bucketed layout is the
+same bounded-recovery idea as the reference's per-key WAL map
+(OriginalSourceServerInExecutor.scala:31-43: recovery touches one
+key's queue, never the whole WAL).  At real corpus scale raise
+``n_buckets`` so each bucket dir stays a few files wide (the driver
+collects at most ``n_buckets`` scalars per batch to plan the pruned
+read — never data rows).
 """
 
 from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -44,13 +54,13 @@ class DedupIngestSink:
     accepted so far (reference-free — this is pipeline machinery the
     training-data extensions add on top of the CDC engine)."""
 
-    def __init__(self, spark: SparkSession, store_dir: str):
-        import os
-        import shutil
-
+    def __init__(self, spark: SparkSession, store_dir: str, n_buckets: int = 16):
         self.spark = spark
         self.store_dir = store_dir
+        self.n_buckets = n_buckets
         self.admitted_batches: list[tuple[int, int]] = []  # (batch_id, n_admitted)
+        # (batch_id, buckets_scanned, files_scanned) — the pruning receipt
+        self.scan_stats: list[tuple[int, int, int]] = []
         os.makedirs(store_dir, exist_ok=True)
         # a crashed publish leaves only a write-aside dir; its moved
         # prefix is already live and the replay re-admits the rest
@@ -61,53 +71,90 @@ class DedupIngestSink:
     def admitted_rows(self) -> int:
         return sum(n for _, n in self.admitted_batches)
 
+    def store_files(self) -> list[str]:
+        return glob.glob(os.path.join(self.store_dir, "bucket=*", "*.parquet"))
+
     def accepted(self) -> DataFrame:
-        return self.spark.read.schema(ACCEPTED_SCHEMA).parquet(self.store_dir)
+        """The full deduplicated corpus (all buckets; the partition
+        column is path-derived, no data read beyond the three real
+        columns)."""
+        return (
+            self.spark.read.schema(ACCEPTED_SCHEMA + ", bucket int")
+            .parquet(self.store_dir)
+            .drop("bucket")
+        )
+
+    def _accepted_for(self, buckets: list[int], batch_id: int) -> DataFrame:
+        """Store slice for the admission anti-join: only the bucket
+        dirs this batch's fingerprints hash into.  Each leaf dir is its
+        own base path, so no partition discovery and no other bucket's
+        files are ever opened."""
+        paths = [
+            p
+            for b in buckets
+            if os.path.isdir(p := os.path.join(self.store_dir, f"bucket={b}"))
+        ]
+        n_files = sum(len(glob.glob(os.path.join(p, "*.parquet"))) for p in paths)
+        self.scan_stats.append((batch_id, len(paths), n_files))
+        if not paths:
+            return self.spark.createDataFrame([], ACCEPTED_SCHEMA)
+        return self.spark.read.schema(ACCEPTED_SCHEMA).parquet(*paths)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        import glob
-        import os
-        import shutil
-
-        # in-batch first copy (smallest doc_id per fingerprint)...
+        # in-batch first copy (smallest doc_id per fingerprint), with
+        # the store bucket each fingerprint belongs to
         fp = fingerprint(batch_df)
         w = Window.partitionBy("fp_md5").orderBy("doc_id")
-        firsts = fp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-        # ...then anti-join the store-so-far; replayed batches find
-        # their own fingerprints and admit nothing (idempotence).
-        # persist: counted once AND published once below
-        fresh = (
-            firsts.join(self.accepted(), "fp_md5", "left_anti")
-            .select(*ACCEPTED_COLS)
+        firsts = (
+            fp.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .withColumn("bucket", F.pmod(F.col("fp48"), F.lit(self.n_buckets)).cast("int"))
             .persist()
         )
         try:
-            n = fresh.count()
-            if n == 0:
-                self.admitted_batches.append((batch_id, 0))
-                return
-            # append-only publish: write aside (inside the store dir so
-            # os.replace stays same-filesystem; Spark's reader skips
-            # underscore-prefixed dirs), then move each part file into
-            # place atomically
-            aside = os.path.join(self.store_dir, f"_aside_b{batch_id}")
-            fresh.write.mode("overwrite").parquet(aside)
-            # publish names are unique PER ATTEMPT (uuid): a replay
-            # after a crash mid-publish admits only the remainder, and
-            # reusing attempt-0's names would os.replace-overwrite the
-            # already-published prefix and lose its fingerprints
-            import uuid
-
-            attempt = uuid.uuid4().hex[:8]
-            for i, part in enumerate(sorted(glob.glob(os.path.join(aside, "part-*")))):
-                os.replace(
-                    part,
-                    os.path.join(self.store_dir, f"b{batch_id}-{attempt}-{i:05d}.parquet"),
-                )
-            shutil.rmtree(aside, ignore_errors=True)
-            self.admitted_batches.append((batch_id, n))
+            # ≤ n_buckets scalars to the driver — a plan step, not data
+            buckets = sorted(r[0] for r in firsts.select("bucket").distinct().collect())
+            # ...then anti-join ONLY the matching store buckets;
+            # replayed batches find their own fingerprints and admit
+            # nothing (idempotence).  persist: counted + published once
+            fresh = (
+                firsts.join(self._accepted_for(buckets, batch_id), "fp_md5", "left_anti")
+                .select(*ACCEPTED_COLS, "bucket")
+                .persist()
+            )
+            try:
+                n = fresh.count()
+                if n == 0:
+                    self.admitted_batches.append((batch_id, 0))
+                    return
+                # append-only publish: write aside (inside the store dir
+                # so os.replace stays same-filesystem; Spark's reader
+                # skips underscore-prefixed dirs), bucket-partitioned,
+                # then move each part file into its bucket dir atomically
+                aside = os.path.join(self.store_dir, f"_aside_b{batch_id}")
+                fresh.write.partitionBy("bucket").mode("overwrite").parquet(aside)
+                # publish names are unique PER ATTEMPT (uuid): a replay
+                # after a crash mid-publish admits only the remainder,
+                # and reusing attempt-0's names would os.replace-
+                # overwrite the already-published prefix and lose its
+                # fingerprints
+                attempt = uuid.uuid4().hex[:8]
+                i = 0
+                for bdir in sorted(glob.glob(os.path.join(aside, "bucket=*"))):
+                    dest = os.path.join(self.store_dir, os.path.basename(bdir))
+                    os.makedirs(dest, exist_ok=True)
+                    for part in sorted(glob.glob(os.path.join(bdir, "part-*"))):
+                        os.replace(
+                            part,
+                            os.path.join(dest, f"b{batch_id}-{attempt}-{i:05d}.parquet"),
+                        )
+                        i += 1
+                shutil.rmtree(aside, ignore_errors=True)
+                self.admitted_batches.append((batch_id, n))
+            finally:
+                fresh.unpersist()
         finally:
-            fresh.unpersist()
+            firsts.unpersist()
 
 
 def run_dedup_ingest(
@@ -117,11 +164,12 @@ def run_dedup_ingest(
     checkpoint_dir: str,
     schema,
     max_files_per_trigger: int = 1,
+    n_buckets: int = 16,
 ) -> DedupIngestSink:
     """Stream a directory of document files (one micro-batch per file
     by default) through the dedup sink via availableNow; returns the
     sink whose ``accepted()`` is the deduplicated corpus."""
-    sink = DedupIngestSink(spark, store_dir)
+    sink = DedupIngestSink(spark, store_dir, n_buckets=n_buckets)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -57,6 +57,11 @@ class TestArrowEncoderParity:
             (5, T0 + 5 * 10**9, 6, "click", 1.0, json.dumps({"k": 5.0})),
             # k only inside a nested object -> null on BOTH paths
             (6, T0 + 6 * 10**9, 7, "click", 1.0, json.dumps({"a": {"k": 9}})),
+            # top-level k AFTER a nested value: beyond RE2 brace
+            # balancing — the vectorized scalar-fallback must find it
+            (8, T0 + 8 * 10**9, 9, "click", 1.0, json.dumps({"x": {"a": 1}, "k": 2})),
+            # ...and the fallback must still reject non-int k there
+            (9, T0 + 9 * 10**9, 10, "click", 1.0, json.dumps({"x": {"a": 1}, "k": 2.5})),
             # null event_type -> op 'update' on BOTH paths (never a
             # null wire line)
             (7, T0 + 7 * 10**9, 8, None, 1.0, json.dumps({"k": 1})),
@@ -1289,6 +1294,54 @@ class TestDedupIngestSink:
         )
         assert {r["doc_id"] for r in sink3.accepted().collect()} == {1, 2, 11, 13, 21}
 
+    def test_admission_reads_only_matching_bucket_files(self, spark, tmp_path):
+        """The accepted store is bucketed by fp48 % n_buckets: a later
+        batch's admission anti-join must open ONLY the store files in
+        its own fingerprints' buckets — never the whole corpus-so-far.
+        The fragment receipt (scan_stats) proves the pruned read, and a
+        replay of an already-admitted doc still dedups correctly
+        through the pruned path."""
+        import glob
+        import os
+
+        from spark_binlog_spark.streaming.dedup_sink import DedupIngestSink
+
+        store = str(tmp_path / "store")
+        sink = DedupIngestSink(spark, store, n_buckets=16)
+        # batch 0: 64 distinct docs → fingerprints spread over many buckets
+        sink(
+            spark.createDataFrame(
+                [(i, f"document number {i} unique words") for i in range(64)],
+                "doc_id long, text string",
+            ),
+            0,
+        )
+        total_files = len(sink.store_files())
+        assert total_files >= 8  # the store really is spread over buckets
+        occupied = {os.path.basename(os.path.dirname(f)) for f in sink.store_files()}
+        assert len(occupied) >= 8 and all(d.startswith("bucket=") for d in occupied)
+
+        # batch 1: ONE new doc + ONE dup of doc 3 → at most 2 buckets touched
+        sink(
+            spark.createDataFrame(
+                [(100, "a brand new document"), (101, "document number 3 unique words")],
+                "doc_id long, text string",
+            ),
+            1,
+        )
+        bid, n_buckets_scanned, n_files_scanned = sink.scan_stats[-1]
+        assert bid == 1
+        assert n_buckets_scanned <= 2
+        assert n_files_scanned < total_files  # strict pruning, not a full scan
+        # correctness through the pruned path: dup dropped, new admitted
+        assert dict(sink.admitted_batches) == {0: 64, 1: 1}
+        assert 100 in {r["doc_id"] for r in sink.accepted().collect()}
+        assert 101 not in {r["doc_id"] for r in sink.accepted().collect()}
+
+        # publish only ever touches the batch's own buckets
+        b1_files = [f for f in sink.store_files() if os.path.basename(f).startswith("b1-")]
+        assert len({os.path.dirname(f) for f in b1_files}) == 1
+
     def test_crash_mid_publish_replay_preserves_published_prefix(self, spark, tmp_path):
         """Crash between part-file moves: the first attempt published
         only a prefix of the batch ({eta}); the replay of the SAME
@@ -1307,6 +1360,124 @@ class TestDedupIngestSink:
             7,
         )
         assert {r["doc_id"] for r in sink2.accepted().collect()} == {1, 2}
+
+
+class TestNearDupIngestSink:
+    DOCS = [
+        # batch 0: 2 is a light rewrite of 1 (shares most shingles); 3 distinct
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+        (3, "completely different text about streaming analytics engines"),
+        # batch 1: 10 near-dups admitted doc 1; 11 new; 12 near-dups 11 in-batch
+        (10, "the quick brown fox jumps over the lazy dog again and once more"),
+        (11, "an entirely novel document about bucketed signature indexes"),
+        (12, "an entirely novel document about bucketed signature INDEXES"),
+    ]
+
+    def _run(self, spark, tmp_path, **kw):
+        import os
+
+        import pyarrow as pa_
+        import pyarrow.parquet as pq_
+
+        from spark_binlog_spark.streaming.neardup_sink import run_neardup_ingest
+
+        docs = str(tmp_path / "docs")
+        os.makedirs(docs, exist_ok=True)
+        for i, rows in enumerate([self.DOCS[:3], self.DOCS[3:]]):
+            p = os.path.join(docs, f"b{i}.parquet")
+            pq_.write_table(
+                pa_.table(
+                    {
+                        "doc_id": pa_.array([r[0] for r in rows], pa_.int64()),
+                        "text": pa_.array([r[1] for r in rows], pa_.string()),
+                    }
+                ),
+                p,
+            )
+            os.utime(p, (1e9 + i * 100, 1e9 + i * 100))
+        return run_neardup_ingest(
+            spark, docs, str(tmp_path / "store"), str(tmp_path / "ck"),
+            "doc_id long, text string", **kw,
+        )
+
+    def test_admission_and_replay_idempotence(self, spark, tmp_path):
+        """Batch-sequential near-dup admission: in-batch smaller id
+        wins, cross-batch the index wins; a replayed batch admits
+        nothing (self-match on all bands)."""
+        from spark_binlog_spark.streaming.neardup_sink import NearDupIngestSink
+
+        sink = self._run(spark, tmp_path, min_agree=2)
+        accepted = {r["doc_id"] for r in sink.accepted().collect()}
+        assert accepted == {1, 3, 11}
+        assert dict(sink.admitted_batches) == {0: 2, 1: 1}
+
+        # at-least-once replay of batch 1's content: admits nothing
+        sink2 = NearDupIngestSink(spark, str(tmp_path / "store"), min_agree=2)
+        sink2(
+            spark.createDataFrame(self.DOCS[3:], "doc_id long, text string"), 99
+        )
+        assert sink2.admitted_batches == [(99, 0)]
+        assert {r["doc_id"] for r in sink2.accepted().collect()} == {1, 3, 11}
+
+    def test_crash_before_publish_leaves_nothing(self, spark, tmp_path):
+        """Atomic per-batch publish: an aside dir from a crashed
+        attempt is invisible to the index and swept on restart."""
+        import os
+
+        from spark_binlog_spark.streaming.neardup_sink import NearDupIngestSink
+
+        store = str(tmp_path / "store")
+        sink = NearDupIngestSink(spark, store, min_agree=2)
+        sink(spark.createDataFrame(self.DOCS[:3], "doc_id long, text string"), 0)
+        # simulate a crash AFTER the aside write, BEFORE the rename:
+        # rebuild the aside from a published delta, then restart
+        deltas = [p for p in os.listdir(store) if p.startswith("d_b0")]
+        assert len(deltas) == 1
+        os.rename(
+            os.path.join(store, deltas[0]), os.path.join(store, "_aside_b0_dead")
+        )
+        sink2 = NearDupIngestSink(spark, store, min_agree=2)
+        assert not os.path.exists(os.path.join(store, "_aside_b0_dead"))
+        assert sink2.accepted().count() == 0
+        # the replay then re-admits the full batch
+        sink2(spark.createDataFrame(self.DOCS[:3], "doc_id long, text string"), 0)
+        assert {r["doc_id"] for r in sink2.accepted().collect()} == {1, 3}
+
+    def test_band_join_reads_only_matching_buckets(self, spark, tmp_path):
+        """The signature index is bucketed by minhash % n_buckets: a
+        later batch's band join must open only its own band values'
+        bucket dirs, not the whole index."""
+        from spark_binlog_spark.streaming.neardup_sink import NearDupIngestSink
+
+        store = str(tmp_path / "store")
+        sink = NearDupIngestSink(spark, store, min_agree=2, n_buckets=64)
+        sink(
+            spark.createDataFrame(
+                [(i, f"wholly distinct document number {i} with words {i * 7}")
+                 for i in range(48)],
+                "doc_id long, text string",
+            ),
+            0,
+        )
+        import glob
+        import os
+
+        total = len(glob.glob(os.path.join(store, "d_*", "bucket=*", "*.parquet")))
+        occupied = {
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(store, "d_*", "bucket=*"))
+        }
+        assert len(occupied) >= 16  # the index really is spread over buckets
+        # one tiny batch: 8 bands → at most 8 bucket dirs probed
+        sink(
+            spark.createDataFrame(
+                [(100, "one single probe document here")], "doc_id long, text string"
+            ),
+            1,
+        )
+        bid, n_buckets_scanned, n_files = sink.scan_stats[-1]
+        assert bid == 1 and n_buckets_scanned <= 8 and n_files < total
 
 
 class TestRegionPartitionedStore:
