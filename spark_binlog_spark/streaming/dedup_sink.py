@@ -54,18 +54,29 @@ class DedupIngestSink:
     accepted so far (reference-free — this is pipeline machinery the
     training-data extensions add on top of the CDC engine)."""
 
-    def __init__(self, spark: SparkSession, store_dir: str, n_buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        n_buckets: int = 16,
+        compact_threshold: int = 8,
+    ):
         self.spark = spark
         self.store_dir = store_dir
         self.n_buckets = n_buckets
+        self.compact_threshold = compact_threshold
         self.admitted_batches: list[tuple[int, int]] = []  # (batch_id, n_admitted)
         # (batch_id, buckets_scanned, files_scanned) — the pruning receipt
         self.scan_stats: list[tuple[int, int, int]] = []
+        self.n_compactions = 0
         os.makedirs(store_dir, exist_ok=True)
         # a crashed publish leaves only a write-aside dir; its moved
         # prefix is already live and the replay re-admits the rest
         for leftover in [p for p in os.listdir(store_dir) if p.startswith("_aside")]:
             shutil.rmtree(os.path.join(store_dir, leftover), ignore_errors=True)
+        # ...and a crashed compaction leaves only a hidden .tmp file
+        for tmp in glob.glob(os.path.join(store_dir, "bucket=*", "_compact*.tmp")):
+            os.remove(tmp)
 
     @property
     def admitted_rows(self) -> int:
@@ -77,11 +88,15 @@ class DedupIngestSink:
     def accepted(self) -> DataFrame:
         """The full deduplicated corpus (all buckets; the partition
         column is path-derived, no data read beyond the three real
-        columns)."""
+        columns).  dropDuplicates: a crash between a compaction's
+        merged-file publish and the old-file deletes can leave the same
+        rows twice; admission is unaffected (anti-join), and the
+        distinct restores exact set semantics here."""
         return (
             self.spark.read.schema(ACCEPTED_SCHEMA + ", bucket int")
             .parquet(self.store_dir)
             .drop("bucket")
+            .dropDuplicates()
         )
 
     def _accepted_for(self, buckets: list[int], batch_id: int) -> DataFrame:
@@ -132,7 +147,14 @@ class DedupIngestSink:
                 # skips underscore-prefixed dirs), bucket-partitioned,
                 # then move each part file into its bucket dir atomically
                 aside = os.path.join(self.store_dir, f"_aside_b{batch_id}")
-                fresh.write.partitionBy("bucket").mode("overwrite").parquet(aside)
+                # repartition by bucket first: ONE file per touched
+                # bucket per batch (without it, every task × bucket pair
+                # writes its own file — a small-file explosion that
+                # makes later admission scans open hundreds of
+                # fragments per batch)
+                fresh.repartition("bucket").write.partitionBy("bucket").mode(
+                    "overwrite"
+                ).parquet(aside)
                 # publish names are unique PER ATTEMPT (uuid): a replay
                 # after a crash mid-publish admits only the remainder,
                 # and reusing attempt-0's names would os.replace-
@@ -151,10 +173,45 @@ class DedupIngestSink:
                         i += 1
                 shutil.rmtree(aside, ignore_errors=True)
                 self.admitted_batches.append((batch_id, n))
+                # only the buckets this batch touched can have grown
+                self._maybe_compact(buckets)
             finally:
                 fresh.unpersist()
         finally:
             firsts.unpersist()
+
+    def _maybe_compact(self, buckets: list[int]) -> None:
+        """Per-bucket compaction: once a bucket accumulates
+        ``compact_threshold`` batch files, merge them into one.  This
+        is what keeps per-batch admission FLAT over a long-running
+        ingest — without it every bucket holds one file per batch that
+        ever touched it, and the pruned read degenerates into
+        O(batches) file opens.  Crash-safe: the merged file is written
+        as a hidden ``.tmp`` then renamed before the olds are deleted,
+        so a crash leaves either the old files (tmp swept on restart)
+        or the merged file plus some olds (duplicate rows — harmless
+        to admission, erased by accepted()'s distinct).
+
+        Local driver-side merge (a bucket is micro-batch-files-sized
+        here); on a cluster this becomes one task per over-threshold
+        bucket — same layout, same atomicity.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for b in buckets:
+            bdir = os.path.join(self.store_dir, f"bucket={b}")
+            files = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
+            if len(files) < self.compact_threshold:
+                continue
+            merged = pa.concat_tables([pq.read_table(f) for f in files])
+            token = uuid.uuid4().hex[:8]
+            tmp = os.path.join(bdir, f"_compact_{token}.tmp")
+            pq.write_table(merged, tmp)
+            os.replace(tmp, os.path.join(bdir, f"compact-{token}.parquet"))
+            for f in files:
+                os.remove(f)
+            self.n_compactions += 1
 
 
 def run_dedup_ingest(

@@ -67,6 +67,7 @@ class NearDupIngestSink:
         min_agree: int = 2,
         n_hashes: int = N_MINHASH,
         n_buckets: int = 16,
+        compact_threshold: int = 8,
     ):
         if min_agree > n_hashes:
             raise ValueError("min_agree must be <= n_hashes for replay idempotence")
@@ -75,14 +76,19 @@ class NearDupIngestSink:
         self.min_agree = min_agree
         self.n_hashes = n_hashes
         self.n_buckets = n_buckets
+        self.compact_threshold = compact_threshold
         self.admitted_batches: list[tuple[int, int]] = []  # (batch_id, n_admitted)
         # (batch_id, buckets_scanned, files_scanned) — the pruning receipt
         self.scan_stats: list[tuple[int, int, int]] = []
+        self.n_compactions = 0
         os.makedirs(store_dir, exist_ok=True)
         # a crash before the publish rename leaves only an aside dir;
         # nothing of that attempt is visible — drop the debris
         for leftover in [p for p in os.listdir(store_dir) if p.startswith("_aside")]:
             shutil.rmtree(os.path.join(store_dir, leftover), ignore_errors=True)
+        # ...and a crashed compaction leaves only a hidden .tmp file
+        for tmp in glob.glob(os.path.join(store_dir, "d_*", "bucket=*", "_*.tmp")):
+            os.remove(tmp)
 
     @property
     def admitted_rows(self) -> int:
@@ -176,19 +182,51 @@ class NearDupIngestSink:
                 # directory rename (unique per attempt — never collides)
                 attempt = uuid.uuid4().hex[:8]
                 aside = os.path.join(self.store_dir, f"_aside_b{batch_id}_{attempt}")
-                admitted.select(*SIG_COLS, "bucket").write.partitionBy("bucket").mode(
-                    "overwrite"
-                ).parquet(aside)
+                # repartition by bucket first: ONE file per touched
+                # bucket per batch, not one per task × bucket pair
+                admitted.select(*SIG_COLS, "bucket").repartition("bucket").write.partitionBy(
+                    "bucket"
+                ).mode("overwrite").parquet(aside)
                 # Spark leaves a _SUCCESS marker file; recursiveFileLookup
                 # would try to read it as parquet — drop it before publish
                 for marker in glob.glob(os.path.join(aside, "_*")):
                     os.remove(marker)
                 os.replace(aside, os.path.join(self.store_dir, f"d_b{batch_id}_{attempt}"))
                 self.admitted_batches.append((batch_id, n_docs))
+                # only the buckets this batch touched can have grown
+                self._maybe_compact(buckets)
             finally:
                 admitted.unpersist()
         finally:
             sig.unpersist()
+
+    def _maybe_compact(self, buckets: list[int]) -> None:
+        """Per-bucket compaction (same contract as DedupIngestSink's):
+        once a bucket's band rows are spread over ``compact_threshold``
+        delta files, merge them into one — this bounds the band join's
+        file opens over a long-running ingest.  Crash-safe: merged file
+        is written hidden then renamed before the olds are deleted; a
+        crash leaves duplicate rows at worst, which countDistinct(seed)
+        in admission and accepted()'s distinct both absorb."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for b in buckets:
+            files = sorted(
+                glob.glob(os.path.join(self.store_dir, "d_*", f"bucket={b}", "*.parquet"))
+            )
+            if len(files) < self.compact_threshold:
+                continue
+            merged = pa.concat_tables([pq.read_table(f) for f in files])
+            token = uuid.uuid4().hex[:8]
+            dest = os.path.join(self.store_dir, f"d_compact_{token}", f"bucket={b}")
+            os.makedirs(dest)
+            tmp = os.path.join(dest, f"_merged_{token}.tmp")
+            pq.write_table(merged, tmp)
+            os.replace(tmp, os.path.join(dest, "merged.parquet"))
+            for f in files:
+                os.remove(f)
+            self.n_compactions += 1
 
 
 def run_neardup_ingest(
