@@ -282,7 +282,20 @@ FROM enc
 """
 
 
-_SEG_STORE_CACHE: dict[tuple, tuple[str, int]] = {}
+_SEG_STORE_CACHE: dict[tuple, tuple[tuple, str, int]] = {}
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp registered for atexit removal — the stream queries make
+    per-call checkpoint/scratch dirs, and a long bench process would
+    otherwise accumulate them for its whole lifetime."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _segmented_store(events_path: str, n_segments: int = 4) -> tuple[str, int]:
@@ -290,21 +303,26 @@ def _segmented_store(events_path: str, n_segments: int = 4) -> tuple[str, int]:
     fixture layout for the probe/replay queries — repeated parity and
     bench sweeps reuse the same store instead of re-splitting the events
     table per call.  Returns (seg_dir, eps)."""
-    import tempfile
+    import os
+    import shutil
 
     from spark_binlog_spark.sources.binlog_fixture import write_segments
 
-    import os
-
     st = os.stat(events_path)
-    # mtime+size in the key: a fixture regenerated in-place at the same
-    # path must invalidate the cached split
-    key = (events_path, n_segments, st.st_mtime_ns, st.st_size)
-    if key not in _SEG_STORE_CACHE:
-        seg_dir = tempfile.mkdtemp(prefix="binlog_seg_")
+    # mtime+size in the freshness stamp: a fixture regenerated in-place
+    # at the same path must invalidate the cached split — and the
+    # superseded split's directory must go, not leak (one stale dir per
+    # regeneration otherwise)
+    key = (events_path, n_segments)
+    stamp = (st.st_mtime_ns, st.st_size)
+    hit = _SEG_STORE_CACHE.get(key)
+    if hit is None or hit[0] != stamp:
+        if hit is not None:
+            shutil.rmtree(hit[1], ignore_errors=True)
+        seg_dir = _tmpdir("binlog_seg_")
         eps = write_segments(events_path, seg_dir, n_segments=n_segments)
-        _SEG_STORE_CACHE[key] = (seg_dir, eps)
-    return _SEG_STORE_CACHE[key]
+        _SEG_STORE_CACHE[key] = (stamp, seg_dir, eps)
+    return _SEG_STORE_CACHE[key][1:]
 
 
 # ---------------------------------------------------------------- O2
@@ -759,7 +777,7 @@ def q_stream_mv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _pin(spark)
     base = load_table(spark, sf_dir, "customer")
-    tmp = tempfile.mkdtemp()
+    tmp = _tmpdir("mv_state_")
     sink = IncrementalAggSink(
         spark,
         f"{tmp}/state",
@@ -1489,7 +1507,7 @@ def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         enriched.writeStream.format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp() + "/ck")
+        .option("checkpointLocation", _tmpdir("stream_ck_") + "/ck")
         .trigger(availableNow=True)
         .start()
     )
@@ -1693,7 +1711,7 @@ def q_stream_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_stream(wire)
         .writeStream.format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp() + "/ck")
+        .option("checkpointLocation", _tmpdir("stream_ck_") + "/ck")
         .trigger(availableNow=True)
         .start()
     )
@@ -1778,7 +1796,7 @@ def q_stream_schema_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_stream_evolving(wire)
         .writeStream.format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp() + "/ck")
+        .option("checkpointLocation", _tmpdir("stream_ck_") + "/ck")
         .trigger(availableNow=True)
         .start()
     )

@@ -950,7 +950,11 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spark_binlog_spark.streaming.dedup_sink import run_dedup_ingest
 
+    import atexit
+    import shutil
+
     d = tempfile.mkdtemp(prefix="dedup_ingest_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     docs_dir = os.path.join(d, "docs")
     os.makedirs(docs_dir)
     tbl = pds.dataset(f"{sf_dir}/documents.parquet").to_table()
@@ -1006,7 +1010,11 @@ def q_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spark_binlog_spark.streaming.neardup_sink import run_neardup_ingest
 
+    import atexit
+    import shutil
+
     d = tempfile.mkdtemp(prefix="neardup_ingest_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     docs_dir = os.path.join(d, "docs")
     os.makedirs(docs_dir)
     tbl = pds.dataset(f"{sf_dir}/documents.parquet").to_table()

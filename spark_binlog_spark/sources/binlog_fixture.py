@@ -27,6 +27,7 @@ instead of disconnecting a socket.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -573,6 +574,24 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         self._end = None  # lazily-probed end of stream
         self._cur = None  # admission-control cursor (see latestOffset)
         self._floor = -1  # committed-position read floor (see _observe_batch)
+        # floorDir: persist the highest COMMITTED offset beside the
+        # user's checkpoint, closing the double-restart window of the
+        # process-lifetime floor (see _observe_batch's docstring) — the
+        # same durable-progress role as the reference's checkpoint
+        # offset log recovery (MLSQLBinLogDataSource.scala:109-136).
+        # Tie one floorDir to one checkpoint lineage: reusing it with a
+        # fresh checkpoint and an earlier startingOffset would clamp
+        # the intentional re-read.
+        self.floor_dir = options.get("floordir", options.get("floorDir"))
+        if self.floor_dir:
+            if self.regions:
+                raise ValueError("floorDir applies to single-offset modes, not regions")
+            os.makedirs(self.floor_dir, exist_ok=True)
+            try:
+                with open(os.path.join(self.floor_dir, "floor")) as fh:
+                    self._floor = max(self._floor, int(fh.read().strip()))
+            except (FileNotFoundError, ValueError):
+                pass
 
     def _stream_end(self) -> int:
         if self._end is None:
@@ -666,16 +685,18 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         span already-committed offsets — the floor clamps those reads
         to re-deliver nothing.
 
-        Scope: the floor lives for this reader's process lifetime —
-        enough to cover the restart that created the regression.  If
-        the stream is stopped AGAIN before the clamped batches commit
-        past the old position, a third process starts with no floor
-        and the already-rewound offset log replays the gap (the Python
-        stream API offers no committed-offset input or source-side
-        state to persist the floor into).  Downstream idempotent sinks
-        (cdc_apply merge, DedupIngestSink) absorb that replay; pair a
-        capped source with an idempotent sink if double restarts
-        mid-catch-up are a concern."""
+        Scope: without ``floorDir`` the floor lives for this reader's
+        process lifetime — enough to cover the restart that created
+        the regression, but a SECOND clean stop before the clamped
+        batches commit past the old position starts a third process
+        with no floor, and the already-rewound offset log replays the
+        gap (the Python stream API offers no committed-offset input).
+        The ``floorDir`` option closes that window: commit() persists
+        the highest committed offset and __init__ reloads it, so every
+        process starts with the durable floor.  Without floorDir, pair
+        a capped source with an idempotent sink (cdc_apply merge,
+        DedupIngestSink) if double restarts mid-catch-up are a
+        concern."""
         for off in (s, e):
             if self._cur is None or off > self._cur:
                 self._cur = off
@@ -725,8 +746,20 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # replayable backing store -> nothing to clean up (the reference
-        # needed WAL cleanup here, BinlogWriteAheadLog.scala:36-49)
-        pass
+        # needed WAL cleanup here, BinlogWriteAheadLog.scala:36-49).
+        # With floorDir: persist the committed end as the durable read
+        # floor — only AFTER Spark declares the batch durable (a crash
+        # replay of an uncommitted batch must still re-deliver), and
+        # never backwards (catch-up batches after a restart commit ends
+        # below the old position).  Atomic tmp+rename: a torn floor
+        # file would silently disable the clamp.
+        off = end.get("offset")
+        if self.floor_dir and off is not None and off > self._floor:
+            self._floor = off
+            tmp = os.path.join(self.floor_dir, "_floor.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(str(off))
+            os.replace(tmp, os.path.join(self.floor_dir, "floor"))
 
 
 class BinlogFixtureBatchReader(DataSourceReader):

@@ -679,6 +679,79 @@ class TestFixtureSource:
         redelivered = set(phase1) & set(phase2)
         assert not redelivered, f"re-delivered {len(redelivered)} committed events"
 
+    def test_double_restart_with_floor_dir_never_redelivers(self, spark, tmp_path):
+        """DOUBLE clean-stop restart of a capped stream mid-catch-up:
+        without floorDir the third process starts floorless and the
+        rewound offset log re-delivers committed events; with floorDir
+        the floor persisted by commit() survives both restarts and
+        clamps every re-read.  Phase 2 is stopped after a SINGLE
+        trigger — deliberately before its clamped batches commit past
+        the phase-1 position — which is exactly the window the
+        process-lifetime floor leaves open."""
+        import time
+
+        from spark_binlog_spark.sources.binlog_fixture import write_segments
+        from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+        flat = f"{SF_TEST}/events.parquet"
+        seg_dir = str(tmp_path / "binlog")
+        write_segments(flat, seg_dir, n_segments=4, only=[1, 2])
+        n_total = spark.read.parquet(flat).count()
+        n_half = (n_total + 3) // 4 * 2
+        floor_dir = str(tmp_path / "floor")
+
+        def run(seen, target=None, n_triggers=None, timeout_s=120.0):
+            wire = read_stream(
+                spark, seg_dir, numPartitions=4, maxEventsPerTrigger=100,
+                floorDir=floor_dir,
+            )
+            triggers = []
+
+            def sink(bdf, bid):
+                triggers.append(bid)
+                seen.extend(r["cdc_offset"] for r in bdf.select("cdc_offset").collect())
+
+            q = (
+                parse_stream(wire)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .trigger(processingTime="200 milliseconds")
+                .start()
+            )
+            deadline = time.monotonic() + timeout_s
+            while time.monotonic() < deadline:
+                if q.exception() is not None:
+                    raise AssertionError(f"stream died: {q.exception()}")
+                if target is not None and len(seen) >= target:
+                    break
+                if n_triggers is not None and len(triggers) >= n_triggers:
+                    break
+                time.sleep(0.1)
+            if n_triggers is None:
+                # drain AND COMMIT so the stop is clean at a known point
+                q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+
+        phase1 = []
+        run(phase1, target=n_half)
+        assert sorted(set(phase1)) == list(range(n_half))
+
+        # two more segments arrive while the stream is down
+        write_segments(flat, seg_dir, n_segments=4, only=[3, 4])
+        # restart #1, stopped almost immediately (mid-catch-up)
+        phase2 = []
+        run(phase2, n_triggers=1, timeout_s=30.0)
+        # restart #2 — the window the persisted floor must cover
+        phase3 = []
+        run(phase3, target=n_total - len(set(phase1) | set(phase2)))
+
+        all_seen = phase1 + phase2 + phase3
+        assert set(all_seen) == set(range(n_total))
+        assert len(all_seen) == len(set(all_seen)), (
+            f"re-delivered {len(all_seen) - len(set(all_seen))} committed events"
+        )
+
     def test_empty_segment_is_benign(self, spark, tmp_path):
         """An empty binlog file (rotation with no writes) must neither
         break the contiguity check nor the stream."""
