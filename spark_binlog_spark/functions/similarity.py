@@ -49,12 +49,51 @@ def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def sign_bucket(qcol: Column, planes: int = 4) -> Column:
-    """LSH bucket id: sign bits of the first ``planes`` quantized dims."""
+def sign_bucket(qcol: Column, planes: int = 4, offset: int = 0) -> Column:
+    """LSH bucket id: sign bits of ``planes`` quantized dims starting
+    at ``offset`` — offset>0 gives the independent hash tables of the
+    multi-table construction (disjoint dims ≈ independent hyperplanes,
+    and deterministic for the DuckDB oracles, unlike random
+    projections)."""
     b = F.lit(0)
     for i in range(planes):
-        b = b + F.when(F.element_at(qcol, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        b = b + F.when(F.element_at(qcol, offset + i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return b.cast("int")
+
+
+# target in-bucket population for derived LSH planes: the same-bucket
+# self-join then costs ~n*target instead of ~n²/2^planes with a fixed
+# plane count that encoded a toy corpus
+LSH_TARGET_BUCKET = 1024
+
+
+def derived_planes(n_vectors: int, dim: int, target_bucket: int = LSH_TARGET_BUCKET) -> int:
+    """Corpus-aware plane count: 2^planes buckets sized ~target_bucket.
+
+    A FIXED planes default is a scale trap: 4 planes = 16 buckets keeps
+    every in-bucket self-join at ~n²/16 — quadratic at any corpus size.
+    Deriving from the corpus count keeps the expected bucket population
+    constant (n=1e9 → 20 planes → ~1M buckets of ~1k vectors), capped
+    by the vector dimensionality (one sign bit per leading dim).
+    Recall falls as planes rise (each plane halves the chance a true
+    neighbor shares the bucket) — see PERF.md's planes-vs-recall table
+    and the q_lsh_recall gate before trusting a setting.
+    """
+    import math
+
+    if n_vectors <= target_bucket:
+        return min(dim, 4)
+    return max(4, min(dim, math.ceil(math.log2(n_vectors / target_bucket))))
+
+
+def _resolve_planes(df: DataFrame, planes: int | None, vec_col: str) -> int:
+    """None → derive from the corpus (one count + one first() probe —
+    trivial next to the joins these feed)."""
+    if planes is not None:
+        return planes
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"] if first is not None else 4
+    return derived_planes(df.count(), dim)
 
 
 def brute_force_topk(
@@ -87,11 +126,21 @@ def brute_force_topk(
 
 
 def lsh_topk(
-    df: DataFrame, n_queries: int = 5, k: int = 3, planes: int = 4, vec_col: str = "embedding"
+    df: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+    planes: int | None = None,
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's sign bucket."""
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket.  ``planes=None`` derives the plane count from the corpus
+    size (see ``derived_planes``) so callers never inherit a
+    toy-sized bucket grid at scale; pass an explicit value to pin
+    recall/bucket geometry (the declared queries do, so their oracles
+    stay scale-independent)."""
     from pyspark.sql import Window
 
+    planes = _resolve_planes(df, planes, vec_col)
     base = with_quantized(df, vec_col).withColumn("bucket", sign_bucket(F.col("q"), planes))
     queries = F.broadcast(
         base.filter(F.col("vec_id") < n_queries).select(
@@ -341,24 +390,58 @@ def ivf_topk_multiprobe(
 
 
 def embedding_near_dup_pairs(
-    df: DataFrame, min_cosine4: int = 8000, planes: int = 4, vec_col: str = "embedding"
+    df: DataFrame,
+    min_cosine4: int = 8000,
+    planes: int | None = None,
+    n_tables: int = 1,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold), bucket-prefiltered.
 
-    Same-bucket self-join: shuffle key is the bucket id, so compared
-    pairs shrink ~2^planes× vs the full cross join (recall trade-off is
-    explicit and tunable, the standard LSH contract).
+    Same-bucket self-join per hash table: shuffle key is (table,
+    bucket), so compared pairs shrink ~2^planes× per table vs the full
+    cross join, and ``n_tables`` independent tables (disjoint sign
+    dims) recover recall the way MinHash bands do: a pair is a
+    candidate if it collides in ANY table, so recall =
+    1 − (1 − s^planes)^n_tables with s = 1 − θ/π the per-plane
+    agreement probability.  More planes → smaller buckets (cheaper,
+    lower per-table recall); more tables → higher recall (cost ×
+    n_tables, still never n²).  ``planes=None`` derives the count from
+    the corpus size (``derived_planes``) — a fixed default would keep
+    the in-bucket join quadratic at scale; measured planes/tables
+    recall points are in PERF.md, and q_lsh_recall is the gate to run
+    before trusting a setting.
     """
-    base = with_quantized(df, vec_col).withColumn("bucket", sign_bucket(F.col("q"), planes))
-    a, b = base.alias("a"), base.alias("b")
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+    planes = _resolve_planes(df, planes, vec_col)
+    base = with_quantized(df, vec_col)
+    tables = F.array(
+        *[sign_bucket(F.col("q"), planes, offset=t * planes) for t in range(n_tables)]
+    )
+    exploded = base.select(
+        "vec_id", "q", "norm", F.posexplode(tables).alias("tbl", "bucket")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine4(
-                int_dot(F.col("a.q"), F.col("b.q")), F.col("a.norm"), F.col("b.norm")
-            ).alias("cosine4"),
+            F.col("a.q").alias("qa"),
+            F.col("b.q").alias("qb"),
+            F.col("a.norm").alias("na"),
+            F.col("b.norm").alias("nb"),
         )
-        .filter(F.col("cosine4") >= min_cosine4)
     )
+    if n_tables > 1:
+        # a pair colliding in several tables must be scored once
+        cand = cand.dropDuplicates(["vec_a", "vec_b"])
+    return cand.select(
+        "vec_a",
+        "vec_b",
+        cosine4(int_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("cosine4"),
+    ).filter(F.col("cosine4") >= min_cosine4)

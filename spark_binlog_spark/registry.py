@@ -95,6 +95,7 @@ TAIL = [
     "q_token_shards",
     "q_stream_incremental_dedup",
     "q_stream_neardup_dedup",
+    "q_embedding_dedup_multitable",
     "q_change_counts_windowed",
     "q_repetition",
     "q_corpus_clean",

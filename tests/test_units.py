@@ -222,6 +222,35 @@ class TestKmeansTrain:
         assert a == b
 
 
+class TestDerivedLshPlanes:
+    def test_planes_scale_with_corpus_and_cap_at_dim(self):
+        from spark_binlog_spark.functions.similarity import derived_planes
+
+        # tiny corpora keep the toy grid
+        assert derived_planes(500, dim=64) == 4
+        assert derived_planes(1024, dim=64) == 4
+        # bucket population stays ~target as n grows
+        assert derived_planes(1 << 20, dim=64) == 10  # 1M/1024 = 2^10
+        assert derived_planes(10**9, dim=64) == 20
+        # one sign bit per leading dim — dim caps the grid
+        assert derived_planes(10**9, dim=8) == 8
+
+    def test_default_derives_and_explicit_pins(self, spark):
+        """planes=None derives from the corpus; the declared queries
+        pin planes=4 so their oracles stay scale-independent — both
+        paths must return the declared output shape."""
+        from spark_binlog_spark.functions import similarity
+        from tests.conftest import SF_TEST
+
+        emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        # SF_TEST has <= 1024 vectors: derived == 4 == explicit
+        auto = similarity.lsh_topk(emb, n_queries=2, k=3).collect()
+        pinned = similarity.lsh_topk(emb, n_queries=2, k=3, planes=4).collect()
+        assert auto == pinned
+        pairs = similarity.embedding_near_dup_pairs(emb, min_cosine4=5000)
+        assert pairs.columns == ["vec_a", "vec_b", "cosine4"]
+
+
 class TestAsofJoin:
     def test_inclusive_boundary_and_no_preceding(self, spark):
         """asof_join: right row at exactly the left timestamp matches
