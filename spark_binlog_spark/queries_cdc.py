@@ -1769,6 +1769,78 @@ FROM events, m GROUP BY 1
 """
 
 
+def _rolled_region_store(events_path: str, n_regions: int = 4, n_segments: int = 3) -> tuple[str, int]:
+    """Build (once per process per source table) the rolled-WAL region
+    layout ``region=K/wal.%06d`` — same freshness/eviction contract as
+    ``_segmented_store``."""
+    import os
+    import shutil
+
+    from spark_binlog_spark.sources.binlog_fixture import write_region_wal_segments
+
+    st = os.stat(events_path)
+    key = (events_path, "rolled", n_regions, n_segments)
+    stamp = (st.st_mtime_ns, st.st_size)
+    hit = _SEG_STORE_CACHE.get(key)
+    if hit is None or hit[0] != stamp:
+        if hit is not None:
+            shutil.rmtree(hit[1], ignore_errors=True)
+        store = _tmpdir("hbase_wals_")
+        eps = write_region_wal_segments(
+            events_path, store, n_regions=n_regions, n_segments=n_segments
+        )
+        _SEG_STORE_CACHE[key] = (stamp, store, eps)
+    return _SEG_STORE_CACHE[key][1:]
+
+
+def q_hbase_rolled_wal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLED-WAL REGION MODE end-to-end under the oracle: the event log
+    laid out as a real HBase-style rolled-WAL store — ``region=K``
+    directories each holding three ``wal.%06d`` segment files (oldWALs +
+    active sets, HBaseWALClient.scala:66,128) — replayed THROUGH the
+    streaming source (region-map offsets, one task per region per WAL
+    file, partitions never spanning a roll), then aggregated per region:
+    event count, offset span, and the number of distinct WAL files each
+    region's events crossed (must be all three — every region reads
+    across both roll boundaries)."""
+    import uuid
+
+    from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+    _pin(spark)
+    store, eps = _rolled_region_store(f"{sf_dir}/events.parquet")
+    name = f"rolled_wal_{uuid.uuid4().hex[:8]}"
+    wire = read_stream(spark, store, regions=4)
+    q = (
+        parse_stream(wire)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _tmpdir("stream_ck_") + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy((F.col("pk") % 4).alias("region"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("cdc_offset").alias("min_offset"),
+            F.max("cdc_offset").alias("max_offset"),
+            F.countDistinct(F.expr(f"cdc_offset div {eps}")).alias("n_wal_files"),
+        )
+    )
+
+
+ORACLE["q_hbase_rolled_wal"] = """
+WITH m AS (SELECT (max(event_id) + 1 + 2) // 3 AS eps FROM events)
+SELECT user_id % 4 AS region, count(*) AS n_events,
+       min(event_id) AS min_offset, max(event_id) AS max_offset,
+       count(DISTINCT event_id // eps) AS n_wal_files
+FROM events, m GROUP BY 1
+"""
+
+
 def q_stream_schema_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MID-STREAM SCHEMA CHANGE under the oracle: the source flips its
     embedded schema to v2 (adds ts_ms) at the half-way offset — the

@@ -87,6 +87,7 @@ PRIORITY = [
 # graded only if the driver's cap exceeds len(PRIORITY).
 TAIL = [
     "q_rotate_offsets",
+    "q_hbase_rolled_wal",
     "q_stream_schema_epochs",
     "q_decontaminate",
     "q_stratified_sample",

@@ -342,15 +342,30 @@ def is_segmented(path: str) -> bool:
     return any(re.match(_SEGMENT_RE, n) for n in os.listdir(path))
 
 
+def _footer_span(fp: str):
+    """(min_event_id, max_event_id, rows) from parquet FOOTER METADATA
+    only — no data read.  (None, None, rows) for an empty/stat-less
+    file."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fp).metadata
+    idx = md.schema.to_arrow_schema().get_field_index("event_id")
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is not None:
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return lo, hi, md.num_rows
+
+
 def _segment_index(dir_path: str) -> list[dict]:
     """Probe the segment directory: per file (file_id, min/max event_id,
-    row count) from parquet FOOTER METADATA only — no data read (the
-    same O2 stats probe as ``_probe_end``), re-run per planning round
-    so freshly-rotated segments join the index."""
+    row count) from parquet footer metadata (the same O2 stats probe as
+    ``_probe_end``), re-run per planning round so freshly-rotated
+    segments join the index."""
     import os
     import re
-
-    import pyarrow.parquet as pq
 
     segs = []
     for name in sorted(os.listdir(dir_path)):
@@ -358,19 +373,10 @@ def _segment_index(dir_path: str) -> list[dict]:
         if not m:
             continue
         fp = os.path.join(dir_path, name)
-        md = pq.ParquetFile(fp).metadata
-        idx = md.schema.to_arrow_schema().get_field_index("event_id")
-        lo = hi = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is not None:
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
+        lo, hi, rows = _footer_span(fp)
         if lo is None:
             continue  # empty/stat-less file: not yet visible
-        segs.append(
-            {"fid": int(m.group(2)), "path": fp, "min": lo, "max": hi, "rows": md.num_rows}
-        )
+        segs.append({"fid": int(m.group(2)), "path": fp, "min": lo, "max": hi, "rows": rows})
     segs.sort(key=lambda s: s["fid"])
     for a, b in zip(segs, segs[1:]):
         if b["min"] != a["max"] + 1:
@@ -501,6 +507,136 @@ def write_segments(
     return eps
 
 
+# ------------------------------------------------------------------
+# Rolled-WAL (HBase) region mode.
+#
+# A real HBase regionserver ROLLS its write-ahead log: the active WAL
+# file is closed at a size/time threshold and a new one starts, with
+# closed files moving to ``oldWALs`` — the reference reads BOTH sets per
+# region, sorted by name (HBaseWALClient.scala:66,128 collects
+# oldWALs/<server>* plus the active WALs/<server>/ files).  The fixture
+# analogue is ``<store>/region=K/<prefix>.%06d`` — each region directory
+# holds its own rolled segment files, probed fresh each planning round so
+# files rolled under a live tail join the scan (same live-pickup
+# semantic as the MySQL rotate mode above).  Offsets KEEP the
+# ``{"r<K>": seq}`` map shape (CommonSourceOffset.scala:24-54) — the
+# roll changes the storage layout, not the offset protocol.
+
+
+def is_region_rolled(path: str) -> bool:
+    """A directory of ``region=K`` subdirectories each holding at least
+    one ``<prefix>.%06d`` segment file."""
+    import re
+
+    if "," in path or not os.path.isdir(path):
+        return False
+    found = False
+    for name in os.listdir(path):
+        sub = os.path.join(path, name)
+        if not (name.startswith("region=") and os.path.isdir(sub)):
+            continue
+        if not any(re.match(_SEGMENT_RE, n) for n in os.listdir(sub)):
+            return False  # mixed layout: some region dirs un-segmented
+        found = True
+    return found
+
+
+def _region_segment_index(region_dir: str) -> list[dict]:
+    """Segment index for ONE region's rolled-WAL directory.  Unlike the
+    MySQL rotate index, event ids within a region are NOT contiguous
+    (ids are global; a region owns the subset hashing to it), so the
+    integrity checks are: file ids consecutive (a missing middle WAL =
+    purged file = data loss, the same failfast as the MySQL mode) and
+    file spans ordered and non-overlapping (WALs roll forward; an
+    overlap means a corrupt layout).  Empty files count as present for
+    the id-contiguity check but carry no span."""
+    import re
+
+    segs, fids = [], []
+    for name in sorted(os.listdir(region_dir)):
+        m = re.match(_SEGMENT_RE, name)
+        if not m:
+            continue
+        fp = os.path.join(region_dir, name)
+        lo, hi, rows = _footer_span(fp)
+        fids.append(int(m.group(2)))
+        if lo is None:
+            continue
+        segs.append({"fid": int(m.group(2)), "path": fp, "min": lo, "max": hi, "rows": rows})
+    fids.sort()
+    if not fids:
+        raise ValueError(f"no '<prefix>.NNNNNN' WAL segment files in {region_dir}")
+    if fids != list(range(fids[0], fids[0] + len(fids))):
+        raise ValueError(
+            f"WAL file-id gap in {region_dir}: {fids} — purged/missing rolled "
+            "WAL file (the reference fails on a missing WAL too)"
+        )
+    segs.sort(key=lambda s: s["fid"])
+    for a, b in zip(segs, segs[1:]):
+        if b["min"] <= a["max"]:
+            raise ValueError(
+                f"overlapping WAL segments in {region_dir}: {a['path']} ends at "
+                f"event {a['max']} but {b['path']} starts at {b['min']}"
+            )
+    return segs
+
+
+def write_region_wal_segments(
+    src_path: str,
+    dest_dir: str,
+    n_regions: int,
+    n_segments: int = 3,
+    prefix: str = "wal",
+    only: list[int] | None = None,
+) -> int:
+    """Fixture prep: lay an events table out as a rolled-WAL region
+    store ``dest_dir/region=K/<prefix>.%06d`` — region = user_id %
+    n_regions (the source's region-ownership rule), segment boundaries
+    shared across regions at ``event_id div eps`` (the analogue of
+    time-triggered rolls, which hit every regionserver at about the
+    same point in the log).  ``only`` writes just those file ids — a
+    test appends later rolls to simulate rolling under a live tail.
+    Returns eps.  Serial per (region, segment) by design: this stands
+    in for the REGIONSERVER's own serial WAL writer (test-bed prep, not
+    a data-plane operator — the data plane reads the layout with one
+    task per region per file)."""
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    end = _probe_end(src_path)
+    eps = (end + n_segments - 1) // n_segments
+    dataset = ds.dataset(src_path)
+    for r in range(n_regions):
+        region_dir = os.path.join(dest_dir, f"region={r}")
+        os.makedirs(region_dir, exist_ok=True)
+        for i in range(n_segments):
+            fid = i + 1
+            if only is not None and fid not in only:
+                continue
+            lo, hi = i * eps, min((i + 1) * eps, end)
+            if lo >= hi:
+                continue
+            tbl = dataset.to_table(
+                filter=(ds.field("event_id") >= lo)
+                & (ds.field("event_id") < hi)
+                & (_ds_mod_eq(ds, "user_id", n_regions, r))
+            ).sort_by("event_id")
+            # empty segments still publish: the file-id contiguity
+            # check treats them as present (a quiet region still rolls)
+            final = os.path.join(region_dir, f"{prefix}.{fid:06d}")
+            tmp = final + ".inprogress"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, final)
+    return eps
+
+
+def _ds_mod_eq(ds, col: str, m: int, r: int):
+    """dataset-expression ``col % m == r`` (no modulo in ds.field algebra:
+    x - (x/m)*m with truncating integer division, ids are >= 0)."""
+    f = ds.field(col)
+    return (f - (f / m).cast("int64") * m) == r
+
+
 def _probe_end(path: str) -> int:
     """max(event_id)+1 across all files from row-group statistics —
     metadata-only, no data read (the O2 latest-offset probe)."""
@@ -557,6 +693,11 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         self.segmented = is_segmented(self.path) if self.path else False
         if self.segmented and self.regions:
             raise ValueError("segmented (MySQL rotate) and regions (HBase) modes are exclusive")
+        # rolled-WAL region mode: region=K dirs of <prefix>.%06d files;
+        # per-region indexes refreshed per planning round (live roll
+        # pickup, HBaseWALClient.scala:66,128 oldWALs + active sets)
+        self.region_rolled = bool(self.regions) and is_region_rolled(self.path)
+        self._region_idx: dict[int, list[dict]] | None = None
         # reference bootstrap options (MLSQLBinLogDataSource.scala:70-98):
         # start the stream at an explicit (binlogIndex, binlogFileOffset)
         # composite; binlogFileOffset defaults to 4 (first event of the
@@ -602,6 +743,14 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         if self._index is None or refresh:
             self._index = _segment_index(self.path)
         return self._index
+
+    def _region_index(self, refresh: bool = False) -> dict[int, list[dict]]:
+        if self._region_idx is None or refresh:
+            self._region_idx = {
+                r: _region_segment_index(os.path.join(self.path, f"region={r}"))
+                for r in range(self.regions)
+            }
+        return self._region_idx
 
     def initialOffset(self) -> dict:
         # user-supplied or 0 — mirroring binlogIndex/binlogFileOffset
@@ -662,6 +811,17 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
             nxt = _global_to_packed(index, min(end_eid, cur_eid + self.max_per_trigger))
             self._cur = nxt
             return {"offset": nxt}
+        if self.region_rolled:
+            # RE-PROBE every region directory: WAL files rolled since
+            # the last trigger join their region's index now (live
+            # tail), and each region's watermark advances to the end of
+            # ITS OWN log — per-region progress, like per-regionserver
+            # WAL positions in the reference's offset map
+            idx = self._region_index(refresh=True)
+            return {
+                f"r{r}": (idx[r][-1]["max"] + 1 if idx[r] else self.start_offset)
+                for r in range(self.regions)
+            }
         end = self._stream_end()
         if self.regions:
             # every region's seq watermark advances to the shared log end
@@ -717,12 +877,35 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
             # only in `end` is new and starts from the initial offset;
             # one partition per region (":248 parallelize per region")
             out = []
+            rolled = self._region_index() if self.region_rolled else None
             for r in range(self.regions):
                 key = f"r{r}"
                 s = start.get(key, self.start_offset)
-                e = end.get(key, s)
+                e = max(s, end.get(key, s))
+                if rolled is not None:
+                    # rolled-WAL: one task per (region, WAL file) — a
+                    # partition NEVER spans a roll boundary, and each
+                    # task opens exactly one file of its own region's
+                    # directory (structural pruning: no other region's
+                    # data is even reachable from the task's path)
+                    spans = [
+                        (max(s, seg["min"]), min(e, seg["max"] + 1), seg["path"])
+                        for seg in rolled[r]
+                        if max(s, seg["min"]) < min(e, seg["max"] + 1)
+                    ]
+                    if not spans:
+                        out.append(
+                            OffsetRangePartition(
+                                s, s, self.path, region=r, n_regions=self.regions
+                            )
+                        )
+                    out.extend(
+                        OffsetRangePartition(lo, hi, p, region=r, n_regions=self.regions)
+                        for lo, hi, p in spans
+                    )
+                    continue
                 out.append(
-                    OffsetRangePartition(s, max(s, e), self.path, region=r, n_regions=self.regions)
+                    OffsetRangePartition(s, e, self.path, region=r, n_regions=self.regions)
                 )
             return out
         s, e = start["offset"], end["offset"]

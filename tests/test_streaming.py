@@ -1590,3 +1590,142 @@ class TestRegionPartitionedStore:
         envs = [_json.loads(r["value"]) for r in spark.table("region_part_stream").collect()]
         assert sorted(e["rows"][0]["cdc_offset"] for e in envs) == list(range(30))
         assert all(e["schema"] is None for e in envs)  # region mode = schema-less
+
+
+class TestRolledWALRegions:
+    """HBase rolled-WAL layout: region=K dirs of wal.%06d segment files
+    (oldWALs + active sets per region, HBaseWALClient.scala:66,128)."""
+
+    def _store(self, tmp_path, n=30, n_regions=4, n_segments=3, only=None):
+        from spark_binlog_spark.sources.binlog_fixture import write_region_wal_segments
+
+        rows = [(i, T0 + i, i % 5, "click", float(i), "{}") for i in range(n)]
+        flat = str(tmp_path / "ev.parquet")
+        if not os.path.exists(flat):
+            _write_events(flat, rows)
+        store = str(tmp_path / "wals")
+        eps = write_region_wal_segments(
+            flat, store, n_regions=n_regions, n_segments=n_segments, only=only
+        )
+        return flat, store, eps
+
+    def test_partitions_are_file_bounded_and_region_owned(self, tmp_path):
+        """Unit probe of the planning path: offsets keep the {rK: seq}
+        map shape, each partition's path is ONE wal file inside its own
+        region directory (never spans a roll boundary), and per-region
+        spans reassemble each region's exact event set."""
+        from spark_binlog_spark.sources.binlog_fixture import (
+            BinlogFixtureStreamReader,
+            is_region_rolled,
+        )
+
+        flat, store, eps = self._store(tmp_path)
+        assert is_region_rolled(store)
+        rdr = BinlogFixtureStreamReader({"path": store, "regions": "4"})
+        start = rdr.initialOffset()
+        end = rdr.latestOffset()
+        assert set(start) == {"r0", "r1", "r2", "r3"}
+        # per-region watermark = that region's own log end
+        exp_end = {}
+        for i in range(30):
+            exp_end[f"r{(i % 5) % 4}"] = i + 1
+        assert end == exp_end
+        parts = rdr.partitions(start, end)
+        import re
+
+        for p in parts:
+            assert re.search(rf"region={p.region}[/\\]wal\.\d{{6}}$", p.path), p.path
+            # a partition never crosses a roll boundary (eps-aligned)
+            assert (p.start // eps) == ((p.end - 1) // eps)
+        # spans per region cover the region's events exactly once
+        by_region = {}
+        for p in parts:
+            by_region.setdefault(p.region, []).append((p.start, p.end))
+        for r, spans in by_region.items():
+            ids = sorted(i for lo, hi in spans for i in range(lo, hi) if (i % 5) % 4 == r)
+            assert ids == [i for i in range(30) if (i % 5) % 4 == r]
+
+    def test_rolled_stream_matches_flat_and_commits_map_offsets(self, spark, tmp_path):
+        """The rolled store must stream the identical event set to the
+        flat store, schema-less envelopes, and checkpoint the region-map
+        offset shape with per-region ends."""
+        from spark_binlog_spark.streaming.pipeline import read_stream
+
+        flat, store, eps = self._store(tmp_path)
+        wire = read_stream(spark, store, regions=4)
+        q = (
+            wire.writeStream.format("memory")
+            .queryName("rolled_region_stream")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        envs = [json.loads(r["value"]) for r in spark.table("rolled_region_stream").collect()]
+        assert sorted(e["rows"][0]["cdc_offset"] for e in envs) == list(range(30))
+        assert all(e["schema"] is None for e in envs)
+
+        off_files = sorted(os.listdir(str(tmp_path / "ck" / "offsets")))
+        content = open(str(tmp_path / "ck" / "offsets" / off_files[-1])).read().splitlines()
+        committed = json.loads(content[-1])
+        exp = {}
+        for i in range(30):
+            exp[f"r{(i % 5) % 4}"] = i + 1
+        assert committed == exp
+
+    def test_roll_appears_under_live_tail(self, spark, tmp_path):
+        """LIVE ROLL: start a processing-time stream on a store holding
+        only wal.000001 per region; while it runs, every region rolls
+        wal.000002/3 into place.  The per-trigger region re-probe must
+        pick the new files up and deliver every event exactly once with
+        no restart — the rolled-file pickup the reference gets from
+        re-listing oldWALs + active WALs each batch."""
+        import time
+
+        from spark_binlog_spark.sources.binlog_fixture import write_region_wal_segments
+        from spark_binlog_spark.streaming.pipeline import read_stream
+
+        flat, store, eps = self._store(tmp_path, only=[1])
+        seen = []
+
+        def record(bdf, bid):
+            seen.extend(
+                json.loads(r["value"])["rows"][0]["cdc_offset"]
+                for r in bdf.collect()
+            )
+
+        wire = read_stream(spark, store, regions=4)
+        q = (
+            wire.writeStream.foreachBatch(record)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+        def wait_for(target, timeout_s=120.0):
+            deadline = time.monotonic() + timeout_s
+            while time.monotonic() < deadline:
+                if q.exception() is not None:
+                    raise AssertionError(f"stream died: {q.exception()}")
+                if len(seen) >= target:
+                    return True
+                time.sleep(0.2)
+            return False
+
+        assert wait_for(eps), f"first WAL files stalled at {len(seen)}"
+        write_region_wal_segments(flat, store, n_regions=4, n_segments=3, only=[2, 3])
+        assert wait_for(30), f"rolled tail stalled at {len(seen)}/30"
+        q.stop()
+        q.awaitTermination()
+        assert sorted(seen) == list(range(30))  # exactly once across the roll
+
+    def test_wal_file_gap_raises(self, tmp_path):
+        """A missing middle WAL file in any region (purged rolled WAL)
+        fails the probe — data-loss failfast, not silent skip."""
+        from spark_binlog_spark.sources.binlog_fixture import BinlogFixtureStreamReader
+
+        flat, store, eps = self._store(tmp_path)
+        os.remove(os.path.join(store, "region=1", "wal.000002"))
+        rdr = BinlogFixtureStreamReader({"path": store, "regions": "4"})
+        with pytest.raises(ValueError, match="WAL file-id gap"):
+            rdr.latestOffset()
