@@ -448,3 +448,69 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         folded = term if folded is None else folded + term
     return wide.select("doc_id", folded.cast("long").alias("simhash16"))
+
+
+def repeated_span_stats(df: DataFrame, n: int = 8, text_col: str = "text") -> DataFrame:
+    """EXACT-SUBSTRING duplication stats (the word-level analogue of
+    suffix-array substring dedup — find every length-``n`` word span
+    that also occurs in another document, and each document's duplicated
+    fraction, the signal a span-removal cleaning pass thresholds on).
+
+    Per doc: ``n_spans`` (positional n-gram count), ``n_dup_spans``
+    (positions whose span text occurs in >= 2 distinct docs),
+    ``dup_frac4``.
+
+    Plan shape (scales linearly, never n²): positional spans are
+    hashed to h48 immediately — the shuffle carries (doc_id, span_h)
+    longs, never span strings; the cross-doc span dictionary is ONE
+    count over the distinct (doc, span) relation; dup flags come from a
+    shuffle join keyed on span_h (both sides hash-partitioned on it —
+    at corpus scale the dup dictionary is NOT broadcastable, unlike the
+    boilerplate min_df dictionary which is vocabulary-bounded); final
+    per-doc counts are one more doc-keyed partial agg.  The persisted
+    positional relation feeds both the dictionary and the join."""
+    from pyspark.storagelevel import StorageLevel
+
+    from spark_binlog_spark.functions.hashing import h48
+
+    w = F.split(F.col(text_col), " ")
+    idx = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    span = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
+    )
+    pos = (
+        df.select(F.col("doc_id"), F.explode(span).alias("span"))
+        .select("doc_id", h48(F.col("span")).alias("span_h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup = (
+        pos.select("doc_id", "span_h").distinct()
+        .groupBy("span_h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("span_h")
+    )
+    totals = pos.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    hits = (
+        pos.join(dup, "span_h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    from spark_binlog_spark.functions.text import ratio4
+
+    return (
+        df.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            ratio4(
+                F.coalesce(F.col("n_dup_spans"), F.lit(0)),
+                F.coalesce(F.col("n_spans"), F.lit(0)),
+            ).alias("dup_frac4"),
+        )
+    )

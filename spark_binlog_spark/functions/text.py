@@ -352,3 +352,96 @@ def token_shards(
             F.expr(f"token_start div {budget}").alias("shard_id"),
         )
     )
+
+
+def lm_familiarity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality score (the KenLM-perplexity-filter analogue):
+    train a corpus character-trigram model, then score each document by
+    how familiar its trigrams are under that model.
+
+    Per trigram position i with prefix bigram b_i:
+        famil_i = (count(tri_i) * 1000000) div count(b_i)
+    (the integer-division rendering of p(c3 | c1 c2) — DEVNOTES bans
+    libm ``ln`` in declared queries, and for ranking/thresholding the
+    linear probability is as serviceable as log prob).  Document score
+    ``lm_famil6`` = avg over positions (integer div), so familiar text
+    scores near 1e6 and out-of-distribution text near 0.
+
+    Plan shape: positional trigram/bigram extraction is a pure
+    projection (transform over a sequence — no Python, no shuffle); the
+    MODEL is two aggregations whose result is bounded by |charset|³ —
+    a few thousand rows no matter the corpus size — so both model
+    tables BROADCAST into the scoring joins and the corpus relation is
+    shuffled only once, by doc_id, for the final average.  This is the
+    standard n-gram-LM-at-scale layout: train = tiny agg, score = map
+    join."""
+    t = F.col(text_col)
+    n3 = F.length(t) - 2
+    idx = F.when(n3 >= 1, F.sequence(F.lit(1), n3)).otherwise(F.array().cast("array<int>"))
+    tri = F.transform(idx, lambda i: t.substr(i, F.lit(3)))
+    from pyspark.storagelevel import StorageLevel
+
+    pos = (
+        df.select(F.col("doc_id"), F.explode(tri).alias("tri"))
+        .select("doc_id", F.col("tri"), F.col("tri").substr(1, 2).alias("big"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tri_counts = pos.groupBy("tri").agg(F.count("*").alias("c_tri"))
+    big_counts = pos.groupBy("big").agg(F.count("*").alias("c_big"))
+    scored = (
+        pos.join(F.broadcast(tri_counts), "tri")
+        .join(F.broadcast(big_counts), "big")
+        .select("doc_id", F.expr("c_tri * 1000000 div c_big").alias("famil"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tri"), F.sum("famil").alias("s")
+    )
+    return (
+        df.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+            F.coalesce(F.expr("s div n_tri"), F.lit(0)).cast("long").alias("lm_famil6"),
+        )
+    )
+
+
+def bpe_merge_candidates(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """VOCABULARY INDUCTION — one BPE iteration at corpus scale: count
+    every adjacent character pair inside words, weighted by corpus word
+    frequency, and rank the merge candidates (the pair a BPE trainer
+    would merge next is rank 1).
+
+    Plan shape: the corpus-sized relation is reduced FIRST — one
+    word-frequency aggregation (vocabulary-sized output) — and the pair
+    explosion runs over the word TABLE, not the corpus, so a trillion
+    tokens cost one count shuffle plus work proportional to |vocab| ×
+    avg word length.  Pair counts are bounded by |charset|², so the
+    final rank window's single partition holds at most a few thousand
+    rows regardless of corpus size (the same bounded-input exemption as
+    the sequence-packing prefix table).  Deterministic rank tiebreak:
+    (count DESC, pair ASC)."""
+    from pyspark.sql import Window
+
+    word_freq = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    w = F.col("word")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length(w) - 1), lambda i: w.substr(i, F.lit(2))
+    )
+    pair_counts = (
+        word_freq.select(F.col("wc"), F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("n_occurrences"))
+    )
+    rank_w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return (
+        pair_counts.withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("rnk").cast("long").alias("rnk"), "pair", "n_occurrences")
+    )

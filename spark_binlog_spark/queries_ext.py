@@ -1443,3 +1443,93 @@ SELECT tw.doc_id, tw.n_words, tw.top_word_frac4,
        CAST(coalesce(tb.top_bigram_frac4, 0) AS BIGINT) AS top_bigram_frac4
 FROM tw LEFT JOIN tb ON tw.doc_id = tb.doc_id
 """
+
+
+# ---------------------------------------------------------------- exact-substring dedup
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication stats: per doc, how many of its
+    8-word spans occur verbatim in at least one other document (the
+    word-level rendering of suffix-array substring dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.repeated_span_stats(docs, n=8)
+
+
+ORACLE["q_repeated_spans"] = """
+WITH pos AS (
+  SELECT doc_id, unnest(
+           CASE WHEN len(ws) >= 8
+                THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                      ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]
+                      for i in generate_series(1, len(ws) - 7)]
+                ELSE [] END) AS span
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+ph AS (SELECT doc_id, CAST('0x' || substr(md5(span), 1, 12) AS BIGINT) AS span_h FROM pos),
+dup AS (SELECT span_h FROM (SELECT DISTINCT doc_id, span_h FROM ph)
+        GROUP BY span_h HAVING count(*) >= 2),
+totals AS (SELECT doc_id, count(*) AS n_spans FROM ph GROUP BY doc_id),
+hits AS (SELECT doc_id, count(*) AS n_dup_spans FROM ph JOIN dup USING (span_h) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(h.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN coalesce(t.n_spans, 0) = 0 THEN 0
+            ELSE CAST(floor(CAST(coalesce(h.n_dup_spans, 0) AS DOUBLE)
+                 / CAST(t.n_spans AS DOUBLE) * 10000) AS BIGINT) END AS dup_frac4
+FROM documents d
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+# ---------------------------------------------------------------- LM familiarity
+def q_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram LM quality score (the KenLM-filter analogue):
+    corpus-trained trigram model, per-doc avg integer familiarity."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lm_familiarity(docs)
+
+
+ORACLE["q_lm_familiarity"] = """
+WITH pos AS (
+  SELECT doc_id, tri, substr(tri, 1, 2) AS big
+  FROM (SELECT doc_id, unnest(
+          CASE WHEN len(text) >= 3
+               THEN [substr(text, i, 3) for i in generate_series(1, len(text) - 2)]
+               ELSE [] END) AS tri
+        FROM documents)),
+tc AS (SELECT tri, count(*) AS c_tri FROM pos GROUP BY tri),
+bc AS (SELECT big, count(*) AS c_big FROM pos GROUP BY big),
+per AS (
+  SELECT p.doc_id, count(*) AS n_tri,
+         sum(tc.c_tri * 1000000 // bc.c_big) AS s
+  FROM pos p JOIN tc USING (tri) JOIN bc USING (big)
+  GROUP BY p.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(coalesce(per.s // per.n_tri, 0) AS BIGINT) AS lm_famil6
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+# ---------------------------------------------------------------- BPE merges
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: top-20 BPE merge candidates (adjacent char
+    pairs weighted by corpus word frequency, rank 1 = the next merge)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_merge_candidates(docs, k=20)
+
+
+ORACLE["q_bpe_merges"] = """
+WITH wf AS (
+  SELECT word, count(*) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) >= 2 GROUP BY word),
+pc AS (
+  SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+  FROM (SELECT wc, unnest([substr(word, i, 2) for i in generate_series(1, len(word) - 1)]) AS pair
+        FROM wf)
+  GROUP BY 1),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rnk, pair, n_occurrences
+  FROM pc)
+SELECT CAST(rnk AS BIGINT) AS rnk, pair, n_occurrences FROM ranked WHERE rnk <= 20
+"""

@@ -157,6 +157,42 @@ class TestTrainingDataOps:
         assert plan.count("Exchange SinglePartition") <= 1
         assert "BroadcastHashJoin" in plan
 
+    def test_lm_familiarity_model_broadcasts(self, spark):
+        """q_lm_familiarity: both model tables (trigram + bigram counts,
+        |charset|³-bounded) must BROADCAST into the scoring joins — the
+        corpus relation is never sort-merged against the model."""
+        from spark_binlog_spark.queries_ext import q_lm_familiarity
+
+        plan = _physical(q_lm_familiarity(spark, SF_TEST))
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+        assert "Exchange SinglePartition" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_repeated_spans_hashes_before_shuffle(self, spark):
+        """q_repeated_spans: every exchange of the positional-span
+        relation must carry the 48-bit span HASH, not span strings (8-word
+        strings would multiply shuffle bytes ~10×), and nothing runs on
+        a single partition."""
+        from spark_binlog_spark.queries_ext import q_repeated_spans
+
+        plan = _physical(q_repeated_spans(spark, SF_TEST))
+        assert "hashpartitioning(span_h" in plan
+        assert "Exchange SinglePartition" not in plan
+        # the span string itself must never be a shuffle key
+        assert "hashpartitioning(span," not in plan and "hashpartitioning(span#" not in plan
+
+    def test_bpe_merges_reduces_before_pair_explosion(self, spark):
+        """q_bpe_merges: the corpus must collapse to the vocabulary-sized
+        word-frequency table BEFORE pairs explode — exactly two hash
+        exchanges (word counts, pair counts); the rank window's input is
+        |charset|²-bounded so its single partition is exempt."""
+        from spark_binlog_spark.queries_ext import q_bpe_merges
+
+        plan = _physical(q_bpe_merges(spark, SF_TEST))
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "BatchEvalPython" not in plan
+
     def test_quality_prune_broadcasts_thresholds(self, spark):
         """q_quality_prune: the per-language threshold aggregate (5
         rows) broadcasts into the filter; the corpus is one scan — the
