@@ -1729,3 +1729,75 @@ class TestRolledWALRegions:
         rdr = BinlogFixtureStreamReader({"path": store, "regions": "4"})
         with pytest.raises(ValueError, match="WAL file-id gap"):
             rdr.latestOffset()
+
+    def test_cdc_upsert_over_rolled_region_store_matches_batch_apply(self, spark, tmp_path):
+        """INTEGRATION: the full CDC upsert pipeline fed from the
+        rolled-WAL region store, with the last two WAL rolls appearing
+        only after the stream started — final materialized state must
+        equal a one-shot batch cdc_apply of the whole change stream."""
+        import time
+
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.operators import cdc_apply
+        from spark_binlog_spark.sources.binlog_fixture import write_region_wal_segments
+        from spark_binlog_spark.streaming.pipeline import (
+            ParquetUpsertSink,
+            parse_stream,
+            read_stream,
+        )
+
+        rows = [
+            (i, T0 + i, i % 6, ["signup", "click", "view", "purchase", "error"][i % 5],
+             float(i), "{}")
+            for i in range(40)
+        ]
+        flat = str(tmp_path / "ev.parquet")
+        _write_events(flat, rows)
+        store = str(tmp_path / "wals")
+        write_region_wal_segments(flat, store, n_regions=4, n_segments=3, only=[1])
+        base = spark.createDataFrame(
+            [Row(c_custkey=k, c_name=f"n{k}", c_acctbal=float(k)) for k in range(6)]
+        )
+
+        sink = ParquetUpsertSink(
+            spark, str(tmp_path / "state"), base, "c_custkey", {"c_acctbal": "value"}
+        )
+        wire = read_stream(spark, store, regions=4)
+        q = (
+            parse_stream(wire)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+        def wait_applied(target, timeout_s=120.0):
+            deadline = time.monotonic() + timeout_s
+            while time.monotonic() < deadline:
+                if q.exception() is not None:
+                    raise AssertionError(f"stream died: {q.exception()}")
+                if sink.applied_rows >= target:
+                    return True
+                time.sleep(0.2)
+            return False
+
+        # first WAL files (events 0..13) drain through the live query...
+        assert wait_applied(14), f"first roll stalled at {sink.applied_rows}"
+        # ...then every region rolls twice under the running stream
+        write_region_wal_segments(flat, store, n_regions=4, n_segments=3, only=[2, 3])
+        assert wait_applied(40), f"rolled tail stalled at {sink.applied_rows}/40"
+        q.stop()
+        q.awaitTermination()
+
+        # batch replay of the identical change stream (flat store) for
+        # the expected state — region fan-out must not change semantics
+        batch_changes = parse_stream(
+            spark.read.format("binlog_fixture").option("path", flat).load()
+        )
+        expected = cdc_apply(
+            base, batch_changes, key_col="c_custkey", set_cols={"c_acctbal": "value"}
+        )
+        got = {(r["c_custkey"], r["c_acctbal"]) for r in sink.current().collect()}
+        want = {(r["c_custkey"], r["c_acctbal"]) for r in expected.collect()}
+        assert got == want
