@@ -445,3 +445,105 @@ def embedding_near_dup_pairs(
         "vec_b",
         cosine4(int_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("cosine4"),
     ).filter(F.col("cosine4") >= min_cosine4)
+
+
+# ------------------------------------------------------------------
+# Random-projection compression (Johnson–Lindenstrauss / Achlioptas
+# sign matrix): the embedding-compression stage of a training-data
+# pipeline — search runs in the compressed domain at out_dim/dim the
+# bytes and FLOPs, with the exact ranking as the recall oracle.
+
+def rp_signs(dim: int, out_dim: int, seed: int = 0) -> list[list[int]]:
+    """Deterministic ±1 projection matrix from md5 — computed ONCE in
+    Python and baked as literals into both the Spark plan and the
+    DuckDB oracle SQL, so the two engines share the exact matrix (and
+    the 'random' projection is reproducible run-to-run, which a real
+    pipeline wants anyway: re-projecting the corpus must not shift
+    under its index)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp#{seed}#{i}#{j}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1
+            for j in range(dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame, out_dim: int = 8, vec_col: str = "embedding", seed: int = 0
+) -> DataFrame:
+    """(vec_id, p, pnorm): sign-random-projection compressed vectors.
+
+    Pure projection — per row, out_dim integer dot products against
+    literal ±1 rows (zip_with/aggregate, JVM codegen, no shuffle, no
+    Python): at 100 TB this runs at scan speed and writes out_dim/dim
+    of the input bytes.  Overflow-safe: |p_i| <= dim * 10^6 ≈ 6.4e7,
+    pnorm <= out_dim * p_i² ≈ 3.3e16 << 2^63."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    signs = rp_signs(dim, out_dim, seed)
+    q = quantized(F.col(vec_col))
+    comps = [
+        int_dot(q, F.array(*[F.lit(s).cast("long") for s in signs[i]])) for i in range(out_dim)
+    ]
+    p = F.array(*comps)
+    return df.select(F.col("vec_id"), p.alias("p")).select(
+        "vec_id", "p", int_dot(F.col("p"), F.col("p")).alias("pnorm")
+    )
+
+
+def rp_topk_with_recall(
+    df: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """Compressed-domain brute-force top-k, annotated with exact-domain
+    membership: (query_id, vec_id, rank, pcos4, in_exact) where
+    ``in_exact`` = 1 iff the neighbor is also in the query's EXACT
+    top-k — sum(in_exact)/k per query is recall@k, the go/no-go gate
+    for running retrieval in the compressed domain.
+
+    Plan: the projected corpus is computed once at scan speed; both
+    rankings broadcast the tiny query side and window per query_id —
+    the same shape as brute_force_topk, at out_dim/dim the dot-product
+    cost for the compressed pass."""
+    from pyspark.sql import Window
+
+    pbase = random_projection(df, out_dim, vec_col, seed)
+    queries = F.broadcast(
+        pbase.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("p").alias("qp"),
+            F.col("pnorm").alias("qpnorm"),
+        )
+    )
+    scored = queries.join(pbase.filter(F.col("vec_id") >= n_queries), how="cross").select(
+        "query_id",
+        "vec_id",
+        cosine4(int_dot(F.col("qp"), F.col("p")), F.col("qpnorm"), F.col("pnorm")).alias(
+            "pcos4"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("pcos4").desc(), F.col("vec_id"))
+    ptop = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "pcos4")
+    )
+    exact = brute_force_topk(df, n_queries, k, vec_col).select(
+        "query_id", "vec_id", F.lit(1).cast("long").alias("in_exact")
+    )
+    return ptop.join(exact, ["query_id", "vec_id"], "left").select(
+        "query_id",
+        "vec_id",
+        "rank",
+        "pcos4",
+        F.coalesce(F.col("in_exact"), F.lit(0)).cast("long").alias("in_exact"),
+    )

@@ -445,3 +445,34 @@ def bpe_merge_candidates(df: DataFrame, k: int = 20, text_col: str = "text") -> 
         .filter(F.col("rnk") <= k)
         .select(F.col("rnk").cast("long").alias("rnk"), "pair", "n_occurrences")
     )
+
+
+def source_mixing_weights(df: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:
+    """CORPUS MIXTURE REBALANCING: per-``by``-group token budgets and the
+    deterministic downsampling rate that flattens the mixture — every
+    group sampled down to the smallest group's token count
+    (``sample_rate4`` = floor(min_tokens * 10000 / n_tokens), the rate
+    to feed ``stratified_hash_sample`` for an equal-tokens-per-source
+    training mix).
+
+    Integer arithmetic only (no pow/temperature here — a fractional
+    exponent would drag libm cross-engine drift into the declared
+    query; a temperature schedule belongs in the caller on top of
+    these exact counts).
+
+    Plan: the corpus collapses in ONE partial-aggregated shuffle to a
+    |groups|-sized table; the min is an agg over that tiny table,
+    broadcast back.  Nothing corpus-sized ever re-shuffles."""
+    toks = df.select(
+        F.col(by), F.size(F.split(F.col(text_col), "\\s+")).cast("long").alias("t")
+    )
+    per = toks.groupBy(by).agg(
+        F.count("*").alias("n_docs"), F.sum("t").alias("n_tokens")
+    )
+    m = per.agg(F.min("n_tokens").alias("min_tokens"))
+    return per.crossJoin(F.broadcast(m)).select(
+        F.col(by),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr("min_tokens * 10000 div n_tokens").cast("long").alias("sample_rate4"),
+    )

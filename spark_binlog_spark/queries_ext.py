@@ -1533,3 +1533,83 @@ ranked AS (
   FROM pc)
 SELECT CAST(rnk AS BIGINT) AS rnk, pair, n_occurrences FROM ranked WHERE rnk <= 20
 """
+
+
+# ---------------------------------------------------------------- random projection
+def q_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain retrieval: 64-dim embeddings sign-projected to
+    8 dims (deterministic JL matrix), brute-force top-10 in the
+    compressed domain, each hit annotated with exact-top-10 membership
+    (sum(in_exact)/10 per query = recall@10)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.rp_topk_with_recall(emb, n_queries=5, k=10, out_dim=8)
+
+
+def _rp_oracle_sql() -> str:
+    """Oracle generated from the SAME sign matrix the Spark op bakes in."""
+    signs = similarity.rp_signs(64, 8, seed=0)
+    comps = ",\n         ".join(
+        "CAST(" + " + ".join(f"({s})*q[{j + 1}]" for j, s in enumerate(row)) + " AS BIGINT)"
+        for row in signs
+    )
+    return f"""
+WITH quant AS ({_QUANT_SQL}),
+base AS ({_NORM_SQL}),
+proj AS (
+  SELECT vec_id,
+         [{comps}] AS p
+  FROM quant),
+pbase AS (
+  SELECT vec_id, p,
+         CAST(list_sum([p[i] * p[i] for i in generate_series(1, len(p))]) AS BIGINT) AS pnorm
+  FROM proj),
+pscored AS (
+  SELECT qs.vec_id AS query_id, b.vec_id,
+         CAST(floor(
+           CAST(CAST(list_sum([qs.p[i] * b.p[i] for i in generate_series(1, len(qs.p))]) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(qs.pnorm AS DOUBLE) * CAST(b.pnorm AS DOUBLE)) * 10000) AS BIGINT) AS pcos4
+  FROM pbase qs CROSS JOIN pbase b
+  WHERE qs.vec_id < 5 AND b.vec_id >= 5),
+ptop AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY pcos4 DESC, vec_id) AS rnk
+    FROM pscored) WHERE rnk <= 10),
+escored AS (
+  SELECT qs.vec_id AS query_id, b.vec_id,
+         CAST(floor(
+           CAST(CAST(list_sum([qs.q[i] * b.q[i] for i in generate_series(1, len(qs.q))]) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(qs.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) * 10000) AS BIGINT) AS cosine4
+  FROM base qs CROSS JOIN base b
+  WHERE qs.vec_id < 5 AND b.vec_id >= 5),
+etop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine4 DESC, vec_id) AS rnk
+    FROM escored) WHERE rnk <= 10)
+SELECT p.query_id, p.vec_id, CAST(p.rnk AS BIGINT) AS rank, p.pcos4,
+       CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact
+FROM ptop p LEFT JOIN etop e ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+"""
+
+
+ORACLE["q_rp_topk"] = _rp_oracle_sql()
+
+
+# ---------------------------------------------------------------- source mixing
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing: per-source token budgets + the
+    deterministic rate that downsamples every source to the smallest
+    source's token count (feeds stratified_hash_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.source_mixing_weights(docs)
+
+
+ORACLE["q_source_mix"] = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+m AS (SELECT min(n_tokens) AS min_tokens FROM per)
+SELECT source, n_docs, n_tokens,
+       CAST(min_tokens * 10000 // n_tokens AS BIGINT) AS sample_rate4
+FROM per, m
+"""

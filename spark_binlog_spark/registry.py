@@ -97,9 +97,11 @@ TAIL = [
     "q_stream_incremental_dedup",
     "q_stream_neardup_dedup",
     "q_embedding_dedup_multitable",
+    "q_rp_topk",
     "q_repeated_spans",
     "q_lm_familiarity",
     "q_bpe_merges",
+    "q_source_mix",
     "q_change_counts_windowed",
     "q_repetition",
     "q_corpus_clean",
