@@ -342,20 +342,37 @@ def is_segmented(path: str) -> bool:
     return any(re.match(_SEGMENT_RE, n) for n in os.listdir(path))
 
 
+# path -> ((size, mtime_ns), (lo, hi, rows)): segment/WAL files are
+# IMMUTABLE once rotated (only the active file grows, and growth
+# changes its stat signature), so per-trigger re-probes of a large
+# store only pay footer reads for files that actually changed.  At
+# 1000 regions × 100 rolled files this turns ~100k footer opens per
+# planning round into ~#changed-files — the same bounded-listing idea
+# as the reference's cached oldWALs scan.  Keyed by path (one live
+# entry per file; a changed signature overwrites in place).
+_FOOTER_CACHE: dict[str, tuple] = {}
+
+
 def _footer_span(fp: str):
     """(min_event_id, max_event_id, rows) from parquet FOOTER METADATA
     only — no data read.  (None, None, rows) for an empty/stat-less
-    file."""
+    file.  Memoized on the file's (size, mtime) signature."""
     import pyarrow.parquet as pq
 
+    st = os.stat(fp)
+    sig = (st.st_size, st.st_mtime_ns)
+    hit = _FOOTER_CACHE.get(fp)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
     md = pq.ParquetFile(fp).metadata
     idx = md.schema.to_arrow_schema().get_field_index("event_id")
     lo = hi = None
     for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        if st is not None:
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
+        stt = md.row_group(rg).column(idx).statistics
+        if stt is not None:
+            lo = stt.min if lo is None else min(lo, stt.min)
+            hi = stt.max if hi is None else max(hi, stt.max)
+    _FOOTER_CACHE[fp] = (sig, (lo, hi, md.num_rows))
     return lo, hi, md.num_rows
 
 

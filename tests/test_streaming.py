@@ -1801,3 +1801,68 @@ class TestRolledWALRegions:
         got = {(r["c_custkey"], r["c_acctbal"]) for r in sink.current().collect()}
         want = {(r["c_custkey"], r["c_acctbal"]) for r in expected.collect()}
         assert got == want
+
+    def test_footer_probe_memoized_on_immutable_files(self, tmp_path, monkeypatch):
+        """Per-trigger re-probes must NOT re-open footers of unchanged
+        (immutable, already-rolled) files: after the first index build,
+        another latestOffset costs zero ParquetFile opens; a NEW rolled
+        file costs exactly the new files' opens."""
+        import pyarrow.parquet as pq
+
+        from spark_binlog_spark.sources import binlog_fixture as bf
+
+        flat, store, eps = self._store(tmp_path, only=[1, 2])
+        rdr = bf.BinlogFixtureStreamReader({"path": store, "regions": "4"})
+
+        opens = []
+        real = pq.ParquetFile
+
+        def counting(path, *a, **kw):
+            opens.append(str(path))
+            return real(path, *a, **kw)
+
+        monkeypatch.setattr(pq, "ParquetFile", counting)
+        rdr.latestOffset()
+        first = len(opens)
+        assert first == 8  # 4 regions × 2 files, cold
+        rdr.latestOffset()
+        assert len(opens) == first  # warm re-probe: zero footer opens
+        # a roll appears: only the 4 new files are opened
+        bf.write_region_wal_segments(flat, store, n_regions=4, n_segments=3, only=[3])
+        rdr.latestOffset()
+        assert len(opens) == first + 4
+
+    def test_rolled_region_checkpoint_restart_across_roll(self, spark, tmp_path):
+        """Stop a rolled-region stream mid-store, roll new WAL files in,
+        restart from the checkpoint — the union of both runs must be
+        exactly-once across the region-map offsets."""
+        from spark_binlog_spark.sources.binlog_fixture import write_region_wal_segments
+        from spark_binlog_spark.streaming.pipeline import read_stream
+
+        flat, store, eps = self._store(tmp_path, only=[1])
+        seen = []
+
+        def record(bdf, bid):
+            seen.extend(
+                json.loads(r["value"])["rows"][0]["cdc_offset"] for r in bdf.collect()
+            )
+
+        ck = str(tmp_path / "ck")
+
+        def run_once():
+            q = (
+                read_stream(spark, store, regions=4)
+                .writeStream.foreachBatch(record)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        assert sorted(seen) == list(range(eps))  # first WAL files only
+        # two rolls land while the stream is DOWN; restart resumes from
+        # the committed region map and reads only the new files
+        write_region_wal_segments(flat, store, n_regions=4, n_segments=3, only=[2, 3])
+        run_once()
+        assert sorted(seen) == list(range(30))  # exactly once, no re-delivery
