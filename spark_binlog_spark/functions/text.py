@@ -476,3 +476,58 @@ def source_mixing_weights(df: DataFrame, text_col: str = "text", by: str = "sour
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.expr("min_tokens * 10000 div n_tokens").cast("long").alias("sample_rate4"),
     )
+
+
+def chunk_documents(
+    df: DataFrame, chunk_tokens: int = 64, overlap: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """DOCUMENT CHUNKING: split each document into fixed-token windows
+    with overlap (stride = chunk_tokens - overlap) — the
+    context-window-preparation op of both pretraining and retrieval
+    pipelines.  Output one row per chunk: (doc_id, chunk_id, n_tokens,
+    chunk) with chunk_id 0-based in document order.
+
+    Pure projection + explode: the chunk starts are a per-row integer
+    sequence and each chunk is an array slice — no shuffle, no Python,
+    runs at scan speed with output rows ~ corpus_tokens / stride."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    starts = F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"), F.slice(w, s, chunk_tokens).alias("toks")
+        ),
+    )
+    return (
+        df.select(F.col("doc_id"), F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").cast("long").alias("chunk_id"),
+            F.size("c.toks").cast("long").alias("n_tokens"),
+            F.array_join("c.toks", " ").alias("chunk"),
+        )
+    )
+
+
+def compressibility(df: DataFrame, n: int = 4, text_col: str = "text") -> DataFrame:
+    """COMPRESSIBILITY quality signal: the distinct fraction of a
+    document's character n-grams — the cheap stand-in for a gzip-ratio
+    filter (highly repetitive/templated text has few distinct n-grams
+    and compresses well; natural text scores high).  Pure per-row
+    projection: no shuffle, no Python, scan-speed."""
+    t = F.col(text_col)
+    cnt = F.length(t) - (n - 1)
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+    return df.select(
+        F.col("doc_id"),
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        ratio4(F.size(F.array_distinct(grams)), F.size(grams)).alias("distinct_ratio4"),
+    )

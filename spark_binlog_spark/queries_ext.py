@@ -1613,3 +1613,53 @@ SELECT source, n_docs, n_tokens,
        CAST(min_tokens * 10000 // n_tokens AS BIGINT) AS sample_rate4
 FROM per, m
 """
+
+
+# ---------------------------------------------------------------- chunking
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token chunking with overlap (64-token windows, stride 48)
+    — the context-window prep op; one row per chunk."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+ORACLE["q_chunk_documents"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= 1
+                     THEN [{'chunk_id': k, 'toks': ws[1 + k*48 : 64 + k*48]}
+                           for k in generate_series(0, (len(ws) - 1) // 48)]
+                     ELSE [] END) AS ch
+  FROM w)
+SELECT doc_id,
+       CAST(ch.chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(ch.toks) AS BIGINT) AS n_tokens,
+       array_to_string(ch.toks, ' ') AS chunk
+FROM c
+"""
+
+
+# ---------------------------------------------------------------- compressibility
+def q_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct char-4-gram fraction per document — the gzip-ratio-class
+    repetitiveness filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.compressibility(docs, n=4)
+
+
+ORACLE["q_compressibility"] = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(text) >= 4
+              THEN [substr(text, i, 4) for i in generate_series(1, len(text) - 3)]
+              ELSE [] END AS grams
+  FROM documents)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(grams) = 0 THEN 0
+            ELSE CAST(floor(CAST(len(list_distinct(grams)) AS DOUBLE)
+                 / CAST(len(grams) AS DOUBLE) * 10000) AS BIGINT) END AS distinct_ratio4
+FROM g
+"""

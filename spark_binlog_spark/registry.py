@@ -102,6 +102,8 @@ TAIL = [
     "q_lm_familiarity",
     "q_bpe_merges",
     "q_source_mix",
+    "q_chunk_documents",
+    "q_compressibility",
     "q_change_counts_windowed",
     "q_repetition",
     "q_corpus_clean",
