@@ -1663,3 +1663,41 @@ SELECT doc_id,
                  / CAST(len(grams) AS DOUBLE) * 10000) AS BIGINT) END AS distinct_ratio4
 FROM g
 """
+
+
+def q_stream_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING mixture monitoring under the oracle: the documents
+    table arrives as two micro-batches through the incremental
+    CorpusStatsSink (additive per-source deltas, batch-id replay guard,
+    crash-safe swaps); the final mixture table must hash-match the
+    batch source_mixing_weights oracle."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from spark_binlog_spark.streaming.corpus_stats import run_corpus_stats
+
+    d = tempfile.mkdtemp(prefix="corpus_stats_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    docs_dir = os.path.join(d, "docs")
+    os.makedirs(docs_dir)
+    tbl = pds.dataset(f"{sf_dir}/documents.parquet").to_table()
+    parity = pc.bit_wise_and(tbl["doc_id"], 1)
+    for i, mask in enumerate([pc.equal(parity, 0), pc.equal(parity, 1)]):
+        path = os.path.join(docs_dir, f"batch-{i}.parquet")
+        pq.write_table(tbl.filter(mask), path)
+        os.utime(path, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sink = run_corpus_stats(
+        spark, docs_dir, os.path.join(d, "stats"), os.path.join(d, "ck"), schema
+    )
+    return sink.mixture()
+
+
+ORACLE["q_stream_source_mix"] = ORACLE["q_source_mix"]

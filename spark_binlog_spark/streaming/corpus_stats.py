@@ -1,0 +1,146 @@
+"""Streaming corpus-mixture monitoring: per-source token budgets
+maintained incrementally as documents are ingested.
+
+The streaming companion to ``text.source_mixing_weights``: a training
+pipeline wants to know its mixture (and the rebalancing rates) AS the
+corpus grows, not from a nightly full scan.  The stats are purely
+additive (n_docs, n_tokens per source), so each micro-batch costs ONE
+tiny aggregation of the batch plus a |sources|-sized merge — the
+corpus itself is read once, at ingest, and never re-scanned (at 100 TB
+a per-batch recompute of per-source totals would re-read the world;
+the delta form touches only the batch).
+
+Exactly-once: foreachBatch is at-least-once under hard crashes and an
+additive merge is NOT idempotent, so the stats parquet carries the
+last applied batch_id and a replayed batch is skipped — the same
+batch-id ratchet as ``IncrementalAggSink`` (streaming/mv.py), which in
+turn mirrors the reference's monotonic offset guard
+(OriginalSourceServerInExecutor.scala:164-171).  Crash-safety of the
+swap itself comes from ``safe_swap``/``recover_dir``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from spark_binlog_spark.streaming.swap import recover_dir, safe_swap
+
+
+class CorpusStatsSink:
+    """foreachBatch sink maintaining per-``by`` corpus statistics.
+
+    ``current()`` -> (by, n_docs, n_tokens); ``mixture()`` additionally
+    derives ``sample_rate4`` (floor(min_tokens * 10000 / n_tokens)) —
+    the same contract as the batch ``source_mixing_weights``, so a
+    stream ingested to completion hash-matches the batch oracle.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        stats_dir: str,
+        by: str = "source",
+        text_col: str = "text",
+        resume: bool = True,
+    ):
+        self.spark = spark
+        self.stats_dir = stats_dir
+        self.by = by
+        self.text_col = text_col
+        self._schema = StructType(
+            [
+                StructField(by, StringType()),
+                StructField("n_docs", LongType()),
+                StructField("n_tokens", LongType()),
+                StructField("batch_id", LongType()),
+            ]
+        )
+        ok = recover_dir(stats_dir)
+        if not (resume and ok):
+            self.spark.createDataFrame([], self._schema).write.mode(
+                "overwrite"
+            ).parquet(stats_dir)
+
+    def _stats(self) -> DataFrame:
+        return self.spark.read.schema(self._schema).parquet(self.stats_dir)
+
+    def _last_batch_id(self) -> int:
+        row = self._stats().agg(F.max("batch_id")).collect()[0]
+        return row[0] if row[0] is not None else -1
+
+    def current(self) -> DataFrame:
+        return self._stats().select(self.by, "n_docs", "n_tokens")
+
+    def mixture(self) -> DataFrame:
+        per = self.current()
+        m = per.agg(F.min("n_tokens").alias("min_tokens"))
+        return per.crossJoin(F.broadcast(m)).select(
+            self.by,
+            "n_docs",
+            "n_tokens",
+            F.expr("min_tokens * 10000 div n_tokens").cast("long").alias("sample_rate4"),
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # replay guard: an already-applied batch (crash between the
+        # swap and the checkpoint commit) must not double-count
+        if batch_id <= self._last_batch_id():
+            return
+        delta = (
+            batch_df.select(
+                F.col(self.by),
+                F.size(F.split(F.col(self.text_col), "\\s+")).cast("long").alias("t"),
+            )
+            .groupBy(self.by)
+            .agg(F.count("*").alias("d_docs"), F.sum("t").alias("d_tokens"))
+        )
+        old = self._stats()
+        merged = (
+            old.join(delta, self.by, "full_outer")
+            .select(
+                F.col(self.by),
+                (F.coalesce(F.col("n_docs"), F.lit(0)) + F.coalesce(F.col("d_docs"), F.lit(0)))
+                .cast("long")
+                .alias("n_docs"),
+                (
+                    F.coalesce(F.col("n_tokens"), F.lit(0))
+                    + F.coalesce(F.col("d_tokens"), F.lit(0))
+                )
+                .cast("long")
+                .alias("n_tokens"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+        )
+        tmp = f"{self.stats_dir}.b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        safe_swap(self.stats_dir, tmp)
+
+
+def run_corpus_stats(
+    spark: SparkSession,
+    docs_dir: str,
+    stats_dir: str,
+    checkpoint_dir: str,
+    schema,
+    by: str = "source",
+    max_files_per_trigger: int = 1,
+) -> CorpusStatsSink:
+    """Stream a directory of document files (one micro-batch per file by
+    default) through the stats sink via availableNow; returns the sink
+    whose ``mixture()`` is the live rebalancing table."""
+    sink = CorpusStatsSink(spark, stats_dir, by=by)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink

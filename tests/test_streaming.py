@@ -1866,3 +1866,65 @@ class TestRolledWALRegions:
         write_region_wal_segments(flat, store, n_regions=4, n_segments=3, only=[2, 3])
         run_once()
         assert sorted(seen) == list(range(30))  # exactly once, no re-delivery
+
+
+class TestCorpusStatsSink:
+    def _docs(self, spark, rows):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=t, source=s) for i, (t, s) in enumerate(rows)]
+        )
+
+    def test_replayed_batch_never_double_counts(self, spark, tmp_path):
+        """foreachBatch replay (same batch_id) must be a no-op: the
+        additive merge is guarded by the batch-id ratchet."""
+        from spark_binlog_spark.streaming.corpus_stats import CorpusStatsSink
+
+        sink = CorpusStatsSink(spark, str(tmp_path / "stats"), resume=False)
+        b0 = self._docs(spark, [("a b c", "s0"), ("d e", "s1")])
+        sink(b0, 0)
+        sink(b0, 0)  # replay after a crash between swap and commit
+        got = {r["source"]: (r["n_docs"], r["n_tokens"]) for r in sink.current().collect()}
+        assert got == {"s0": (1, 3), "s1": (1, 2)}
+        # a LATER batch still applies and merges
+        sink(self._docs(spark, [("x y z w", "s0")]), 1)
+        got = {r["source"]: (r["n_docs"], r["n_tokens"]) for r in sink.current().collect()}
+        assert got == {"s0": (2, 7), "s1": (1, 2)}
+        # mixture derives the flattening rate from the live stats
+        mix = {r["source"]: r["sample_rate4"] for r in sink.mixture().collect()}
+        assert mix == {"s0": 2 * 10000 // 7, "s1": 10000}
+
+    def test_restart_resumes_and_matches_batch_totals(self, spark, tmp_path):
+        """availableNow run, then new files land, then a second run on
+        the same checkpoint: only the new files apply, and the final
+        stats equal a one-shot batch aggregation."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from spark_binlog_spark.streaming.corpus_stats import run_corpus_stats
+
+        docs_dir = tmp_path / "docs"
+        docs_dir.mkdir()
+
+        def write_batch(name, rows):
+            tbl = pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "source": pa.array([r[2] for r in rows], pa.string()),
+                }
+            )
+            pq_.write_table(tbl, str(docs_dir / name))
+
+        write_batch("b0.parquet", [(0, "a b", "s0"), (1, "c", "s1")])
+        schema = spark.read.parquet(str(docs_dir)).schema
+        args = (spark, str(docs_dir), str(tmp_path / "stats"), str(tmp_path / "ck"), schema)
+        sink = run_corpus_stats(*args)
+        got = {r["source"]: r["n_tokens"] for r in sink.current().collect()}
+        assert got == {"s0": 2, "s1": 1}
+
+        write_batch("b1.parquet", [(2, "d e f", "s0"), (3, "g h", "s2")])
+        sink = run_corpus_stats(*args)  # restart on the same checkpoint
+        got = {r["source"]: (r["n_docs"], r["n_tokens"]) for r in sink.current().collect()}
+        assert got == {"s0": (2, 5), "s1": (1, 1), "s2": (1, 2)}
