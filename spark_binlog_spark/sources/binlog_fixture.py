@@ -740,14 +740,22 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         # Tie one floorDir to one checkpoint lineage: reusing it with a
         # fresh checkpoint and an earlier startingOffset would clamp
         # the intentional re-read.
+        # region-mode admission/floor state: per-region cursor map and
+        # per-region committed floors (same roles as _cur/_floor in the
+        # single-offset modes — see _observe_batch)
+        self._rcur: dict[str, int] | None = None
+        self._rfloor: dict[str, int] = {}
         self.floor_dir = options.get("floordir", options.get("floorDir"))
         if self.floor_dir:
-            if self.regions:
-                raise ValueError("floorDir applies to single-offset modes, not regions")
             os.makedirs(self.floor_dir, exist_ok=True)
             try:
                 with open(os.path.join(self.floor_dir, "floor")) as fh:
-                    self._floor = max(self._floor, int(fh.read().strip()))
+                    raw = fh.read().strip()
+                if self.regions:
+                    # region floor file is a JSON {"r<K>": floor} map
+                    self._rfloor = {k: int(v) for k, v in json.loads(raw).items()}
+                else:
+                    self._floor = max(self._floor, int(raw))
             except (FileNotFoundError, ValueError):
                 pass
 
@@ -835,15 +843,17 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
             # ITS OWN log — per-region progress, like per-regionserver
             # WAL positions in the reference's offset map
             idx = self._region_index(refresh=True)
-            return {
-                f"r{r}": (idx[r][-1]["max"] + 1 if idx[r] else self.start_offset)
-                for r in range(self.regions)
-            }
+            return self._cap_region_ends(
+                {
+                    f"r{r}": (idx[r][-1]["max"] + 1 if idx[r] else self.start_offset)
+                    for r in range(self.regions)
+                }
+            )
         end = self._stream_end()
         if self.regions:
             # every region's seq watermark advances to the shared log end
             # (regions share the event-id sequence in the fixture)
-            return {f"r{r}": end for r in range(self.regions)}
+            return self._cap_region_ends({f"r{r}": end for r in range(self.regions)})
         if not self.max_per_trigger:
             return {"offset": end}
         cur = self.start_offset if self._cur is None else self._cur
@@ -881,6 +891,38 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
             self._floor = max(self._floor, s)
         return max(s, self._floor)
 
+    def _cap_region_ends(self, ends: dict) -> dict:
+        """B2 admission control for the region map offsets: each region
+        advances at most its equal share of maxEventsPerTrigger per
+        planning round (the reference's queue cap operates per server
+        the same way, BinLogSocketServerInExecutor.scala:125-133).
+        Unused allowance of a drained region is NOT redistributed — a
+        region's progress never depends on its neighbors' backlog, so
+        a hot region cannot starve a quiet one (or vice versa)."""
+        if not self.max_per_trigger:
+            return ends
+        allowance = max(1, self.max_per_trigger // max(1, self.regions))
+        cur = self._rcur if self._rcur is not None else {}
+        nxt = {
+            k: min(e, cur.get(k, self.start_offset) + allowance) for k, e in ends.items()
+        }
+        self._rcur = nxt
+        return nxt
+
+    def _observe_region_batch(self, key: str, s: int, e: int) -> int:
+        """Per-region rendering of _observe_batch: ratchet the region
+        cursor on both bounds; a regressed batch records the committed
+        position as that region's read floor (same clean-stop-restart
+        clamp, same floorDir durability — see _observe_batch)."""
+        if self._rcur is None:
+            self._rcur = {}
+        for off in (s, e):
+            if off > self._rcur.get(key, -(1 << 62)):
+                self._rcur[key] = off
+        if e < s:
+            self._rfloor[key] = max(self._rfloor.get(key, -1), s)
+        return max(s, self._rfloor.get(key, -1))
+
     def partitions(self, start: dict, end: dict):
         if self.segmented:
             s, e = start["offset"], end["offset"]
@@ -898,7 +940,9 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
             for r in range(self.regions):
                 key = f"r{r}"
                 s = start.get(key, self.start_offset)
-                e = max(s, end.get(key, s))
+                raw_e = end.get(key, s)
+                s = self._observe_region_batch(key, s, raw_e)
+                e = max(s, raw_e)
                 if rolled is not None:
                     # rolled-WAL: one task per (region, WAL file) — a
                     # partition NEVER spans a roll boundary, and each
@@ -953,8 +997,24 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         # never backwards (catch-up batches after a restart commit ends
         # below the old position).  Atomic tmp+rename: a torn floor
         # file would silently disable the clamp.
+        if not self.floor_dir:
+            return
+        if self.regions:
+            # region map: merge committed ends into the per-region
+            # floors, monotonically, and persist as a JSON map
+            changed = False
+            for k, v in end.items():
+                if isinstance(v, int) and v > self._rfloor.get(k, -1):
+                    self._rfloor[k] = v
+                    changed = True
+            if changed:
+                tmp = os.path.join(self.floor_dir, "_floor.tmp")
+                with open(tmp, "w") as fh:
+                    fh.write(json.dumps(self._rfloor))
+                os.replace(tmp, os.path.join(self.floor_dir, "floor"))
+            return
         off = end.get("offset")
-        if self.floor_dir and off is not None and off > self._floor:
+        if off is not None and off > self._floor:
             self._floor = off
             tmp = os.path.join(self.floor_dir, "_floor.tmp")
             with open(tmp, "w") as fh:

@@ -1867,6 +1867,101 @@ class TestRolledWALRegions:
         run_once()
         assert sorted(seen) == list(range(30))  # exactly once, no re-delivery
 
+    def test_capped_region_offsets_advance_by_allowance(self, tmp_path):
+        """B2 in region mode (unit probe): with maxEventsPerTrigger=8
+        over 4 regions, each region's map offset advances at most 2 per
+        planning round, and the per-round partition spans reassemble
+        every region's event set exactly once."""
+        from spark_binlog_spark.sources.binlog_fixture import BinlogFixtureStreamReader
+
+        flat, store, eps = self._store(tmp_path)
+        rdr = BinlogFixtureStreamReader(
+            {"path": store, "regions": "4", "maxEventsPerTrigger": "8"}
+        )
+        cur = rdr.initialOffset()
+        delivered = {r: [] for r in range(4)}
+        for _ in range(40):
+            nxt = rdr.latestOffset()
+            for k in nxt:
+                assert nxt[k] - cur.get(k, 0) <= 2, (cur, nxt)  # allowance = 8//4
+                assert nxt[k] >= cur.get(k, 0)  # monotone
+            for p in rdr.partitions(cur, nxt):
+                delivered[p.region].extend(
+                    i for i in range(p.start, p.end) if (i % 5) % 4 == p.region
+                )
+            if nxt == cur:
+                break
+            cur = nxt
+        for r in range(4):
+            want = [i for i in range(30) if (i % 5) % 4 == r]
+            assert sorted(delivered[r]) == want, f"region {r}"
+            assert len(delivered[r]) == len(want)  # exactly once
+
+    def test_capped_region_restart_with_floor_dir_never_redelivers(self, spark, tmp_path):
+        """DOUBLE clean-stop restart of a CAPPED region stream
+        mid-catch-up with floorDir: restarted fresh per-region cursors
+        under-report, Spark plans regressed region batches, and the
+        JSON per-region floor map persisted by commit() must survive
+        both restarts and clamp every re-read — no committed event
+        re-delivers, everything arrives exactly once."""
+        import time
+
+        from spark_binlog_spark.sources.binlog_fixture import write_region_wal_segments
+        from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+        flat, store, eps = self._store(tmp_path, only=[1])
+        floor_dir = str(tmp_path / "floor")
+
+        def run(seen, target=None, n_triggers=None, timeout_s=120.0):
+            wire = read_stream(
+                spark, store, regions=4, maxEventsPerTrigger=8, floorDir=floor_dir
+            )
+            triggers = []
+
+            def sink(bdf, bid):
+                triggers.append(bid)
+                seen.extend(r["cdc_offset"] for r in bdf.select("cdc_offset").collect())
+
+            q = (
+                parse_stream(wire)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .trigger(processingTime="200 milliseconds")
+                .start()
+            )
+            deadline = time.monotonic() + timeout_s
+            while time.monotonic() < deadline:
+                if q.exception() is not None:
+                    raise AssertionError(f"stream died: {q.exception()}")
+                if target is not None and len(seen) >= target:
+                    break
+                if n_triggers is not None and len(triggers) >= n_triggers:
+                    break
+                time.sleep(0.1)
+            if n_triggers is None:
+                q.processAllAvailable()  # drain AND commit for a clean stop
+            q.stop()
+            q.awaitTermination()
+
+        phase1 = []
+        run(phase1, target=eps)
+        assert sorted(set(phase1)) == list(range(eps))
+
+        # every region rolls twice while the stream is DOWN
+        write_region_wal_segments(flat, store, n_regions=4, n_segments=3, only=[2, 3])
+        # restart #1, stopped almost immediately (mid-catch-up — the
+        # window where fresh capped cursors sit below the committed map)
+        phase2 = []
+        run(phase2, n_triggers=1, timeout_s=30.0)
+        # restart #2 — the window the persisted floor map must cover
+        phase3 = []
+        run(phase3, target=30 - len(set(phase1) | set(phase2)))
+
+        all_seen = phase1 + phase2 + phase3
+        assert set(all_seen) == set(range(30))
+        assert len(all_seen) == len(set(all_seen)), (
+            f"re-delivered {len(all_seen) - len(set(all_seen))} committed events"
+        )
 
 class TestCorpusStatsSink:
     def _docs(self, spark, rows):
