@@ -412,7 +412,21 @@ def embedding_near_dup_pairs(
     recall points are in PERF.md, and q_lsh_recall is the gate to run
     before trusting a setting.
     """
-    planes = _resolve_planes(df, planes, vec_col)
+    # the tables take DISJOINT sign dims, so they consume planes *
+    # n_tables leading components — validate against the actual vector
+    # dim up front: past-the-end element_at would throw under ANSI mode
+    # and, worse, silently fold every out-of-range dim to one bucket
+    # with ANSI off (collapsing the extra tables into an n² join)
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    if planes is None:
+        planes = derived_planes(df.count(), max(1, dim // max(1, n_tables)))
+    if planes * n_tables > dim:
+        raise ValueError(
+            f"planes ({planes}) * n_tables ({n_tables}) = {planes * n_tables} "
+            f"sign dims exceed the vector dimensionality ({dim}); lower one of "
+            "them (tables hash disjoint leading dims)"
+        )
     base = with_quantized(df, vec_col)
     tables = F.array(
         *[sign_bucket(F.col("q"), planes, offset=t * planes) for t in range(n_tables)]

@@ -467,8 +467,17 @@ def source_mixing_weights(df: DataFrame, text_col: str = "text", by: str = "sour
         F.col(by), F.size(F.split(F.col(text_col), "\\s+")).cast("long").alias("t")
     )
     per = toks.groupBy(by).agg(
-        F.count("*").alias("n_docs"), F.sum("t").alias("n_tokens")
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("t").cast("long").alias("n_tokens"),
     )
+    return mixing_rates(per, by)
+
+
+def mixing_rates(per: DataFrame, by: str = "source") -> DataFrame:
+    """The rate derivation shared by the batch ``source_mixing_weights``
+    and the streaming ``CorpusStatsSink.mixture()`` — ONE definition so
+    the streaming sink can never drift from the batch oracle it is
+    checked against.  ``per``: (by, n_docs, n_tokens)."""
     m = per.agg(F.min("n_tokens").alias("min_tokens"))
     return per.crossJoin(F.broadcast(m)).select(
         F.col(by),

@@ -978,26 +978,23 @@ SELECT doc_id, text_hash FROM ranked WHERE rn = 1
 """
 
 
-def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING ingest dedup under the oracle: the documents table
-    arrives as two micro-batches (even ids, then odd ids — one file per
-    trigger) through a real Structured Streaming query into the
-    crash-safe DedupIngestSink; the accepted store after the stream
-    must equal the batch recompute (first copy per normalized
-    fingerprint, earlier batch wins)."""
+def _parity_batches(sf_dir: str, prefix: str) -> str:
+    """Shared scaffold for the streaming-ingest queries: write the
+    documents table as two parity-split micro-batch files (even
+    doc_ids, then odd) in a fresh atexit-cleaned temp dir.  mtimes are
+    pinned ascending because Spark's file stream orders candidate
+    files by modification time — the split IS the batch order the
+    oracles assume.  Returns the docs dir."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     import pyarrow.compute as pc
     import pyarrow.dataset as pds
     import pyarrow.parquet as pq
 
-    from spark_binlog_spark.streaming.dedup_sink import run_dedup_ingest
-
-    import atexit
-    import shutil
-
-    d = tempfile.mkdtemp(prefix="dedup_ingest_")
+    d = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     docs_dir = os.path.join(d, "docs")
     os.makedirs(docs_dir)
@@ -1007,7 +1004,22 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = os.path.join(docs_dir, f"batch-{i}.parquet")
         pq.write_table(tbl.filter(mask), path)
         os.utime(path, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+    return docs_dir
 
+
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest dedup under the oracle: the documents table
+    arrives as two micro-batches (even ids, then odd ids — one file per
+    trigger) through a real Structured Streaming query into the
+    crash-safe DedupIngestSink; the accepted store after the stream
+    must equal the batch recompute (first copy per normalized
+    fingerprint, earlier batch wins)."""
+    import os
+
+    from spark_binlog_spark.streaming.dedup_sink import run_dedup_ingest
+
+    docs_dir = _parity_batches(sf_dir, "dedup_ingest_")
+    d = os.path.dirname(docs_dir)
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     sink = run_dedup_ingest(
         spark, docs_dir, os.path.join(d, "store"), os.path.join(d, "ck"), schema
@@ -1046,27 +1058,11 @@ def q_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-1 docs are rejected on >=2-band agreement with any admitted
     doc or any smaller-id doc in their own batch."""
     import os
-    import tempfile
-
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pds
-    import pyarrow.parquet as pq
 
     from spark_binlog_spark.streaming.neardup_sink import run_neardup_ingest
 
-    import atexit
-    import shutil
-
-    d = tempfile.mkdtemp(prefix="neardup_ingest_")
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    docs_dir = os.path.join(d, "docs")
-    os.makedirs(docs_dir)
-    tbl = pds.dataset(f"{sf_dir}/documents.parquet").to_table()
-    parity = pc.bit_wise_and(tbl["doc_id"], 1)
-    for i, mask in enumerate([pc.equal(parity, 0), pc.equal(parity, 1)]):
-        path = os.path.join(docs_dir, f"batch-{i}.parquet")
-        pq.write_table(tbl.filter(mask), path)
-        os.utime(path, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+    docs_dir = _parity_batches(sf_dir, "neardup_ingest_")
+    d = os.path.dirname(docs_dir)
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     sink = run_neardup_ingest(
@@ -1671,27 +1667,12 @@ def q_stream_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     CorpusStatsSink (additive per-source deltas, batch-id replay guard,
     crash-safe swaps); the final mixture table must hash-match the
     batch source_mixing_weights oracle."""
-    import atexit
     import os
-    import shutil
-    import tempfile
-
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pds
-    import pyarrow.parquet as pq
 
     from spark_binlog_spark.streaming.corpus_stats import run_corpus_stats
 
-    d = tempfile.mkdtemp(prefix="corpus_stats_")
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    docs_dir = os.path.join(d, "docs")
-    os.makedirs(docs_dir)
-    tbl = pds.dataset(f"{sf_dir}/documents.parquet").to_table()
-    parity = pc.bit_wise_and(tbl["doc_id"], 1)
-    for i, mask in enumerate([pc.equal(parity, 0), pc.equal(parity, 1)]):
-        path = os.path.join(docs_dir, f"batch-{i}.parquet")
-        pq.write_table(tbl.filter(mask), path)
-        os.utime(path, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+    docs_dir = _parity_batches(sf_dir, "corpus_stats_")
+    d = os.path.dirname(docs_dir)
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     sink = run_corpus_stats(

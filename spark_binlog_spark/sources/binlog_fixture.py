@@ -748,16 +748,38 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         self.floor_dir = options.get("floordir", options.get("floorDir"))
         if self.floor_dir:
             os.makedirs(self.floor_dir, exist_ok=True)
+            raw = None
             try:
                 with open(os.path.join(self.floor_dir, "floor")) as fh:
                     raw = fh.read().strip()
-                if self.regions:
-                    # region floor file is a JSON {"r<K>": floor} map
-                    self._rfloor = {k: int(v) for k, v in json.loads(raw).items()}
-                else:
-                    self._floor = max(self._floor, int(raw))
-            except (FileNotFoundError, ValueError):
+            except FileNotFoundError:
                 pass
+            if raw:
+                # mode mismatch (a floorDir shared between a region and
+                # a single-offset stream) must FAILFAST in both
+                # directions: silently starting floorless would allow
+                # exactly the committed-event re-delivery the floor
+                # exists to prevent
+                try:
+                    parsed = json.loads(raw)
+                except ValueError:
+                    raise ValueError(f"corrupt floor file in {self.floor_dir}: {raw!r}")
+                if self.regions:
+                    if not isinstance(parsed, dict):
+                        raise ValueError(
+                            f"floorDir {self.floor_dir} holds a single-offset floor "
+                            "but the source is in region mode — one floorDir per "
+                            "stream lineage"
+                        )
+                    self._rfloor = {k: int(v) for k, v in parsed.items()}
+                else:
+                    if isinstance(parsed, dict):
+                        raise ValueError(
+                            f"floorDir {self.floor_dir} holds a region floor map "
+                            "but the source is in single-offset mode — one "
+                            "floorDir per stream lineage"
+                        )
+                    self._floor = max(self._floor, int(parsed))
 
     def _stream_end(self) -> int:
         if self._end is None:
@@ -893,18 +915,23 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
 
     def _cap_region_ends(self, ends: dict) -> dict:
         """B2 admission control for the region map offsets: each region
-        advances at most its equal share of maxEventsPerTrigger per
-        planning round (the reference's queue cap operates per server
-        the same way, BinLogSocketServerInExecutor.scala:125-133).
-        Unused allowance of a drained region is NOT redistributed — a
-        region's progress never depends on its neighbors' backlog, so
-        a hot region cannot starve a quiet one (or vice versa)."""
+        advances at most ``maxEventsPerTrigger`` event-IDs per planning
+        round.  Region offsets index the SHARED event-id sequence and a
+        region owns ~1/n_regions of the ids in any span, so an id-span
+        of the full cap per region admits ~cap/n_regions events per
+        region ≈ cap events per trigger in total — the same admission
+        rate as the single-offset modes (splitting the cap across
+        regions would under-admit by n_regions×).  Every region gets
+        the same span regardless of its neighbors' backlog, so a hot
+        region cannot starve a quiet one (the reference's queue cap is
+        per server the same way,
+        BinLogSocketServerInExecutor.scala:125-133)."""
         if not self.max_per_trigger:
             return ends
-        allowance = max(1, self.max_per_trigger // max(1, self.regions))
         cur = self._rcur if self._rcur is not None else {}
         nxt = {
-            k: min(e, cur.get(k, self.start_offset) + allowance) for k, e in ends.items()
+            k: min(e, cur.get(k, self.start_offset) + self.max_per_trigger)
+            for k, e in ends.items()
         }
         self._rcur = nxt
         return nxt

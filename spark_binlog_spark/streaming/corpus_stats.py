@@ -74,14 +74,9 @@ class CorpusStatsSink:
         return self._stats().select(self.by, "n_docs", "n_tokens")
 
     def mixture(self) -> DataFrame:
-        per = self.current()
-        m = per.agg(F.min("n_tokens").alias("min_tokens"))
-        return per.crossJoin(F.broadcast(m)).select(
-            self.by,
-            "n_docs",
-            "n_tokens",
-            F.expr("min_tokens * 10000 div n_tokens").cast("long").alias("sample_rate4"),
-        )
+        from spark_binlog_spark.functions.text import mixing_rates
+
+        return mixing_rates(self.current(), self.by)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # replay guard: an already-applied batch (crash between the

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_binlog_spark.functions.text import fingerprint
+from spark_binlog_spark.streaming.swap import remove_with_checksum
 
 ACCEPTED_COLS = ["doc_id", "fp_md5", "fp48"]
 ACCEPTED_SCHEMA = "doc_id long, fp_md5 string, fp48 long"
@@ -210,7 +211,7 @@ class DedupIngestSink:
             pq.write_table(merged, tmp)
             os.replace(tmp, os.path.join(bdir, f"compact-{token}.parquet"))
             for f in files:
-                os.remove(f)
+                remove_with_checksum(f)
             self.n_compactions += 1
 
 

@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_binlog_spark.functions.dedup import N_MINHASH, minhash_signatures
+from spark_binlog_spark.streaming.swap import remove_with_checksum
 
 SIG_COLS = ["doc_id", "seed", "minhash"]
 SIG_SCHEMA = "doc_id long, seed int, minhash long"
@@ -89,6 +90,9 @@ class NearDupIngestSink:
         # ...and a crashed compaction leaves only a hidden .tmp file
         for tmp in glob.glob(os.path.join(store_dir, "d_*", "bucket=*", "_*.tmp")):
             os.remove(tmp)
+        # a crash between a compaction's file deletes and its dir prune
+        # leaves empty dirs — sweep them on resume
+        self._prune_empty_dirs()
 
     @property
     def admitted_rows(self) -> int:
@@ -225,8 +229,28 @@ class NearDupIngestSink:
             pq.write_table(merged, tmp)
             os.replace(tmp, os.path.join(dest, "merged.parquet"))
             for f in files:
-                os.remove(f)
+                remove_with_checksum(f)
+            self._prune_empty_dirs()
             self.n_compactions += 1
+
+    def _prune_empty_dirs(self) -> None:
+        """Remove bucket/delta directories DRAINED by compaction —
+        without this the store accrues one dead dir per batch and per
+        compaction FOREVER, and every _index_for glob and recursive
+        index() listing walks the graveyard (re-introducing the
+        O(batches) planning cost compaction exists to bound).
+
+        'Drained' = no ``*.parquet`` left: the local committer leaves
+        hidden ``.*.crc``/``._SUCCESS.crc`` checksum debris behind the
+        data files (invisible to Spark reads, which skip dot/underscore
+        files), so a plain rmdir would never fire.  Only dirs with zero
+        parquet files are removed — pruning can never drop data."""
+        for bdir in glob.glob(os.path.join(self.store_dir, "d_*", "bucket=*")):
+            if not glob.glob(os.path.join(bdir, "*.parquet")):
+                shutil.rmtree(bdir, ignore_errors=True)
+        for ddir in glob.glob(os.path.join(self.store_dir, "d_*")):
+            if not glob.glob(os.path.join(ddir, "bucket=*")):
+                shutil.rmtree(ddir, ignore_errors=True)
 
 
 def run_neardup_ingest(

@@ -63,3 +63,14 @@ def recover_dir(live: str) -> bool:
     for t in tmps:
         shutil.rmtree(t, ignore_errors=True)  # already-moved path is a no-op
     return os.path.isdir(live)
+
+
+def remove_with_checksum(path: str) -> None:
+    """Remove a data file AND its hidden ``.{name}.crc`` sibling (the
+    local Hadoop committer writes one per part file; deleting only the
+    data file leaks one orphaned checksum per compacted-away file —
+    invisible to Spark reads but unbounded listing debris)."""
+    os.remove(path)
+    crc = os.path.join(os.path.dirname(path), "." + os.path.basename(path) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)

@@ -1553,6 +1553,49 @@ class TestNearDupIngestSink:
         assert bid == 1 and n_buckets_scanned <= 8 and n_files < total
 
 
+class TestNearDupCompactionHygiene:
+    def test_compaction_prunes_emptied_directories(self, spark, tmp_path):
+        """After per-bucket compaction, the store must not accumulate
+        empty delta/bucket directories: dir count stays bounded as
+        batches pass (the O(batches) listing-cost leak), and the
+        admitted doc set survives compaction intact."""
+        import os
+
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.streaming.neardup_sink import NearDupIngestSink
+
+        sink = NearDupIngestSink(
+            spark, str(tmp_path / "store"), n_buckets=4, compact_threshold=3
+        )
+        n_batches = 20
+        for bid in range(n_batches):
+            batch = spark.createDataFrame(
+                [
+                    Row(doc_id=bid * 10 + j, text=f"doc {bid} {j} " + " ".join(
+                        f"w{(bid * 10 + j) * 13 + t}" for t in range(12)))
+                    for j in range(3)
+                ]
+            )
+            sink(batch, bid)
+        assert sink.n_compactions > 0  # compaction actually ran
+        store = str(tmp_path / "store")
+        empty = [
+            os.path.join(root, d)
+            for root, dirs, files in os.walk(store)
+            for d in dirs
+            if not os.listdir(os.path.join(root, d))
+        ]
+        assert empty == [], f"emptied dirs left behind: {empty}"
+        # steady-state dir count is bounded by fragmentation
+        # (~compact_threshold live dirs per bucket), NOT by batch count —
+        # without pruning this would be >= n_batches + compactions
+        d_dirs = [d for d in os.listdir(store) if d.startswith("d_")]
+        assert len(d_dirs) <= (3 + 1) * 4, d_dirs
+        # the admitted set survives compaction + pruning intact
+        assert sink.accepted().count() == sink.admitted_rows
+
+
 class TestRegionPartitionedStore:
     def test_pruned_scan_and_identical_stream(self, spark, tmp_path):
         """A region-partitioned store must (a) let a region task open
@@ -1868,10 +1911,12 @@ class TestRolledWALRegions:
         assert sorted(seen) == list(range(30))  # exactly once, no re-delivery
 
     def test_capped_region_offsets_advance_by_allowance(self, tmp_path):
-        """B2 in region mode (unit probe): with maxEventsPerTrigger=8
-        over 4 regions, each region's map offset advances at most 2 per
-        planning round, and the per-round partition spans reassemble
-        every region's event set exactly once."""
+        """B2 in region mode (unit probe): with maxEventsPerTrigger=8,
+        each region's map offset advances at most 8 event-IDs per
+        planning round (ids are shared across regions, so an id-span of
+        the full cap per region admits ~cap events per trigger in
+        total), and the per-round partition spans reassemble every
+        region's event set exactly once."""
         from spark_binlog_spark.sources.binlog_fixture import BinlogFixtureStreamReader
 
         flat, store, eps = self._store(tmp_path)
@@ -1883,7 +1928,7 @@ class TestRolledWALRegions:
         for _ in range(40):
             nxt = rdr.latestOffset()
             for k in nxt:
-                assert nxt[k] - cur.get(k, 0) <= 2, (cur, nxt)  # allowance = 8//4
+                assert nxt[k] - cur.get(k, 0) <= 8, (cur, nxt)  # id-span cap
                 assert nxt[k] >= cur.get(k, 0)  # monotone
             for p in rdr.partitions(cur, nxt):
                 delivered[p.region].extend(

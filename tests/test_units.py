@@ -555,3 +555,25 @@ class TestBucketedGapEquivalence:
         for offs in cases:
             df = spark.createDataFrame([Row(off=o) for o in offs])
             assert bucketed(df) == global_lag(df), f"mismatch for {offs}"
+
+
+class TestMultiTableDimGuard:
+    def test_tables_past_vector_dim_failfast(self, spark):
+        """planes * n_tables > dim must raise up front: past-the-end
+        element_at throws under ANSI mode and silently folds every
+        out-of-range dim to one bucket with ANSI off (collapsing the
+        extra tables into an n² join)."""
+        import pytest as _pytest
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import similarity
+
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(i), 1.0, -1.0, 0.5]) for i in range(6)]
+        )
+        with _pytest.raises(ValueError, match="exceed the vector dimensionality"):
+            similarity.embedding_near_dup_pairs(df, planes=4, n_tables=2)
+        # derived planes self-cap so the same call with planes=None works
+        out = similarity.embedding_near_dup_pairs(df, planes=None, n_tables=2)
+        assert {"vec_a", "vec_b", "cosine4"} == set(out.columns)
+        out.collect()  # no ANSI index error
