@@ -2068,3 +2068,67 @@ class TestCorpusStatsSink:
         sink = run_corpus_stats(*args)  # restart on the same checkpoint
         got = {r["source"]: (r["n_docs"], r["n_tokens"]) for r in sink.current().collect()}
         assert got == {"s0": (2, 5), "s1": (1, 1), "s2": (1, 2)}
+
+class TestJdbcUpsertSink:
+    def test_stream_merges_into_live_derby_and_replay_is_idempotent(self, spark, tmp_path):
+        """S5 JDBC sink: a CDC stream MERGEs into a LIVE embedded-Derby
+        table (set-based two-phase: distributed staging append + one
+        database MERGE); final table equals the batch cdc_apply-style
+        latest state, and replaying a batch changes nothing."""
+        from spark_binlog_spark.streaming.jdbc_sink import JdbcUpsertSink
+        from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+        rows = [
+            (i, T0 + i, i % 6, ["signup", "click", "view", "purchase", "error"][i % 5],
+             float(i), "{}")
+            for i in range(40)
+        ]
+        flat = str(tmp_path / "ev.parquet")
+        _write_events(flat, rows)
+        url = f"jdbc:derby:{tmp_path}/derby_db;create=true"
+
+        sink = JdbcUpsertSink(
+            spark, url, "applied", key_col="pk", val_cols={"val": "value"}
+        )
+        wire = read_stream(spark, flat, numPartitions=2, maxEventsPerTrigger=15)
+        q = (
+            parse_stream(wire)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        import time
+
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline and sum(n for _, n in sink.applied_batches) == 0:
+            if q.exception() is not None:
+                raise AssertionError(f"stream died: {q.exception()}")
+            time.sleep(0.2)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        # expected final state: per-key latest by cdc_offset; op=delete
+        # removes the key (uid 4 -> 'error' at i%5==4; within this
+        # fixture each uid's LAST event decides)
+        latest = {}
+        for i in range(40):
+            uid = i % 6
+            op = {"signup": "insert", "error": "delete"}.get(
+                ["signup", "click", "view", "purchase", "error"][i % 5], "update"
+            )
+            latest[uid] = (op, float(i))
+        want = {(k, v) for k, (op, v) in latest.items() if op != "delete"}
+        got = {(r["PK"], r["VAL"]) for r in sink.current().collect()}
+        assert got == want
+
+        # replaying the final micro-batch's rows must change nothing
+        from pyspark.sql import functions as F
+
+        last_batch = parse_stream(
+            spark.read.format("binlog_fixture").option("path", flat).load()
+        ).filter(F.col("cdc_offset") >= 30)
+        sink(last_batch, 999)
+        got2 = {(r["PK"], r["VAL"]) for r in sink.current().collect()}
+        assert got2 == want
