@@ -514,3 +514,38 @@ def repeated_span_stats(df: DataFrame, n: int = 8, text_col: str = "text") -> Da
             ).alias("dup_frac4"),
         )
     )
+
+
+def cross_source_dup_matrix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CORPUS FORENSICS: how much does each source pair duplicate each
+    other — per unordered (source_a, source_b) pair, the number of
+    distinct normalized fingerprints present in BOTH sources (a = b
+    reports a source's internally-shared-with-itself... excluded; the
+    diagonal is just exact-dup counting, already covered by
+    exact_dedup).  The view a mixture owner reads before deciding
+    which feed to drop.
+
+    Plan: documents → (source, fp48) distinct (one shuffle, output
+    bounded by distinct fingerprints × sources); self-join on fp48 —
+    both sides hash-partitioned on the fingerprint, never n² on
+    documents; final count is a |source-pairs|-sized agg."""
+    from spark_binlog_spark.functions.text import fingerprint
+
+    fp = (
+        fingerprint(df, text_col)
+        .join(df.select("doc_id", "source"), "doc_id")
+        .select("source", "fp48")
+        .distinct()
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp48") == F.col("b.fp48"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.countDistinct(F.col("a.fp48")).alias("n_shared_fp"))
+    )

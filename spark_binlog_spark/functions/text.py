@@ -540,3 +540,47 @@ def compressibility(df: DataFrame, n: int = 4, text_col: str = "text") -> DataFr
         F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
         ratio4(F.size(F.array_distinct(grams)), F.size(grams)).alias("distinct_ratio4"),
     )
+
+
+def vocab_coverage(df: DataFrame, vocab_size: int = 100, text_col: str = "text") -> DataFrame:
+    """TOKENIZER-COVERAGE diagnostic: per document, the fraction of its
+    tokens covered by the corpus top-``vocab_size`` vocabulary — the
+    OOV-rate check run before committing to a tokenizer/vocab size.
+
+    Deterministic vocabulary: rank by (count DESC, word ASC) — ties at
+    the cut must break identically in both engines or the whole score
+    shifts.  Plan: corpus → ONE word-count shuffle (vocabulary-sized
+    output); the top-K rank window's input is the vocabulary table
+    (bounded, same exemption as bpe_merge_candidates); the K-row vocab
+    BROADCASTS into the coverage join; per-doc counts are one doc-keyed
+    partial agg."""
+    from pyspark.sql import Window
+
+    w = df.select(F.col("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    counts = w.groupBy("word").agg(F.count("*").alias("wc"))
+    rank_w = Window.orderBy(F.col("wc").desc(), F.col("word"))
+    vocab = (
+        counts.withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= vocab_size)
+        .select("word")
+    )
+    totals = w.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    hits = (
+        w.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_in_vocab"))
+    )
+    return (
+        df.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_in_vocab"), F.lit(0)).cast("long").alias("n_in_vocab"),
+            ratio4(
+                F.coalesce(F.col("n_in_vocab"), F.lit(0)),
+                F.coalesce(F.col("n_tokens"), F.lit(0)),
+            ).alias("coverage4"),
+        )
+    )

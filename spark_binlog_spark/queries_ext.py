@@ -1682,3 +1682,52 @@ def q_stream_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_stream_source_mix"] = ORACLE["q_source_mix"]
+
+
+# ---------------------------------------------------------------- vocab coverage
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage diagnostic: per-doc fraction of tokens inside
+    the deterministic corpus top-100 vocabulary (OOV-rate check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_coverage(docs, vocab_size=100)
+
+
+ORACLE["q_vocab_coverage"] = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+counts AS (SELECT word, count(*) AS wc FROM w GROUP BY word),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, row_number() OVER (ORDER BY wc DESC, word) AS rnk FROM counts)
+  WHERE rnk <= 100),
+totals AS (SELECT doc_id, count(*) AS n_tokens FROM w GROUP BY doc_id),
+hits AS (SELECT doc_id, count(*) AS n_in_vocab FROM w JOIN vocab USING (word) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(h.n_in_vocab, 0) AS BIGINT) AS n_in_vocab,
+       CASE WHEN coalesce(t.n_tokens, 0) = 0 THEN 0
+            ELSE CAST(floor(CAST(coalesce(h.n_in_vocab, 0) AS DOUBLE)
+                 / CAST(t.n_tokens AS DOUBLE) * 10000) AS BIGINT) END AS coverage4
+FROM documents d
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+# ---------------------------------------------------------------- cross-source dups
+def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: distinct normalized fingerprints
+    shared by each source pair — the which-feed-to-drop diagnostic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cross_source_dup_matrix(docs)
+
+
+ORACLE["q_source_dup_matrix"] = r"""
+WITH fp AS (
+  SELECT DISTINCT source,
+         CAST('0x' || substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 12) AS BIGINT) AS fp48
+  FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(DISTINCT a.fp48) AS BIGINT) AS n_shared_fp
+FROM fp a JOIN fp b ON a.fp48 = b.fp48 AND a.source < b.source
+GROUP BY 1, 2
+"""

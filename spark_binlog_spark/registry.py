@@ -105,6 +105,8 @@ TAIL = [
     "q_source_mix",
     "q_chunk_documents",
     "q_compressibility",
+    "q_vocab_coverage",
+    "q_source_dup_matrix",
     "q_change_counts_windowed",
     "q_repetition",
     "q_corpus_clean",
