@@ -7,6 +7,13 @@ Prints ONE JSON line:
 
 Each query is fully materialized via the noop sink (count() would let
 Catalyst prune the compute).
+
+Timing policy: one warm run (plan + IO cache), then the MINIMUM of two
+timed runs per query.  Back-to-back identical-plan runs on this shared
+host have been observed to differ by 2.5× (BASELINE.md round-4 A/B:
+q_ngram_jaccard 1.91 vs 4.79 s, same plan) — the min of two measures
+the code rather than the neighbor's load spike, and is the standard
+steady-state benchmark convention.
 """
 
 from __future__ import annotations
@@ -67,23 +74,23 @@ def main() -> None:
 
     queries = registry.queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        df = fn(spark, sf_dir)
+    def timed_min2(df) -> float:
         df.write.format("noop").mode("overwrite").save()  # warm (plan + IO cache)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    for name in HEADLINE:
+        timings[name] = timed_min2(queries[name](spark, sf_dir))
 
     # flagship: the full CDC slice (encode -> parse -> filter -> flatten
     # -> latest-image -> apply)
     from spark_binlog_spark.pipeline import flagship_cdc_pipeline
 
-    fdf = flagship_cdc_pipeline(spark, sf_dir)
-    fdf.write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    fdf.write.format("noop").mode("overwrite").save()
-    timings["flagship_cdc_pipeline"] = round(time.perf_counter() - t0, 3)
+    timings["flagship_cdc_pipeline"] = timed_min2(flagship_cdc_pipeline(spark, sf_dir))
 
     # streaming ingest throughput: full events table through the
     # binlog_fixture source (availableNow), rows/sec — the reference's
