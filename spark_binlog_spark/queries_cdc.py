@@ -1907,3 +1907,81 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SESSIONIZATION under the oracle: the change stream is
+    forced through MULTIPLE capped micro-batches and sessionized with
+    ``session_window`` in complete output mode — sessions that span a
+    batch boundary must MERGE in the state store (the part the batch
+    q_user_sessions cannot exercise).  The final table hash-matches a
+    gaps-and-islands oracle computed on the same millisecond-truncated
+    event times the wire carries."""
+    import uuid
+
+    from spark_binlog_spark.sources.binlog_fixture import _probe_end
+    from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+    _pin(spark)
+    events = f"{sf_dir}/events.parquet"
+    n = _probe_end(events)
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    # cap to ~1/3 of the log per trigger -> >= 3 micro-batches, so
+    # session state MUST merge across batches
+    wire = read_stream(spark, events, numPartitions=8, maxEventsPerTrigger=max(1, n // 3))
+    parsed = parse_stream(wire)
+    sw = F.session_window(F.timestamp_millis(F.col("ts_ms")), "30 minutes")
+    agg = (
+        parsed.groupBy(sw.alias("w"), F.col("pk"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("session_value_c"),
+        )
+        .select(
+            "pk",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value_c",
+        )
+    )
+    # availableNow on a Python DataSource falls back to ONE batch
+    # (DEVNOTES), which with the cap would truncate the stream — run a
+    # processing-time trigger and drain it: processAllAvailable blocks
+    # until the capped cursor has ratcheted through the whole log
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", _tmpdir("stream_ck_") + "/ck")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE["q_stream_sessions"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+ms AS (SELECT pk, value, cdc_offset, epoch_ms(ts) AS tms FROM changes),
+flagged AS (
+  SELECT pk, value, tms, cdc_offset,
+         CASE WHEN lag(tms) OVER w IS NULL
+                   OR tms - lag(tms) OVER w >= 30 * 60 * 1000 THEN 1 ELSE 0 END AS brk
+  FROM ms
+  WINDOW w AS (PARTITION BY pk ORDER BY tms, cdc_offset)
+),
+runs AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY pk ORDER BY tms, cdc_offset
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT pk,
+       strftime(make_timestamp(min(tms) * 1000), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS session_value_c
+FROM runs GROUP BY pk, sid
+"""
