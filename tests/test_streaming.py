@@ -2132,3 +2132,78 @@ class TestJdbcUpsertSink:
         sink(last_batch, 999)
         got2 = {(r["PK"], r["VAL"]) for r in sink.current().collect()}
         assert got2 == want
+
+    def test_kill_after_merge_and_resume_effectively_once(self, spark, tmp_path):
+        """Worst-case crash point for the JDBC sink: die AFTER the
+        database MERGE but BEFORE the batch commit — the uncommitted
+        batch is redelivered on resume and the set-based re-MERGE must
+        absorb it (effectively-once), final table == expected latest
+        state."""
+        import time
+
+        from spark_binlog_spark.streaming.jdbc_sink import JdbcUpsertSink
+        from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+        rows = [
+            (i, T0 + i, i % 6, ["signup", "click", "view", "purchase", "error"][i % 5],
+             float(i), "{}")
+            for i in range(40)
+        ]
+        flat = str(tmp_path / "ev.parquet")
+        _write_events(flat, rows)
+        url = f"jdbc:derby:{tmp_path}/derby_db;create=true"
+        ckpt = str(tmp_path / "ck")
+
+        sink1 = JdbcUpsertSink(spark, url, "applied", key_col="pk", val_cols={"val": "value"})
+
+        def crashing(batch_df, batch_id):
+            sink1(batch_df, batch_id)  # MERGE committed in the database...
+            if sum(n for _, n in sink1.applied_batches) >= 6:
+                raise RuntimeError("injected crash after MERGE")  # ...batch commit never happens
+
+        wire = read_stream(spark, flat, numPartitions=2, maxEventsPerTrigger=10)
+        q1 = (
+            parse_stream(wire).writeStream.foreachBatch(crashing)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline and q1.exception() is None:
+            time.sleep(0.2)
+        assert q1.exception() is not None  # the crash fired
+        try:
+            q1.awaitTermination()
+        except Exception:
+            pass
+
+        # phase 2: resume from the same checkpoint with a fresh sink —
+        # the crashed batch replays (at-least-once) and re-merges
+        sink2 = JdbcUpsertSink(spark, url, "applied", key_col="pk", val_cols={"val": "value"})
+        wire2 = read_stream(spark, flat, numPartitions=2, maxEventsPerTrigger=10)
+        q2 = (
+            parse_stream(wire2).writeStream.foreachBatch(sink2)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline and sum(n for _, n in sink2.applied_batches) == 0:
+            if q2.exception() is not None:
+                raise AssertionError(f"resume died: {q2.exception()}")
+            time.sleep(0.2)
+        q2.processAllAvailable()
+        q2.stop()
+        q2.awaitTermination()
+
+        latest = {}
+        for i in range(40):
+            uid = i % 6
+            op = {"signup": "insert", "error": "delete"}.get(
+                ["signup", "click", "view", "purchase", "error"][i % 5], "update"
+            )
+            latest[uid] = (op, float(i))
+        want = {(k, v) for k, (op, v) in latest.items() if op != "delete"}
+        got = {(r["PK"], r["VAL"]) for r in sink2.current().collect()}
+        assert got == want
+
