@@ -1731,3 +1731,29 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM fp a JOIN fp b ON a.fp48 = b.fp48 AND a.source < b.source
 GROUP BY 1, 2
 """
+
+
+def q_stream_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING length-distribution monitoring under the oracle: the
+    mergeable per-(source, log2-token-bin) histogram maintained
+    additively by CorpusStatsSink over a real two-batch stream must
+    equal the batch histogram."""
+    import os
+
+    from spark_binlog_spark.streaming.corpus_stats import run_corpus_stats
+
+    docs_dir = _parity_batches(sf_dir, "corpus_hist_")
+    d = os.path.dirname(docs_dir)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sink = run_corpus_stats(
+        spark, docs_dir, os.path.join(d, "stats"), os.path.join(d, "ck"), schema
+    )
+    return sink.length_histogram()
+
+
+ORACLE["q_stream_length_histogram"] = r"""
+WITH t AS (SELECT source, len(regexp_split_to_array(text, '\s+')) AS n FROM documents)
+SELECT source, CAST(length(bin(n)) - 1 AS BIGINT) AS len_bin,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM t GROUP BY 1, 2
+"""

@@ -98,6 +98,7 @@ TAIL = [
     "q_stream_neardup_dedup",
     "q_stream_source_mix",
     "q_stream_sessions",
+    "q_stream_length_histogram",
     "q_embedding_dedup_multitable",
     "q_rp_topk",
     "q_repeated_spans",

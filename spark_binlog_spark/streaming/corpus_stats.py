@@ -4,11 +4,16 @@ maintained incrementally as documents are ingested.
 The streaming companion to ``text.source_mixing_weights``: a training
 pipeline wants to know its mixture (and the rebalancing rates) AS the
 corpus grows, not from a nightly full scan.  The stats are purely
-additive (n_docs, n_tokens per source), so each micro-batch costs ONE
-tiny aggregation of the batch plus a |sources|-sized merge — the
-corpus itself is read once, at ingest, and never re-scanned (at 100 TB
-a per-batch recompute of per-source totals would re-read the world;
-the delta form touches only the batch).
+additive and kept at (source, token-length-bin) grain — len_bin =
+floor(log2(n_tokens)), computed as ``length(bin(n)) - 1`` so both
+engines agree without libm — which makes the table a MERGEABLE LENGTH
+HISTOGRAM: coarse mixture totals roll up from it exactly, and
+length-distribution monitoring (the truncation/percentile checks a
+data pipeline watches) falls out of the same additive state.  Each
+micro-batch costs ONE tiny aggregation of the batch plus a
+|sources × bins|-sized merge — the corpus is read once, at ingest,
+and never re-scanned (at 100 TB a per-batch recompute would re-read
+the world; the delta form touches only the batch).
 
 Exactly-once: foreachBatch is at-least-once under hard crashes and an
 additive merge is NOT idempotent, so the stats parquet carries the
@@ -52,6 +57,7 @@ class CorpusStatsSink:
         self._schema = StructType(
             [
                 StructField(by, StringType()),
+                StructField("len_bin", LongType()),
                 StructField("n_docs", LongType()),
                 StructField("n_tokens", LongType()),
                 StructField("batch_id", LongType()),
@@ -71,7 +77,20 @@ class CorpusStatsSink:
         return row[0] if row[0] is not None else -1
 
     def current(self) -> DataFrame:
-        return self._stats().select(self.by, "n_docs", "n_tokens")
+        # coarse per-source totals roll up EXACTLY from the bin grain
+        return (
+            self._stats()
+            .groupBy(self.by)
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+            )
+        )
+
+    def length_histogram(self) -> DataFrame:
+        """(by, len_bin, n_docs): doc counts per power-of-two token
+        bucket — the live length-distribution monitor."""
+        return self._stats().select(self.by, "len_bin", "n_docs")
 
     def mixture(self) -> DataFrame:
         from spark_binlog_spark.functions.text import mixing_rates
@@ -88,14 +107,20 @@ class CorpusStatsSink:
                 F.col(self.by),
                 F.size(F.split(F.col(self.text_col), "\\s+")).cast("long").alias("t"),
             )
-            .groupBy(self.by)
+            .select(
+                F.col(self.by),
+                (F.length(F.bin(F.col("t"))) - 1).cast("long").alias("len_bin"),
+                F.col("t"),
+            )
+            .groupBy(self.by, "len_bin")
             .agg(F.count("*").alias("d_docs"), F.sum("t").alias("d_tokens"))
         )
         old = self._stats()
         merged = (
-            old.join(delta, self.by, "full_outer")
+            old.join(delta, [self.by, "len_bin"], "full_outer")
             .select(
                 F.col(self.by),
+                F.col("len_bin"),
                 (F.coalesce(F.col("n_docs"), F.lit(0)) + F.coalesce(F.col("d_docs"), F.lit(0)))
                 .cast("long")
                 .alias("n_docs"),
