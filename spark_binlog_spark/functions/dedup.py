@@ -525,18 +525,16 @@ def cross_source_dup_matrix(df: DataFrame, text_col: str = "text") -> DataFrame:
     exact_dedup).  The view a mixture owner reads before deciding
     which feed to drop.
 
-    Plan: documents → (source, fp48) distinct (one shuffle, output
-    bounded by distinct fingerprints × sources); self-join on fp48 —
-    both sides hash-partitioned on the fingerprint, never n² on
+    Plan: documents → (source, fp48) distinct — fp48 computed INLINE
+    in the scan projection (one corpus scan, ONE shuffle for the
+    distinct; joining a separate fingerprint relation back on doc_id
+    would shuffle two corpus-sized relations first); self-join on fp48
+    — both sides hash-partitioned on the fingerprint, never n² on
     documents; final count is a |source-pairs|-sized agg."""
-    from spark_binlog_spark.functions.text import fingerprint
+    from spark_binlog_spark.functions.hashing import h48
 
-    fp = (
-        fingerprint(df, text_col)
-        .join(df.select("doc_id", "source"), "doc_id")
-        .select("source", "fp48")
-        .distinct()
-    )
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    fp = df.select("source", h48(norm).alias("fp48")).distinct()
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(

@@ -549,19 +549,17 @@ def vocab_coverage(df: DataFrame, vocab_size: int = 100, text_col: str = "text")
 
     Deterministic vocabulary: rank by (count DESC, word ASC) — ties at
     the cut must break identically in both engines or the whole score
-    shifts.  Plan: corpus → ONE word-count shuffle (vocabulary-sized
-    output); the top-K rank window's input is the vocabulary table
-    (bounded, same exemption as bpe_merge_candidates); the K-row vocab
-    BROADCASTS into the coverage join; per-doc counts are one doc-keyed
-    partial agg."""
-    from pyspark.sql import Window
-
+    shifts.  Plan: corpus → ONE word-count shuffle; the top-K cut is
+    ``orderBy().limit()`` = TakeOrderedAndProject — a DISTRIBUTED
+    per-partition top-K merged on the driver, never a single-partition
+    sort of the (unbounded) word table; the K-row vocab BROADCASTS
+    into the coverage join; per-doc counts are one doc-keyed partial
+    agg."""
     w = df.select(F.col("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("word"))
     counts = w.groupBy("word").agg(F.count("*").alias("wc"))
-    rank_w = Window.orderBy(F.col("wc").desc(), F.col("word"))
     vocab = (
-        counts.withColumn("rnk", F.row_number().over(rank_w))
-        .filter(F.col("rnk") <= vocab_size)
+        counts.orderBy(F.col("wc").desc(), F.col("word"))
+        .limit(vocab_size)
         .select("word")
     )
     totals = w.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))

@@ -68,6 +68,19 @@ class CorpusStatsSink:
             self.spark.createDataFrame([], self._schema).write.mode(
                 "overwrite"
             ).parquet(stats_dir)
+        else:
+            # store-format mismatch must FAILFAST (same rule as the
+            # floorDir scalar/map check): resuming an old-schema store
+            # under the new schema would fill the missing columns with
+            # NULL join keys that never merge — silent corruption
+            actual = set(self.spark.read.parquet(stats_dir).schema.names)
+            expected = set(self._schema.names)
+            if actual != expected:
+                raise ValueError(
+                    f"stats store {stats_dir} has columns {sorted(actual)} but this "
+                    f"sink expects {sorted(expected)} — rebuild the store (its source "
+                    "stream is replayable) or resume with the matching sink version"
+                )
 
     def _stats(self) -> DataFrame:
         return self.spark.read.schema(self._schema).parquet(self.stats_dir)

@@ -105,35 +105,48 @@ class JdbcUpsertSink:
         types = {f.name: _ddl_type(f.dataType.simpleString()) for f in latest.schema.fields}
         cols = [self.key_col, *self.val_cols]
         body = ", ".join(f"{c} {types[c]}" for c in cols)
-        # X0Y32 = table already exists (resume); PK makes the merge's
-        # ON clause an index lookup
+        # X0Y32 = Derby's table-already-exists SQLSTATE (resume) — match
+        # the state code, not free text, so unrelated errors whose
+        # message merely mentions existence still raise; PK makes the
+        # merge's ON clause an index lookup
         self._exec(
             f"CREATE TABLE {self.table} ({body}, PRIMARY KEY ({self.key_col}))",
-            ignore=("X0Y32", "already exists"),
+            ignore=("X0Y32",),
         )
         self._exec(
             f"CREATE TABLE {self.staging} ({body}, {self.op_col} VARCHAR(16))",
-            ignore=("X0Y32", "already exists"),
+            ignore=("X0Y32",),
         )
         self._types = types
 
     def current(self) -> DataFrame:
-        return (
-            self.spark.read.format("jdbc")
-            .option("url", self.url)
-            .option("dbtable", self.table)
-            .option("driver", self.driver)
-            .load()
-        )
+        try:
+            return (
+                self.spark.read.format("jdbc")
+                .option("url", self.url)
+                .option("dbtable", self.table)
+                .option("driver", self.driver)
+                .load()
+            )
+        except Exception as e:
+            # tables are created lazily on the first non-empty batch
+            # (their DDL types come from the batch schema) — make the
+            # before-first-batch read a clear error, not a raw SQLState
+            if self._types is None and "does not exist" in str(e):
+                raise RuntimeError(
+                    f"JdbcUpsertSink.current(): no batch has created {self.table} "
+                    "yet (tables are derived from the first non-empty batch)"
+                ) from e
+            raise
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
-        if not batch_df.take(1):
-            self.applied_batches.append((batch_id, 0))
-            return
         # per-key latest image WITHIN the batch (cross-batch ordering is
-        # the merge itself: later batches re-merge the same keys)
+        # the merge itself: later batches re-merge the same keys).
+        # PERSISTED: the count below and the staging write must not each
+        # re-execute the window over the batch (one materialization, two
+        # cheap reads).
         w = Window.partitionBy(self.key_col).orderBy(F.col(self.order_col).desc())
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(w))
@@ -143,29 +156,37 @@ class JdbcUpsertSink:
                 *[F.col(src).alias(dst) for dst, src in self.val_cols.items()],
                 F.col(self.op_col),
             )
+            .persist()
         )
-        self._ensure_tables(latest)
-        # phase 1: clear staging (makes the whole batch replayable)
-        self._exec(f"DELETE FROM {self.staging}")
-        # phase 2: DISTRIBUTED append into staging
-        (
-            latest.write.format("jdbc")
-            .option("url", self.url)
-            .option("dbtable", self.staging)
-            .option("driver", self.driver)
-            .mode("append")
-            .save()
-        )
-        # phase 3: one set-based MERGE inside the database
-        sets = ", ".join(f"{c} = s.{c}" for c in self.val_cols)
-        cols = ", ".join([self.key_col, *self.val_cols])
-        vals = ", ".join(f"s.{c}" for c in [self.key_col, *self.val_cols])
-        self._exec(
-            f"MERGE INTO {self.table} t USING {self.staging} s "
-            f"ON t.{self.key_col} = s.{self.key_col} "
-            f"WHEN MATCHED AND s.{self.op_col} = 'delete' THEN DELETE "
-            f"WHEN MATCHED THEN UPDATE SET {sets} "
-            f"WHEN NOT MATCHED AND s.{self.op_col} <> 'delete' "
-            f"THEN INSERT ({cols}) VALUES ({vals})"
-        )
-        self.applied_batches.append((batch_id, latest.count()))
+        try:
+            n = latest.count()
+            if n == 0:
+                self.applied_batches.append((batch_id, 0))
+                return
+            self._ensure_tables(latest)
+            # phase 1: clear staging (makes the whole batch replayable)
+            self._exec(f"DELETE FROM {self.staging}")
+            # phase 2: DISTRIBUTED append into staging (reads the cache)
+            (
+                latest.write.format("jdbc")
+                .option("url", self.url)
+                .option("dbtable", self.staging)
+                .option("driver", self.driver)
+                .mode("append")
+                .save()
+            )
+            # phase 3: one set-based MERGE inside the database
+            sets = ", ".join(f"{c} = s.{c}" for c in self.val_cols)
+            cols = ", ".join([self.key_col, *self.val_cols])
+            vals = ", ".join(f"s.{c}" for c in [self.key_col, *self.val_cols])
+            self._exec(
+                f"MERGE INTO {self.table} t USING {self.staging} s "
+                f"ON t.{self.key_col} = s.{self.key_col} "
+                f"WHEN MATCHED AND s.{self.op_col} = 'delete' THEN DELETE "
+                f"WHEN MATCHED THEN UPDATE SET {sets} "
+                f"WHEN NOT MATCHED AND s.{self.op_col} <> 'delete' "
+                f"THEN INSERT ({cols}) VALUES ({vals})"
+            )
+            self.applied_batches.append((batch_id, n))
+        finally:
+            latest.unpersist()

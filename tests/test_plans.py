@@ -193,6 +193,26 @@ class TestTrainingDataOps:
         assert plan.count("Exchange hashpartitioning") == 2
         assert "BatchEvalPython" not in plan
 
+    def test_vocab_coverage_topk_is_take_ordered(self, spark):
+        """q_vocab_coverage: the vocabulary cut must be a distributed
+        TakeOrderedAndProject over the (unbounded) word-count table —
+        never a single-partition rank window."""
+        from spark_binlog_spark.queries_ext import q_vocab_coverage
+
+        plan = _physical(q_vocab_coverage(spark, SF_TEST))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange SinglePartition" not in plan
+
+    def test_source_dup_matrix_single_scan_no_doc_join(self, spark):
+        """q_source_dup_matrix: fp48 is computed inline in the scan —
+        no corpus-sized doc_id join before the distinct, and nothing
+        single-partition."""
+        from spark_binlog_spark.queries_ext import q_source_dup_matrix
+
+        plan = _physical(q_source_dup_matrix(spark, SF_TEST))
+        assert "hashpartitioning(doc_id" not in plan
+        assert "Exchange SinglePartition" not in plan
+
     def test_quality_prune_broadcasts_thresholds(self, spark):
         """q_quality_prune: the per-language threshold aggregate (5
         rows) broadcasts into the filter; the corpus is one scan — the

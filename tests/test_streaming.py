@@ -2069,6 +2069,29 @@ class TestCorpusStatsSink:
         got = {r["source"]: (r["n_docs"], r["n_tokens"]) for r in sink.current().collect()}
         assert got == {"s0": (2, 5), "s1": (1, 1), "s2": (1, 2)}
 
+def _jdbc_cdc_fixture(tmp_path):
+    """Shared 40-event CDC fixture for the JDBC sink tests + its
+    expected final latest state (per-key last event wins; op='delete'
+    removes the key) — one definition so both tests assert the same
+    contract."""
+    rows = [
+        (i, T0 + i, i % 6, ["signup", "click", "view", "purchase", "error"][i % 5],
+         float(i), "{}")
+        for i in range(40)
+    ]
+    flat = str(tmp_path / "ev.parquet")
+    _write_events(flat, rows)
+    latest = {}
+    for i in range(40):
+        uid = i % 6
+        op = {"signup": "insert", "error": "delete"}.get(
+            ["signup", "click", "view", "purchase", "error"][i % 5], "update"
+        )
+        latest[uid] = (op, float(i))
+    want = {(k, v) for k, (op, v) in latest.items() if op != "delete"}
+    return flat, want
+
+
 class TestJdbcUpsertSink:
     def test_stream_merges_into_live_derby_and_replay_is_idempotent(self, spark, tmp_path):
         """S5 JDBC sink: a CDC stream MERGEs into a LIVE embedded-Derby
@@ -2078,13 +2101,7 @@ class TestJdbcUpsertSink:
         from spark_binlog_spark.streaming.jdbc_sink import JdbcUpsertSink
         from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
 
-        rows = [
-            (i, T0 + i, i % 6, ["signup", "click", "view", "purchase", "error"][i % 5],
-             float(i), "{}")
-            for i in range(40)
-        ]
-        flat = str(tmp_path / "ev.parquet")
-        _write_events(flat, rows)
+        flat, want = _jdbc_cdc_fixture(tmp_path)
         url = f"jdbc:derby:{tmp_path}/derby_db;create=true"
 
         sink = JdbcUpsertSink(
@@ -2109,17 +2126,6 @@ class TestJdbcUpsertSink:
         q.stop()
         q.awaitTermination()
 
-        # expected final state: per-key latest by cdc_offset; op=delete
-        # removes the key (uid 4 -> 'error' at i%5==4; within this
-        # fixture each uid's LAST event decides)
-        latest = {}
-        for i in range(40):
-            uid = i % 6
-            op = {"signup": "insert", "error": "delete"}.get(
-                ["signup", "click", "view", "purchase", "error"][i % 5], "update"
-            )
-            latest[uid] = (op, float(i))
-        want = {(k, v) for k, (op, v) in latest.items() if op != "delete"}
         got = {(r["PK"], r["VAL"]) for r in sink.current().collect()}
         assert got == want
 
@@ -2144,13 +2150,7 @@ class TestJdbcUpsertSink:
         from spark_binlog_spark.streaming.jdbc_sink import JdbcUpsertSink
         from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
 
-        rows = [
-            (i, T0 + i, i % 6, ["signup", "click", "view", "purchase", "error"][i % 5],
-             float(i), "{}")
-            for i in range(40)
-        ]
-        flat = str(tmp_path / "ev.parquet")
-        _write_events(flat, rows)
+        flat, want = _jdbc_cdc_fixture(tmp_path)
         url = f"jdbc:derby:{tmp_path}/derby_db;create=true"
         ckpt = str(tmp_path / "ck")
 
@@ -2196,14 +2196,6 @@ class TestJdbcUpsertSink:
         q2.stop()
         q2.awaitTermination()
 
-        latest = {}
-        for i in range(40):
-            uid = i % 6
-            op = {"signup": "insert", "error": "delete"}.get(
-                ["signup", "click", "view", "purchase", "error"][i % 5], "update"
-            )
-            latest[uid] = (op, float(i))
-        want = {(k, v) for k, (op, v) in latest.items() if op != "delete"}
         got = {(r["PK"], r["VAL"]) for r in sink2.current().collect()}
         assert got == want
 
