@@ -261,3 +261,84 @@ def decode_frames(df: DataFrame, fake: bool = False) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.select("media_id", "content").mapInPandas(run, FRAME_SCHEMA)
+
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+    ]
+)
+
+
+def _probe_header(data: bytes):
+    """REAL, dependency-free media metadata decode from container/file
+    headers — the resolution/sample-rate probe a pipeline runs to
+    filter media BEFORE paying for full decode (e.g. drop images under
+    256px, resample-flag audio != 16 kHz).  Pure byte parsing (struct
+    offsets per the public PNG/JPEG/GIF/BMP/RIFF specs), so unlike the
+    PIL/soundfile feature encoders this runs real in ANY environment.
+
+    Returns (format, width, height, sample_rate, channels); unknown
+    containers -> ("unknown", None, ...)."""
+    import struct
+
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+        w, h = struct.unpack(">II", data[16:24])
+        return "png", w, h, None, None
+    if data[:2] == b"\xff\xd8":  # JPEG: scan markers for a SOF frame
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                break
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                return "jpeg", w, h, None, None
+            i += 2 + seg_len
+        return "jpeg", None, None, None, None
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        w, h = struct.unpack("<HH", data[6:10])
+        return "gif", w, h, None, None
+    if data[:2] == b"BM" and len(data) >= 26:
+        w, h = struct.unpack("<ii", data[18:26])
+        return "bmp", w, abs(h), None, None
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE" and len(data) >= 36:
+        channels = struct.unpack("<H", data[22:24])[0]
+        rate = struct.unpack("<I", data[24:28])[0]
+        return "wav", None, None, rate, channels
+    return "unknown", None, None, None, None
+
+
+def probe_media_meta(df: DataFrame) -> DataFrame:
+    """Arrow-batched header probe over the media table (mapInPandas) —
+    same plumbing as the feature extractors, but the decode itself is
+    REAL and dependency-free (see _probe_header).  Column pruning keeps
+    non-content columns out of the Arrow transfer."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                fmt, w, h, rate, ch = _probe_header(bytes(content))
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "format": fmt,
+                        "width": w,
+                        "height": h,
+                        "sample_rate": rate,
+                        "channels": ch,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PROBE_SCHEMA.fields])
+
+    return df.select("media_id", "content").mapInPandas(run, PROBE_SCHEMA)
