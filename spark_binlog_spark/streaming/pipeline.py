@@ -121,11 +121,31 @@ def parse_stream_evolving(wire: DataFrame) -> DataFrame:
 
 def dedup_stream(changes: DataFrame, watermark_ms: int = 60_000) -> DataFrame:
     """O6 — streaming monotonic dedup: watermark + dropDuplicates on
-    (key, offset) (OriginalSourceServerInExecutor.scala:164-171)."""
+    (key, offset) (OriginalSourceServerInExecutor.scala:164-171).
+
+    STATE CAVEAT: with the event-time column absent from the dedup
+    keys, ``dropDuplicates`` never evicts its state — exact dedup over
+    the whole stream history, at unbounded state cost.  Right for
+    bounded replays/tests; for an unbounded 100 TB stream use
+    ``dedup_stream_bounded``."""
     with_ts = changes.withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
     return with_ts.withWatermark("event_time", f"{watermark_ms} milliseconds").dropDuplicates(
         ["pk", "cdc_offset"]
     )
+
+
+def dedup_stream_bounded(changes: DataFrame, watermark_ms: int = 60_000) -> DataFrame:
+    """O6, the UNBOUNDED-STREAM form: ``dropDuplicatesWithinWatermark``
+    keeps a (key, offset) only until the watermark passes its event
+    time, so dedup state is bounded by the watermark window instead of
+    the stream history.  Exactly the right contract for at-least-once
+    replay dedup — a replayed duplicate arrives close to its original
+    (within the replay window), never a week later; choose
+    ``watermark_ms`` >= the worst-case replay gap."""
+    with_ts = changes.withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+    return with_ts.withWatermark(
+        "event_time", f"{watermark_ms} milliseconds"
+    ).dropDuplicatesWithinWatermark(["pk", "cdc_offset"])
 
 
 class ParquetUpsertSink:

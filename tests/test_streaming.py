@@ -1125,6 +1125,61 @@ class TestStreamingDedup:
         assert got.count() == 10  # 15 raw -> 10 distinct (pk, offset)
 
 
+    def test_bounded_dedup_evicts_state_and_still_dedups(self, spark, tmp_path):
+        """dedup_stream_bounded: duplicates within the watermark window
+        collapse exactly like the unbounded form, AND the dedup state
+        is EVICTED as the watermark advances (numRowsTotal in the state
+        operator ends below the distinct count) — the property that
+        keeps an infinite CDC stream's dedup state bounded."""
+        import time
+
+        from spark_binlog_spark.streaming.pipeline import (
+            dedup_stream_bounded,
+            parse_stream,
+            read_stream,
+        )
+
+        S = 10**9
+        # 30 events spread over 300 s of event time; a replayed prefix
+        # duplicates the first 10 within their own window
+        rows = [(i, T0 + i * 10 * S, i % 3, "click", float(i), "{}") for i in range(30)]
+        dup_rows = sorted(rows + rows[:10], key=lambda r: r[0])
+        path = str(tmp_path / "dups.parquet")
+        _write_events(path, dup_rows)
+
+        changes = dedup_stream_bounded(
+            parse_stream(read_stream(spark, path, numPartitions=2, maxEventsPerTrigger=10)),
+            watermark_ms=30_000,
+        )
+        q = (
+            changes.writeStream.format("memory")
+            .queryName("bounded_dedup")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(f"stream died: {q.exception()}")
+            if spark.table("bounded_dedup").count() >= 30:
+                break
+            time.sleep(0.3)
+        q.processAllAvailable()
+        progress = q.lastProgress
+        q.stop()
+        q.awaitTermination()
+
+        got = spark.table("bounded_dedup")
+        assert got.count() == 30  # 40 raw -> 30 distinct (pk, offset)
+        # eviction: by stream end the watermark has passed most events'
+        # 30 s windows, so retained state is far below the 30 distinct
+        # keys the unbounded form would hold forever
+        state = progress["stateOperators"][0]
+        assert state["numRowsTotal"] < 30, state["numRowsTotal"]
+
+
 class TestStreamStreamJoin:
     def test_interval_join_insert_to_delete(self, spark, tmp_path):
         """Stream-stream INNER interval join with watermarks on both
