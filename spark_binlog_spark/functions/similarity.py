@@ -561,3 +561,86 @@ def rp_topk_with_recall(
         "pcos4",
         F.coalesce(F.col("in_exact"), F.lit(0)).cast("long").alias("in_exact"),
     )
+
+
+def sq8_quantize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """INT8 SCALAR QUANTIZATION: per-dimension symmetric max-abs
+    calibration — s8_j = floor(q_j * 127 / amax_j) — compressing each
+    component to [-127, 127] at 1/4 the bytes of float32 (1/8 of the
+    int64 quantized form).  The data-DEPENDENT sibling of the
+    random-projection compressor: calibration adapts to each
+    dimension's actual range, so anisotropic embeddings lose less
+    rank-ordering than a blind global scale.
+
+    Scale story: TRAIN = one aggregation producing dim scalars (a wide
+    single-row agg — map-side partial max, no explode, no per-dim
+    shuffle), broadcast back; APPLY = a pure projection at scan speed.
+    Returns (vec_id, s8, snorm).  Zero-variance dims (amax = 0) map to
+    0.  floor(double) keeps both engines bit-identical (|q*127| <=
+    1.27e8, exact in double)."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    q = quantized(F.col(vec_col))
+    base = df.select(F.col("vec_id"), q.alias("q"))
+    amax = base.agg(
+        *[
+            F.max(F.abs(F.element_at(F.col("q"), j + 1))).alias(f"amax_{j}")
+            for j in range(dim)
+        ]
+    )
+    with_amax = base.crossJoin(F.broadcast(amax))
+    comps = [
+        F.when(F.col(f"amax_{j}") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(
+                F.element_at(F.col("q"), j + 1).cast("double")
+                * 127
+                / F.col(f"amax_{j}").cast("double")
+            ).cast("long")
+        )
+        for j in range(dim)
+    ]
+    s8 = F.array(*comps)
+    return with_amax.select(F.col("vec_id"), s8.alias("s8")).select(
+        "vec_id", "s8", int_dot(F.col("s8"), F.col("s8")).alias("snorm")
+    )
+
+
+def sq8_topk_with_recall(
+    df: DataFrame, n_queries: int = 5, k: int = 10, vec_col: str = "embedding"
+) -> DataFrame:
+    """Quantized-domain brute-force top-k with exact-top-k membership
+    flags (recall@k per query = sum(in_exact)/k) — same harness as
+    rp_topk_with_recall, swapping the compressor."""
+    from pyspark.sql import Window
+
+    sbase = sq8_quantize(df, vec_col)
+    queries = F.broadcast(
+        sbase.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("s8").alias("qs"),
+            F.col("snorm").alias("qsnorm"),
+        )
+    )
+    scored = queries.join(sbase.filter(F.col("vec_id") >= n_queries), how="cross").select(
+        "query_id",
+        "vec_id",
+        cosine4(int_dot(F.col("qs"), F.col("s8")), F.col("qsnorm"), F.col("snorm")).alias(
+            "scos4"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("scos4").desc(), F.col("vec_id"))
+    stop = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "scos4")
+    )
+    exact = brute_force_topk(df, n_queries, k, vec_col).select(
+        "query_id", "vec_id", F.lit(1).cast("long").alias("in_exact")
+    )
+    return stop.join(exact, ["query_id", "vec_id"], "left").select(
+        "query_id",
+        "vec_id",
+        "rank",
+        "scos4",
+        F.coalesce(F.col("in_exact"), F.lit(0)).cast("long").alias("in_exact"),
+    )

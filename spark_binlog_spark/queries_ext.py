@@ -1757,3 +1757,60 @@ SELECT source, CAST(length(bin(n)) - 1 AS BIGINT) AS len_bin,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM t GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------- int8 quantization
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized retrieval: per-dimension max-abs
+    calibration (train = one wide agg, apply = scan-speed projection),
+    brute-force top-10 in the int8 domain annotated with exact-top-10
+    membership (recall@10 per query)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_topk_with_recall(emb, n_queries=5, k=10)
+
+
+def _sq8_oracle_sql(dim: int = 64) -> str:
+    amax_terms = ", ".join(f"max(abs(q[{j + 1}]))" for j in range(dim))
+    return f"""
+WITH quant AS ({_QUANT_SQL}),
+base AS ({_NORM_SQL}),
+am AS (SELECT [{amax_terms}] AS amax FROM quant),
+sq AS (
+  SELECT vec_id,
+         [CASE WHEN amax[j] = 0 THEN 0
+               ELSE CAST(floor(CAST(q[j] AS DOUBLE) * 127 / CAST(amax[j] AS DOUBLE)) AS BIGINT) END
+          for j in generate_series(1, len(q))] AS s8
+  FROM quant, am),
+sbase AS (
+  SELECT vec_id, s8,
+         CAST(list_sum([s8[i] * s8[i] for i in generate_series(1, len(s8))]) AS BIGINT) AS snorm
+  FROM sq),
+sscored AS (
+  SELECT qs.vec_id AS query_id, b.vec_id,
+         CAST(floor(
+           CAST(CAST(list_sum([qs.s8[i] * b.s8[i] for i in generate_series(1, len(qs.s8))]) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(qs.snorm AS DOUBLE) * CAST(b.snorm AS DOUBLE)) * 10000) AS BIGINT) AS scos4
+  FROM sbase qs CROSS JOIN sbase b
+  WHERE qs.vec_id < 5 AND b.vec_id >= 5),
+stop AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY scos4 DESC, vec_id) AS rnk
+    FROM sscored) WHERE rnk <= 10),
+escored AS (
+  SELECT qs.vec_id AS query_id, b.vec_id,
+         CAST(floor(
+           CAST(CAST(list_sum([qs.q[i] * b.q[i] for i in generate_series(1, len(qs.q))]) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(qs.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) * 10000) AS BIGINT) AS cosine4
+  FROM base qs CROSS JOIN base b
+  WHERE qs.vec_id < 5 AND b.vec_id >= 5),
+etop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine4 DESC, vec_id) AS rnk
+    FROM escored) WHERE rnk <= 10)
+SELECT s.query_id, s.vec_id, CAST(s.rnk AS BIGINT) AS rank, s.scos4,
+       CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact
+FROM stop s LEFT JOIN etop e ON s.query_id = e.query_id AND s.vec_id = e.vec_id
+"""
+
+
+ORACLE["q_sq8_topk"] = _sq8_oracle_sql()

@@ -101,6 +101,7 @@ TAIL = [
     "q_stream_length_histogram",
     "q_embedding_dedup_multitable",
     "q_rp_topk",
+    "q_sq8_topk",
     "q_repeated_spans",
     "q_lm_familiarity",
     "q_bpe_merges",
