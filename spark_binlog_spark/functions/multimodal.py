@@ -292,15 +292,23 @@ def _probe_header(data: bytes):
         return "png", w, h, None, None
     if data[:2] == b"\xff\xd8":  # JPEG: scan markers for a SOF frame
         i = 2
-        while i + 9 < len(data):
+        while i + 1 < len(data):
             if data[i] != 0xFF:
                 break
+            # ISO 10918-1 B.1.1.2: any number of 0xFF FILL bytes may
+            # precede a marker — consume them, they carry no length
+            while i + 1 < len(data) and data[i + 1] == 0xFF:
+                i += 1
             marker = data[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2
+                i += 2  # standalone markers: no length field
                 continue
+            if i + 4 > len(data):
+                break
             seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(data):
+                    break  # SOF present but truncated before the dims
                 h, w = struct.unpack(">HH", data[i + 5 : i + 9])
                 return "jpeg", w, h, None, None
             i += 2 + seg_len
@@ -309,12 +317,29 @@ def _probe_header(data: bytes):
         w, h = struct.unpack("<HH", data[6:10])
         return "gif", w, h, None, None
     if data[:2] == b"BM" and len(data) >= 26:
+        # dispatch on the DIB header size: 12 = OS/2 BITMAPCOREHEADER
+        # (uint16 dims), anything bigger = BITMAPINFOHEADER family
+        # (int32 dims; height may be negative for top-down rows)
+        dib = struct.unpack("<I", data[14:18])[0]
+        if dib == 12:
+            w, h = struct.unpack("<HH", data[18:22])
+            return "bmp", w, h, None, None
         w, h = struct.unpack("<ii", data[18:26])
         return "bmp", w, abs(h), None, None
-    if data[:4] == b"RIFF" and data[8:12] == b"WAVE" and len(data) >= 36:
-        channels = struct.unpack("<H", data[22:24])[0]
-        rate = struct.unpack("<I", data[24:28])[0]
-        return "wav", None, None, rate, channels
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        # walk the chunk list for 'fmt ' — spec-valid files may lead
+        # with JUNK/LIST chunks, so fixed offsets 22/24 would read
+        # padding as channels/rate
+        i = 12
+        while i + 8 <= len(data):
+            cid = data[i : i + 4]
+            clen = struct.unpack("<I", data[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 16 <= len(data):
+                channels = struct.unpack("<H", data[i + 10 : i + 12])[0]
+                rate = struct.unpack("<I", data[i + 12 : i + 16])[0]
+                return "wav", None, None, rate, channels
+            i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        return "wav", None, None, None, None
     return "unknown", None, None, None, None
 
 

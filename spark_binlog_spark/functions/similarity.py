@@ -86,14 +86,21 @@ def derived_planes(n_vectors: int, dim: int, target_bucket: int = LSH_TARGET_BUC
     return max(4, min(dim, math.ceil(math.log2(n_vectors / target_bucket))))
 
 
+def _vec_dim(df: DataFrame, vec_col: str, default: int = 0) -> int:
+    """Vector dimensionality from the first row (one cheap probe);
+    ``default`` when the DataFrame is empty.  The ONE definition —
+    the probe previously lived in four places with divergent
+    empty-input defaults."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(first["d"]) if first is not None else default
+
+
 def _resolve_planes(df: DataFrame, planes: int | None, vec_col: str) -> int:
     """None → derive from the corpus (one count + one first() probe —
     trivial next to the joins these feed)."""
     if planes is not None:
         return planes
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"] if first is not None else 4
-    return derived_planes(df.count(), dim)
+    return derived_planes(df.count(), _vec_dim(df, vec_col, default=4))
 
 
 def brute_force_topk(
@@ -417,8 +424,7 @@ def embedding_near_dup_pairs(
     # dim up front: past-the-end element_at would throw under ANSI mode
     # and, worse, silently fold every out-of-range dim to one bucket
     # with ANSI off (collapsing the extra tables into an n² join)
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"]) if first is not None else 0
+    dim = _vec_dim(df, vec_col)
     if planes is None:
         planes = derived_planes(df.count(), max(1, dim // max(1, n_tables)))
     if planes * n_tables > dim:
@@ -497,8 +503,7 @@ def random_projection(
     Python): at 100 TB this runs at scan speed and writes out_dim/dim
     of the input bytes.  Overflow-safe: |p_i| <= dim * 10^6 ≈ 6.4e7,
     pnorm <= out_dim * p_i² ≈ 3.3e16 << 2^63."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"]) if first is not None else 0
+    dim = _vec_dim(df, vec_col)
     signs = rp_signs(dim, out_dim, seed)
     q = quantized(F.col(vec_col))
     comps = [
@@ -578,10 +583,18 @@ def sq8_quantize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     Returns (vec_id, s8, snorm).  Zero-variance dims (amax = 0) map to
     0.  floor(double) keeps both engines bit-identical (|q*127| <=
     1.27e8, exact in double)."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"]) if first is not None else 0
+    dim = _vec_dim(df, vec_col)
     q = quantized(F.col(vec_col))
     base = df.select(F.col("vec_id"), q.alias("q"))
+    if dim == 0:
+        # empty corpus: agg() with zero expressions would raise at
+        # plan-build time — degrade to an empty result like the
+        # random-projection sibling does
+        return base.select(
+            "vec_id",
+            F.array().cast("array<long>").alias("s8"),
+            F.lit(0).cast("long").alias("snorm"),
+        ).limit(0)
     amax = base.agg(
         *[
             F.max(F.abs(F.element_at(F.col("q"), j + 1))).alias(f"amax_{j}")

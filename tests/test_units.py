@@ -629,3 +629,32 @@ class TestMediaHeaderProbe:
         assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("bmp", 256, 128)
         assert (got[4]["format"], got[4]["sample_rate"], got[4]["channels"]) == ("wav", 16000, 2)
         assert got[5]["format"] == "unknown" and got[5]["width"] is None
+
+    def test_adversarial_but_spec_valid_headers(self, spark):
+        """Spec-valid awkward files: WAV whose fmt chunk follows a JUNK
+        chunk, an OS/2 BITMAPCOREHEADER BMP, a JPEG with 0xFF fill
+        bytes before its SOF marker, and a JPEG whose SOF dims are the
+        final bytes of the blob — all must probe correctly."""
+        import struct
+
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions.multimodal import _probe_header
+
+        junk = b"JUNK" + struct.pack("<I", 6) + b"\x00" * 6
+        fmt = b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+        wav_junk = b"RIFF" + struct.pack("<I", 4 + len(junk) + len(fmt)) + b"WAVE" + junk + fmt
+        assert _probe_header(wav_junk) == ("wav", None, None, 44100, 1)
+
+        os2_bmp = b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + struct.pack(
+            "<HHHH", 640, 480, 1, 8
+        )
+        assert _probe_header(os2_bmp) == ("bmp", 640, 480, None, None)
+
+        sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 33, 44) + b"\x01"
+        jpeg_fill = b"\xff\xd8" + b"\xff\xff\xff" + sof0[1:]  # fill bytes then SOF
+        assert _probe_header(jpeg_fill) == ("jpeg", 44, 33, None, None)
+
+        # SOF dims are the LAST bytes (i + 9 == len): must still parse
+        jpeg_tail = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 8) + b"\x08" + struct.pack(">HH", 7, 9)
+        assert _probe_header(jpeg_tail) == ("jpeg", 9, 7, None, None)
