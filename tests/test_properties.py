@@ -136,3 +136,29 @@ class TestAsofJoinModel:
                     break
             expected[row.lid] = best
         assert got == expected
+
+
+class TestMediaProbeProperties:
+    @given(data=st.binary(max_size=256))
+    @settings(max_examples=300, deadline=None)
+    def test_probe_never_raises_on_arbitrary_bytes(self, data):
+        """The header probe is a byte parser fed UNTRUSTED blobs — for
+        ANY input it must return the 5-tuple, never raise (truncated
+        headers, lying length fields, fill bytes, junk)."""
+        from spark_binlog_spark.functions.multimodal import _probe_header
+
+        fmt, w, h, rate, ch = _probe_header(data)
+        assert fmt in ("png", "jpeg", "gif", "bmp", "wav", "unknown")
+        for v in (w, h, rate, ch):
+            assert v is None or isinstance(v, int)
+
+    @given(data=st.binary(max_size=64), prefix=st.sampled_from(
+        [b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"BM", b"RIFF"]
+    ))
+    @settings(max_examples=200, deadline=None)
+    def test_probe_never_raises_on_truncated_container_headers(self, data, prefix):
+        """Adversarial variant: a real container magic followed by
+        arbitrary (often truncated/inconsistent) bytes."""
+        from spark_binlog_spark.functions.multimodal import _probe_header
+
+        _probe_header(prefix + data)  # must not raise

@@ -1965,6 +1965,36 @@ class TestRolledWALRegions:
         run_once()
         assert sorted(seen) == list(range(30))  # exactly once, no re-delivery
 
+    def test_rolled_store_composes_with_ingest_filters(self, spark, tmp_path):
+        """Ingest-side filters (tableNamePattern, startTimeMs) must
+        compose with the rolled-WAL layout: non-matching events never
+        materialize, matching ones all arrive, offsets stay the
+        region-map shape."""
+        from spark_binlog_spark.streaming.pipeline import read_stream
+
+        flat, store, eps = self._store(tmp_path)
+        wire = read_stream(
+            spark, store, regions=4,
+            tableNamePattern="t_[12]",
+            startTimeMs=(T0 + 5) // 1_000_000,
+        )
+        q = (
+            wire.writeStream.format("memory")
+            .queryName("rolled_filtered")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        envs = [json.loads(r["value"]) for r in spark.table("rolled_filtered").collect()]
+        # fixture rows: event i -> uid i%5 -> table t_{uid%4}; ts = T0+i ns
+        want = sorted(
+            i for i in range(30)
+            if (i % 5) % 4 in (1, 2) and (T0 + i) >= ((T0 + 5) // 1_000_000) * 1_000_000
+        )
+        assert sorted(e["rows"][0]["cdc_offset"] for e in envs) == want
+        assert all(e["tableName"] in ("t_1", "t_2") for e in envs)
+
     def test_capped_region_offsets_advance_by_allowance(self, tmp_path):
         """B2 in region mode (unit probe): with maxEventsPerTrigger=8,
         each region's map offset advances at most 8 event-IDs per
