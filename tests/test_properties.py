@@ -162,3 +162,59 @@ class TestMediaProbeProperties:
         from spark_binlog_spark.functions.multimodal import _probe_header
 
         _probe_header(prefix + data)  # must not raise
+
+
+class TestRpSignsProperties:
+    @given(dim=st.integers(1, 96), out_dim=st.integers(1, 16), seed=st.integers(0, 5))
+    @settings(max_examples=100, deadline=None)
+    def test_matrix_shape_values_and_determinism(self, dim, out_dim, seed):
+        """The JL sign matrix is exactly out_dim × dim of ±1 and
+        bit-identical across calls (both engines bake the SAME
+        literals — reproducibility is the whole contract)."""
+        from spark_binlog_spark.functions.similarity import rp_signs
+
+        m1 = rp_signs(dim, out_dim, seed)
+        m2 = rp_signs(dim, out_dim, seed)
+        assert m1 == m2
+        assert len(m1) == out_dim and all(len(r) == dim for r in m1)
+        assert all(v in (-1, 1) for r in m1 for v in r)
+
+    def test_rows_differ_across_seed_and_index(self):
+        from spark_binlog_spark.functions.similarity import rp_signs
+
+        a = rp_signs(64, 4, 0)
+        b = rp_signs(64, 4, 1)
+        assert a != b  # seed changes the matrix
+        assert len({tuple(r) for r in a}) == 4  # rows are distinct
+
+
+class TestRegionSegmentIndexProperties:
+    @given(
+        spans=st.lists(
+            st.tuples(st.integers(0, 500), st.integers(1, 40)), min_size=1, max_size=6
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_ordered_disjoint_spans_index_cleanly(self, spans, tmp_path_factory):
+        """Any ordered, disjoint set of per-file event spans indexes
+        without error and comes back sorted by file id with exact
+        min/max; overlapping spans are rejected."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from spark_binlog_spark.sources.binlog_fixture import _region_segment_index
+
+        d = tmp_path_factory.mktemp("region")
+        # lay spans end-to-end with random gaps -> always disjoint+ordered
+        cur = 0
+        laid = []
+        for i, (gap, width) in enumerate(spans):
+            lo = cur + gap
+            hi = lo + width - 1
+            laid.append((i + 1, lo, hi))
+            cur = hi + 1
+        for fid, lo, hi in laid:
+            tbl = pa.table({"event_id": pa.array(range(lo, hi + 1), pa.int64())})
+            pq.write_table(tbl, str(d / f"wal.{fid:06d}"))
+        idx = _region_segment_index(str(d))
+        assert [(s["fid"], s["min"], s["max"]) for s in idx] == laid
