@@ -193,6 +193,18 @@ class TestTrainingDataOps:
         assert plan.count("Exchange hashpartitioning") == 2
         assert "BatchEvalPython" not in plan
 
+    def test_chunking_and_compressibility_are_pure_scans(self, spark):
+        """q_chunk_documents / q_compressibility claim scan speed —
+        their plans must contain NO exchange, NO join, NO Python: a
+        refactor that sneaks in a shuffle fails here, not at 100 TB."""
+        from spark_binlog_spark.queries_ext import q_chunk_documents, q_compressibility
+
+        for fn in (q_chunk_documents, q_compressibility):
+            plan = _physical(fn(spark, SF_TEST))
+            assert "Exchange" not in plan
+            assert "Join" not in plan
+            assert "BatchEvalPython" not in plan
+
     def test_vocab_coverage_topk_is_take_ordered(self, spark):
         """q_vocab_coverage: the vocabulary cut must be a distributed
         TakeOrderedAndProject over the (unbounded) word-count table —

@@ -2284,3 +2284,48 @@ class TestJdbcUpsertSink:
         got = {(r["PK"], r["VAL"]) for r in sink2.current().collect()}
         assert got == want
 
+
+
+class TestLayoutDetection:
+    def test_mixed_and_plain_layouts_detected_correctly(self, tmp_path):
+        """is_segmented / is_region_rolled contracts: a flat file is
+        neither; a mysql-bin.%06d dir is segmented only; a full rolled
+        region store is region-rolled only; a MIXED store (one region
+        dir unsegmented) is NOT region-rolled (falls back to the flat
+        hive-pruned region scan rather than half-applying roll
+        semantics)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from spark_binlog_spark.sources.binlog_fixture import (
+            is_region_rolled,
+            is_segmented,
+            write_region_wal_segments,
+            write_segments,
+        )
+
+        rows = [(i, T0 + i, i % 5, "click", float(i), "{}") for i in range(20)]
+        flat = str(tmp_path / "ev.parquet")
+        _write_events(flat, rows)
+        assert not is_segmented(flat) and not is_region_rolled(flat)
+
+        seg = str(tmp_path / "binlog")
+        write_segments(flat, seg, n_segments=2)
+        assert is_segmented(seg) and not is_region_rolled(seg)
+
+        rolled = str(tmp_path / "wals")
+        write_region_wal_segments(flat, rolled, n_regions=2, n_segments=2)
+        assert is_region_rolled(rolled) and not is_segmented(rolled)
+
+        # mixed: overwrite region=1 with ONE unsegmented file
+        import shutil
+
+        shutil.rmtree(f"{rolled}/region=1")
+        import os
+
+        os.makedirs(f"{rolled}/region=1")
+        pq_.write_table(
+            pa.table({"event_id": pa.array([0], pa.int64())}),
+            f"{rolled}/region=1/part-0.parquet",
+        )
+        assert not is_region_rolled(rolled)
