@@ -27,10 +27,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (S/F/P/O/D). Tier 2: §2.C category demos (joins, windows, set-ops,
 # sessions, schema evolution, streaming MV). Tier 3: LLM-pipeline core
 # (dedup, similarity, text analysis). Exactly 50 names.
+#
+# Round-5 rotation (VERDICT r4 ask #1): the newest marquee machinery had
+# never received a driver CORRECTNESS row, so five high-risk tail queries
+# were swapped into the graded prefix — q_rotate_offsets (S1 rotation),
+# q_hbase_rolled_wal (S2 roll pickup), q_stream_neardup_dedup (streaming
+# MinHash admission sink), q_dedup_canonical (connected-components
+# canonicalization), q_rp_topk (JL compressed ANN) — in exchange for five
+# shape-redundant prefix rows now in TAIL: q_churned_keys (set-ops shape
+# still covered by q_retained_keys/q_snapshot_union), q_datetime_normalize
+# (decode shape covered by q_project_decode), q_pii_redact / q_lang_id
+# (regex/JVM-text shape covered by q_text_quality/q_fingerprint paths),
+# q_hash_sample (deterministic-hash shape covered by q_stratified_sample).
 PRIORITY = [
     # --- tier 1: operator rows -------------------------------------
     "q_stream_change_counts",   # S1 MySQL binlog streaming scan
+    "q_rotate_offsets",         # S1 multi-segment rotation (r5 swap-in)
     "q_hbase_cells",            # S2 HBase WAL scan
+    "q_hbase_rolled_wal",       # S2 rolled-WAL live pickup (r5 swap-in)
     "q_bootstrap_snapshot",     # S4 batch bootstrap
     "q_table_filter",           # F1
     "q_event_type_filter",      # F2
@@ -58,10 +72,8 @@ PRIORITY = [
     "q_pricing_summary",
     "q_asof_enrich",
     "q_grid_range_join",
-    "q_churned_keys",
     "q_top_events_per_table",
     "q_user_sessions",
-    "q_datetime_normalize",
     "q_schema_evolution",
     "q_stream_mv_maintain",
     "q_offset_gaps",
@@ -70,37 +82,37 @@ PRIORITY = [
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_ngram_jaccard",
+    "q_dedup_canonical",        # CC canonicalization (r5 swap-in)
     "q_embedding_dedup",
     "q_similarity_topk",
     "q_similarity_lsh",
     "q_ivf_topk",
+    "q_rp_topk",                # JL compressed ANN (r5 swap-in)
     "q_tfidf_topterms",
     "q_fingerprint",
     "q_incremental_dedup",
-    "q_hash_sample",
-    "q_lang_id",
-    "q_pii_redact",
+    "q_stream_neardup_dedup",   # streaming MinHash admission (r5 swap-in)
     "q_corpus_report",
 ]
 
 # Value-ranked tail (variants / parity forms / building-block views);
 # graded only if the driver's cap exceeds len(PRIORITY).
 TAIL = [
-    "q_rotate_offsets",
-    "q_hbase_rolled_wal",
     "q_stream_schema_epochs",
+    "q_churned_keys",           # r5 swap-out (shape: q_retained_keys)
+    "q_datetime_normalize",     # r5 swap-out (shape: q_project_decode)
+    "q_pii_redact",             # r5 swap-out (shape: q_text_quality)
+    "q_hash_sample",            # r5 swap-out (shape: q_stratified_sample)
+    "q_lang_id",                # r5 swap-out (shape: q_fingerprint)
     "q_decontaminate",
     "q_stratified_sample",
-    "q_dedup_canonical",
     "q_quality_prune",
     "q_token_shards",
     "q_stream_incremental_dedup",
-    "q_stream_neardup_dedup",
     "q_stream_source_mix",
     "q_stream_sessions",
     "q_stream_length_histogram",
     "q_embedding_dedup_multitable",
-    "q_rp_topk",
     "q_sq8_topk",
     "q_repeated_spans",
     "q_lm_familiarity",
@@ -155,9 +167,12 @@ def queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
     for name in PRIORITY + TAIL:
         out[name] = pool.pop(name)  # KeyError = stale PRIORITY/TAIL entry
-    # safety net: anything new and not yet ranked still gets registered
-    for name in sorted(pool):
-        out[name] = pool[name]
+    # A new q_ function MUST be ranked explicitly — silently appending it
+    # after TAIL hid ordering surprises (VERDICT r4 "What's wrong" #4).
+    if pool:
+        raise KeyError(
+            f"unranked q_ functions (add to PRIORITY or TAIL): {sorted(pool)}"
+        )
     return out
 
 

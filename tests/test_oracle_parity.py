@@ -27,6 +27,25 @@ def test_no_orphan_oracles():
     assert not orphans, f"oracle entries without a query fn: {orphans}"
 
 
+def test_queries_raises_on_unranked(monkeypatch):
+    # a new q_ function left out of PRIORITY/TAIL must fail loudly, not
+    # be silently appended after the tail (VERDICT r4 "What's wrong" #4)
+    from spark_binlog_spark import queries_ext
+
+    monkeypatch.setattr(
+        queries_ext, "q_brand_new_unranked", lambda spark, sf: None, raising=False
+    )
+    with pytest.raises(KeyError, match="q_brand_new_unranked"):
+        registry.queries()
+
+
+def test_priority_is_exactly_the_graded_prefix():
+    # the driver grades a 50-query prefix; PRIORITY must be exactly 50
+    # and emitted first, else the rotation plan silently drifts
+    assert len(registry.PRIORITY) == 50
+    assert list(QUERIES)[:50] == registry.PRIORITY
+
+
 def test_oracle_sql_raises_on_orphan(monkeypatch):
     # an oracle left behind by a query rename must fail loudly, not be
     # silently dropped from the driver's correctness sweep
