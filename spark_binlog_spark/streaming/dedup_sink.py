@@ -187,32 +187,53 @@ class DedupIngestSink:
         is what keeps per-batch admission FLAT over a long-running
         ingest — without it every bucket holds one file per batch that
         ever touched it, and the pruned read degenerates into
-        O(batches) file opens.  Crash-safe: the merged file is written
-        as a hidden ``.tmp`` then renamed before the olds are deleted,
-        so a crash leaves either the old files (tmp swept on restart)
-        or the merged file plus some olds (duplicate rows — harmless
-        to admission, erased by accepted()'s distinct).
+        O(batches) file opens.
 
-        Local driver-side merge (a bucket is micro-batch-files-sized
-        here); on a cluster this becomes one task per over-threshold
-        bucket — same layout, same atomicity.
+        DISTRIBUTED merge: all over-threshold buckets are read as ONE
+        Spark job (``basePath`` derives the bucket partition column),
+        ``repartition("bucket")`` gives one task — and so one output
+        file — per bucket, and the executors do the reading and
+        re-encoding.  The driver only lists file names and renames the
+        results: no data row ever moves through it, so a hot bucket
+        (GBs at real corpus scale) compacts at executor parallelism.
+        This matches the reference keeping flush-time maintenance on
+        the server side (OriginalSourceServerInExecutor.scala:132-147).
+
+        Crash-safe, same protocol as batch publish: the merged files
+        land in an ``_aside*`` dir (swept at restart), each is renamed
+        into its bucket dir BEFORE that bucket's olds are deleted, so a
+        crash leaves either the old files or the merged file plus some
+        olds (duplicate rows — harmless to admission, erased by
+        accepted()'s distinct).
         """
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
+        to_merge: dict[int, list[str]] = {}
         for b in buckets:
             bdir = os.path.join(self.store_dir, f"bucket={b}")
             files = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
-            if len(files) < self.compact_threshold:
-                continue
-            merged = pa.concat_tables([pq.read_table(f) for f in files])
-            token = uuid.uuid4().hex[:8]
-            tmp = os.path.join(bdir, f"_compact_{token}.tmp")
-            pq.write_table(merged, tmp)
-            os.replace(tmp, os.path.join(bdir, f"compact-{token}.parquet"))
+            if len(files) >= self.compact_threshold:
+                to_merge[b] = files
+        if not to_merge:
+            return
+        token = uuid.uuid4().hex[:8]
+        aside = os.path.join(self.store_dir, f"_aside_compact_{token}")
+        (
+            self.spark.read.schema(ACCEPTED_SCHEMA)
+            .option("basePath", self.store_dir)
+            .parquet(*[os.path.join(self.store_dir, f"bucket={b}") for b in to_merge])
+            .repartition("bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(aside)
+        )
+        for b, files in sorted(to_merge.items()):
+            dest = os.path.join(self.store_dir, f"bucket={b}")
+            parts = sorted(glob.glob(os.path.join(aside, f"bucket={b}", "part-*")))
+            for i, part in enumerate(parts):
+                os.replace(part, os.path.join(dest, f"compact-{token}-{i:05d}.parquet"))
             for f in files:
                 remove_with_checksum(f)
             self.n_compactions += 1
+        shutil.rmtree(aside, ignore_errors=True)
 
 
 def run_dedup_ingest(

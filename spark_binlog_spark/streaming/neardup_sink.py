@@ -208,30 +208,54 @@ class NearDupIngestSink:
         """Per-bucket compaction (same contract as DedupIngestSink's):
         once a bucket's band rows are spread over ``compact_threshold``
         delta files, merge them into one — this bounds the band join's
-        file opens over a long-running ingest.  Crash-safe: merged file
-        is written hidden then renamed before the olds are deleted; a
-        crash leaves duplicate rows at worst, which countDistinct(seed)
-        in admission and accepted()'s distinct both absorb."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        file opens over a long-running ingest.
 
+        DISTRIBUTED merge: every over-threshold bucket's files are read
+        as ONE Spark job (per-bucket file lists unioned with a literal
+        ``bucket`` column — the ``d_*`` delta level isn't hive-style, so
+        no basePath inference), ``repartition("bucket")`` gives one
+        task and one output file per bucket, and executors do all the
+        reading/re-encoding.  The driver only lists names and performs
+        ONE directory rename: no data row moves through it, matching
+        the reference's server-side flush maintenance
+        (OriginalSourceServerInExecutor.scala:132-147).
+
+        Crash-safe, same protocol as batch publish: the job writes an
+        ``_aside*`` dir (swept at restart), published atomically with
+        one ``os.replace`` as a ``d_compact_*`` delta BEFORE the olds
+        are deleted; a crash leaves duplicate rows at worst, which
+        countDistinct(seed) in admission and accepted()'s distinct both
+        absorb."""
+        to_merge: dict[int, list[str]] = {}
         for b in buckets:
             files = sorted(
                 glob.glob(os.path.join(self.store_dir, "d_*", f"bucket={b}", "*.parquet"))
             )
-            if len(files) < self.compact_threshold:
-                continue
-            merged = pa.concat_tables([pq.read_table(f) for f in files])
-            token = uuid.uuid4().hex[:8]
-            dest = os.path.join(self.store_dir, f"d_compact_{token}", f"bucket={b}")
-            os.makedirs(dest)
-            tmp = os.path.join(dest, f"_merged_{token}.tmp")
-            pq.write_table(merged, tmp)
-            os.replace(tmp, os.path.join(dest, "merged.parquet"))
+            if len(files) >= self.compact_threshold:
+                to_merge[b] = files
+        if not to_merge:
+            return
+        merged = None
+        for b, files in sorted(to_merge.items()):
+            part = (
+                self.spark.read.schema(SIG_SCHEMA)
+                .parquet(*files)
+                .withColumn("bucket", F.lit(b).cast("int"))
+            )
+            merged = part if merged is None else merged.unionByName(part)
+        token = uuid.uuid4().hex[:8]
+        aside = os.path.join(self.store_dir, f"_aside_compact_{token}")
+        merged.repartition("bucket").write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(aside)
+        for marker in glob.glob(os.path.join(aside, "_*")):
+            os.remove(marker)
+        os.replace(aside, os.path.join(self.store_dir, f"d_compact_{token}"))
+        for b, files in sorted(to_merge.items()):
             for f in files:
                 remove_with_checksum(f)
-            self._prune_empty_dirs()
             self.n_compactions += 1
+        self._prune_empty_dirs()
 
     def _prune_empty_dirs(self) -> None:
         """Remove bucket/delta directories DRAINED by compaction —

@@ -1651,6 +1651,66 @@ class TestNearDupCompactionHygiene:
         assert sink.accepted().count() == sink.admitted_rows
 
 
+class TestDistributedCompaction:
+    def test_compaction_never_reads_data_on_the_driver(self, spark, tmp_path, monkeypatch):
+        """Bucket compaction must be a Spark job: executors read and
+        re-encode the over-threshold buckets; the driver only renames
+        files.  Proven by counting pyarrow read_table calls (the old
+        driver-side merge path) during a battery that compacts both
+        sinks several times — must stay at zero, with the admitted set
+        intact and the file counts actually reduced."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq_
+
+        calls: list = []
+        real = pq_.read_table
+
+        def counting_read_table(*a, **k):
+            calls.append(a)
+            return real(*a, **k)
+
+        monkeypatch.setattr(pq_, "read_table", counting_read_table)
+
+        from spark_binlog_spark.streaming.dedup_sink import DedupIngestSink
+        from spark_binlog_spark.streaming.neardup_sink import NearDupIngestSink
+
+        store = str(tmp_path / "store")
+        sink = DedupIngestSink(spark, store, n_buckets=2, compact_threshold=3)
+        for bid in range(8):
+            sink(
+                spark.createDataFrame(
+                    [(bid * 10 + j, f"wholly unique text {bid} {j}") for j in range(3)],
+                    "doc_id long, text string",
+                ),
+                bid,
+            )
+        assert sink.n_compactions > 0
+        assert calls == [], "compaction read data files on the driver"
+        assert sink.accepted().count() == sink.admitted_rows == 24
+        # each bucket's fragments stay below the threshold steady-state
+        for b in range(2):
+            n = len(glob.glob(os.path.join(store, f"bucket={b}", "*.parquet")))
+            assert n <= 3 + 1, f"bucket {b} holds {n} files after compaction"
+
+        store2 = str(tmp_path / "store2")
+        sink2 = NearDupIngestSink(spark, store2, n_buckets=2, compact_threshold=3)
+        for bid in range(8):
+            batch = [
+                (
+                    bid * 10 + j,
+                    f"doc {bid} {j} "
+                    + " ".join(f"w{(bid * 10 + j) * 13 + t}" for t in range(12)),
+                )
+                for j in range(3)
+            ]
+            sink2(spark.createDataFrame(batch, "doc_id long, text string"), bid)
+        assert sink2.n_compactions > 0
+        assert calls == [], "near-dup compaction read data files on the driver"
+        assert sink2.accepted().count() == sink2.admitted_rows
+
+
 class TestRegionPartitionedStore:
     def test_pruned_scan_and_identical_stream(self, spark, tmp_path):
         """A region-partitioned store must (a) let a region task open
