@@ -44,11 +44,103 @@ _DDL_TYPES = {
 }
 
 
-def _ddl_type(spark_type: str) -> str:
-    try:
-        return _DDL_TYPES[spark_type]
-    except KeyError:
-        raise ValueError(f"no JDBC DDL mapping for spark type {spark_type!r}")
+class Dialect:
+    """Upsert-SQL generator for one database family.  Every statement a
+    dialect emits is SET-BASED over the staging table — the effectively-
+    once argument (replay re-runs the same statements over the same
+    staging content and converges) is dialect-independent.
+
+    Derby is the live-tested default (embedded, in this container);
+    MySQL and Postgres are covered by SQL-text unit tests
+    (tests/test_streaming.py::TestJdbcDialects) since their servers
+    aren't installable here."""
+
+    name = "derby"
+    default_driver = DERBY_DRIVER
+    # SQLSTATE / error tags identifying "table already exists" on resume
+    table_exists_tags: tuple[str, ...] = ("X0Y32",)
+    type_overrides: dict[str, str] = {}
+
+    def ddl_type(self, spark_type: str) -> str:
+        try:
+            return {**_DDL_TYPES, **self.type_overrides}[spark_type]
+        except KeyError:
+            raise ValueError(
+                f"no {self.name} DDL mapping for spark type {spark_type!r}"
+            )
+
+    def upsert_statements(
+        self, table: str, staging: str, key_col: str, val_cols: list[str], op_col: str
+    ) -> list[str]:
+        """Standard-SQL MERGE (Derby ≥10.11; also valid on Postgres 15+
+        and SQL Server): one statement handles delete + update + insert."""
+        sets = ", ".join(f"{c} = s.{c}" for c in val_cols)
+        cols = ", ".join([key_col, *val_cols])
+        vals = ", ".join(f"s.{c}" for c in [key_col, *val_cols])
+        return [
+            f"MERGE INTO {table} t USING {staging} s "
+            f"ON t.{key_col} = s.{key_col} "
+            f"WHEN MATCHED AND s.{op_col} = 'delete' THEN DELETE "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED AND s.{op_col} <> 'delete' "
+            f"THEN INSERT ({cols}) VALUES ({vals})"
+        ]
+
+
+class MySQLDialect(Dialect):
+    """MySQL has no MERGE: two set-based statements over disjoint key
+    sets (staging holds one latest-image row per key) — a multi-table
+    DELETE for op='delete' keys, then INSERT … SELECT … ON DUPLICATE
+    KEY UPDATE for the rest (staging.c references are legal in the
+    update clause for a plain, non-GROUP-BY SELECT)."""
+
+    name = "mysql"
+    default_driver = "com.mysql.cj.jdbc.Driver"
+    table_exists_tags = ("42S01", "already exists")
+    # DATETIME: MySQL TIMESTAMP is TZ-converted and 2038-bounded
+    type_overrides = {"timestamp": "DATETIME"}
+
+    def upsert_statements(self, table, staging, key_col, val_cols, op_col):
+        cols = ", ".join([key_col, *val_cols])
+        sets = ", ".join(f"{c} = {staging}.{c}" for c in val_cols)
+        return [
+            f"DELETE t FROM {table} t JOIN {staging} s "
+            f"ON t.{key_col} = s.{key_col} WHERE s.{op_col} = 'delete'",
+            f"INSERT INTO {table} ({cols}) "
+            f"SELECT {cols} FROM {staging} WHERE {op_col} <> 'delete' "
+            f"ON DUPLICATE KEY UPDATE {sets}",
+        ]
+
+
+class PostgresDialect(Dialect):
+    """Postgres (< 15, or preferring the native form): DELETE … USING
+    for op='delete' keys, then INSERT … ON CONFLICT (pk) DO UPDATE with
+    EXCLUDED references — both set-based over staging."""
+
+    name = "postgres"
+    default_driver = "org.postgresql.Driver"
+    table_exists_tags = ("42P07", "already exists")
+    type_overrides = {"string": "TEXT", "double": "DOUBLE PRECISION"}
+
+    def upsert_statements(self, table, staging, key_col, val_cols, op_col):
+        cols = ", ".join([key_col, *val_cols])
+        sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in val_cols)
+        # no alias on the DELETE target: identical semantics, and the
+        # alias-free form is also DuckDB-parseable, which lets the test
+        # suite EXECUTE this dialect against a live engine rather than
+        # only string-checking it
+        return [
+            f"DELETE FROM {table} USING {staging} s "
+            f"WHERE {table}.{key_col} = s.{key_col} AND s.{op_col} = 'delete'",
+            f"INSERT INTO {table} ({cols}) "
+            f"SELECT {cols} FROM {staging} WHERE {op_col} <> 'delete' "
+            f"ON CONFLICT ({key_col}) DO UPDATE SET {sets}",
+        ]
+
+
+DIALECTS: dict[str, Dialect] = {
+    d.name: d for d in (Dialect(), MySQLDialect(), PostgresDialect())
+}
 
 
 class JdbcUpsertSink:
@@ -66,7 +158,8 @@ class JdbcUpsertSink:
         val_cols: dict[str, str],
         order_col: str = "cdc_offset",
         op_col: str = "op",
-        driver: str = DERBY_DRIVER,
+        driver: str | None = None,
+        dialect: str = "derby",
     ):
         self.spark = spark
         self.url = url
@@ -76,7 +169,8 @@ class JdbcUpsertSink:
         self.val_cols = val_cols  # target column -> source column
         self.order_col = order_col
         self.op_col = op_col
-        self.driver = driver
+        self.dialect = DIALECTS[dialect]
+        self.driver = driver or self.dialect.default_driver
         self.applied_batches: list[tuple[int, int]] = []
         self._types: dict[str, str] | None = None
 
@@ -102,20 +196,24 @@ class JdbcUpsertSink:
     def _ensure_tables(self, latest: DataFrame) -> None:
         if self._types is not None:
             return
-        types = {f.name: _ddl_type(f.dataType.simpleString()) for f in latest.schema.fields}
+        types = {
+            f.name: self.dialect.ddl_type(f.dataType.simpleString())
+            for f in latest.schema.fields
+        }
         cols = [self.key_col, *self.val_cols]
         body = ", ".join(f"{c} {types[c]}" for c in cols)
-        # X0Y32 = Derby's table-already-exists SQLSTATE (resume) — match
-        # the state code, not free text, so unrelated errors whose
-        # message merely mentions existence still raise; PK makes the
-        # merge's ON clause an index lookup
+        # the ignore tags are the dialect's table-already-exists
+        # SQLSTATEs (resume) — match the state code, not arbitrary free
+        # text, so unrelated errors still raise; PK makes the upsert's
+        # ON clause an index lookup
+        exists = self.dialect.table_exists_tags
         self._exec(
             f"CREATE TABLE {self.table} ({body}, PRIMARY KEY ({self.key_col}))",
-            ignore=("X0Y32",),
+            ignore=exists,
         )
         self._exec(
             f"CREATE TABLE {self.staging} ({body}, {self.op_col} VARCHAR(16))",
-            ignore=("X0Y32",),
+            ignore=exists,
         )
         self._types = types
 
@@ -175,18 +273,14 @@ class JdbcUpsertSink:
                 .mode("append")
                 .save()
             )
-            # phase 3: one set-based MERGE inside the database
-            sets = ", ".join(f"{c} = s.{c}" for c in self.val_cols)
-            cols = ", ".join([self.key_col, *self.val_cols])
-            vals = ", ".join(f"s.{c}" for c in [self.key_col, *self.val_cols])
-            self._exec(
-                f"MERGE INTO {self.table} t USING {self.staging} s "
-                f"ON t.{self.key_col} = s.{self.key_col} "
-                f"WHEN MATCHED AND s.{self.op_col} = 'delete' THEN DELETE "
-                f"WHEN MATCHED THEN UPDATE SET {sets} "
-                f"WHEN NOT MATCHED AND s.{self.op_col} <> 'delete' "
-                f"THEN INSERT ({cols}) VALUES ({vals})"
-            )
+            # phase 3: the dialect's set-based upsert inside the
+            # database (one MERGE on Derby; delete + upsert pair on
+            # MySQL/Postgres — disjoint key sets, so order-insensitive
+            # and replay-idempotent either way)
+            for stmt in self.dialect.upsert_statements(
+                self.table, self.staging, self.key_col, list(self.val_cols), self.op_col
+            ):
+                self._exec(stmt)
             self.applied_batches.append((batch_id, n))
         finally:
             latest.unpersist()

@@ -2346,6 +2346,82 @@ class TestJdbcUpsertSink:
 
 
 
+class TestJdbcDialects:
+    """The Derby MERGE path is live-tested above; MySQL and Postgres
+    servers aren't installable in this container, so their dialects are
+    checked at the SQL level — and the Postgres pair is additionally
+    EXECUTED against DuckDB (whose SQL is Postgres-flavored and supports
+    DELETE…USING and ON CONFLICT…EXCLUDED) as a live-engine semantics
+    check of the two-statement upsert protocol."""
+
+    ARGS = ("tgt", "tgt_staging", "k", ["a", "b"], "op")
+
+    def test_derby_emits_single_merge(self):
+        from spark_binlog_spark.streaming.jdbc_sink import DIALECTS
+
+        (stmt,) = DIALECTS["derby"].upsert_statements(*self.ARGS)
+        assert stmt.startswith("MERGE INTO tgt t USING tgt_staging s")
+        assert "WHEN MATCHED AND s.op = 'delete' THEN DELETE" in stmt
+        assert "UPDATE SET a = s.a, b = s.b" in stmt
+        assert "INSERT (k, a, b) VALUES (s.k, s.a, s.b)" in stmt
+
+    def test_mysql_emits_delete_then_on_duplicate_key(self):
+        from spark_binlog_spark.streaming.jdbc_sink import DIALECTS
+
+        delete, upsert = DIALECTS["mysql"].upsert_statements(*self.ARGS)
+        # multi-table delete form; staging.col references in the update
+        # clause (legal for a plain non-GROUP-BY INSERT … SELECT)
+        assert delete == (
+            "DELETE t FROM tgt t JOIN tgt_staging s "
+            "ON t.k = s.k WHERE s.op = 'delete'"
+        )
+        assert upsert == (
+            "INSERT INTO tgt (k, a, b) "
+            "SELECT k, a, b FROM tgt_staging WHERE op <> 'delete' "
+            "ON DUPLICATE KEY UPDATE a = tgt_staging.a, b = tgt_staging.b"
+        )
+
+    def test_dialect_ddl_type_overrides(self):
+        from spark_binlog_spark.streaming.jdbc_sink import DIALECTS
+
+        assert DIALECTS["mysql"].ddl_type("timestamp") == "DATETIME"
+        assert DIALECTS["postgres"].ddl_type("string") == "TEXT"
+        assert DIALECTS["postgres"].ddl_type("double") == "DOUBLE PRECISION"
+        assert DIALECTS["derby"].ddl_type("string") == "VARCHAR(255)"
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="mysql DDL mapping"):
+            DIALECTS["mysql"].ddl_type("array<int>")
+
+    def test_postgres_statements_execute_and_upsert_on_duckdb(self):
+        import duckdb
+
+        from spark_binlog_spark.streaming.jdbc_sink import DIALECTS
+
+        con = duckdb.connect()
+        con.sql("CREATE TABLE tgt (k BIGINT PRIMARY KEY, a BIGINT, b TEXT)")
+        con.sql(
+            "CREATE TABLE tgt_staging (k BIGINT, a BIGINT, b TEXT, op VARCHAR(16))"
+        )
+        con.sql("INSERT INTO tgt VALUES (1, 10, 'old'), (2, 20, 'gone')")
+        # staging latest images: update key 1, delete key 2, insert key 3,
+        # and a delete for an absent key 4 (must match nothing)
+        con.sql(
+            "INSERT INTO tgt_staging VALUES "
+            "(1, 11, 'new', 'update'), (2, NULL, NULL, 'delete'), "
+            "(3, 30, 'ins', 'insert'), (4, NULL, NULL, 'delete')"
+        )
+        stmts = DIALECTS["postgres"].upsert_statements(*self.ARGS)
+        for s in stmts:
+            con.sql(s)
+        expect = {(1, 11, "new"), (3, 30, "ins")}
+        assert set(map(tuple, con.sql("SELECT * FROM tgt").fetchall())) == expect
+        # replay the identical statements: idempotent (effectively-once)
+        for s in stmts:
+            con.sql(s)
+        assert set(map(tuple, con.sql("SELECT * FROM tgt").fetchall())) == expect
+
+
 class TestLayoutDetection:
     def test_mixed_and_plain_layouts_detected_correctly(self, tmp_path):
         """is_segmented / is_region_rolled contracts: a flat file is
