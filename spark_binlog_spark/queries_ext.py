@@ -978,13 +978,15 @@ SELECT doc_id, text_hash FROM ranked WHERE rn = 1
 """
 
 
-def _parity_batches(sf_dir: str, prefix: str) -> str:
-    """Shared scaffold for the streaming-ingest queries: write the
-    documents table as two parity-split micro-batch files (even
-    doc_ids, then odd) in a fresh atexit-cleaned temp dir.  mtimes are
-    pinned ascending because Spark's file stream orders candidate
-    files by modification time — the split IS the batch order the
-    oracles assume.  Returns the docs dir."""
+def _parity_batches(
+    sf_dir: str, prefix: str, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """Shared scaffold for the streaming-ingest queries: write a table
+    as two parity-split micro-batch files (even ids, then odd) in a
+    fresh atexit-cleaned temp dir.  mtimes are pinned ascending because
+    Spark's file stream orders candidate files by modification time —
+    the split IS the batch order the oracles assume.  Returns the
+    batch dir."""
     import atexit
     import os
     import shutil
@@ -998,8 +1000,8 @@ def _parity_batches(sf_dir: str, prefix: str) -> str:
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     docs_dir = os.path.join(d, "docs")
     os.makedirs(docs_dir)
-    tbl = pds.dataset(f"{sf_dir}/documents.parquet").to_table()
-    parity = pc.bit_wise_and(tbl["doc_id"], 1)
+    tbl = pds.dataset(f"{sf_dir}/{table}.parquet").to_table()
+    parity = pc.bit_wise_and(tbl[id_col], 1)
     for i, mask in enumerate([pc.equal(parity, 0), pc.equal(parity, 1)]):
         path = os.path.join(docs_dir, f"batch-{i}.parquet")
         pq.write_table(tbl.filter(mask), path)
@@ -1104,6 +1106,66 @@ adm1 AS (SELECT DISTINCT doc_id FROM b1
          WHERE NOT EXISTS (SELECT 1 FROM rej1x WHERE rej1x.doc_id = b1.doc_id)
            AND NOT EXISTS (SELECT 1 FROM rej1b WHERE rej1b.doc_id = b1.doc_id))
 SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1
+"""
+
+
+def q_stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING embedding near-dup admission under the oracle: the
+    embeddings table arrives as two micro-batches (even vec_ids, then
+    odd) through a real Structured Streaming query into the
+    EmbeddingNearDupIngestSink (multi-table sign-LSH candidacy — 4
+    planes × 2 disjoint-dim tables — exact quantized cosine >= 0.5
+    rejection, bucketed banded index, atomic per-batch publish); the
+    admitted vec_id set must equal the batch-sequential recompute."""
+    import os
+
+    from spark_binlog_spark.streaming.embedding_sink import (
+        run_embedding_neardup_ingest,
+    )
+
+    vecs_dir = _parity_batches(sf_dir, "embdedup_ingest_", "embeddings", "vec_id")
+    d = os.path.dirname(vecs_dir)
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    sink = run_embedding_neardup_ingest(
+        spark, vecs_dir, os.path.join(d, "store"), os.path.join(d, "ck"), schema,
+        min_cosine4=5000, planes=4, n_tables=2,
+    )
+    return sink.accepted()
+
+
+ORACLE["q_stream_embedding_dedup"] = f"""
+WITH quant AS ({_QUANT_SQL}),
+base0 AS ({_NORM_SQL}),
+base AS (
+  SELECT *, {_table_bucket_sql(0)}, {_table_bucket_sql(1)}
+  FROM base0
+),
+e0 AS (SELECT * FROM base WHERE vec_id % 2 = 0),
+e1 AS (SELECT * FROM base WHERE vec_id % 2 = 1),
+-- in-batch rule: rejected by a smaller-id batch-0 vector sharing any
+-- table's bucket with cosine4 >= 5000
+rej0 AS (
+  SELECT DISTINCT b.vec_id FROM e0 a
+  JOIN e0 b ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
+  WHERE {_COS4.format(a='a', b='b', an='norm', bn='norm')} >= 5000
+),
+adm0 AS (SELECT vec_id, q, norm, b0, b1 FROM e0
+         WHERE NOT EXISTS (SELECT 1 FROM rej0 WHERE rej0.vec_id = e0.vec_id)),
+-- batch 1 vs the admitted index, then the in-batch rule
+rej1x AS (
+  SELECT DISTINCT s.vec_id FROM e1 s
+  JOIN adm0 i ON (s.b0 = i.b0 OR s.b1 = i.b1)
+  WHERE {_COS4.format(a='s', b='i', an='norm', bn='norm')} >= 5000
+),
+rej1b AS (
+  SELECT DISTINCT b.vec_id FROM e1 a
+  JOIN e1 b ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
+  WHERE {_COS4.format(a='a', b='b', an='norm', bn='norm')} >= 5000
+),
+adm1 AS (SELECT vec_id FROM e1
+         WHERE NOT EXISTS (SELECT 1 FROM rej1x WHERE rej1x.vec_id = e1.vec_id)
+           AND NOT EXISTS (SELECT 1 FROM rej1b WHERE rej1b.vec_id = e1.vec_id))
+SELECT vec_id FROM adm0 UNION ALL SELECT vec_id FROM adm1
 """
 
 

@@ -112,6 +112,7 @@ TAIL = [
     "q_stream_source_mix",
     "q_stream_sessions",
     "q_stream_length_histogram",
+    "q_stream_embedding_dedup",
     "q_embedding_dedup_multitable",
     "q_sq8_topk",
     "q_repeated_spans",

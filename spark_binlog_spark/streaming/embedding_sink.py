@@ -1,0 +1,265 @@
+"""Streaming EMBEDDING near-duplicate admission sink: per micro-batch,
+sign-LSH band join the batch's vectors against a banded index of
+everything admitted so far; drop batch vectors whose exact quantized
+cosine with any admitted vector (or any smaller-vec_id vector in their
+own batch that shares a bucket) reaches ``min_cosine4``; append the
+survivors' bucket rows + quantized payload to the index.
+
+The streaming counterpart of the batch ``embedding_near_dup_pairs``
+(functions/similarity.py) — same multi-table sign-bucket construction
+(disjoint leading dims per table, so a pair is a candidate if it
+collides in ANY table, the band trick that restores recall) and the
+same exact integer-quantized cosine (floor(x*10^6) components; integer
+dot products are order-independent, so Spark and the DuckDB oracle
+agree bit-for-bit).  The vector sibling of ``NearDupIngestSink``.
+
+Admission semantics (the spec the oracle mirrors) — batch-sequential:
+  * the index holds ONLY previously-ADMITTED vectors' bucket rows
+    (with their quantized payload, so scoring needs no corpus lookup);
+  * a batch vector is rejected iff (a) some index vector shares a
+    (table, sign-bucket) with it and their exact cosine4 >=
+    min_cosine4, or (b) some smaller-vec_id vector IN ITS OWN BATCH
+    does (deterministic in-batch tie rule);
+  * survivors' rows are appended, becoming the index for the next
+    batch.
+
+Exactly-once: foreachBatch is at-least-once.  Publication is atomic
+per batch via the shared ``BucketedDeltaStore``; a replayed
+already-published batch finds each of its own vectors in the index
+with cosine4 = 10000 >= min_cosine4 (identical vector, identical
+buckets in every table) and admits nothing — which is why
+``min_cosine4 <= 10000`` is enforced.
+
+Scale — same as the MinHash sink: rows live under
+``d_b<batch>_<attempt>/bucket=K`` with ``K = (31*sbucket + tbl) %
+n_buckets`` (the probe key IS the bucket key), so per-batch read I/O
+is O(index ∩ batch buckets) and write I/O O(admitted batch).  The
+batch side of the band join is broadcast; the index slice is never
+shuffled; compaction is a distributed Spark job (banded_store.py).
+``planes=None`` derives the plane count from the corpus via
+``derived_planes`` so in-bucket populations stay bounded as the
+stream grows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_binlog_spark.functions.similarity import (
+    cosine4,
+    derived_planes,
+    int_dot,
+    sign_bucket,
+    with_quantized,
+)
+from spark_binlog_spark.streaming.banded_store import BucketedDeltaStore
+
+SIG_COLS = ["vec_id", "tbl", "sbucket", "q", "norm"]
+SIG_SCHEMA = "vec_id long, tbl int, sbucket int, q array<long>, norm long"
+
+
+class EmbeddingNearDupIngestSink:
+    """foreachBatch sink: admit only vectors that are not cosine
+    near-duplicates of anything admitted so far (reference-free
+    training-data-pipeline machinery, like the text sinks)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        min_cosine4: int = 8000,
+        planes: int | None = 4,
+        n_tables: int = 2,
+        vec_col: str = "embedding",
+        n_buckets: int = 16,
+        compact_threshold: int = 8,
+    ):
+        if min_cosine4 > 10000:
+            raise ValueError(
+                "min_cosine4 must be <= 10000 (self-cosine) for replay idempotence"
+            )
+        self.spark = spark
+        self.store_dir = store_dir
+        self.min_cosine4 = min_cosine4
+        self.planes = planes
+        self.n_tables = n_tables
+        self.vec_col = vec_col
+        self.n_buckets = n_buckets
+        self.store = BucketedDeltaStore(
+            spark, store_dir, SIG_SCHEMA, n_buckets, compact_threshold
+        )
+        self.admitted_batches: list[tuple[int, int]] = []  # (batch_id, n_admitted)
+
+    @property
+    def admitted_rows(self) -> int:
+        return sum(n for _, n in self.admitted_batches)
+
+    @property
+    def scan_stats(self) -> list[tuple[int, int, int]]:
+        return self.store.scan_stats
+
+    @property
+    def n_compactions(self) -> int:
+        return self.store.n_compactions
+
+    def index(self) -> DataFrame:
+        """Full bucket index (every admitted vector × n_tables rows)."""
+        return self.store.read_all()
+
+    def accepted(self) -> DataFrame:
+        """Admitted vec_ids (distinct over the bucket index)."""
+        return self.index().select("vec_id").distinct()
+
+    def _signatures(self, batch_df: DataFrame) -> DataFrame:
+        """(vec_id, tbl, sbucket, q, norm): one row per vector per hash
+        table, quantized payload carried for exact scoring."""
+        base = with_quantized(batch_df, self.vec_col)
+        planes = self.planes
+        if planes is None:
+            # derive from the batch at hand; sign buckets only gate
+            # CANDIDACY (scoring is always the exact cosine), so a
+            # per-batch plane count never changes admission correctness,
+            # only the candidate volume
+            dim = base.select(F.size("q").alias("d")).first()
+            planes = derived_planes(
+                batch_df.count(), int(dim["d"]) if dim else 4
+            )
+        tables = F.array(
+            *[sign_bucket(F.col("q"), planes, offset=t * planes) for t in range(self.n_tables)]
+        )
+        return base.select(
+            "vec_id", "q", "norm", F.posexplode(tables).alias("tbl", "sbucket")
+        ).select(*SIG_COLS)
+
+    @staticmethod
+    def _cos4(qa, na, qb, nb):
+        return cosine4(int_dot(qa, qb), na, nb)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        sig = self._signatures(batch_df).persist()
+        try:
+            # ≤ n_buckets scalars to the driver — a plan step, not data
+            buckets = sorted(
+                r[0]
+                for r in sig.select(
+                    F.pmod(31 * F.col("sbucket") + F.col("tbl"), F.lit(self.n_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            index_slice = self.store.slice_for(buckets, batch_id)
+            bsig = F.broadcast(
+                sig.select(
+                    F.col("vec_id").alias("b_vec"),
+                    F.col("q").alias("bq"),
+                    F.col("norm").alias("bn"),
+                    "tbl",
+                    "sbucket",
+                )
+            )
+            # (a) reject: some INDEX vector shares a (tbl, sbucket) —
+            # in ANY table, hence the dropDuplicates on the pair before
+            # scoring — and the exact cosine reaches the threshold.
+            # Batch side broadcast: the index slice never shuffles.
+            idx_reject = (
+                index_slice.join(bsig, ["tbl", "sbucket"])
+                .select("b_vec", "bq", "bn", F.col("vec_id").alias("i_vec"), "q", "norm")
+                .dropDuplicates(["b_vec", "i_vec"])
+                .filter(
+                    self._cos4(F.col("bq"), F.col("bn"), F.col("q"), F.col("norm"))
+                    >= self.min_cosine4
+                )
+                .select(F.col("b_vec").alias("vec_id"))
+                .distinct()
+            )
+            # (b) reject: some smaller-vec_id vector in the SAME batch
+            # shares a bucket and reaches the threshold
+            a, b = sig.alias("a"), sig.alias("b")
+            inb_reject = (
+                a.join(
+                    b,
+                    (F.col("a.tbl") == F.col("b.tbl"))
+                    & (F.col("a.sbucket") == F.col("b.sbucket"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")),
+                )
+                .select(
+                    F.col("a.vec_id").alias("va"),
+                    F.col("a.q").alias("qa"),
+                    F.col("a.norm").alias("na"),
+                    F.col("b.vec_id").alias("vb"),
+                    F.col("b.q").alias("qb"),
+                    F.col("b.norm").alias("nb"),
+                )
+                .dropDuplicates(["va", "vb"])
+                .filter(
+                    self._cos4(F.col("qa"), F.col("na"), F.col("qb"), F.col("nb"))
+                    >= self.min_cosine4
+                )
+                .select(F.col("vb").alias("vec_id"))
+                .distinct()
+            )
+            admitted = (
+                sig.join(idx_reject, "vec_id", "left_anti")
+                .join(inb_reject, "vec_id", "left_anti")
+                .withColumn(
+                    "bucket",
+                    F.pmod(31 * F.col("sbucket") + F.col("tbl"), F.lit(self.n_buckets))
+                    .cast("int"),
+                )
+                .persist()
+            )
+            try:
+                n_vecs = admitted.select("vec_id").distinct().count()
+                if n_vecs == 0:
+                    self.admitted_batches.append((batch_id, 0))
+                    return
+                self.store.publish(admitted, SIG_COLS, batch_id)
+                self.admitted_batches.append((batch_id, n_vecs))
+                # only the buckets this batch touched can have grown
+                self.store.maybe_compact(buckets)
+            finally:
+                admitted.unpersist()
+        finally:
+            sig.unpersist()
+
+
+def run_embedding_neardup_ingest(
+    spark: SparkSession,
+    vecs_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema,
+    min_cosine4: int = 8000,
+    planes: int | None = 4,
+    n_tables: int = 2,
+    max_files_per_trigger: int = 1,
+    n_buckets: int = 16,
+) -> EmbeddingNearDupIngestSink:
+    """Stream a directory of embedding files (one micro-batch per file
+    by default) through the vector near-dup admission sink via
+    availableNow; returns the sink whose ``accepted()`` is the admitted
+    vec_id set."""
+    sink = EmbeddingNearDupIngestSink(
+        spark,
+        store_dir,
+        min_cosine4=min_cosine4,
+        planes=planes,
+        n_tables=n_tables,
+        n_buckets=n_buckets,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(vecs_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink

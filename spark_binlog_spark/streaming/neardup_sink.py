@@ -20,15 +20,15 @@ Admission semantics (the spec the oracle mirrors) — batch-sequential:
     next batch.
 
 Exactly-once: foreachBatch is at-least-once.  Publication is ATOMIC
-PER BATCH — the batch's signature rows are written into an aside dir
-and published with ONE ``os.replace`` directory rename (unique name
-per attempt), so a crash mid-publish leaves nothing visible and the
-replay recomputes the identical admitted set.  A replayed
-already-published batch self-matches the index on all n_hashes bands
-(n_hashes >= min_agree) and admits nothing.  The index-side agree
-count uses countDistinct(seed) so even duplicate signature rows (two
-successful publishes of one attempt can't happen, but belt+braces)
-never inflate agreement.
+PER BATCH via the shared ``BucketedDeltaStore`` (aside write + one
+``os.replace`` dir rename, unique name per attempt), so a crash
+mid-publish leaves nothing visible and the replay recomputes the
+identical admitted set.  A replayed already-published batch
+self-matches the index on all n_hashes bands (n_hashes >= min_agree)
+and admits nothing.  The index-side agree count uses
+countDistinct(seed) so even duplicate signature rows (two successful
+publishes of one attempt can't happen, but belt+braces) never inflate
+agreement.
 
 Scale — the index is banded AND bucketed: rows live under
 ``d_b<batch>_<attempt>/bucket=K`` with ``K = minhash % n_buckets``,
@@ -37,20 +37,16 @@ band values hash into (the probe key IS the bucket key).  Per-batch
 read I/O is O(index ∩ batch buckets), write I/O O(admitted batch);
 nothing is ever rewritten.  The batch side of the band join is
 micro-batch-sized and broadcast, so the index slice is never shuffled.
+Compaction is a distributed Spark job (see banded_store.py).
 """
 
 from __future__ import annotations
-
-import glob
-import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_binlog_spark.functions.dedup import N_MINHASH, minhash_signatures
-from spark_binlog_spark.streaming.swap import remove_with_checksum
+from spark_binlog_spark.streaming.banded_store import BucketedDeltaStore
 
 SIG_COLS = ["doc_id", "seed", "minhash"]
 SIG_SCHEMA = "doc_id long, seed int, minhash long"
@@ -77,53 +73,30 @@ class NearDupIngestSink:
         self.min_agree = min_agree
         self.n_hashes = n_hashes
         self.n_buckets = n_buckets
-        self.compact_threshold = compact_threshold
+        self.store = BucketedDeltaStore(
+            spark, store_dir, SIG_SCHEMA, n_buckets, compact_threshold
+        )
         self.admitted_batches: list[tuple[int, int]] = []  # (batch_id, n_admitted)
-        # (batch_id, buckets_scanned, files_scanned) — the pruning receipt
-        self.scan_stats: list[tuple[int, int, int]] = []
-        self.n_compactions = 0
-        os.makedirs(store_dir, exist_ok=True)
-        # a crash before the publish rename leaves only an aside dir;
-        # nothing of that attempt is visible — drop the debris
-        for leftover in [p for p in os.listdir(store_dir) if p.startswith("_aside")]:
-            shutil.rmtree(os.path.join(store_dir, leftover), ignore_errors=True)
-        # ...and a crashed compaction leaves only a hidden .tmp file
-        for tmp in glob.glob(os.path.join(store_dir, "d_*", "bucket=*", "_*.tmp")):
-            os.remove(tmp)
-        # a crash between a compaction's file deletes and its dir prune
-        # leaves empty dirs — sweep them on resume
-        self._prune_empty_dirs()
 
     @property
     def admitted_rows(self) -> int:
         return sum(n for _, n in self.admitted_batches)
 
+    @property
+    def scan_stats(self) -> list[tuple[int, int, int]]:
+        return self.store.scan_stats
+
+    @property
+    def n_compactions(self) -> int:
+        return self.store.n_compactions
+
     def index(self) -> DataFrame:
         """Full signature index (every admitted doc × n_hashes bands)."""
-        return (
-            self.spark.read.schema(SIG_SCHEMA)
-            .option("recursiveFileLookup", "true")
-            .parquet(self.store_dir)
-        )
+        return self.store.read_all()
 
     def accepted(self) -> DataFrame:
         """Admitted doc_ids (distinct over the signature index)."""
         return self.index().select("doc_id").distinct()
-
-    def _index_for(self, buckets: list[int], batch_id: int) -> DataFrame:
-        """Index slice for the admission band join: only the bucket
-        dirs this batch's band values hash into, across all published
-        batch deltas."""
-        paths = sorted(
-            p
-            for b in buckets
-            for p in glob.glob(os.path.join(self.store_dir, "d_*", f"bucket={b}"))
-        )
-        n_files = sum(len(glob.glob(os.path.join(p, "*.parquet"))) for p in paths)
-        self.scan_stats.append((batch_id, len(paths), n_files))
-        if not paths:
-            return self.spark.createDataFrame([], SIG_SCHEMA)
-        return self.spark.read.schema(SIG_SCHEMA).parquet(*paths)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         sig = minhash_signatures(batch_df, n_hashes=self.n_hashes).persist()
@@ -137,7 +110,7 @@ class NearDupIngestSink:
                 .distinct()
                 .collect()
             )
-            index_slice = self._index_for(buckets, batch_id)
+            index_slice = self.store.slice_for(buckets, batch_id)
             # (a) reject: some single INDEX doc agrees on >= min_agree
             # bands.  Batch side broadcast — the index slice never
             # shuffles; countDistinct(seed) so duplicate index rows
@@ -182,99 +155,14 @@ class NearDupIngestSink:
                 if n_docs == 0:
                     self.admitted_batches.append((batch_id, 0))
                     return
-                # atomic publish: bucket-partitioned aside dir, then ONE
-                # directory rename (unique per attempt — never collides)
-                attempt = uuid.uuid4().hex[:8]
-                aside = os.path.join(self.store_dir, f"_aside_b{batch_id}_{attempt}")
-                # repartition by bucket first: ONE file per touched
-                # bucket per batch, not one per task × bucket pair
-                admitted.select(*SIG_COLS, "bucket").repartition("bucket").write.partitionBy(
-                    "bucket"
-                ).mode("overwrite").parquet(aside)
-                # Spark leaves a _SUCCESS marker file; recursiveFileLookup
-                # would try to read it as parquet — drop it before publish
-                for marker in glob.glob(os.path.join(aside, "_*")):
-                    os.remove(marker)
-                os.replace(aside, os.path.join(self.store_dir, f"d_b{batch_id}_{attempt}"))
+                self.store.publish(admitted, SIG_COLS, batch_id)
                 self.admitted_batches.append((batch_id, n_docs))
                 # only the buckets this batch touched can have grown
-                self._maybe_compact(buckets)
+                self.store.maybe_compact(buckets)
             finally:
                 admitted.unpersist()
         finally:
             sig.unpersist()
-
-    def _maybe_compact(self, buckets: list[int]) -> None:
-        """Per-bucket compaction (same contract as DedupIngestSink's):
-        once a bucket's band rows are spread over ``compact_threshold``
-        delta files, merge them into one — this bounds the band join's
-        file opens over a long-running ingest.
-
-        DISTRIBUTED merge: every over-threshold bucket's files are read
-        as ONE Spark job (per-bucket file lists unioned with a literal
-        ``bucket`` column — the ``d_*`` delta level isn't hive-style, so
-        no basePath inference), ``repartition("bucket")`` gives one
-        task and one output file per bucket, and executors do all the
-        reading/re-encoding.  The driver only lists names and performs
-        ONE directory rename: no data row moves through it, matching
-        the reference's server-side flush maintenance
-        (OriginalSourceServerInExecutor.scala:132-147).
-
-        Crash-safe, same protocol as batch publish: the job writes an
-        ``_aside*`` dir (swept at restart), published atomically with
-        one ``os.replace`` as a ``d_compact_*`` delta BEFORE the olds
-        are deleted; a crash leaves duplicate rows at worst, which
-        countDistinct(seed) in admission and accepted()'s distinct both
-        absorb."""
-        to_merge: dict[int, list[str]] = {}
-        for b in buckets:
-            files = sorted(
-                glob.glob(os.path.join(self.store_dir, "d_*", f"bucket={b}", "*.parquet"))
-            )
-            if len(files) >= self.compact_threshold:
-                to_merge[b] = files
-        if not to_merge:
-            return
-        merged = None
-        for b, files in sorted(to_merge.items()):
-            part = (
-                self.spark.read.schema(SIG_SCHEMA)
-                .parquet(*files)
-                .withColumn("bucket", F.lit(b).cast("int"))
-            )
-            merged = part if merged is None else merged.unionByName(part)
-        token = uuid.uuid4().hex[:8]
-        aside = os.path.join(self.store_dir, f"_aside_compact_{token}")
-        merged.repartition("bucket").write.partitionBy("bucket").mode(
-            "overwrite"
-        ).parquet(aside)
-        for marker in glob.glob(os.path.join(aside, "_*")):
-            os.remove(marker)
-        os.replace(aside, os.path.join(self.store_dir, f"d_compact_{token}"))
-        for b, files in sorted(to_merge.items()):
-            for f in files:
-                remove_with_checksum(f)
-            self.n_compactions += 1
-        self._prune_empty_dirs()
-
-    def _prune_empty_dirs(self) -> None:
-        """Remove bucket/delta directories DRAINED by compaction —
-        without this the store accrues one dead dir per batch and per
-        compaction FOREVER, and every _index_for glob and recursive
-        index() listing walks the graveyard (re-introducing the
-        O(batches) planning cost compaction exists to bound).
-
-        'Drained' = no ``*.parquet`` left: the local committer leaves
-        hidden ``.*.crc``/``._SUCCESS.crc`` checksum debris behind the
-        data files (invisible to Spark reads, which skip dot/underscore
-        files), so a plain rmdir would never fire.  Only dirs with zero
-        parquet files are removed — pruning can never drop data."""
-        for bdir in glob.glob(os.path.join(self.store_dir, "d_*", "bucket=*")):
-            if not glob.glob(os.path.join(bdir, "*.parquet")):
-                shutil.rmtree(bdir, ignore_errors=True)
-        for ddir in glob.glob(os.path.join(self.store_dir, "d_*")):
-            if not glob.glob(os.path.join(ddir, "bucket=*")):
-                shutil.rmtree(ddir, ignore_errors=True)
 
 
 def run_neardup_ingest(

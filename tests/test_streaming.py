@@ -1651,6 +1651,116 @@ class TestNearDupCompactionHygiene:
         assert sink.accepted().count() == sink.admitted_rows
 
 
+class TestEmbeddingNearDupIngestSink:
+    """Vector sibling of the MinHash admission battery: dim-8 vectors,
+    sign-LSH candidacy (4 planes × 2 tables), exact quantized cosine >=
+    0.8 rejection.  Expected sets are hand-derived: within batch 0,
+    vec 3 is a scaled copy of vec 1 (cosine 1, smaller id wins); in
+    batch 1, vec 11 is a near-copy of admitted vec 1, vec 12 a scaled
+    copy of admitted vec 2, vec 15 a scaled copy of in-batch vec 14;
+    vec 13 is the NEGATION of vec 1 (cosine −1: bucket-separated AND
+    below threshold) and must survive."""
+
+    V = {
+        1: [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0],
+        2: [0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0],
+        3: [2.0, 0.0, 0.0, 0.0, 2.0, 0.0, 0.0, 0.0],
+        11: [1.0, 0.01, 0.0, 0.0, 1.0, 0.01, 0.0, 0.0],
+        12: [0.0, 2.0, 0.0, 0.0, 0.0, 2.0, 0.0, 0.0],
+        13: [-1.0, 0.0, 0.0, 0.0, -1.0, 0.0, 0.0, 0.0],
+        14: [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0],
+        15: [0.0, 0.0, 3.0, 0.0, 0.0, 0.0, 3.0, 0.0],
+    }
+    SCHEMA = "vec_id long, embedding array<float>"
+
+    def _batch(self, spark, ids):
+        return spark.createDataFrame([(i, self.V[i]) for i in ids], self.SCHEMA)
+
+    def _run(self, spark, tmp_path):
+        import os
+
+        import pyarrow as pa_
+        import pyarrow.parquet as pq_
+
+        from spark_binlog_spark.streaming.embedding_sink import (
+            run_embedding_neardup_ingest,
+        )
+
+        vecs = str(tmp_path / "vecs")
+        os.makedirs(vecs, exist_ok=True)
+        for i, ids in enumerate([[1, 2, 3], [11, 12, 13, 14, 15]]):
+            p = os.path.join(vecs, f"b{i}.parquet")
+            pq_.write_table(
+                pa_.table(
+                    {
+                        "vec_id": pa_.array(ids, pa_.int64()),
+                        "embedding": pa_.array(
+                            [self.V[i_] for i_ in ids], pa_.list_(pa_.float32())
+                        ),
+                    }
+                ),
+                p,
+            )
+            os.utime(p, (1e9 + i * 100, 1e9 + i * 100))
+        return run_embedding_neardup_ingest(
+            spark, vecs, str(tmp_path / "store"), str(tmp_path / "ck"),
+            self.SCHEMA, min_cosine4=8000, planes=4, n_tables=2,
+        )
+
+    def test_admission_and_replay_idempotence(self, spark, tmp_path):
+        from spark_binlog_spark.streaming.embedding_sink import (
+            EmbeddingNearDupIngestSink,
+        )
+
+        sink = self._run(spark, tmp_path)
+        accepted = {r["vec_id"] for r in sink.accepted().collect()}
+        assert accepted == {1, 2, 13, 14}
+        assert dict(sink.admitted_batches) == {0: 2, 1: 2}
+
+        # at-least-once replay of batch 1's content: every vector
+        # self-matches the index at cosine4 = 10000 and admits nothing
+        sink2 = EmbeddingNearDupIngestSink(
+            spark, str(tmp_path / "store"), min_cosine4=8000, planes=4, n_tables=2
+        )
+        sink2(self._batch(spark, [11, 12, 13, 14, 15]), 99)
+        assert sink2.admitted_batches == [(99, 0)]
+        assert {r["vec_id"] for r in sink2.accepted().collect()} == {1, 2, 13, 14}
+
+    def test_crash_before_publish_leaves_nothing(self, spark, tmp_path):
+        """Atomic per-batch publish: an aside dir from a crashed
+        attempt is invisible to the index and swept on restart."""
+        import os
+
+        from spark_binlog_spark.streaming.embedding_sink import (
+            EmbeddingNearDupIngestSink,
+        )
+
+        store = str(tmp_path / "store")
+        sink = EmbeddingNearDupIngestSink(spark, store, min_cosine4=8000, n_tables=2)
+        sink(self._batch(spark, [1, 2, 3]), 0)
+        deltas = [p for p in os.listdir(store) if p.startswith("d_b0")]
+        assert len(deltas) == 1
+        os.rename(
+            os.path.join(store, deltas[0]), os.path.join(store, "_aside_b0_dead")
+        )
+        sink2 = EmbeddingNearDupIngestSink(spark, store, min_cosine4=8000, n_tables=2)
+        assert not os.path.exists(os.path.join(store, "_aside_b0_dead"))
+        assert sink2.accepted().count() == 0
+        # the replay then re-admits the full batch
+        sink2(self._batch(spark, [1, 2, 3]), 0)
+        assert {r["vec_id"] for r in sink2.accepted().collect()} == {1, 2}
+
+    def test_threshold_above_self_cosine_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from spark_binlog_spark.streaming.embedding_sink import (
+            EmbeddingNearDupIngestSink,
+        )
+
+        with _pytest.raises(ValueError, match="10000"):
+            EmbeddingNearDupIngestSink(spark, str(tmp_path / "s"), min_cosine4=10001)
+
+
 class TestDistributedCompaction:
     def test_compaction_never_reads_data_on_the_driver(self, spark, tmp_path, monkeypatch):
         """Bucket compaction must be a Spark job: executors read and
