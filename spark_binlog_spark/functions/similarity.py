@@ -657,3 +657,202 @@ def sq8_topk_with_recall(
         "scos4",
         F.coalesce(F.col("in_exact"), F.lit(0)).cast("long").alias("in_exact"),
     )
+
+
+# ------------------------------------------------------------------
+# Product quantization (PQ): the third compressor next to the
+# random-projection (dimension-reducing) and SQ8 (precision-reducing)
+# paths — each vector becomes M one-byte codes (sub-vector -> nearest
+# codeword per subspace), and search runs as ADC (asymmetric distance
+# computation): the query stays exact, a tiny per-query lookup table
+# of query-subvector x codeword dot products is broadcast, and a
+# database vector's approximate dot product is the SUM of M table
+# lookups.  At 100 TB the encoded corpus is dim*4/M x smaller than
+# float32 (64-dim -> 8 codes = 32x) and the scoring join moves only
+# (vec_id, sub, code) ints, never vectors.  All arithmetic is exact
+# integers over the quantized components, so the DuckDB oracle
+# matches bit-for-bit — including the Lloyd training iteration
+# (integer sums, one floored division), same determinism recipe as
+# kmeans_train.
+
+
+def _pq_subvectors(base: DataFrame, m: int, subdim: int) -> DataFrame:
+    """(vec_id, sub, v): the corpus exploded into M contiguous
+    sub-vectors — a pure projection (slice), no shuffle."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub"),
+                F.slice(F.col("q"), s * subdim + 1, subdim).alias("v"),
+            )
+            for s in range(m)
+        ]
+    )
+    return base.select("vec_id", F.explode(subs).alias("sv")).select(
+        "vec_id", F.col("sv.sub").alias("sub"), F.col("sv.v").alias("v")
+    )
+
+
+def _l2(a: Column, b: Column) -> Column:
+    """Exact integer squared-L2 between quantized sub-vectors
+    (|component| <= ~4e6 -> diff^2 * subdim << 2^63)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(subv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest codeword per (vec_id, sub) by integer L2, ties to the
+    smallest code id.  Codebooks are M x codes rows — always broadcast;
+    the argmin is a per-(vec_id, sub) window over `codes` rows."""
+    from pyspark.sql import Window
+
+    scored = subv.join(F.broadcast(codebooks), "sub").select(
+        "vec_id", "sub", "v", "code", "cnorm", _l2(F.col("v"), F.col("cv")).alias("l2")
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("l2", "code")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "v", "code", "cnorm")
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    codes: int = 16,
+    iterations: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace codebooks (sub, code, cv, cnorm): seeds are the
+    first ``codes`` vectors' sub-vectors, then ``iterations`` Lloyd
+    steps (per-(sub, code, dim) exact integer mean, floored — the
+    kmeans_train recipe applied per subspace).  A codeword that loses
+    all members drops out, exactly as trained IVF cells do.
+
+    Scale: training shuffles (sub, code, dim) triples — M * codes *
+    subdim grouped rows regardless of corpus size thanks to map-side
+    partial aggregation; the corpus itself is only scanned."""
+    dim = _vec_dim(df, vec_col)
+    if m <= 0 or dim % m != 0:
+        raise ValueError(f"m ({m}) must evenly divide the vector dim ({dim})")
+    subdim = dim // m
+    base = with_quantized(df, vec_col)
+    subv = _pq_subvectors(base, m, subdim)
+    codebooks = subv.filter(F.col("vec_id") < codes).select(
+        "sub",
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("v").alias("cv"),
+        int_dot(F.col("v"), F.col("v")).alias("cnorm"),
+    )
+    for _ in range(iterations):
+        assigned = _pq_assign(subv, codebooks)
+        dims = assigned.select(
+            "sub", "code", F.posexplode(F.col("v")).alias("dim", "val")
+        )
+        means = (
+            dims.groupBy("sub", "code", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .select(
+                "sub",
+                "code",
+                "dim",
+                F.floor(F.col("s").cast("double") / F.col("n").cast("double"))
+                .cast("long")
+                .alias("mval"),
+            )
+        )
+        vecs = (
+            means.groupBy("sub", "code")
+            .agg(F.sort_array(F.collect_list(F.struct("dim", "mval"))).alias("dm"))
+            .select(
+                "sub",
+                "code",
+                F.transform(F.col("dm"), lambda x: x["mval"]).alias("cv"),
+            )
+        )
+        codebooks = vecs.select(
+            "sub", "code", "cv", int_dot(F.col("cv"), F.col("cv")).alias("cnorm")
+        )
+    return codebooks
+
+
+def pq_topk_with_recall(
+    df: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    m: int = 8,
+    codes: int = 16,
+    iterations: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC top-k with exact-top-k membership flags (recall@k per
+    query = sum(in_exact)/k) — same harness as the RP and SQ8 recall
+    queries, swapping in the codebook compressor.
+
+    Plan: codebooks and the per-query LUT (n_queries * M * codes rows)
+    broadcast; the encoded corpus joins the LUT on (sub, code) and one
+    (query_id, vec_id) groupBy sums the M lookups into the approximate
+    dot and the reconstructed norm.  The corpus-side rows carry three
+    ints each — no vector ever moves after encoding."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    dim = _vec_dim(df, vec_col)
+    if m <= 0 or dim % m != 0:
+        raise ValueError(f"m ({m}) must evenly divide the vector dim ({dim})")
+    subdim = dim // m
+    base = with_quantized(df, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    codebooks = pq_train(df, m=m, codes=codes, iterations=iterations, vec_col=vec_col)
+    codebooks = F.broadcast(
+        codebooks.persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    subv = _pq_subvectors(base, m, subdim)
+    enc = _pq_assign(subv.filter(F.col("vec_id") >= n_queries), codebooks).select(
+        "vec_id", "sub", "code", "cnorm"
+    )
+    lut = F.broadcast(
+        subv.filter(F.col("vec_id") < n_queries)
+        .join(F.broadcast(codebooks), "sub")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            "code",
+            int_dot(F.col("v"), F.col("cv")).alias("pdot"),
+        )
+    )
+    qnorms = F.broadcast(
+        base.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("norm").alias("qnorm")
+        )
+    )
+    scored = (
+        enc.join(lut, ["sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot").alias("adot"), F.sum("cnorm").alias("rnorm"))
+        .join(qnorms, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine4(F.col("adot"), F.col("qnorm"), F.col("rnorm")).alias("pcos4"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("pcos4").desc(), F.col("vec_id"))
+    ptop = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "pcos4")
+    )
+    exact = brute_force_topk(df, n_queries, k, vec_col).select(
+        "query_id", "vec_id", F.lit(1).cast("long").alias("in_exact")
+    )
+    return ptop.join(exact, ["query_id", "vec_id"], "left").select(
+        "query_id",
+        "vec_id",
+        "rank",
+        "pcos4",
+        F.coalesce(F.col("in_exact"), F.lit(0)).cast("long").alias("in_exact"),
+    )

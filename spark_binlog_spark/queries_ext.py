@@ -1876,3 +1876,89 @@ FROM stop s LEFT JOIN etop e ON s.query_id = e.query_id AND s.vec_id = e.vec_id
 
 
 ORACLE["q_sq8_topk"] = _sq8_oracle_sql()
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized (PQ/ADC) retrieval: 64 dims -> 8 subspaces x
+    16 codewords trained with one exact-integer Lloyd step, each vector
+    encoded as 8 codes (32x smaller than float32); search sums 8
+    broadcast-LUT lookups per (query, vector) and annotates the top-10
+    with exact-top-10 membership (recall@10 per query) — the codebook
+    compressor beside the RP (dimension) and SQ8 (precision) paths."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk_with_recall(emb, n_queries=5, k=10, m=8, codes=16)
+
+
+def _pq_oracle_sql(m: int = 8, subdim: int = 8, codes: int = 16) -> str:
+    return f"""
+WITH quant AS ({_QUANT_SQL}),
+base0 AS ({_NORM_SQL}),
+subv AS (
+  SELECT vec_id, s.sub, [q[s.sub * {subdim} + i] for i in generate_series(1, {subdim})] AS v
+  FROM base0 CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS sub) s),
+seeds AS (
+  SELECT sub, CAST(vec_id AS INT) AS code, v AS cv FROM subv WHERE vec_id < {codes}),
+a_scored AS (
+  SELECT sv.vec_id, sv.sub, sv.v, sd.code,
+         CAST(list_sum([(sv.v[i] - sd.cv[i]) * (sv.v[i] - sd.cv[i])
+                        for i in generate_series(1, {subdim})]) AS BIGINT) AS l2
+  FROM subv sv JOIN seeds sd ON sv.sub = sd.sub),
+a0 AS (
+  SELECT vec_id, sub, v, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY l2, code) AS rn
+    FROM a_scored) WHERE rn = 1),
+dims AS (
+  SELECT sub, code, i - 1 AS dim, v[i] AS val
+  FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, {subdim})) AS i) ix),
+means AS (
+  SELECT sub, code, dim,
+         CAST(floor(CAST(sum(val) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mval
+  FROM dims GROUP BY sub, code, dim),
+cb AS (SELECT sub, code, list(mval ORDER BY dim) AS cv FROM means GROUP BY sub, code),
+cbn AS (
+  SELECT sub, code, cv,
+         CAST(list_sum([cv[i] * cv[i] for i in generate_series(1, {subdim})]) AS BIGINT) AS cnorm
+  FROM cb),
+enc_scored AS (
+  SELECT sv.vec_id, sv.sub, c.code, c.cnorm,
+         CAST(list_sum([(sv.v[i] - c.cv[i]) * (sv.v[i] - c.cv[i])
+                        for i in generate_series(1, {subdim})]) AS BIGINT) AS l2
+  FROM subv sv JOIN cbn c ON sv.sub = c.sub WHERE sv.vec_id >= 5),
+enc AS (
+  SELECT vec_id, sub, code, cnorm FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY l2, code) AS rn
+    FROM enc_scored) WHERE rn = 1),
+lut AS (
+  SELECT qs.vec_id AS query_id, qs.sub, c.code,
+         CAST(list_sum([qs.v[i] * c.cv[i] for i in generate_series(1, {subdim})]) AS BIGINT) AS pdot
+  FROM subv qs JOIN cbn c ON qs.sub = c.sub WHERE qs.vec_id < 5),
+adc AS (
+  SELECT l.query_id, e.vec_id,
+         CAST(sum(l.pdot) AS BIGINT) AS adot, CAST(sum(e.cnorm) AS BIGINT) AS rnorm
+  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+  GROUP BY l.query_id, e.vec_id),
+pscored AS (
+  SELECT a.query_id, a.vec_id,
+         CAST(floor(CAST(a.adot AS DOUBLE)
+              / sqrt(CAST(q.norm AS DOUBLE) * CAST(a.rnorm AS DOUBLE)) * 10000) AS BIGINT) AS pcos4
+  FROM adc a JOIN base0 q ON q.vec_id = a.query_id),
+ptop AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY pcos4 DESC, vec_id) AS rnk
+    FROM pscored) WHERE rnk <= 10),
+escored AS (
+  SELECT qs.vec_id AS query_id, b.vec_id,
+         {_COS4.format(a='qs', b='b', an='norm', bn='norm')} AS cosine4
+  FROM base0 qs CROSS JOIN base0 b
+  WHERE qs.vec_id < 5 AND b.vec_id >= 5),
+etop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine4 DESC, vec_id) AS rnk
+    FROM escored) WHERE rnk <= 10)
+SELECT p.query_id, p.vec_id, CAST(p.rnk AS BIGINT) AS rank, p.pcos4,
+       CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact
+FROM ptop p LEFT JOIN etop e ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+"""
+
+
+ORACLE["q_pq_topk"] = _pq_oracle_sql()

@@ -115,6 +115,7 @@ TAIL = [
     "q_stream_embedding_dedup",
     "q_embedding_dedup_multitable",
     "q_sq8_topk",
+    "q_pq_topk",
     "q_repeated_spans",
     "q_lm_familiarity",
     "q_bpe_merges",
