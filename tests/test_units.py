@@ -222,6 +222,73 @@ class TestKmeansTrain:
         assert a == b
 
 
+class TestProductQuantization:
+    def test_training_improves_quantization_error(self, spark):
+        """One Lloyd step must not worsen total squared reconstruction
+        error vs the seed codebooks (k-means monotonicity, per
+        subspace), and codebooks keep the (sub, code, cv, cnorm) shape
+        with subdim-length codewords."""
+        from pyspark.sql import functions as F
+
+        from spark_binlog_spark.functions import similarity
+        from tests.conftest import SF_TEST
+
+        emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        base = similarity.with_quantized(emb)
+        subv = similarity._pq_subvectors(base, 8, 8)
+
+        def total_err(cb):
+            assigned = similarity._pq_assign(subv, cb)
+            joined = assigned.join(cb, ["sub", "code"]).select(
+                similarity._l2(F.col("v"), F.col("cv")).alias("e")
+            )
+            return joined.agg(F.sum("e").alias("s")).collect()[0]["s"]
+
+        seeds = similarity.pq_train(emb, m=8, codes=16, iterations=0)
+        trained = similarity.pq_train(emb, m=8, codes=16, iterations=1)
+        rows = trained.collect()
+        assert all(len(r["cv"]) == 8 for r in rows)
+        assert {r["sub"] for r in rows} == set(range(8))
+        assert total_err(trained) <= total_err(seeds)
+
+    def test_encoding_shape_and_determinism(self, spark):
+        """Every corpus vector gets exactly m codes; two runs agree."""
+        from pyspark.sql import functions as F
+
+        from spark_binlog_spark.functions import similarity
+        from tests.conftest import SF_TEST
+
+        emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        base = similarity.with_quantized(emb)
+        cb = similarity.pq_train(emb, m=8, codes=16)
+        subv = similarity._pq_subvectors(base, 8, 8)
+        enc = similarity._pq_assign(subv, cb).select("vec_id", "sub", "code")
+        n_vecs = emb.count()
+        per_vec = enc.groupBy("vec_id").agg(F.count("*").alias("n"))
+        assert per_vec.filter(F.col("n") != 8).count() == 0
+        assert per_vec.count() == n_vecs
+        a = {tuple(r) for r in enc.collect()}
+        b = {
+            tuple(r)
+            for r in similarity._pq_assign(subv, cb)
+            .select("vec_id", "sub", "code")
+            .collect()
+        }
+        assert a == b
+
+    def test_m_must_divide_dim(self, spark):
+        import pytest as _pytest
+
+        from spark_binlog_spark.functions import similarity
+        from tests.conftest import SF_TEST
+
+        emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        with _pytest.raises(ValueError, match="evenly divide"):
+            similarity.pq_train(emb, m=7)
+        with _pytest.raises(ValueError, match="evenly divide"):
+            similarity.pq_topk_with_recall(emb, m=5)
+
+
 class TestDerivedLshPlanes:
     def test_planes_scale_with_corpus_and_cap_at_dim(self):
         from spark_binlog_spark.functions.similarity import derived_planes
