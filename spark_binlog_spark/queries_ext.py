@@ -1237,6 +1237,121 @@ SELECT doc_id, lang, bucket FROM b WHERE bucket < 10
 """
 
 
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-DEPENDENT mixture rebalancing: sample every source down to
+    an equal per-source character budget of half the corpus (the
+    "rebalance web-heavy crawl to a uniform source mixture" move of a
+    training-data pipeline).  Unlike q_stratified_sample's declared
+    rates, the acceptance rates are DERIVED from the corpus itself:
+    one per-source aggregation (map-side partial), the tiny rate table
+    broadcast back, one corpus scan accepting docs whose content-hash
+    bucket falls under the source's rate.  All-integer arithmetic
+    (floor divisions over exact char counts) so both engines agree;
+    deterministic and repartition-stable because acceptance keys on
+    content hash, never RNG.  At 100 TB: agg output = |sources| rows,
+    the corpus is scanned once and never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.sum("n_chars").alias("src_chars"))
+    totals = per_src.agg(
+        F.sum("src_chars").alias("total_chars"),
+        F.count("*").alias("n_sources"),
+    )
+    rates = F.broadcast(
+        per_src.crossJoin(F.broadcast(totals)).select(
+            "source",
+            F.least(
+                F.lit(10000).cast("long"),
+                F.expr("(total_chars div (2 * n_sources)) * 10000 div src_chars"),
+            ).alias("rate10k"),
+        )
+    )
+    h10k = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 12), 16, 10).cast("long") % 10000
+    )
+    return (
+        docs.join(rates, "source")
+        .select("doc_id", "source", "rate10k", h10k.alias("bucket10k"))
+        .filter(F.col("bucket10k") < F.col("rate10k"))
+    )
+
+
+ORACLE["q_mixture_rebalance"] = """
+WITH per_src AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_chars FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(src_chars) AS BIGINT) AS total_chars,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM per_src
+),
+rates AS (
+  SELECT source,
+         least(10000, (total_chars // (2 * n_sources)) * 10000 // src_chars) AS rate10k
+  FROM per_src, tot
+)
+SELECT d.doc_id, d.source, r.rate10k,
+       CAST('0x' || substr(md5(d.text), 1, 12) AS BIGINT) % 10000 AS bucket10k
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE CAST('0x' || substr(md5(d.text), 1, 12) AS BIGINT) % 10000 < r.rate10k
+"""
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — the versioning audit between
+    two releases of a training corpus: which docs were ADDED, REMOVED,
+    or CHANGED (same id, different content fingerprint).  v2 is a
+    deterministic mutation of the fixture (every 11th doc dropped,
+    every 7th rewritten, every 13th cloned under a new id), diffed by a
+    full-outer join on doc_id comparing in-scan md5 fingerprints.
+    At 100 TB: fingerprints ride the two snapshot scans, one
+    snapshot-key shuffle, output is only the delta rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("fp"))
+    base2 = docs.filter(F.col("doc_id") % 11 != 0)
+    changed = base2.withColumn(
+        "text2",
+        F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    ).select("doc_id", F.md5("text2").alias("fp"))
+    added = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), F.md5("text").alias("fp"))
+    )
+    v2 = changed.unionByName(added)
+    j = v1.alias("a").join(v2.alias("b"), "doc_id", "full_outer")
+    status = (
+        F.when(F.col("a.fp").isNull(), F.lit("added"))
+        .when(F.col("b.fp").isNull(), F.lit("removed"))
+        .when(F.col("a.fp") != F.col("b.fp"), F.lit("changed"))
+    )
+    return (
+        j.select("doc_id", status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )
+
+
+ORACLE["q_corpus_diff"] = """
+WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS fp
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp
+  FROM documents WHERE doc_id % 13 = 0
+),
+j AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.fp IS NULL THEN 'added'
+              WHEN b.fp IS NULL THEN 'removed'
+              WHEN a.fp <> b.fp THEN 'changed' END AS status
+  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+)
+SELECT doc_id, status FROM j WHERE status IS NOT NULL
+"""
+
+
 STRATUM_RATES4 = {"en": 2000, "zh": 5000, "es": 5000, "de": 5000, "fr": 10000}
 
 

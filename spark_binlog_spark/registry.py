@@ -105,6 +105,8 @@ TAIL = [
     "q_hash_sample",            # r5 swap-out (shape: q_stratified_sample)
     "q_lang_id",                # r5 swap-out (shape: q_fingerprint)
     "q_decontaminate",
+    "q_mixture_rebalance",
+    "q_corpus_diff",
     "q_stratified_sample",
     "q_quality_prune",
     "q_token_shards",
