@@ -556,8 +556,12 @@ def rp_topk_with_recall(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "pcos4")
     )
-    exact = brute_force_topk(df, n_queries, k, vec_col).select(
-        "query_id", "vec_id", F.lit(1).cast("long").alias("in_exact")
+    # the exact reference ranking is n_queries * k rows — broadcast it
+    # so the recall annotation never sort-merges
+    exact = F.broadcast(
+        brute_force_topk(df, n_queries, k, vec_col).select(
+            "query_id", "vec_id", F.lit(1).cast("long").alias("in_exact")
+        )
     )
     return ptop.join(exact, ["query_id", "vec_id"], "left").select(
         "query_id",
@@ -647,8 +651,12 @@ def sq8_topk_with_recall(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "scos4")
     )
-    exact = brute_force_topk(df, n_queries, k, vec_col).select(
-        "query_id", "vec_id", F.lit(1).cast("long").alias("in_exact")
+    # the exact reference ranking is n_queries * k rows — broadcast it
+    # so the recall annotation never sort-merges
+    exact = F.broadcast(
+        brute_force_topk(df, n_queries, k, vec_col).select(
+            "query_id", "vec_id", F.lit(1).cast("long").alias("in_exact")
+        )
     )
     return stop.join(exact, ["query_id", "vec_id"], "left").select(
         "query_id",
@@ -846,8 +854,12 @@ def pq_topk_with_recall(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "pcos4")
     )
-    exact = brute_force_topk(df, n_queries, k, vec_col).select(
-        "query_id", "vec_id", F.lit(1).cast("long").alias("in_exact")
+    # the exact reference ranking is n_queries * k rows — broadcast it
+    # so the recall annotation never sort-merges
+    exact = F.broadcast(
+        brute_force_topk(df, n_queries, k, vec_col).select(
+            "query_id", "vec_id", F.lit(1).cast("long").alias("in_exact")
+        )
     )
     return ptop.join(exact, ["query_id", "vec_id"], "left").select(
         "query_id",

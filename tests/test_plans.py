@@ -236,6 +236,31 @@ class TestTrainingDataOps:
         assert "SortMergeJoin" not in plan
         assert plan.count("Exchange hashpartitioning") <= 1
 
+    def test_mixture_rebalance_broadcasts_rates(self, spark):
+        """q_mixture_rebalance: the derived per-source rate table
+        broadcasts into ONE corpus scan; the only hash shuffles carry
+        the |sources|-row aggregate, never the corpus."""
+        from spark_binlog_spark.queries_ext import q_mixture_rebalance
+
+        plan = _physical(q_mixture_rebalance(spark, SF_TEST))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # corpus-side probe scan appears once; the other scans sit
+        # under the |sources|-row rate subtree (per_src feeds both the
+        # rates and the 1-row totals)
+        assert plan.count("Scan parquet") == 3
+
+    def test_pq_scoring_broadcasts_lut_and_codebooks(self, spark):
+        """q_pq_topk: codebooks and the query LUT are broadcast; the
+        encoded-corpus scoring join must never sort-merge (the corpus
+        side carries only (vec_id, sub, code) ints)."""
+        from spark_binlog_spark.queries_ext import q_pq_topk
+
+        spark.catalog.clearCache()
+        plan = _physical(q_pq_topk(spark, SF_TEST))
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+
 
 class TestCodegen:
     def test_quality_features_jvm_only_columnar_scan(self, spark):
