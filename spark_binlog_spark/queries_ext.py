@@ -1133,8 +1133,9 @@ def q_stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.accepted()
 
 
-ORACLE["q_stream_embedding_dedup"] = f"""
-WITH quant AS ({_QUANT_SQL}),
+# the batch-sequential admission recompute, shared by the admitted-set
+# oracle and the search-over-the-index oracle
+_EMB_ADM_CTES = f"""quant AS ({_QUANT_SQL}),
 base0 AS ({_NORM_SQL}),
 base AS (
   SELECT *, {_table_bucket_sql(0)}, {_table_bucket_sql(1)}
@@ -1164,8 +1165,61 @@ rej1b AS (
 ),
 adm1 AS (SELECT vec_id FROM e1
          WHERE NOT EXISTS (SELECT 1 FROM rej1x WHERE rej1x.vec_id = e1.vec_id)
-           AND NOT EXISTS (SELECT 1 FROM rej1b WHERE rej1b.vec_id = e1.vec_id))
+           AND NOT EXISTS (SELECT 1 FROM rej1b WHERE rej1b.vec_id = e1.vec_id))"""
+
+ORACLE["q_stream_embedding_dedup"] = f"""
+WITH {_EMB_ADM_CTES}
 SELECT vec_id FROM adm0 UNION ALL SELECT vec_id FROM adm1
+"""
+
+
+def q_stream_embedding_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search SERVED FROM the streaming index: ingest the
+    embeddings table through the sign-LSH admission sink (same
+    two-batch stream as q_stream_embedding_dedup), then answer top-5
+    queries for the first five corpus vectors directly off the
+    published bucket index — candidacy via any-table bucket collision,
+    exact quantized cosine scoring.  The store IS the serving index:
+    no recompute, no side-channel."""
+    import os
+
+    from spark_binlog_spark.streaming.embedding_sink import (
+        run_embedding_neardup_ingest,
+    )
+
+    vecs_dir = _parity_batches(sf_dir, "embsearch_ingest_", "embeddings", "vec_id")
+    d = os.path.dirname(vecs_dir)
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    sink = run_embedding_neardup_ingest(
+        spark, vecs_dir, os.path.join(d, "store"), os.path.join(d, "ck"), schema,
+        min_cosine4=5000, planes=4, n_tables=2,
+    )
+    queries = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 5
+    )
+    return sink.search_topk(queries, k=5)
+
+
+ORACLE["q_stream_embedding_search"] = f"""
+WITH {_EMB_ADM_CTES},
+adm AS (SELECT vec_id FROM adm0 UNION ALL SELECT vec_id FROM adm1),
+idx AS (SELECT b.* FROM base b JOIN adm ON b.vec_id = adm.vec_id),
+qs AS (SELECT * FROM base WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, i.vec_id
+  FROM qs q JOIN idx i
+    ON (q.b0 = i.b0 OR q.b1 = i.b1) AND q.vec_id <> i.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         {_COS4.format(a='a', b='b', an='norm', bn='norm')} AS cosine4
+  FROM cand c JOIN base a ON a.vec_id = c.query_id JOIN base b ON b.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine4 DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, cosine4 FROM ranked WHERE rnk <= 5
 """
 
 

@@ -115,6 +115,7 @@ TAIL = [
     "q_stream_sessions",
     "q_stream_length_histogram",
     "q_stream_embedding_dedup",
+    "q_stream_embedding_search",
     "q_embedding_dedup_multitable",
     "q_sq8_topk",
     "q_pq_topk",

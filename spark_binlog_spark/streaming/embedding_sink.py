@@ -111,6 +111,54 @@ class EmbeddingNearDupIngestSink:
         """Admitted vec_ids (distinct over the bucket index)."""
         return self.index().select("vec_id").distinct()
 
+    def search_topk(self, queries_df: DataFrame, k: int = 5) -> DataFrame:
+        """ANN search served directly off the published bucket index:
+        candidacy = any-table (tbl, sign-bucket) collision with an
+        admitted vector, scoring = exact quantized cosine, per-query
+        top-k (ties to the smaller vec_id).  A query vector that is
+        itself in the index never matches itself.
+
+        Plan: the query side (tiny) is broadcast into the index scan;
+        a pair colliding in several tables is scored once
+        (dropDuplicates on the pair); the only shuffle carries scored
+        candidate pairs.  The store IS the serving index — the same
+        bucket pruning admission uses would apply here via
+        ``store.slice_for``; search reads all buckets because queries
+        are arbitrary, but still only (tbl, bucket)-matching rows
+        survive the join."""
+        from pyspark.sql import Window
+
+        qsig = self._signatures(queries_df).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("norm").alias("qnorm"),
+            "tbl",
+            "sbucket",
+        )
+        scored = (
+            self.index()
+            .join(F.broadcast(qsig), ["tbl", "sbucket"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .dropDuplicates(["query_id", "vec_id"])
+            .select(
+                "query_id",
+                "vec_id",
+                self._cos4(
+                    F.col("qq"), F.col("qnorm"), F.col("q"), F.col("norm")
+                ).alias("cosine4"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine4").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine4"
+            )
+        )
+
     def _signatures(self, batch_df: DataFrame) -> DataFrame:
         """(vec_id, tbl, sbucket, q, norm): one row per vector per hash
         table, quantized payload carried for exact scoring."""

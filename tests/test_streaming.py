@@ -1750,6 +1750,27 @@ class TestEmbeddingNearDupIngestSink:
         sink2(self._batch(spark, [1, 2, 3]), 0)
         assert {r["vec_id"] for r in sink2.accepted().collect()} == {1, 2}
 
+    def test_search_topk_serves_from_the_index(self, spark, tmp_path):
+        """After ingest the store answers ANN queries directly: a query
+        aligned with admitted vec 1 ranks it first at cosine4 = 10000;
+        an identical-id query vector never self-matches; only admitted
+        vectors appear."""
+        sink = self._run(spark, tmp_path)  # admitted = {1, 2, 13, 14}
+        queries = spark.createDataFrame(
+            [(1, self.V[1]), (200, self.V[14])], self.SCHEMA
+        )
+        got = {
+            (r["query_id"], r["rank"]): (r["vec_id"], r["cosine4"])
+            for r in sink.search_topk(queries, k=2).collect()
+        }
+        # query 200 == vec 14's direction: vec 14 first at exact 10000
+        assert got[(200, 1)] == (14, 10000)
+        # query 1 IS admitted vec 1: it must not match itself; its top
+        # hits are other admitted vectors only
+        hits_q1 = [v for (q, _), (v, _) in got.items() if q == 1]
+        assert 1 not in hits_q1
+        assert set(hits_q1) <= {2, 13, 14}
+
     def test_threshold_above_self_cosine_rejected(self, spark, tmp_path):
         import pytest as _pytest
 
