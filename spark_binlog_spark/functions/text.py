@@ -582,3 +582,87 @@ def vocab_coverage(df: DataFrame, vocab_size: int = 100, text_col: str = "text")
             ).alias("coverage4"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: dict[int, list[str]],
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Integer-exact BM25 keyword retrieval: top-k documents per query
+    term set — the corpus-search primitive behind contamination
+    triage, dedup inspection, and eval-set mining.
+
+    Uses k1 = 6/5 and b = 3/4 as exact rationals and the same integer
+    idf convention as ``term_salience_topk`` (N/df instead of
+    log(N/df) — per-term order-isomorphic; the summed document score
+    is then *a* deterministic BM25-family ranking rather than the
+    textbook log form, which is the price of bit-exact cross-engine
+    agreement: libm ``ln`` differs by ulps right at floor boundaries).
+    Clearing the denominators of
+
+        idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with avgdl = total_words/n_docs gives the all-integer per-term
+    score (scaled x10000)
+
+        n_docs * tf * 22 * total_words * 10000
+        div (dfreq * (10*tf*total_words + 3*total_words + 9*dl*n_docs))
+
+    (magnitudes stay under 2^63 for corpora to ~10^5 total words per
+    10^4 docs per long-range headroom note below).  A document's score
+    is the exact integer sum over the query terms it contains.
+
+    Plan shape: one (doc, term) count shuffle (shared with tf-idf's
+    shape); the query-term table, df table, and 1-row totals broadcast;
+    scoring touches only docs containing a query term; per-query top-k
+    via rank window (WindowGroupLimit pushes the cut map-side).  At
+    100 TB the scaled numerator needs the same care as any fixed-point
+    scheme: n_docs * tf * 22 * total_words * 10^4 must stay inside
+    int64 — shard the corpus or drop the x10^4 scale when it cannot.
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    qterms = F.broadcast(
+        spark.createDataFrame(
+            [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
+            "query_id long, term string",
+        )
+    )
+    w = df.select(F.col("doc_id"), F.explode(words(F.col(text_col))).alias("term"))
+    tf = (
+        w.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    totals = dl.agg(F.sum("dl").alias("total_words"), F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(qterms, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "n_docs * tf * 22 * total_words * 10000 div "
+                "(dfreq * (10*tf*total_words + 3*total_words + 9*dl*n_docs))"
+            ).alias("term_score"),
+        )
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("bm25s")
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25s").desc(), F.col("doc_id")
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", F.col("rank").cast("long").alias("rank"), "bm25s")
+    )

@@ -833,6 +833,52 @@ SELECT doc_id, term, tf, salience4, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE
 """
 
 
+BM25_QUERIES = {0: ["hash", "join"], 1: ["window", "sort", "scan"], 2: ["stream", "batch"]}
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-5 documents for three fixed term-set
+    queries under the integer-exact scoring of functions/text.py
+    bm25_topk (k1=6/5, b=3/4, integer idf) — the corpus-search
+    primitive for contamination triage and eval-set mining."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, BM25_QUERIES, k=5)
+
+
+def _bm25_query_values() -> str:
+    return ", ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(BM25_QUERIES.items()) for t in ts
+    )
+
+
+ORACLE["q_bm25_search"] = f"""
+WITH qt(query_id, term) AS (VALUES {_bm25_query_values()}),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(dl) AS BIGINT) AS total_words, CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         (n_docs * tf * 22 * total_words * 10000) //
+         (dfreq * (10 * tf * total_words + 3 * total_words + 9 * dl * n_docs)) AS term_score
+  FROM tf JOIN qt ON tf.term = qt.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dfreq ON tf.term = dfreq.term
+  CROSS JOIN tot
+),
+per_doc AS (
+  SELECT query_id, doc_id, CAST(sum(term_score) AS BIGINT) AS bm25s
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25s DESC, doc_id) AS rnk
+  FROM per_doc
+)
+SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank, bm25s FROM ranked WHERE rnk <= 5
+"""
+
+
 def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus boilerplate dictionary: 3-gram shingles appearing in >= 2
     distinct documents (the CCNet-style pre-pass a cleaning job

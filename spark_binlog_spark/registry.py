@@ -126,6 +126,7 @@ TAIL = [
     "q_chunk_documents",
     "q_compressibility",
     "q_vocab_coverage",
+    "q_bm25_search",
     "q_source_dup_matrix",
     "q_change_counts_windowed",
     "q_repetition",
