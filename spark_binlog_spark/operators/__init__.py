@@ -1,5 +1,5 @@
 from spark_binlog_spark.operators.filters import event_type_filter, table_pattern_filter
-from spark_binlog_spark.operators.images import cdc_apply, latest_image
+from spark_binlog_spark.operators.images import cdc_apply, latest_image, scd2_history
 from spark_binlog_spark.operators.offset_ops import (
     max_offset_per_key,
     monotonic_dedup,
@@ -15,6 +15,7 @@ __all__ = [
     "event_type_filter",
     "latest_image",
     "cdc_apply",
+    "scd2_history",
     "pack_offset",
     "unpack_offset",
     "offset_range",

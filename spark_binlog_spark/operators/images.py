@@ -126,3 +126,41 @@ def cdc_apply(
         else:
             ins_cols.append(F.lit(None).cast(base_types[col]).alias(col))
     return merged.unionByName(inserts.select(*ins_cols))
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str = "pk",
+    offset_col: str = "cdc_offset",
+    value_cols: list[str] | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) materialization of a change
+    stream: one VERSION row per non-delete change, valid over the
+    offset interval [its own offset, the key's next change of any
+    kind); the open-ended latest version is flagged ``is_current``.
+    A delete event emits no version — it only closes the previous one
+    (its offset becomes that version's ``valid_to``).
+
+    The audit-trail counterpart of ``latest_image`` (which this
+    generalizes: the is_current rows ARE the latest non-deleted
+    images) — the downstream "how did this row look at offset X"
+    surface CDC users materialize next to the live table.
+
+    Scale: ONE shuffle on the key (the lead window partitions by
+    ``key_col``, never globally) — the same plan shape and skew story
+    as latest_image.
+    """
+    value_cols = value_cols or ["value"]
+    w = Window.partitionBy(key_col).orderBy(offset_col)
+    return (
+        df.withColumn("valid_to", F.lead(offset_col).over(w))
+        .filter(F.col(op_col) != "delete")
+        .select(
+            key_col,
+            *value_cols,
+            F.col(offset_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

@@ -661,6 +661,33 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 materialization of the change stream: one version row
+    per non-delete change, valid over [own offset, key's next change),
+    open latest version flagged current; a delete closes the previous
+    version without emitting one.  The audit-trail generalization of
+    D3 (operators/images.py scd2_history) — 'how did this row look at
+    offset X' over the same single key-partitioned window shuffle."""
+    from spark_binlog_spark.operators import scd2_history
+
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    return scd2_history(ch, key_col="pk", value_cols=["value"])
+
+
+ORACLE["q_scd2_history"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+versions AS (
+  SELECT pk, op, value, cdc_offset AS valid_from,
+         lead(cdc_offset) OVER (PARTITION BY pk ORDER BY cdc_offset) AS valid_to
+  FROM changes
+)
+SELECT pk, value, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM versions WHERE op <> 'delete'
+"""
+
+
 def q_latest_image_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 with a COMPOSITE key: latest change per (database, table, pk)
     — the idCols="a,b,..." form of the delta-plus contract (README.md:64

@@ -150,6 +150,7 @@ TAIL = [
     "q_range_band",
     "q_interval_overlap",
     "q_retained_keys",
+    "q_scd2_history",
     "q_cell_rollup",
     "q_latest_image_composite",
     "q_change_counts_sliding",

@@ -222,6 +222,38 @@ class TestKmeansTrain:
         assert a == b
 
 
+class TestScd2History:
+    def test_current_rows_equal_latest_nondeleted_images(self, spark):
+        """The SCD2 invariants: is_current versions are exactly the
+        keys whose LAST change is non-delete (== latest_image filtered
+        on op), every interval is forward (valid_to > valid_from), and
+        each key has at most one open version."""
+        from pyspark.sql import functions as F
+
+        from spark_binlog_spark.cdc import changes_df
+        from spark_binlog_spark.operators import latest_image, scd2_history
+
+        ch = changes_df(spark, SF_TEST)
+        hist = scd2_history(ch)
+        cur = {
+            (r["pk"], r["value"])
+            for r in hist.filter("is_current").select("pk", "value").collect()
+        }
+        li = {
+            (r["pk"], r["value"])
+            for r in latest_image(ch, ["pk"])
+            .filter(F.col("op") != "delete")
+            .select("pk", "value")
+            .collect()
+        }
+        assert cur == li and cur
+        assert hist.filter(F.col("valid_to") <= F.col("valid_from")).count() == 0
+        per_key_open = (
+            hist.filter("is_current").groupBy("pk").agg(F.count("*").alias("n"))
+        )
+        assert per_key_open.filter(F.col("n") > 1).count() == 0
+
+
 class TestProductQuantization:
     def test_training_improves_quantization_error(self, spark):
         """One Lloyd step must not worsen total squared reconstruction
