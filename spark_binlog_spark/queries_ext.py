@@ -1179,6 +1179,55 @@ def q_stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.accepted()
 
 
+def q_stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SimHash near-dup admission under the oracle: documents
+    arrive as two micro-batches (even ids, then odd) through the
+    hamming-LSH SimHashIngestSink (4 bands over 16-bit signatures,
+    hamming <= 2 rejection, bucketed banded index, atomic per-batch
+    publish).  Because banded candidacy is pigeonhole-COMPLETE for
+    hamming < bands, the oracle recomputes admission with pure hamming
+    joins — no banding — and must match exactly."""
+    import os
+
+    from spark_binlog_spark.streaming.simhash_sink import run_simhash_ingest
+
+    docs_dir = _parity_batches(sf_dir, "simhash_ingest_")
+    d = os.path.dirname(docs_dir)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sink = run_simhash_ingest(
+        spark, docs_dir, os.path.join(d, "store"), os.path.join(d, "ck"), schema,
+        max_hamming=2,
+    )
+    return sink.accepted()
+
+
+ORACLE["q_stream_simhash_dedup"] = f"""
+WITH sig AS ({_SIMHASH_SQL}),
+b0 AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+b1 AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+rej0 AS (
+  SELECT DISTINCT b.doc_id FROM b0 a
+  JOIN b0 b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
+),
+adm0 AS (SELECT doc_id, simhash16 FROM b0
+         WHERE NOT EXISTS (SELECT 1 FROM rej0 WHERE rej0.doc_id = b0.doc_id)),
+rej1x AS (
+  SELECT DISTINCT s.doc_id FROM b1 s
+  JOIN adm0 i ON bit_count(xor(s.simhash16, i.simhash16)) <= 2
+),
+rej1b AS (
+  SELECT DISTINCT b.doc_id FROM b1 a
+  JOIN b1 b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
+),
+adm1 AS (SELECT doc_id FROM b1
+         WHERE NOT EXISTS (SELECT 1 FROM rej1x WHERE rej1x.doc_id = b1.doc_id)
+           AND NOT EXISTS (SELECT 1 FROM rej1b WHERE rej1b.doc_id = b1.doc_id))
+SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1
+"""
+
+
 # the batch-sequential admission recompute, shared by the admitted-set
 # oracle and the search-over-the-index oracle
 _EMB_ADM_CTES = f"""quant AS ({_QUANT_SQL}),

@@ -114,6 +114,7 @@ TAIL = [
     "q_stream_source_mix",
     "q_stream_sessions",
     "q_stream_length_histogram",
+    "q_stream_simhash_dedup",
     "q_stream_embedding_dedup",
     "q_stream_embedding_search",
     "q_embedding_dedup_multitable",

@@ -1651,6 +1651,70 @@ class TestNearDupCompactionHygiene:
         assert sink.accepted().count() == sink.admitted_rows
 
 
+class TestSimHashIngestSink:
+    """Hamming sibling of the MinHash battery.  doc 3 repeats doc 1's
+    words (identical signature, hamming 0 → in-batch reject, smaller
+    id wins); doc 11 is a word-permutation of doc 1 (SimHash is
+    order-insensitive → hamming 0 vs the index); docs 2 and 13 are
+    unrelated word sets and survive."""
+
+    DOCS = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six seven"),
+        (3, "alpha beta gamma delta epsilon zeta"),
+        (11, "zeta epsilon delta gamma beta alpha"),
+        (13, "red green blue cyan magenta yellow"),
+    ]
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_admission_and_replay_idempotence(self, spark, tmp_path):
+        from spark_binlog_spark.streaming.simhash_sink import SimHashIngestSink
+
+        store = str(tmp_path / "store")
+        sink = SimHashIngestSink(spark, store, max_hamming=2)
+        sink(self._batch(spark, self.DOCS[:3]), 0)
+        sink(self._batch(spark, self.DOCS[3:]), 1)
+        assert {r["doc_id"] for r in sink.accepted().collect()} == {1, 2, 13}
+        assert dict(sink.admitted_batches) == {0: 2, 1: 1}
+
+        # at-least-once replay: batch 1's docs self-match at hamming 0
+        sink2 = SimHashIngestSink(spark, store, max_hamming=2)
+        sink2(self._batch(spark, self.DOCS[3:]), 99)
+        assert sink2.admitted_batches == [(99, 0)]
+        assert {r["doc_id"] for r in sink2.accepted().collect()} == {1, 2, 13}
+
+    def test_crash_before_publish_leaves_nothing(self, spark, tmp_path):
+        import os
+
+        from spark_binlog_spark.streaming.simhash_sink import SimHashIngestSink
+
+        store = str(tmp_path / "store")
+        sink = SimHashIngestSink(spark, store, max_hamming=2)
+        sink(self._batch(spark, self.DOCS[:3]), 0)
+        deltas = [p for p in os.listdir(store) if p.startswith("d_b0")]
+        assert len(deltas) == 1
+        os.rename(
+            os.path.join(store, deltas[0]), os.path.join(store, "_aside_b0_dead")
+        )
+        sink2 = SimHashIngestSink(spark, store, max_hamming=2)
+        assert not os.path.exists(os.path.join(store, "_aside_b0_dead"))
+        assert sink2.accepted().count() == 0
+        sink2(self._batch(spark, self.DOCS[:3]), 0)
+        assert {r["doc_id"] for r in sink2.accepted().collect()} == {1, 2}
+
+    def test_parameter_guards(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from spark_binlog_spark.streaming.simhash_sink import SimHashIngestSink
+
+        with _pytest.raises(ValueError, match="pigeonhole"):
+            SimHashIngestSink(spark, str(tmp_path / "s1"), max_hamming=4, bands=4)
+        with _pytest.raises(ValueError, match="evenly divide"):
+            SimHashIngestSink(spark, str(tmp_path / "s2"), bits=16, bands=5, max_hamming=2)
+
+
 class TestEmbeddingNearDupIngestSink:
     """Vector sibling of the MinHash admission battery: dim-8 vectors,
     sign-LSH candidacy (4 planes × 2 tables), exact quantized cosine >=
