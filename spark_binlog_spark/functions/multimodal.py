@@ -2,13 +2,18 @@
 
 Images/audio/video are opaque ``binary`` columns + a typed metadata
 struct.  The Spark-side plumbing — schema, batch shape, partitioning,
-Arrow transfer — is real and tested; the actual media decode runs
-behind executor-side import-tries (PIL for images, soundfile for audio
-— neither ships in this container).  With the libs installed,
-``extract_features(fake=False)`` produces real features from the
-identical plan; without them it raises the clearly-marked
-NotImplementedError stub, and ``fake=True`` produces a deterministic
-fake derived from the bytes so pipelines are testable end-to-end.
+Arrow transfer — is real and tested.  Decode is REAL and
+dependency-free for the uncompressed formats: 24-bit BMP and binary
+PNM images (struct-parsed per the public specs, integer-luma 4×4
+box-average features) and PCM WAV audio (stdlib ``wave``) — exact,
+deterministic, and pinned by tests in this container.  Compressed
+formats (JPEG/PNG, non-WAV audio) run behind executor-side
+import-tries (PIL / soundfile — neither ships here): with the libs
+installed ``extract_features(fake=False)`` produces real features
+from the identical plan; without them those formats raise the
+clearly-marked NotImplementedError stub, and ``fake=True`` produces a
+deterministic fake derived from the bytes so pipelines are testable
+end-to-end.
 
 Scale notes: media blobs ride in their own column so parquet column
 pruning skips them unless a stage touches them; ``mapInPandas`` streams
@@ -134,6 +139,122 @@ def _real_image_features(content: bytes) -> list[float] | None:
     return [(p - 128) / 128.0 for p in img.getdata()][:FEATURE_DIM]
 
 
+def _bmp_pixels(data: bytes):
+    """Dependency-free 24-bit uncompressed BMP decode (the format's
+    public layout: 'BM' file header with the pixel-array offset at
+    byte 10; BITMAPINFOHEADER with width/height/bpp/compression at
+    18/22/28/30; rows 4-byte padded, bottom-up unless height < 0,
+    pixels stored BGR).  Returns (width, height, row-major RGB tuples)
+    or None for anything that isn't plain 24-bit."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        return None
+    width, height = struct.unpack_from("<ii", data, 18)
+    bpp, comp = struct.unpack_from("<HI", data, 28)
+    if bpp != 24 or comp != 0 or width <= 0 or height == 0:
+        return None
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    if len(data) < pix_off + stride * height:
+        return None
+    rows = []
+    for r in range(height):
+        src = r if top_down else height - 1 - r
+        base = pix_off + src * stride
+        rows.append(
+            [
+                (data[base + 3 * c + 2], data[base + 3 * c + 1], data[base + 3 * c])
+                for c in range(width)
+            ]
+        )
+    return width, height, rows
+
+
+def _pnm_pixels(data: bytes):
+    """Dependency-free binary PNM decode: P5 (grayscale) and P6 (RGB),
+    maxval <= 255, per the public netpbm spec (ASCII header tokens with
+    '#' comments, then raw samples).  Returns (width, height, row-major
+    RGB tuples) or None."""
+    if data[:2] not in (b"P5", b"P6"):
+        return None
+    tokens, i, n = [], 2, len(data)
+    while len(tokens) < 3 and i < n:
+        c = data[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < n and data[i : i + 1] != b"\n":
+                i += 1
+        else:
+            j = i
+            while j < n and not data[j : j + 1].isspace():
+                j += 1
+            tokens.append(data[i:j])
+            i = j
+    if len(tokens) < 3:
+        return None
+    try:
+        width, height, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if width <= 0 or height <= 0 or not (0 < maxval <= 255):
+        return None
+    i += 1  # exactly one whitespace byte separates header and raster
+    ch = 1 if data[:2] == b"P5" else 3
+    need = width * height * ch
+    raster = data[i : i + need]
+    if len(raster) < need:
+        return None
+    rows = []
+    for r in range(height):
+        base = r * width * ch
+        if ch == 1:
+            rows.append([(raster[base + c],) * 3 for c in range(width)])
+        else:
+            rows.append(
+                [
+                    tuple(raster[base + 3 * c : base + 3 * c + 3])
+                    for c in range(width)
+                ]
+            )
+    return width, height, rows
+
+
+def _image_features_stdlib(content: bytes) -> list[float] | None:
+    """REAL dependency-free image encoder for the uncompressed formats
+    (24-bit BMP, binary PNM): integer-luma grayscale
+    ((299r + 587g + 114b) // 1000), 4×4 box-average downsample with
+    integer means — fully deterministic, so tests pin exact features.
+    Compressed formats (JPEG/PNG) still go through the PIL import-try.
+    """
+    decoded = _bmp_pixels(content) or _pnm_pixels(content)
+    if decoded is None:
+        return None
+    width, height, rows = decoded
+    grid = 4
+    feats = []
+    for gy in range(grid):
+        y0, y1 = gy * height // grid, max((gy + 1) * height // grid, gy * height // grid + 1)
+        y1 = min(y1, height)
+        for gx in range(grid):
+            x0, x1 = gx * width // grid, max((gx + 1) * width // grid, gx * width // grid + 1)
+            x1 = min(x1, width)
+            total = cnt = 0
+            for y in range(y0, y1):
+                for x in range(x0, x1):
+                    r, g, b = rows[y][x]
+                    total += (299 * r + 587 * g + 114 * b) // 1000
+                    cnt += 1
+            feats.append(((total // cnt if cnt else 0) - 128) / 128.0)
+    return feats[:FEATURE_DIM]
+
+
 def _wav_features_stdlib(content: bytes) -> list[float] | None:
     """Dependency-free REAL audio decode: stdlib ``wave`` parses
     PCM WAV (8/16-bit), normalizing the first channel's first
@@ -207,15 +328,21 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     digest = hashlib.md5(data).digest()
                     vec = [(b - 128) / 128.0 for b in digest[:FEATURE_DIM]]
                 else:
-                    vec = (
-                        _real_image_features(data)
-                        if mtype == "image"
-                        else _real_audio_features(data) if mtype == "audio" else None
-                    )
+                    if mtype == "image":
+                        # stdlib decoders first: REAL, deterministic,
+                        # dependency-free for BMP/PNM; PIL import-try
+                        # covers the compressed formats
+                        vec = _image_features_stdlib(data) or _real_image_features(data)
+                    elif mtype == "audio":
+                        vec = _real_audio_features(data)
+                    else:
+                        vec = None
                     if vec is None:
                         raise NotImplementedError(
                             f"no encoder available for media_type={mtype!r} "
-                            "(PIL/soundfile not installed, or unsupported type); "
+                            "(PIL/soundfile not installed, or unsupported "
+                            "compressed format; BMP/PNM images and PCM WAV "
+                            "decode real without any lib); "
                             "use fake=True for the deterministic test encoder"
                         )
                 norm4 = int(sum(x * x for x in vec) * 10000)

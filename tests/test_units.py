@@ -112,6 +112,95 @@ class TestMultimodal:
         again = {r["media_id"]: r["feature_norm4"] for r in multimodal.extract_features(media, fake=True).collect()}
         assert again == {r["media_id"]: r["feature_norm4"] for r in rows}
 
+    @staticmethod
+    def _bmp_quadrants() -> bytes:
+        """4×4 24-bit BMP: quadrant colors black / white / red / blue
+        (bottom-up rows, BGR pixels, 4-byte row padding = 54 + 4*16
+        bytes exactly since 4px*3B = 12 → stride 12, pad 0... build
+        with struct to stay spec-exact)."""
+        import struct
+
+        w = h = 4
+        stride = (w * 3 + 3) & ~3
+        pix = bytearray()
+        # rows BOTTOM-UP: file rows 0..3 are image rows 3..0.
+        # image rows 0-1: left=black, right=white; rows 2-3: left=red,
+        # right=blue (RGB) → BGR on disk
+        img = [
+            [(0, 0, 0)] * 2 + [(255, 255, 255)] * 2,
+            [(0, 0, 0)] * 2 + [(255, 255, 255)] * 2,
+            [(255, 0, 0)] * 2 + [(0, 0, 255)] * 2,
+            [(255, 0, 0)] * 2 + [(0, 0, 255)] * 2,
+        ]
+        for r in reversed(range(h)):
+            row = bytearray()
+            for rgb in img[r]:
+                row += bytes([rgb[2], rgb[1], rgb[0]])
+            row += b"\x00" * (stride - len(row))
+            pix += row
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+        return header + dib + bytes(pix)
+
+    def test_real_bmp_and_pnm_decode_dependency_free(self, spark):
+        """BMP/PNM images decode REAL (no PIL) with exact, hand-derived
+        features: integer luma per quadrant — black 0, white 255, red
+        76, blue 29 — box-averaged 1 pixel per 4×4 grid cell on a 4×4
+        image, then (luma-128)/128."""
+        from pyspark.sql import functions as F
+
+        from spark_binlog_spark.functions import multimodal
+
+        lum = {"k": 0, "w": 255, "r": (299 * 255) // 1000, "b": (114 * 255) // 1000}
+        want = [
+            lum["k"], lum["k"], lum["w"], lum["w"],
+            lum["k"], lum["k"], lum["w"], lum["w"],
+            lum["r"], lum["r"], lum["b"], lum["b"],
+            lum["r"], lum["r"], lum["b"], lum["b"],
+        ]
+        want_feats = [(v - 128) / 128.0 for v in want]
+
+        bmp = self._bmp_quadrants()
+        assert multimodal._image_features_stdlib(bmp) == want_feats
+
+        # P6 PPM with the same pixels (top-down raster, RGB)
+        raster = bytearray()
+        img = [
+            [(0, 0, 0)] * 2 + [(255, 255, 255)] * 2,
+            [(0, 0, 0)] * 2 + [(255, 255, 255)] * 2,
+            [(255, 0, 0)] * 2 + [(0, 0, 255)] * 2,
+            [(255, 0, 0)] * 2 + [(0, 0, 255)] * 2,
+        ]
+        for row in img:
+            for rgb in row:
+                raster += bytes(rgb)
+        ppm = b"P6\n# comment\n4 4\n255\n" + bytes(raster)
+        assert multimodal._image_features_stdlib(ppm) == want_feats
+
+        # P5 PGM: grayscale ramp 0..255 over 16 pixels
+        pgm = b"P5 4 4 255\n" + bytes(range(0, 256, 16))
+        got = multimodal._image_features_stdlib(pgm)
+        assert got == [((v) - 128) / 128.0 for v in range(0, 256, 16)]
+
+        # ...and through the REAL (fake=False) Spark path end-to-end
+        media = spark.createDataFrame(
+            [(1, bytes(bmp)), (2, bytes(ppm))],
+            "media_id long, content binary",
+        ).select("media_id", "content", F.lit("image").alias("media_type"))
+        rows = {r["media_id"]: r["feature"] for r in
+                multimodal.extract_features(media, fake=False).collect()}
+        assert rows[1] == want_feats and rows[2] == want_feats
+
+        # compressed formats without PIL still raise the marked stub
+        jpeg_ish = spark.createDataFrame(
+            [(3, b"\xff\xd8\xff\xe0" + b"\x00" * 64)], "media_id long, content binary"
+        ).select("media_id", "content", F.lit("image").alias("media_type"))
+        try:
+            import PIL  # noqa: F401
+        except ImportError:
+            with pytest.raises(Exception):
+                multimodal.extract_features(jpeg_ish, fake=False).collect()
+
     def test_decode_frames_stub_raises(self, spark):
         from spark_binlog_spark.cdc import load_table
         from spark_binlog_spark.functions import multimodal
