@@ -453,6 +453,27 @@ def _probe_header(data: bytes):
             return "bmp", w, h, None, None
         w, h = struct.unpack("<ii", data[18:26])
         return "bmp", w, abs(h), None, None
+    if data[:2] in (b"P5", b"P6"):
+        # netpbm binary formats — reuse the full decoder's header walk
+        # (dims only; raster may be absent in a probe-sized prefix, so
+        # parse the header tokens directly)
+        tokens, i, n = [], 2, len(data)
+        while len(tokens) < 2 and i < n:
+            c = data[i : i + 1]
+            if c.isspace():
+                i += 1
+            elif c == b"#":
+                while i < n and data[i : i + 1] != b"\n":
+                    i += 1
+            else:
+                j = i
+                while j < n and not data[j : j + 1].isspace():
+                    j += 1
+                tokens.append(data[i:j])
+                i = j
+        if len(tokens) == 2 and all(t.isdigit() for t in tokens):
+            return "pnm", int(tokens[0]), int(tokens[1]), None, None
+        return "pnm", None, None, None, None
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         # walk the chunk list for 'fmt ' — spec-valid files may lead
         # with JUNK/LIST chunks, so fixed offsets 22/24 would read

@@ -148,12 +148,12 @@ class TestMediaProbeProperties:
         from spark_binlog_spark.functions.multimodal import _probe_header
 
         fmt, w, h, rate, ch = _probe_header(data)
-        assert fmt in ("png", "jpeg", "gif", "bmp", "wav", "unknown")
+        assert fmt in ("png", "jpeg", "gif", "bmp", "pnm", "wav", "unknown")
         for v in (w, h, rate, ch):
             assert v is None or isinstance(v, int)
 
     @given(data=st.binary(max_size=64), prefix=st.sampled_from(
-        [b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"BM", b"RIFF"]
+        [b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"BM", b"RIFF", b"P5", b"P6"]
     ))
     @settings(max_examples=200, deadline=None)
     def test_probe_never_raises_on_truncated_container_headers(self, data, prefix):
