@@ -1847,6 +1847,60 @@ class TestEmbeddingNearDupIngestSink:
 
 
 class TestDistributedCompaction:
+    def test_crash_between_compact_publish_and_deletes_is_absorbed(
+        self, spark, tmp_path
+    ):
+        """The compaction protocol publishes the merged delta BEFORE
+        deleting the old files, so a crash in between leaves every
+        merged row twice.  Admission (countDistinct-based agreement)
+        and accepted() (distinct) must both absorb the duplicates, and
+        the NEXT compaction must drain them back to one copy."""
+        import glob
+        import os
+        import shutil
+
+        from spark_binlog_spark.streaming.neardup_sink import NearDupIngestSink
+
+        store = str(tmp_path / "store")
+        sink = NearDupIngestSink(spark, store, min_agree=2, n_buckets=2)
+        docs = [
+            (i, f"document number {i} with tokens " + " ".join(f"w{i * 13 + t}" for t in range(10)))
+            for i in range(6)
+        ]
+        sink(spark.createDataFrame(docs[:3], "doc_id long, text string"), 0)
+        sink(spark.createDataFrame(docs[3:], "doc_id long, text string"), 1)
+        accepted_before = {r["doc_id"] for r in sink.accepted().collect()}
+        assert accepted_before == {0, 1, 2, 3, 4, 5}
+        # simulate the torn compaction: clone a published delta dir
+        # (same rows now visible twice — exactly what publish-then-
+        # crash-before-deletes leaves)
+        delta = sorted(p for p in os.listdir(store) if p.startswith("d_b0"))[0]
+        shutil.copytree(
+            os.path.join(store, delta), os.path.join(store, "d_compact_torn")
+        )
+        sink2 = NearDupIngestSink(spark, store, min_agree=2, n_buckets=2)
+        assert {r["doc_id"] for r in sink2.accepted().collect()} == accepted_before
+        # a replay of batch 0 still admits nothing (duplicate index rows
+        # must not break the countDistinct agreement, nor re-admit)
+        sink2(spark.createDataFrame(docs[:3], "doc_id long, text string"), 0)
+        assert sink2.admitted_batches == [(0, 0)]
+        # admitting fresh docs still works with the torn store present
+        sink2(
+            spark.createDataFrame(
+                [(100, "entirely new content " + " ".join(f"z{t}" for t in range(10)))],
+                "doc_id long, text string",
+            ),
+            2,
+        )
+        assert {r["doc_id"] for r in sink2.accepted().collect()} == accepted_before | {100}
+        # force a compaction over every bucket: duplicates drain to one
+        # copy (file count bounded again) and the admitted set is intact
+        sink2.store.compact_threshold = 1
+        sink2.store.maybe_compact(list(range(2)))
+        assert {r["doc_id"] for r in sink2.accepted().collect()} == accepted_before | {100}
+        files = glob.glob(os.path.join(store, "d_*", "bucket=*", "*.parquet"))
+        assert len(files) <= 2  # one merged file per bucket
+
     def test_compaction_never_reads_data_on_the_driver(self, spark, tmp_path, monkeypatch):
         """Bucket compaction must be a Spark job: executors read and
         re-encode the over-threshold buckets; the driver only renames
