@@ -376,24 +376,29 @@ def _footer_span(fp: str):
     return lo, hi, md.num_rows
 
 
-def _segment_index(dir_path: str) -> list[dict]:
+def _segment_index(dir_path: str, prefix: str | None = None) -> list[dict]:
     """Probe the segment directory: per file (file_id, min/max event_id,
     row count) from parquet footer metadata (the same O2 stats probe as
     ``_probe_end``), re-run per planning round so freshly-rotated
-    segments join the index."""
+    segments join the index.  ``prefix`` restricts the index to ONE
+    rotation family (the reference's ``bingLogNamePrefix`` option,
+    MLSQLBinLogDataSource.scala:65,95 — a directory may hold several
+    prefixes, e.g. after a server rename; mixing them would interleave
+    unrelated id sequences)."""
     import os
     import re
 
+    pat = re.escape(prefix) + r"\.(\d{6})$" if prefix else _SEGMENT_RE
     segs = []
     for name in sorted(os.listdir(dir_path)):
-        m = re.match(_SEGMENT_RE, name)
+        m = re.match(pat, name)
         if not m:
             continue
         fp = os.path.join(dir_path, name)
         lo, hi, rows = _footer_span(fp)
         if lo is None:
             continue  # empty/stat-less file: not yet visible
-        segs.append({"fid": int(m.group(2)), "path": fp, "min": lo, "max": hi, "rows": rows})
+        segs.append({"fid": int(m.group(m.lastindex)), "path": fp, "min": lo, "max": hi, "rows": rows})
     segs.sort(key=lambda s: s["fid"])
     for a, b in zip(segs, segs[1:]):
         if b["min"] != a["max"] + 1:
@@ -403,7 +408,8 @@ def _segment_index(dir_path: str) -> list[dict]:
                 "(the reference fails the stream on a missing binlog too)"
             )
     if not segs:
-        raise ValueError(f"no '<prefix>.NNNNNN' segment files in {dir_path}")
+        want = f"'{prefix}.NNNNNN'" if prefix else "'<prefix>.NNNNNN'"
+        raise ValueError(f"no {want} segment files in {dir_path}")
     return segs
 
 
@@ -719,6 +725,18 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
         # start the stream at an explicit (binlogIndex, binlogFileOffset)
         # composite; binlogFileOffset defaults to 4 (first event of the
         # file, after the magic header) like the reference's fallback
+        # reference's prefix selector (typo'd spelling preserved for
+        # option parity; the sane spelling is accepted too): restrict
+        # the rotation family this stream follows when a directory
+        # holds several <prefix>.%06d families
+        self.seg_prefix = options.get(
+            "binglognameprefix",
+            options.get("bingLogNamePrefix", options.get("binlogNamePrefix")),
+        )
+        if self.seg_prefix is not None and not self.segmented:
+            raise ValueError(
+                "bingLogNamePrefix requires a segmented (<prefix>.%06d) store"
+            )
         bi = options.get("binlogindex", options.get("binlogIndex"))
         bf = options.get("binlogfileoffset", options.get("binlogFileOffset"))
         self.start_packed = None
@@ -788,7 +806,7 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
 
     def _seg_index(self, refresh: bool = False) -> list[dict]:
         if self._index is None or refresh:
-            self._index = _segment_index(self.path)
+            self._index = _segment_index(self.path, self.seg_prefix)
         return self._index
 
     def _region_index(self, refresh: bool = False) -> dict[int, list[dict]]:

@@ -271,6 +271,63 @@ class TestFixtureSource:
         assert last_off // POW13 == 4
         assert last_off % POW13 == (n - 3 * per_seg) + 4  # one past last event
 
+    def test_binlog_name_prefix_selects_one_rotation_family(self, spark, tmp_path):
+        """The reference's ``bingLogNamePrefix`` option
+        (MLSQLBinLogDataSource.scala:65,95): a directory holding TWO
+        rotation families (e.g. after a server rename) must stream only
+        the named family.  Without the option the mixed index trips the
+        gap failfast (families interleave unrelated id sequences);
+        with it, the stream equals the flat table."""
+        import shutil
+
+        import pytest as _pytest
+
+        from spark_binlog_spark.sources.binlog_fixture import (
+            BinlogFixtureStreamReader,
+            write_segments,
+        )
+        from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+        flat = f"{SF_TEST}/events.parquet"
+        seg_dir = str(tmp_path / "binlog")
+        write_segments(flat, seg_dir, n_segments=2)
+        # the decoy family: same ids re-published under another prefix
+        shutil.copy(
+            f"{seg_dir}/mysql-bin.000001", f"{seg_dir}/renamed-bin.000001"
+        )
+        # unselected: both families land in one index → gap/overlap failfast
+        r = BinlogFixtureStreamReader({"path": seg_dir})
+        with _pytest.raises(ValueError, match="segment gap"):
+            r.latestOffset()
+        # selected: clean stream identical to the flat table
+        wire = read_stream(
+            spark, seg_dir, numPartitions=2, bingLogNamePrefix="mysql-bin"
+        )
+        q = (
+            parse_stream(wire)
+            .writeStream.format("memory")
+            .queryName("prefix_stream")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert (
+            spark.table("prefix_stream").count()
+            == spark.read.parquet(flat).count()
+        )
+        # a prefix with no files fails loudly, naming the prefix
+        r2 = BinlogFixtureStreamReader(
+            {"path": seg_dir, "binglognameprefix": "nope-bin"}
+        )
+        with _pytest.raises(ValueError, match="nope-bin"):
+            r2.latestOffset()
+        # ...and the option is rejected outright on a non-segmented path
+        with _pytest.raises(ValueError, match="segmented"):
+            BinlogFixtureStreamReader(
+                {"path": flat, "binglognameprefix": "mysql-bin"}
+            )
+
     def test_rotation_appears_midstream_tail(self, spark, tmp_path):
         """LIVE TAIL across rotation: start a processing-time stream on
         a directory holding only mysql-bin.000001/2; while it runs,
