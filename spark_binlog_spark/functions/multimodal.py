@@ -176,15 +176,13 @@ def _bmp_pixels(data: bytes):
     return width, height, rows
 
 
-def _pnm_pixels(data: bytes):
-    """Dependency-free binary PNM decode: P5 (grayscale) and P6 (RGB),
-    maxval <= 255, per the public netpbm spec (ASCII header tokens with
-    '#' comments, then raw samples).  Returns (width, height, row-major
-    RGB tuples) or None."""
-    if data[:2] not in (b"P5", b"P6"):
-        return None
-    tokens, i, n = [], 2, len(data)
-    while len(tokens) < 3 and i < n:
+def _pnm_tokens(data: bytes, n_tokens: int, start: int = 2):
+    """The netpbm header walk (whitespace-separated ASCII tokens with
+    '#' line comments): returns (tokens, index-one-past-the-last-token)
+    — shared by the full decoder and the header probe so a tokenizer
+    fix applies to both."""
+    tokens, i, n = [], start, len(data)
+    while len(tokens) < n_tokens and i < n:
         c = data[i : i + 1]
         if c.isspace():
             i += 1
@@ -197,6 +195,18 @@ def _pnm_pixels(data: bytes):
                 j += 1
             tokens.append(data[i:j])
             i = j
+    return tokens, i
+
+
+def _pnm_pixels(data: bytes):
+    """Dependency-free binary PNM decode: P5 (grayscale) and P6 (RGB),
+    maxval <= 255, per the public netpbm spec (ASCII header tokens with
+    '#' comments, then raw samples — each sample scaled by 255/maxval
+    so a maxval-15 white pixel decodes to 255, not 15).  Returns
+    (width, height, row-major RGB tuples) or None."""
+    if data[:2] not in (b"P5", b"P6"):
+        return None
+    tokens, i = _pnm_tokens(data, 3)
     if len(tokens) < 3:
         return None
     try:
@@ -211,15 +221,20 @@ def _pnm_pixels(data: bytes):
     raster = data[i : i + need]
     if len(raster) < need:
         return None
+
+    def scale(v: int) -> int:
+        # spec: sample/maxval is the intensity; integer-exact rescale
+        return v * 255 // maxval
+
     rows = []
     for r in range(height):
         base = r * width * ch
         if ch == 1:
-            rows.append([(raster[base + c],) * 3 for c in range(width)])
+            rows.append([(scale(raster[base + c]),) * 3 for c in range(width)])
         else:
             rows.append(
                 [
-                    tuple(raster[base + 3 * c : base + 3 * c + 3])
+                    tuple(scale(x) for x in raster[base + 3 * c : base + 3 * c + 3])
                     for c in range(width)
                 ]
             )
@@ -454,23 +469,9 @@ def _probe_header(data: bytes):
         w, h = struct.unpack("<ii", data[18:26])
         return "bmp", w, abs(h), None, None
     if data[:2] in (b"P5", b"P6"):
-        # netpbm binary formats — reuse the full decoder's header walk
-        # (dims only; raster may be absent in a probe-sized prefix, so
-        # parse the header tokens directly)
-        tokens, i, n = [], 2, len(data)
-        while len(tokens) < 2 and i < n:
-            c = data[i : i + 1]
-            if c.isspace():
-                i += 1
-            elif c == b"#":
-                while i < n and data[i : i + 1] != b"\n":
-                    i += 1
-            else:
-                j = i
-                while j < n and not data[j : j + 1].isspace():
-                    j += 1
-                tokens.append(data[i:j])
-                i = j
+        # netpbm binary formats — the shared header walk; dims only
+        # (a probe-sized prefix may not carry the raster)
+        tokens, _ = _pnm_tokens(data, 2)
         if len(tokens) == 2 and all(t.isdigit() for t in tokens):
             return "pnm", int(tokens[0]), int(tokens[1]), None, None
         return "pnm", None, None, None, None

@@ -734,6 +734,7 @@ def pq_train(
     codes: int = 16,
     iterations: int = 1,
     vec_col: str = "embedding",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Per-subspace codebooks (sub, code, cv, cnorm): seeds are the
     first ``codes`` vectors' sub-vectors, then ``iterations`` Lloyd
@@ -744,11 +745,19 @@ def pq_train(
     Scale: training shuffles (sub, code, dim) triples — M * codes *
     subdim grouped rows regardless of corpus size thanks to map-side
     partial aggregation; the corpus itself is only scanned."""
+    from pyspark.storagelevel import StorageLevel
+
     dim = _vec_dim(df, vec_col)
     if m <= 0 or dim % m != 0:
         raise ValueError(f"m ({m}) must evenly divide the vector dim ({dim})")
     subdim = dim // m
-    base = with_quantized(df, vec_col)
+    # callers that already hold a persisted quantized corpus pass it in
+    # (pq_topk_with_recall does) — otherwise every Lloyd iteration's
+    # assign/means pass would re-quantize and re-explode the corpus
+    # from storage, a full duplicate corpus scan per iteration at scale
+    own_base = base is None
+    if own_base:
+        base = with_quantized(df, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
     subv = _pq_subvectors(base, m, subdim)
     codebooks = subv.filter(F.col("vec_id") < codes).select(
         "sub",
@@ -785,6 +794,15 @@ def pq_train(
         codebooks = vecs.select(
             "sub", "code", "cv", int_dot(F.col("cv"), F.col("cv")).alias("cnorm")
         )
+    if own_base:
+        # materialize the (M × codes)-row codebooks eagerly so the
+        # training corpus cache can be released NOW — a lazy return
+        # would re-run training from cold storage at first evaluation
+        rows = codebooks.collect()
+        base.unpersist()
+        codebooks = df.sparkSession.createDataFrame(
+            rows, "sub int, code int, cv array<long>, cnorm long"
+        )
     return codebooks
 
 
@@ -814,7 +832,9 @@ def pq_topk_with_recall(
         raise ValueError(f"m ({m}) must evenly divide the vector dim ({dim})")
     subdim = dim // m
     base = with_quantized(df, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
-    codebooks = pq_train(df, m=m, codes=codes, iterations=iterations, vec_col=vec_col)
+    codebooks = pq_train(
+        df, m=m, codes=codes, iterations=iterations, vec_col=vec_col, base=base
+    )
     codebooks = F.broadcast(
         codebooks.persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -638,7 +638,10 @@ def bm25_topk(
         .agg(F.count("*").alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # doc length and the corpus totals both roll up from the persisted
+    # tf relation — re-grouping the raw explode would pay two more full
+    # corpus scans for numbers tf already contains
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
     totals = dl.agg(F.sum("dl").alias("total_words"), F.count("*").alias("n_docs"))
     scored = (

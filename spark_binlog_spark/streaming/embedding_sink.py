@@ -43,10 +43,14 @@ stream grows.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_binlog_spark.functions.similarity import (
+    _vec_dim,
     cosine4,
     derived_planes,
     int_dot,
@@ -90,6 +94,17 @@ class EmbeddingNearDupIngestSink:
             spark, store_dir, SIG_SCHEMA, n_buckets, compact_threshold
         )
         self.admitted_batches: list[tuple[int, int]] = []  # (batch_id, n_admitted)
+        # the plane count is an INDEX property, not a batch property:
+        # every batch (and every restart, and search_topk) must bucket
+        # with the SAME planes or (tbl, sbucket) keys stop being
+        # comparable — a replayed duplicate would miss its own index
+        # row and be re-admitted.  Resolved once (explicit value, or
+        # derived from the first batch) and persisted beside the store.
+        self._planes_meta = os.path.join(store_dir, "_planes.json")
+        self._planes_resolved: int | None = None
+        if os.path.exists(self._planes_meta):
+            with open(self._planes_meta) as fh:
+                self._planes_resolved = int(json.load(fh)["planes"])
 
     @property
     def admitted_rows(self) -> int:
@@ -128,6 +143,13 @@ class EmbeddingNearDupIngestSink:
         survive the join."""
         from pyspark.sql import Window
 
+        if self._planes_resolved is None and self.planes is None:
+            # deriving the index's plane count from a (tiny) query set
+            # would bind all future admission to it — refuse instead
+            raise ValueError(
+                "search_topk before any ingested batch with planes=None: "
+                "the index has no resolved plane count yet"
+            )
         qsig = self._signatures(queries_df).select(
             F.col("vec_id").alias("query_id"),
             F.col("q").alias("qq"),
@@ -159,20 +181,39 @@ class EmbeddingNearDupIngestSink:
             )
         )
 
+    def _resolve_planes(self, batch_df: DataFrame) -> int:
+        """One-time plane resolution, durable across batches AND
+        restarts (see __init__): explicit ``planes`` wins; ``None``
+        derives from the first batch via ``derived_planes`` with the
+        same dim // n_tables clamp the batch operators apply (tables
+        hash disjoint leading dims — without the clamp table t=1 would
+        index past the vector length)."""
+        if self._planes_resolved is not None:
+            return self._planes_resolved
+        dim = _vec_dim(batch_df, self.vec_col, default=4)
+        if self.planes is not None:
+            planes = self.planes
+        else:
+            planes = derived_planes(
+                batch_df.count(), max(1, dim // max(1, self.n_tables))
+            )
+        if planes * self.n_tables > dim:
+            raise ValueError(
+                f"planes ({planes}) * n_tables ({self.n_tables}) sign dims "
+                f"exceed the vector dimensionality ({dim})"
+            )
+        tmp = self._planes_meta + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"planes": planes}, fh)
+        os.replace(tmp, self._planes_meta)
+        self._planes_resolved = planes
+        return planes
+
     def _signatures(self, batch_df: DataFrame) -> DataFrame:
         """(vec_id, tbl, sbucket, q, norm): one row per vector per hash
         table, quantized payload carried for exact scoring."""
         base = with_quantized(batch_df, self.vec_col)
-        planes = self.planes
-        if planes is None:
-            # derive from the batch at hand; sign buckets only gate
-            # CANDIDACY (scoring is always the exact cosine), so a
-            # per-batch plane count never changes admission correctness,
-            # only the candidate volume
-            dim = base.select(F.size("q").alias("d")).first()
-            planes = derived_planes(
-                batch_df.count(), int(dim["d"]) if dim else 4
-            )
+        planes = self._resolve_planes(batch_df)
         tables = F.array(
             *[sign_bucket(F.col("q"), planes, offset=t * planes) for t in range(self.n_tables)]
         )

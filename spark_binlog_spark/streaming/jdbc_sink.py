@@ -96,7 +96,10 @@ class MySQLDialect(Dialect):
 
     name = "mysql"
     default_driver = "com.mysql.cj.jdbc.Driver"
-    table_exists_tags = ("42S01", "already exists")
+    # SQLSTATE only — free text like 'already exists' would also match
+    # unrelated CREATE failures (e.g. a conflicting constraint) and the
+    # sink would silently proceed against a missing table
+    table_exists_tags = ("42S01",)
     # DATETIME: MySQL TIMESTAMP is TZ-converted and 2038-bounded
     type_overrides = {"timestamp": "DATETIME"}
 
@@ -119,7 +122,7 @@ class PostgresDialect(Dialect):
 
     name = "postgres"
     default_driver = "org.postgresql.Driver"
-    table_exists_tags = ("42P07", "already exists")
+    table_exists_tags = ("42P07",)  # SQLSTATE only, same rationale as MySQL
     type_overrides = {"string": "TEXT", "double": "DOUBLE PRECISION"}
 
     def upsert_statements(self, table, staging, key_col, val_cols, op_col):

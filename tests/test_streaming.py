@@ -1892,6 +1892,51 @@ class TestEmbeddingNearDupIngestSink:
         assert 1 not in hits_q1
         assert set(hits_q1) <= {2, 13, 14}
 
+    def test_derived_planes_stable_across_batches_and_restarts(self, spark, tmp_path):
+        """planes=None is an INDEX property: derived once from the
+        first batch, persisted beside the store, and reused by later
+        batches, restarts, and search — a replayed duplicate in a
+        much smaller batch must still bucket identically and be
+        rejected (the cross-batch key-comparability regression)."""
+        import numpy as np
+
+        from spark_binlog_spark.streaming.embedding_sink import (
+            EmbeddingNearDupIngestSink,
+        )
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(1500, 16).astype("float32")
+        big = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(1500)], self.SCHEMA
+        )
+        store = str(tmp_path / "store")
+        sink = EmbeddingNearDupIngestSink(
+            spark, store, min_cosine4=9990, planes=None, n_tables=2
+        )
+        sink(big, 0)
+        n0 = sink.admitted_rows
+        assert n0 > 0
+        # restart: a NEW sink instance must load the same plane count
+        sink2 = EmbeddingNearDupIngestSink(
+            spark, store, min_cosine4=9990, planes=None, n_tables=2
+        )
+        assert sink2._resolve_planes(big) == sink._planes_resolved
+        # a tiny batch (different derived count if re-derived) replaying
+        # already-admitted vectors admits NOTHING
+        tiny = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(3)], self.SCHEMA
+        )
+        sink2(tiny, 1)
+        assert sink2.admitted_batches[-1] == (1, 0)
+        # search with planes=None before any batch refuses loudly
+        import pytest as _pytest
+
+        fresh = EmbeddingNearDupIngestSink(
+            spark, str(tmp_path / "s2"), planes=None, n_tables=2
+        )
+        with _pytest.raises(ValueError, match="resolved plane count"):
+            fresh.search_topk(tiny, k=1)
+
     def test_threshold_above_self_cosine_rejected(self, spark, tmp_path):
         import pytest as _pytest
 

@@ -182,6 +182,11 @@ class TestMultimodal:
         got = multimodal._image_features_stdlib(pgm)
         assert got == [((v) - 128) / 128.0 for v in range(0, 256, 16)]
 
+        # spec: samples scale by maxval — an all-15 PGM at maxval 15 IS
+        # white (255), not near-black
+        pgm15 = b"P5 4 4 15\n" + bytes([15] * 16)
+        assert multimodal._image_features_stdlib(pgm15) == [(255 - 128) / 128.0] * 16
+
         # ...and through the REAL (fake=False) Spark path end-to-end
         media = spark.createDataFrame(
             [(1, bytes(bmp)), (2, bytes(ppm))],
