@@ -70,16 +70,19 @@ class Dialect:
             )
 
     def upsert_statements(
-        self, table: str, staging: str, key_col: str, val_cols: list[str], op_col: str
+        self, table: str, staging: str, key_cols: list[str], val_cols: list[str], op_col: str
     ) -> list[str]:
         """Standard-SQL MERGE (Derby ≥10.11; also valid on Postgres 15+
-        and SQL Server): one statement handles delete + update + insert."""
+        and SQL Server): one statement handles delete + update + insert.
+        ``key_cols`` may be composite (the reference's idCols="a,b,…"
+        form) — the ON clause is the conjunction over all key columns."""
+        on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
         sets = ", ".join(f"{c} = s.{c}" for c in val_cols)
-        cols = ", ".join([key_col, *val_cols])
-        vals = ", ".join(f"s.{c}" for c in [key_col, *val_cols])
+        cols = ", ".join([*key_cols, *val_cols])
+        vals = ", ".join(f"s.{c}" for c in [*key_cols, *val_cols])
         return [
             f"MERGE INTO {table} t USING {staging} s "
-            f"ON t.{key_col} = s.{key_col} "
+            f"ON {on} "
             f"WHEN MATCHED AND s.{op_col} = 'delete' THEN DELETE "
             f"WHEN MATCHED THEN UPDATE SET {sets} "
             f"WHEN NOT MATCHED AND s.{op_col} <> 'delete' "
@@ -103,12 +106,13 @@ class MySQLDialect(Dialect):
     # DATETIME: MySQL TIMESTAMP is TZ-converted and 2038-bounded
     type_overrides = {"timestamp": "DATETIME"}
 
-    def upsert_statements(self, table, staging, key_col, val_cols, op_col):
-        cols = ", ".join([key_col, *val_cols])
+    def upsert_statements(self, table, staging, key_cols, val_cols, op_col):
+        on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+        cols = ", ".join([*key_cols, *val_cols])
         sets = ", ".join(f"{c} = {staging}.{c}" for c in val_cols)
         return [
             f"DELETE t FROM {table} t JOIN {staging} s "
-            f"ON t.{key_col} = s.{key_col} WHERE s.{op_col} = 'delete'",
+            f"ON {on} WHERE s.{op_col} = 'delete'",
             f"INSERT INTO {table} ({cols}) "
             f"SELECT {cols} FROM {staging} WHERE {op_col} <> 'delete' "
             f"ON DUPLICATE KEY UPDATE {sets}",
@@ -125,8 +129,10 @@ class PostgresDialect(Dialect):
     table_exists_tags = ("42P07",)  # SQLSTATE only, same rationale as MySQL
     type_overrides = {"string": "TEXT", "double": "DOUBLE PRECISION"}
 
-    def upsert_statements(self, table, staging, key_col, val_cols, op_col):
-        cols = ", ".join([key_col, *val_cols])
+    def upsert_statements(self, table, staging, key_cols, val_cols, op_col):
+        on = " AND ".join(f"{table}.{k} = s.{k}" for k in key_cols)
+        cols = ", ".join([*key_cols, *val_cols])
+        pk = ", ".join(key_cols)
         sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in val_cols)
         # no alias on the DELETE target: identical semantics, and the
         # alias-free form is also DuckDB-parseable, which lets the test
@@ -134,10 +140,10 @@ class PostgresDialect(Dialect):
         # only string-checking it
         return [
             f"DELETE FROM {table} USING {staging} s "
-            f"WHERE {table}.{key_col} = s.{key_col} AND s.{op_col} = 'delete'",
+            f"WHERE {on} AND s.{op_col} = 'delete'",
             f"INSERT INTO {table} ({cols}) "
             f"SELECT {cols} FROM {staging} WHERE {op_col} <> 'delete' "
-            f"ON CONFLICT ({key_col}) DO UPDATE SET {sets}",
+            f"ON CONFLICT ({pk}) DO UPDATE SET {sets}",
         ]
 
 
@@ -148,8 +154,10 @@ DIALECTS: dict[str, Dialect] = {
 
 class JdbcUpsertSink:
     """foreachBatch sink MERGE-ing per-key latest images into a JDBC
-    table.  ``key_col`` is the primary key; ``val_cols`` the payload
-    columns carried over; rows with ``op == 'delete'`` delete the key.
+    table.  ``key_col`` is the primary key — a single column, a list,
+    or the reference's comma form ``idCols="a,b,…"`` (README.md:64) for
+    composite keys; ``val_cols`` the payload columns carried over; rows
+    with ``op == 'delete'`` delete the key.
     """
 
     def __init__(
@@ -157,7 +165,7 @@ class JdbcUpsertSink:
         spark: SparkSession,
         url: str,
         table: str,
-        key_col: str,
+        key_col: str | list[str],
         val_cols: dict[str, str],
         order_col: str = "cdc_offset",
         op_col: str = "op",
@@ -168,7 +176,11 @@ class JdbcUpsertSink:
         self.url = url
         self.table = table
         self.staging = f"{table}_staging"
-        self.key_col = key_col
+        # composite keys: a list, or the reference's idCols="a,b,…"
+        # comma form (README.md:64)
+        if isinstance(key_col, str):
+            key_col = [k.strip() for k in key_col.split(",") if k.strip()]
+        self.key_cols = list(key_col)
         self.val_cols = val_cols  # target column -> source column
         self.order_col = order_col
         self.op_col = op_col
@@ -203,7 +215,7 @@ class JdbcUpsertSink:
             f.name: self.dialect.ddl_type(f.dataType.simpleString())
             for f in latest.schema.fields
         }
-        cols = [self.key_col, *self.val_cols]
+        cols = [*self.key_cols, *self.val_cols]
         body = ", ".join(f"{c} {types[c]}" for c in cols)
         # the ignore tags are the dialect's table-already-exists
         # SQLSTATEs (resume) — match the state code, not arbitrary free
@@ -211,7 +223,8 @@ class JdbcUpsertSink:
         # ON clause an index lookup
         exists = self.dialect.table_exists_tags
         self._exec(
-            f"CREATE TABLE {self.table} ({body}, PRIMARY KEY ({self.key_col}))",
+            f"CREATE TABLE {self.table} ({body}, "
+            f"PRIMARY KEY ({', '.join(self.key_cols)}))",
             ignore=exists,
         )
         self._exec(
@@ -248,12 +261,12 @@ class JdbcUpsertSink:
         # PERSISTED: the count below and the staging write must not each
         # re-execute the window over the batch (one materialization, two
         # cheap reads).
-        w = Window.partitionBy(self.key_col).orderBy(F.col(self.order_col).desc())
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col(self.order_col).desc())
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(
-                F.col(self.key_col),
+                *[F.col(k) for k in self.key_cols],
                 *[F.col(src).alias(dst) for dst, src in self.val_cols.items()],
                 F.col(self.op_col),
             )
@@ -281,7 +294,7 @@ class JdbcUpsertSink:
             # MySQL/Postgres — disjoint key sets, so order-insensitive
             # and replay-idempotent either way)
             for stmt in self.dialect.upsert_statements(
-                self.table, self.staging, self.key_col, list(self.val_cols), self.op_col
+                self.table, self.staging, self.key_cols, list(self.val_cols), self.op_col
             ):
                 self._exec(stmt)
             self.applied_batches.append((batch_id, n))

@@ -2705,7 +2705,7 @@ class TestJdbcDialects:
     DELETE…USING and ON CONFLICT…EXCLUDED) as a live-engine semantics
     check of the two-statement upsert protocol."""
 
-    ARGS = ("tgt", "tgt_staging", "k", ["a", "b"], "op")
+    ARGS = ("tgt", "tgt_staging", ["k"], ["a", "b"], "op")
 
     def test_derby_emits_single_merge(self):
         from spark_binlog_spark.streaming.jdbc_sink import DIALECTS
@@ -2715,6 +2715,48 @@ class TestJdbcDialects:
         assert "WHEN MATCHED AND s.op = 'delete' THEN DELETE" in stmt
         assert "UPDATE SET a = s.a, b = s.b" in stmt
         assert "INSERT (k, a, b) VALUES (s.k, s.a, s.b)" in stmt
+
+    def test_composite_key_upsert_live_on_derby(self, spark, tmp_path):
+        """idCols="a,b" form against the LIVE embedded database: two
+        rows sharing k1 but differing k2 are distinct keys; an update
+        re-merges, a delete removes exactly its composite key."""
+        from spark_binlog_spark.streaming.jdbc_sink import JdbcUpsertSink
+
+        url = f"jdbc:derby:{tmp_path}/derby_ck;create=true"
+        sink = JdbcUpsertSink(
+            spark, url, "ck_tbl", key_col="k1,k2", val_cols={"v": "v"}
+        )
+        schema = "k1 long, k2 long, v long, op string, cdc_offset long"
+        sink(
+            spark.createDataFrame(
+                [(1, 1, 10, "insert", 1), (1, 2, 20, "insert", 2)], schema
+            ),
+            0,
+        )
+        sink(
+            spark.createDataFrame(
+                [(1, 1, 11, "update", 3), (1, 2, 0, "delete", 4),
+                 (2, 1, 30, "insert", 5)],
+                schema,
+            ),
+            1,
+        )
+        got = {(r["K1"], r["K2"], r["V"]) for r in sink.current().collect()}
+        assert got == {(1, 1, 11), (2, 1, 30)}
+
+    def test_composite_keys_conjoin_in_every_dialect(self):
+        from spark_binlog_spark.streaming.jdbc_sink import DIALECTS
+
+        args = ("tgt", "tgt_staging", ["k1", "k2"], ["a"], "op")
+        (merge,) = DIALECTS["derby"].upsert_statements(*args)
+        assert "ON t.k1 = s.k1 AND t.k2 = s.k2" in merge
+        assert "INSERT (k1, k2, a) VALUES (s.k1, s.k2, s.a)" in merge
+        delete, upsert = DIALECTS["mysql"].upsert_statements(*args)
+        assert "ON t.k1 = s.k1 AND t.k2 = s.k2" in delete
+        assert "INSERT INTO tgt (k1, k2, a)" in upsert
+        delete, upsert = DIALECTS["postgres"].upsert_statements(*args)
+        assert "tgt.k1 = s.k1 AND tgt.k2 = s.k2" in delete
+        assert "ON CONFLICT (k1, k2) DO UPDATE" in upsert
 
     def test_mysql_emits_delete_then_on_duplicate_key(self):
         from spark_binlog_spark.streaming.jdbc_sink import DIALECTS
