@@ -39,6 +39,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (decode shape covered by q_project_decode), q_pii_redact / q_lang_id
 # (regex/JVM-text shape covered by q_text_quality/q_fingerprint paths),
 # q_hash_sample (deterministic-hash shape covered by q_stratified_sample).
+#
+# Late round-5 extension of the same policy, covering THIS round's new
+# marquee machinery: q_stream_simhash_dedup in (its oracle recomputes
+# the 16-bit signatures AND banded admission, subsuming q_dedup_simhash's
+# signature check — which moves to TAIL), and q_pq_topk in (trained
+# codebook compression + ADC search) for q_similarity_lsh (bucketed
+# top-k shape still covered by q_ivf_topk and the recall family).
 PRIORITY = [
     # --- tier 1: operator rows -------------------------------------
     "q_stream_change_counts",   # S1 MySQL binlog streaming scan
@@ -80,12 +87,12 @@ PRIORITY = [
     # --- tier 3: LLM-pipeline core ----------------------------------
     "q_dedup_exact",
     "q_dedup_minhash",
-    "q_dedup_simhash",
+    "q_stream_simhash_dedup",   # subsumes q_dedup_simhash (r5 late swap)
     "q_ngram_jaccard",
     "q_dedup_canonical",        # CC canonicalization (r5 swap-in)
     "q_embedding_dedup",
     "q_similarity_topk",
-    "q_similarity_lsh",
+    "q_pq_topk",                # PQ/ADC ANN (r5 late swap for q_similarity_lsh)
     "q_ivf_topk",
     "q_rp_topk",                # JL compressed ANN (r5 swap-in)
     "q_tfidf_topterms",
@@ -114,12 +121,12 @@ TAIL = [
     "q_stream_source_mix",
     "q_stream_sessions",
     "q_stream_length_histogram",
-    "q_stream_simhash_dedup",
+    "q_dedup_simhash",          # r5 late swap-out (subsumed by stream form)
+    "q_similarity_lsh",         # r5 late swap-out (shape: q_ivf_topk family)
     "q_stream_embedding_dedup",
     "q_stream_embedding_search",
     "q_embedding_dedup_multitable",
     "q_sq8_topk",
-    "q_pq_topk",
     "q_repeated_spans",
     "q_lm_familiarity",
     "q_bpe_merges",
