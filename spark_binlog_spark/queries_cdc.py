@@ -688,6 +688,38 @@ FROM versions WHERE op <> 'delete'
 """
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction — "how did the table look at offset
+    X": filter the SCD2 version intervals to valid_from <= X < valid_to
+    (open intervals count).  X is pinned mid-stream (5000) so roughly
+    half the keys resolve to an older version; the read is an interval
+    filter over the history relation, no recompute of the change
+    stream."""
+    from spark_binlog_spark.operators import scd2_history
+
+    _pin(spark)
+    ch = changes_df(spark, sf_dir)
+    hist = scd2_history(ch, key_col="pk", value_cols=["value"])
+    as_of = 5000
+    return hist.filter(
+        (F.col("valid_from") <= as_of)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > as_of))
+    ).select("pk", "value", "valid_from")
+
+
+ORACLE["q_time_travel"] = f"""
+WITH changes AS ({CHANGES_SQL}),
+versions AS (
+  SELECT pk, op, value, cdc_offset AS valid_from,
+         lead(cdc_offset) OVER (PARTITION BY pk ORDER BY cdc_offset) AS valid_to
+  FROM changes
+)
+SELECT pk, value, valid_from FROM versions
+WHERE op <> 'delete' AND valid_from <= 5000
+  AND (valid_to IS NULL OR valid_to > 5000)
+"""
+
+
 def q_latest_image_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 with a COMPOSITE key: latest change per (database, table, pk)
     — the idCols="a,b,..." form of the delta-plus contract (README.md:64

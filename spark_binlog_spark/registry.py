@@ -159,6 +159,7 @@ TAIL = [
     "q_interval_overlap",
     "q_retained_keys",
     "q_scd2_history",
+    "q_time_travel",
     "q_cell_rollup",
     "q_latest_image_composite",
     "q_change_counts_sliding",
