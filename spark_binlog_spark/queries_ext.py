@@ -1515,6 +1515,39 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-COUNT stratified sample: exactly min(40, |stratum|) docs
+    per language, chosen by content-hash order (h48, doc_id tiebreak) —
+    rate-based hash sampling (q_hash_sample / q_stratified_sample)
+    only hits a budget in expectation; dataset cards and eval splits
+    need exact sizes.  Deterministic, repartition-stable, and
+    content-keyed like the rate samplers.  Scale: one rank window
+    PARTITIONED BY the stratum (never global), ~|strata| reducers."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h48 = F.conv(F.substring(F.md5(F.col("text")), 1, 12), 16, 10).cast("long")
+    w = Window.partitionBy("lang").orderBy(h48.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= 40)
+        .select("doc_id", "lang", F.col("pick").cast("long").alias("pick"))
+    )
+
+
+ORACLE["q_exact_sample"] = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substr(md5(text), 1, 12) AS BIGINT), doc_id
+         ) AS pick
+  FROM documents
+)
+SELECT doc_id, lang, CAST(pick AS BIGINT) AS pick FROM ranked WHERE pick <= 40
+"""
+
+
 def _rates_case_sql() -> str:
     arms = " ".join(
         f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(STRATUM_RATES4.items())

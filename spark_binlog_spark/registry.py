@@ -115,6 +115,7 @@ TAIL = [
     "q_mixture_rebalance",
     "q_corpus_diff",
     "q_stratified_sample",
+    "q_exact_sample",
     "q_quality_prune",
     "q_token_shards",
     "q_stream_incremental_dedup",
