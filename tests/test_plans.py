@@ -250,6 +250,33 @@ class TestTrainingDataOps:
         # rates and the 1-row totals)
         assert plan.count("Scan parquet") == 3
 
+    def test_new_window_queries_never_single_partition(self, spark):
+        """q_scd2_history / q_time_travel / q_exact_sample: every
+        window partitions by a key or stratum — a global-order window
+        (Exchange SinglePartition) would serialize the table through
+        one reducer at 100 TB."""
+        from spark_binlog_spark.queries_cdc import q_scd2_history, q_time_travel
+        from spark_binlog_spark.queries_ext import q_exact_sample
+
+        for fn in (q_scd2_history, q_time_travel, q_exact_sample):
+            plan = _physical(fn(spark, SF_TEST))
+            assert "Exchange SinglePartition" not in plan, fn.__name__
+
+    def test_bm25_broadcasts_small_relations_reuses_tf(self, spark):
+        """q_bm25_search: query-term table, df table, and the 1-row
+        totals broadcast; the persisted (doc, term) relation feeds tf,
+        dl, and dfreq (InMemoryTableScan present); no cartesian joins."""
+        from spark_binlog_spark.queries_ext import q_bm25_search
+
+        spark.catalog.clearCache()
+        plan = _physical(q_bm25_search(spark, SF_TEST))
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "CartesianProduct" not in plan
+        assert "InMemoryTableScan" in plan
+        assert "Exchange SinglePartition" not in plan.replace(
+            "Exchange SinglePartition", "", 1
+        )  # only the 1-row totals agg may single-partition
+
     def test_pq_scoring_broadcasts_lut_and_codebooks(self, spark):
         """q_pq_topk: codebooks and the query LUT are broadcast; the
         encoded-corpus scoring join must never sort-merge (the corpus
