@@ -584,6 +584,17 @@ def vocab_coverage(df: DataFrame, vocab_size: int = 100, text_col: str = "text")
     )
 
 
+def bm25_term_score():
+    """The integer BM25 per-term score (see ``bm25_topk``'s derivation)
+    over columns tf, dl, dfreq, total_words, n_docs — THE one scoring
+    definition, shared by the batch query and the streaming
+    inverted-index sink so both rank identically."""
+    return F.expr(
+        "n_docs * tf * 22 * total_words * 10000 div "
+        "(dfreq * (10*tf*total_words + 3*total_words + 9*dl*n_docs))"
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     queries: dict[int, list[str]],
@@ -649,14 +660,7 @@ def bm25_topk(
         .join(dl, "doc_id")
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(totals))
-        .select(
-            "query_id",
-            "doc_id",
-            F.expr(
-                "n_docs * tf * 22 * total_words * 10000 div "
-                "(dfreq * (10*tf*total_words + 3*total_words + 9*dl*n_docs))"
-            ).alias("term_score"),
-        )
+        .select("query_id", "doc_id", bm25_term_score().alias("term_score"))
     )
     per_doc = scored.groupBy("query_id", "doc_id").agg(
         F.sum("term_score").alias("bm25s")

@@ -879,6 +879,31 @@ SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank, bm25s FROM ranked WHERE rn
 """
 
 
+def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING inverted index under the oracle: the documents table
+    arrives as two micro-batches through the InvertedIndexSink
+    (term-bucketed postings deltas, publish-if-absent + totals-marker
+    exactly-once, distributed compaction), then BM25 retrieval is
+    served OFF THE STORE (bucket-pruned read, slice-derived document
+    frequencies, additive totals).  Because tf/dl are per-doc and
+    dfreq/totals are additive, the served ranking must hash-match the
+    one-shot batch BM25 oracle exactly."""
+    import os
+
+    from spark_binlog_spark.streaming.inverted_index import run_inverted_index
+
+    docs_dir = _parity_batches(sf_dir, "invidx_ingest_")
+    d = os.path.dirname(docs_dir)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sink = run_inverted_index(
+        spark, docs_dir, os.path.join(d, "store"), os.path.join(d, "ck"), schema
+    )
+    return sink.bm25(BM25_QUERIES, k=5)
+
+
+ORACLE["q_stream_bm25"] = ORACLE["q_bm25_search"]
+
+
 def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus boilerplate dictionary: 3-gram shingles appearing in >= 2
     distinct documents (the CCNet-style pre-pass a cleaning job

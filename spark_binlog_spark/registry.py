@@ -136,6 +136,7 @@ TAIL = [
     "q_compressibility",
     "q_vocab_coverage",
     "q_bm25_search",
+    "q_stream_bm25",
     "q_source_dup_matrix",
     "q_change_counts_windowed",
     "q_repetition",

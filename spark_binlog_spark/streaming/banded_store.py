@@ -93,9 +93,27 @@ class BucketedDeltaStore:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(*paths)
 
-    def publish(self, rows: DataFrame, cols: list[str], batch_id: int) -> None:
+    def delta_exists(self, delta_name: str) -> bool:
+        return os.path.isdir(os.path.join(self.store_dir, delta_name))
+
+    def publish(
+        self,
+        rows: DataFrame,
+        cols: list[str],
+        batch_id: int,
+        delta_name: str | None = None,
+    ) -> None:
         """Atomically publish one batch's rows (must carry an int
-        ``bucket`` column) as a new delta dir."""
+        ``bucket`` column) as a new delta dir.
+
+        Default naming is unique PER ATTEMPT (admission sinks: replay
+        recomputes against the published state, so a second publish of
+        the same batch must never collide).  ``delta_name`` pins a
+        DETERMINISTIC name instead — append-only sinks use
+        publish-if-absent (``delta_exists`` + this) for exactly-once
+        without any admission self-match."""
+        if delta_name is not None and self.delta_exists(delta_name):
+            return
         attempt = uuid.uuid4().hex[:8]
         aside = os.path.join(self.store_dir, f"_aside_b{batch_id}_{attempt}")
         # repartition by bucket first: ONE file per touched bucket per
@@ -108,7 +126,15 @@ class BucketedDeltaStore:
         # to read it as parquet — drop it before publish
         for marker in glob.glob(os.path.join(aside, "_*")):
             os.remove(marker)
-        os.replace(aside, os.path.join(self.store_dir, f"d_b{batch_id}_{attempt}"))
+        dest = delta_name if delta_name is not None else f"d_b{batch_id}_{attempt}"
+        try:
+            os.rename(aside, os.path.join(self.store_dir, dest))
+        except OSError:
+            if delta_name is None or not self.delta_exists(delta_name):
+                raise
+            # deterministic-name race with a concurrent replay: the
+            # delta is fully published (rename is atomic) — drop ours
+            shutil.rmtree(aside, ignore_errors=True)
 
     def maybe_compact(self, buckets: list[int]) -> None:
         """Distributed per-bucket compaction: once a bucket's rows are

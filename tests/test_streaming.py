@@ -1708,6 +1708,89 @@ class TestNearDupCompactionHygiene:
         assert sink.accepted().count() == sink.admitted_rows
 
 
+class TestInvertedIndexSink:
+    DOCS0 = [(1, "hash join hash scan"), (2, "window sort window")]
+    DOCS1 = [(3, "hash stream batch"), (4, "scan scan sort")]
+    SCHEMA = "doc_id long, text string"
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    @staticmethod
+    def _served_vs_batch(spark, sink, docs):
+        from spark_binlog_spark.functions.text import bm25_topk
+
+        q = {0: ["hash", "scan"], 1: ["window"]}
+        served = {tuple(r) for r in sink.bm25(q, k=3).collect()}
+        batch = {tuple(r) for r in bm25_topk(docs, q, k=3).collect()}
+        assert served == batch and served
+
+    def test_replay_never_double_counts(self, spark, tmp_path):
+        """The additive totals are NOT idempotent by themselves —
+        the marker ratchet must make a replayed batch a no-op, and the
+        served ranking must equal the one-shot batch BM25."""
+        from spark_binlog_spark.streaming.inverted_index import InvertedIndexSink
+
+        store = str(tmp_path / "store")
+        sink = InvertedIndexSink(spark, store, n_buckets=4)
+        sink(self._batch(spark, self.DOCS0), 0)
+        sink(self._batch(spark, self.DOCS1), 1)
+        # at-least-once replay of BOTH batches (new sink = restart too)
+        sink2 = InvertedIndexSink(spark, store, n_buckets=4)
+        sink2(self._batch(spark, self.DOCS0), 0)
+        sink2(self._batch(spark, self.DOCS1), 1)
+        tot = sink2.totals().collect()[0]
+        assert (tot["n_docs"], tot["total_words"]) == (4, 13)
+        self._served_vs_batch(
+            spark, sink2, self._batch(spark, self.DOCS0 + self.DOCS1)
+        )
+
+    def test_crash_between_postings_and_marker_recovers(self, spark, tmp_path):
+        """Worst crash point: postings delta published, marker missing.
+        The replay must NOT re-publish postings (publish-if-absent on
+        the deterministic name) and must complete the marker — totals
+        and postings both end exact."""
+        import os
+
+        from spark_binlog_spark.streaming.inverted_index import InvertedIndexSink
+
+        store = str(tmp_path / "store")
+        sink = InvertedIndexSink(spark, store, n_buckets=4)
+        sink(self._batch(spark, self.DOCS0), 0)
+        # simulate the torn batch: delete batch 0's marker only
+        os.remove(os.path.join(store, "totals", "t_b0.parquet"))
+        sink2 = InvertedIndexSink(spark, store, n_buckets=4)
+        sink2(self._batch(spark, self.DOCS0), 0)  # the redelivery
+        tot = sink2.totals().collect()[0]
+        assert (tot["n_docs"], tot["total_words"]) == (2, 7)
+        # postings hold exactly one row per (term, doc)
+        from pyspark.sql import functions as F
+
+        dup = (
+            sink2.postings()
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+        )
+        assert dup.count() == 0
+        self._served_vs_batch(spark, sink2, self._batch(spark, self.DOCS0))
+
+    def test_query_reads_only_matching_term_buckets(self, spark, tmp_path):
+        """BM25 serving must open only the query terms' bucket dirs —
+        the pruning receipt, same contract as the admission sinks."""
+        from spark_binlog_spark.streaming.inverted_index import InvertedIndexSink
+
+        store = str(tmp_path / "store")
+        sink = InvertedIndexSink(spark, store, n_buckets=32)
+        docs = [
+            (i, " ".join(f"word{i}x{j}" for j in range(8))) for i in range(40)
+        ]
+        sink(self._batch(spark, docs), 0)
+        sink.bm25({0: ["word3x1"]}, k=1).collect()
+        _, n_buckets_scanned, _ = sink.scan_stats[-1]
+        assert n_buckets_scanned <= 1  # one term → at most its bucket
+
+
 class TestSimHashIngestSink:
     """Hamming sibling of the MinHash battery.  doc 3 repeats doc 1's
     words (identical signature, hamming 0 → in-batch reject, smaller
