@@ -96,7 +96,9 @@ PRIORITY = [
     "q_ivf_topk",
     "q_rp_topk",                # JL compressed ANN (r5 swap-in)
     "q_tfidf_topterms",
-    "q_fingerprint",
+    "q_stream_bm25",            # streaming inverted index (r5 late swap
+                                # for q_fingerprint, whose fingerprint fn
+                                # q_dedup_exact/q_incremental_dedup cover)
     "q_incremental_dedup",
     "q_stream_neardup_dedup",   # streaming MinHash admission (r5 swap-in)
     "q_corpus_report",
@@ -136,7 +138,7 @@ TAIL = [
     "q_compressibility",
     "q_vocab_coverage",
     "q_bm25_search",
-    "q_stream_bm25",
+    "q_fingerprint",            # r5 late swap-out (fn covered by dedup rows)
     "q_source_dup_matrix",
     "q_change_counts_windowed",
     "q_repetition",
