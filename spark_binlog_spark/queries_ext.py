@@ -851,7 +851,8 @@ def _bm25_query_values() -> str:
     )
 
 
-ORACLE["q_bm25_search"] = f"""
+def _bm25_oracle_sql(k: int = 5) -> str:
+    return f"""
 WITH qt(query_id, term) AS (VALUES {_bm25_query_values()}),
 w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
@@ -875,8 +876,11 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25s DESC, doc_id) AS rnk
   FROM per_doc
 )
-SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank, bm25s FROM ranked WHERE rnk <= 5
+SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank, bm25s FROM ranked WHERE rnk <= {k}
 """
+
+
+ORACLE["q_bm25_search"] = _bm25_oracle_sql(k=5)
 
 
 def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,6 +906,75 @@ def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_stream_bm25"] = ORACLE["q_bm25_search"]
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: reciprocal-rank fusion of sparse (BM25 over
+    the documents table) and dense (exact cosine over the embeddings
+    table, whose vec_ids index the first documents) top-10 lists —
+    the standard RAG-stack fusion, in exact integers:
+    rrf = Σ floor(10^6 / (60 + rank)) over the rankings that contain
+    the doc, top-5 by (rrf desc, doc_id).  Rank-based fusion needs no
+    score normalization across the two scoring domains — which is the
+    point of RRF — and integer division keeps both engines bit-equal."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = text.bm25_topk(docs, BM25_QUERIES, k=10).select(
+        "query_id", "doc_id", F.expr("1000000 div (60 + rank)").alias("s")
+    )
+    dn = (
+        similarity.brute_force_topk(emb, n_queries=3, k=10)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.expr("1000000 div (60 + rank)").alias("s"),
+        )
+    )
+    fused = (
+        bm.unionByName(dn)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").cast("long").alias("rrf"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", F.col("rank").cast("long").alias("rank"), "rrf")
+    )
+
+
+ORACLE["q_hybrid_search"] = f"""
+WITH bm AS ({_bm25_oracle_sql(k=10)}),
+quant AS ({_QUANT_SQL}),
+base AS ({_NORM_SQL}),
+dscored AS (
+  SELECT qs.vec_id AS query_id, b.vec_id,
+         {_COS4.format(a='qs', b='b', an='norm', bn='norm')} AS cosine4
+  FROM base qs CROSS JOIN base b
+  WHERE qs.vec_id < 3 AND b.vec_id >= 3
+),
+dn AS (
+  SELECT query_id, vec_id, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine4 DESC, vec_id) AS rnk
+    FROM dscored) WHERE rnk <= 10
+),
+parts AS (
+  SELECT query_id, doc_id, 1000000 // (60 + rank) AS s FROM bm
+  UNION ALL
+  SELECT query_id, vec_id AS doc_id, 1000000 // (60 + rnk) AS s FROM dn
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS rrf
+  FROM parts GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+  FROM fused
+)
+SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank, rrf FROM ranked WHERE rnk <= 5
+"""
 
 
 def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -138,6 +138,7 @@ TAIL = [
     "q_compressibility",
     "q_vocab_coverage",
     "q_bm25_search",
+    "q_hybrid_search",
     "q_fingerprint",            # r5 late swap-out (fn covered by dedup rows)
     "q_source_dup_matrix",
     "q_change_counts_windowed",
