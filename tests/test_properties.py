@@ -218,3 +218,86 @@ class TestRegionSegmentIndexProperties:
             pq.write_table(tbl, str(d / f"wal.{fid:06d}"))
         idx = _region_segment_index(str(d))
         assert [(s["fid"], s["min"], s["max"]) for s in idx] == laid
+
+
+class TestImageDecoderProperties:
+    @given(data=st.binary(max_size=300))
+    @settings(max_examples=300, deadline=None)
+    def test_decoders_never_raise_on_arbitrary_bytes(self, data):
+        """The BMP/PNM decoders parse UNTRUSTED blobs — for any input
+        they must return pixels or None, never raise."""
+        from spark_binlog_spark.functions.multimodal import (
+            _bmp_pixels,
+            _image_features_stdlib,
+            _pnm_pixels,
+        )
+
+        for fn in (_bmp_pixels, _pnm_pixels):
+            out = fn(data)
+            assert out is None or (len(out) == 3 and out[0] > 0 and out[1] > 0)
+        feats = _image_features_stdlib(data)
+        assert feats is None or all(-1.0 <= x <= 1.0 for x in feats)
+
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        pix=st.integers(0, 2**32 - 1),
+        maxval=st.integers(1, 255),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_pnm_roundtrip_p5_and_p6(self, w, h, pix, maxval):
+        """A generated PNM raster decodes back to exactly the written
+        samples, rescaled by 255/maxval per the spec."""
+        from spark_binlog_spark.functions.multimodal import _pnm_pixels
+
+        vals = [(pix * (i + 13) * 2654435761) % (maxval + 1) for i in range(w * h)]
+        pgm = f"P5 {w} {h} {maxval}\n".encode() + bytes(vals)
+        got = _pnm_pixels(pgm)
+        assert got is not None
+        gw, gh, rows = got
+        assert (gw, gh) == (w, h)
+        flat = [px for row in rows for px in row]
+        assert flat == [(v * 255 // maxval,) * 3 for v in vals]
+
+        rgb = [x for v in vals for x in (v, (v * 3) % (maxval + 1), maxval - v)]
+        ppm = f"P6\n{w} {h}\n{maxval}\n".encode() + bytes(rgb)
+        got6 = _pnm_pixels(ppm)
+        assert got6 is not None
+        flat6 = [px for row in got6[2] for px in row]
+        assert flat6 == [
+            (
+                vals[i] * 255 // maxval,
+                ((vals[i] * 3) % (maxval + 1)) * 255 // maxval,
+                (maxval - vals[i]) * 255 // maxval,
+            )
+            for i in range(w * h)
+        ]
+
+    @given(w=st.integers(1, 8), h=st.integers(1, 8), seed=st.integers(0, 2**31))
+    @settings(max_examples=100, deadline=None)
+    def test_bmp_roundtrip_bottom_up(self, w, h, seed):
+        """A generated 24-bit BMP (bottom-up rows, BGR, padded stride)
+        decodes back to the exact top-down RGB matrix."""
+        import struct
+
+        from spark_binlog_spark.functions.multimodal import _bmp_pixels
+
+        rng = [(seed * (i + 7) * 2654435761) % 256 for i in range(w * h * 3)]
+        img = [
+            [tuple(rng[(r * w + c) * 3 : (r * w + c) * 3 + 3]) for c in range(w)]
+            for r in range(h)
+        ]
+        stride = (w * 3 + 3) & ~3
+        pix = bytearray()
+        for r in reversed(range(h)):
+            row = bytearray()
+            for rgb in img[r]:
+                row += bytes([rgb[2], rgb[1], rgb[0]])
+            row += b"\x00" * (stride - len(row))
+            pix += row
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+        got = _bmp_pixels(header + dib + bytes(pix))
+        assert got is not None
+        assert got[0] == w and got[1] == h
+        assert got[2] == img
