@@ -301,3 +301,36 @@ class TestImageDecoderProperties:
         assert got is not None
         assert got[0] == w and got[1] == h
         assert got[2] == img
+
+
+class TestBm25ScoreProperties:
+    @staticmethod
+    def _score(n, tf, T, df, dl):
+        # the exact integer formula of text.bm25_term_score
+        num = n * tf * 22 * T * 10000
+        den = df * (10 * tf * T + 3 * T + 9 * dl * n)
+        return num // den, num, den
+
+    @given(
+        n=st.integers(1, 10_000),
+        T=st.integers(1, 1_000_000),
+        df=st.integers(1, 10_000),
+        dl=st.integers(1, 1_000),
+        tf1=st.integers(1, 999),
+        dtf=st.integers(1, 100),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_monotone_in_tf_and_int64_safe(self, n, T, df, dl, tf1, dtf):
+        """Within the documented envelope (corpora to ~10^6 words /
+        10^4 docs) the per-term score is non-negative, non-strictly
+        MONOTONE in tf (the BM25 saturation property survives the
+        integer floor), bounded by its tf→∞ asymptote, and every
+        intermediate stays inside int64 — the invariant both engines'
+        BIGINT arithmetic depends on."""
+        s1, num, den = self._score(n, tf1, T, df, dl)
+        s2, num2, den2 = self._score(n, tf1 + dtf, T, df, dl)
+        assert 0 <= s1 <= s2
+        for v in (num, den, num2, den2):
+            assert v < 2**63
+        # asymptote: tf/(10 tf T + ...) -> 1/(10 T) ⇒ score ≤ n*22*10^4/(10 df)
+        assert s2 <= (n * 22 * 10000) // (10 * df) + 1
