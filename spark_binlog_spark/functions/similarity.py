@@ -831,13 +831,21 @@ def pq_topk_with_recall(
     if m <= 0 or dim % m != 0:
         raise ValueError(f"m ({m}) must evenly divide the vector dim ({dim})")
     subdim = dim // m
+    # the returned plan still reads base (encoding) and cb (LUT +
+    # scoring), so they outlive this call; release-then-swap bounds
+    # the leak to one live set across repeated invocations (ADVICE
+    # r5).  Release BEFORE the new persists: a same-input repeat has
+    # the same logical plans, and the cache manager would drop the
+    # shared entries otherwise.
+    from spark_binlog_spark.cache_util import release, swap_caches
+
+    release("similarity.pq_topk_with_recall")
     base = with_quantized(df, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
-    codebooks = pq_train(
+    cb = pq_train(
         df, m=m, codes=codes, iterations=iterations, vec_col=vec_col, base=base
-    )
-    codebooks = F.broadcast(
-        codebooks.persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    codebooks = F.broadcast(cb)
+    swap_caches("similarity.pq_topk_with_recall", [base, cb])
     subv = _pq_subvectors(base, m, subdim)
     enc = _pq_assign(subv.filter(F.col("vec_id") >= n_queries), codebooks).select(
         "vec_id", "sub", "code", "cnorm"

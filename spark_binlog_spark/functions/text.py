@@ -643,12 +643,21 @@ def bm25_topk(
             "query_id long, term string",
         )
     )
+    # the returned plan references tf three ways, so it cannot be
+    # unpersisted here; release-then-swap bounds the leak to one live
+    # set across repeated invocations (ADVICE r5).  Release BEFORE the
+    # new persist: a same-input repeat has the same logical plan, and
+    # the cache manager would drop the shared entry otherwise.
+    from spark_binlog_spark.cache_util import release, swap_caches
+
+    release("text.bm25_topk")
     w = df.select(F.col("doc_id"), F.explode(words(F.col(text_col))).alias("term"))
     tf = (
         w.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    swap_caches("text.bm25_topk", [tf])
     # doc length and the corpus totals both roll up from the persisted
     # tf relation — re-grouping the raw explode would pay two more full
     # corpus scans for numbers tf already contains

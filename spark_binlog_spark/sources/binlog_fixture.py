@@ -1145,4 +1145,51 @@ def region_partition_dataset(spark, src_path: str, dest_dir: str, n_regions: int
 
 
 def register(spark) -> None:
+    """Register the Python DataSource AND ship the package to the
+    Python workers.
+
+    The DataSource's reader runs inside executor-side Python workers,
+    which import ``spark_binlog_spark`` from THEIR sys.path — not the
+    driver's.  Running from the repo root hides the problem (cwd is on
+    the worker path); any other cwd, or a real multi-executor cluster,
+    fails the first streaming query with an opaque AnalysisException.
+    ``addPyFile`` of a once-per-session package zip makes registration
+    location-independent — the same mechanism that ships the package
+    to a 1000-executor cluster."""
+    sc = spark.sparkContext
+    if not getattr(sc, "_spark_binlog_pyfile_shipped", False):
+        import os
+        import tempfile
+        import zipfile
+
+        import spark_binlog_spark as pkg
+
+        pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+        fd, zpath = tempfile.mkstemp(prefix="spark_binlog_spark_", suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_STORED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "spark_binlog_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+        sc.addPyFile(zpath)
+        sc._spark_binlog_pyfile_shipped = True
+    # addPyFile covers the executor-side partition readers, but the
+    # PLANNER-side python_streaming_source_runner unpickles the
+    # DataSource before any include reaches its sys.path — so the
+    # class itself must ship by value inside the pickle.  Registering
+    # this module with cloudpickle makes the pickled DataSource
+    # self-contained (its referenced module globals ride along).
+    import sys as _sys
+
+    try:
+        from pyspark import cloudpickle as _cp
+    except ImportError:  # vendored location moved in some releases
+        from pyspark.serializers import cloudpickle as _cp  # type: ignore
+    _cp.register_pickle_by_value(_sys.modules[__name__])
     spark.dataSource.register(BinlogFixtureDataSource)

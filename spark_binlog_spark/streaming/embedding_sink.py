@@ -26,9 +26,10 @@ Admission semantics (the spec the oracle mirrors) — batch-sequential:
 Exactly-once: foreachBatch is at-least-once.  Publication is atomic
 per batch via the shared ``BucketedDeltaStore``; a replayed
 already-published batch finds each of its own vectors in the index
-with cosine4 = 10000 >= min_cosine4 (identical vector, identical
-buckets in every table) and admits nothing — which is why
-``min_cosine4 <= 10000`` is enforced.
+with a self cosine4 of 10000 (occasionally 9999 when the quantized
+norm^2 exceeds 2^53 and the float sqrt rounds above the exact norm)
+>= min_cosine4 and admits nothing — which is why ``min_cosine4 <
+10000`` (strictly below the self-cosine) is enforced.
 
 Scale — same as the MinHash sink: rows live under
 ``d_b<batch>_<attempt>/bucket=K`` with ``K = (31*sbucket + tbl) %
@@ -79,9 +80,15 @@ class EmbeddingNearDupIngestSink:
         n_buckets: int = 16,
         compact_threshold: int = 8,
     ):
-        if min_cosine4 > 10000:
+        if min_cosine4 >= 10000:
+            # strictly below the self-cosine: floor(10000*dot/sqrt(na*nb))
+            # can round 10000 down to 9999 when norm^2 exceeds 2^53 (the
+            # float sqrt may land a hair above the exact integer norm), so
+            # the ==10000 boundary would let a replayed batch miss its own
+            # index rows and re-admit duplicates (ADVICE r5)
             raise ValueError(
-                "min_cosine4 must be <= 10000 (self-cosine) for replay idempotence"
+                "min_cosine4 must be < 10000 (strictly below the "
+                "self-cosine) for replay idempotence"
             )
         self.spark = spark
         self.store_dir = store_dir
@@ -226,6 +233,16 @@ class EmbeddingNearDupIngestSink:
         return cosine4(int_dot(qa, qb), na, nb)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._planes_resolved is None and batch_df.isEmpty():
+            # an empty FIRST batch must not resolve the plane count:
+            # _vec_dim would fall back to its default and either trip
+            # the planes*n_tables guard or persist a derived count that
+            # binds all future admission to the wrong dimensionality
+            # (ADVICE r5).  Nothing to publish; resolve on the first
+            # non-empty batch instead.  After resolution empty batches
+            # flow through the normal path (no extra isEmpty job).
+            self.admitted_batches.append((batch_id, 0))
+            return
         sig = self._signatures(batch_df).persist()
         try:
             # ≤ n_buckets scalars to the driver — a plan step, not data

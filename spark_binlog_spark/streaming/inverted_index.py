@@ -103,13 +103,17 @@ class InvertedIndexSink:
 
     def totals(self) -> DataFrame:
         """(n_docs, total_words): exact additive sum of the per-batch
-        marker files — |batches| tiny rows."""
+        marker files — |batches| tiny rows.  With no applied batches
+        the sums coalesce to 0 rather than NULL so downstream scoring
+        never silently nulls out (ADVICE r5)."""
         return (
             self.spark.read.schema(TOTALS_SCHEMA)
             .parquet(self.totals_dir)
             .agg(
-                F.sum("n_docs").cast("long").alias("n_docs"),
-                F.sum("total_words").cast("long").alias("total_words"),
+                F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+                F.coalesce(F.sum("total_words"), F.lit(0))
+                .cast("long")
+                .alias("total_words"),
             )
         )
 
@@ -168,6 +172,14 @@ class InvertedIndexSink:
         ranking to the batch ``text.bm25_topk`` over the same corpus."""
         from pyspark.sql import Window
 
+        # empty index (no applied batches, or only postings whose
+        # totals marker never landed): short-circuit to an empty,
+        # correctly-typed result instead of scoring against zero
+        # document/word totals (ADVICE r5)
+        if (self.totals().collect()[0]["n_docs"] or 0) == 0:
+            return self.spark.createDataFrame(
+                [], "query_id long, doc_id long, rank long, bm25s long"
+            )
         qterms = F.broadcast(
             self.spark.createDataFrame(
                 [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
