@@ -1745,6 +1745,22 @@ class TestInvertedIndexSink:
             spark, sink2, self._batch(spark, self.DOCS0 + self.DOCS1)
         )
 
+    def test_empty_index_serves_empty_not_null(self, spark, tmp_path):
+        """bm25() on a store with no applied batches returns an EMPTY
+        correctly-typed frame (before the ADVICE-r5 fix the NULL totals
+        row silently produced null scores), and totals() coalesces to
+        zeros rather than NULLs."""
+        from spark_binlog_spark.streaming.inverted_index import InvertedIndexSink
+
+        sink = InvertedIndexSink(spark, str(tmp_path / "store"), n_buckets=4)
+        tot = sink.totals().collect()[0]
+        assert (tot["n_docs"], tot["total_words"]) == (0, 0)
+        res = sink.bm25({0: ["hash"]}, k=3)
+        assert res.collect() == []
+        assert [f.name for f in res.schema.fields] == [
+            "query_id", "doc_id", "rank", "bm25s",
+        ]
+
     def test_crash_between_postings_and_marker_recovers(self, spark, tmp_path):
         """Worst crash point: postings delta published, marker missing.
         The replay must NOT re-publish postings (publish-if-absent on
@@ -2020,6 +2036,40 @@ class TestEmbeddingNearDupIngestSink:
         with _pytest.raises(ValueError, match="resolved plane count"):
             fresh.search_topk(tiny, k=1)
 
+    def test_empty_first_batch_defers_plane_resolution(self, spark, tmp_path):
+        """An empty FIRST micro-batch must not resolve the plane count
+        (the fallback dim would either trip the planes*n_tables guard
+        or persist a wrong derived count — ADVICE r5); the first
+        NON-empty batch resolves and admits normally."""
+        import os
+
+        from spark_binlog_spark.streaming.embedding_sink import (
+            EmbeddingNearDupIngestSink,
+        )
+
+        store = str(tmp_path / "store")
+        # planes*n_tables = 8 > the _vec_dim fallback of 4: before the
+        # fix an empty first batch raised and killed the stream
+        sink = EmbeddingNearDupIngestSink(
+            spark, store, min_cosine4=8000, planes=4, n_tables=2
+        )
+        empty = spark.createDataFrame([], self.SCHEMA)
+        sink(empty, 0)
+        assert sink.admitted_batches == [(0, 0)]
+        assert sink._planes_resolved is None
+        assert not os.path.exists(os.path.join(store, "_planes.json"))
+        # derived form: an empty first batch must not bind planes either
+        sink_d = EmbeddingNearDupIngestSink(
+            spark, str(tmp_path / "store_d"), min_cosine4=8000,
+            planes=None, n_tables=2,
+        )
+        sink_d(empty, 0)
+        assert sink_d._planes_resolved is None
+        # the first non-empty batch resolves and admits as usual
+        sink(self._batch(spark, [1, 2, 3]), 1)
+        assert sink._planes_resolved == 4
+        assert {r["vec_id"] for r in sink.accepted().collect()} == {1, 2}
+
     def test_threshold_above_self_cosine_rejected(self, spark, tmp_path):
         import pytest as _pytest
 
@@ -2027,8 +2077,14 @@ class TestEmbeddingNearDupIngestSink:
             EmbeddingNearDupIngestSink,
         )
 
-        with _pytest.raises(ValueError, match="10000"):
-            EmbeddingNearDupIngestSink(spark, str(tmp_path / "s"), min_cosine4=10001)
+        # the boundary ITSELF is rejected: a self-cosine can floor to
+        # 9999 when norm^2 > 2^53, so ==10000 would break replay
+        # idempotence (ADVICE r5)
+        for bad in (10000, 10001):
+            with _pytest.raises(ValueError, match="10000"):
+                EmbeddingNearDupIngestSink(
+                    spark, str(tmp_path / "s"), min_cosine4=bad
+                )
 
 
 class TestDistributedCompaction:
@@ -2834,28 +2890,29 @@ class TestJdbcDialects:
         (merge,) = DIALECTS["derby"].upsert_statements(*args)
         assert "ON t.k1 = s.k1 AND t.k2 = s.k2" in merge
         assert "INSERT (k1, k2, a) VALUES (s.k1, s.k2, s.a)" in merge
-        delete, upsert = DIALECTS["mysql"].upsert_statements(*args)
-        assert "ON t.k1 = s.k1 AND t.k2 = s.k2" in delete
-        assert "INSERT INTO tgt (k1, k2, a)" in upsert
+        delete, _update, insert = DIALECTS["mysql"].upsert_statements(*args)
+        assert "tgt.k1 = s.k1 AND tgt.k2 = s.k2" in delete
+        assert "INSERT INTO tgt (k1, k2, a)" in insert
+        assert "t.k1 = s.k1 AND t.k2 = s.k2" in insert
         delete, upsert = DIALECTS["postgres"].upsert_statements(*args)
         assert "tgt.k1 = s.k1 AND tgt.k2 = s.k2" in delete
         assert "ON CONFLICT (k1, k2) DO UPDATE" in upsert
 
-    def test_mysql_emits_delete_then_on_duplicate_key(self):
+    def test_mysql_emits_portable_delete_update_insert(self):
         from spark_binlog_spark.streaming.jdbc_sink import DIALECTS
 
-        delete, upsert = DIALECTS["mysql"].upsert_statements(*self.ARGS)
-        # multi-table delete form; staging.col references in the update
-        # clause (legal for a plain non-GROUP-BY INSERT … SELECT)
+        delete, update, insert = DIALECTS["mysql"].upsert_statements(*self.ARGS)
+        # WHERE EXISTS delete (MySQL-8-legal AND DuckDB-parseable —
+        # VERDICT r5 ask #5), correlated-subquery update, NOT EXISTS
+        # insert; none reads its own target in a FROM clause (MySQL 1093)
         assert delete == (
-            "DELETE t FROM tgt t JOIN tgt_staging s "
-            "ON t.k = s.k WHERE s.op = 'delete'"
+            "DELETE FROM tgt WHERE EXISTS ("
+            "SELECT 1 FROM tgt_staging s WHERE tgt.k = s.k AND s.op = 'delete')"
         )
-        assert upsert == (
-            "INSERT INTO tgt (k, a, b) "
-            "SELECT k, a, b FROM tgt_staging WHERE op <> 'delete' "
-            "ON DUPLICATE KEY UPDATE a = tgt_staging.a, b = tgt_staging.b"
-        )
+        assert update.startswith("UPDATE tgt SET a = (SELECT s.a FROM tgt_staging s")
+        assert "WHERE EXISTS (" in update
+        assert insert.startswith("INSERT INTO tgt (k, a, b) ")
+        assert "NOT EXISTS (SELECT 1 FROM tgt t WHERE t.k = s.k)" in insert
 
     def test_dialect_ddl_type_overrides(self):
         from spark_binlog_spark.streaming.jdbc_sink import DIALECTS
@@ -2869,7 +2926,13 @@ class TestJdbcDialects:
         with _pytest.raises(ValueError, match="mysql DDL mapping"):
             DIALECTS["mysql"].ddl_type("array<int>")
 
-    def test_postgres_statements_execute_and_upsert_on_duckdb(self):
+    @staticmethod
+    def _run_dialect_on_duckdb(dialect_name: str, args):
+        """EXECUTE a dialect's full statement sequence against DuckDB
+        (live-engine semantics, not string checks): update key 1,
+        delete key 2, insert key 3, delete of absent key 4 matches
+        nothing; then replay the identical statements and require
+        idempotence (effectively-once)."""
         import duckdb
 
         from spark_binlog_spark.streaming.jdbc_sink import DIALECTS
@@ -2877,17 +2940,16 @@ class TestJdbcDialects:
         con = duckdb.connect()
         con.sql("CREATE TABLE tgt (k BIGINT PRIMARY KEY, a BIGINT, b TEXT)")
         con.sql(
-            "CREATE TABLE tgt_staging (k BIGINT, a BIGINT, b TEXT, op VARCHAR(16))"
+            "CREATE TABLE tgt_staging (k BIGINT, a BIGINT, b TEXT, "
+            "op VARCHAR(16), PRIMARY KEY (k))"
         )
         con.sql("INSERT INTO tgt VALUES (1, 10, 'old'), (2, 20, 'gone')")
-        # staging latest images: update key 1, delete key 2, insert key 3,
-        # and a delete for an absent key 4 (must match nothing)
         con.sql(
             "INSERT INTO tgt_staging VALUES "
             "(1, 11, 'new', 'update'), (2, NULL, NULL, 'delete'), "
             "(3, 30, 'ins', 'insert'), (4, NULL, NULL, 'delete')"
         )
-        stmts = DIALECTS["postgres"].upsert_statements(*self.ARGS)
+        stmts = DIALECTS[dialect_name].upsert_statements(*args)
         for s in stmts:
             con.sql(s)
         expect = {(1, 11, "new"), (3, 30, "ins")}
@@ -2896,6 +2958,16 @@ class TestJdbcDialects:
         for s in stmts:
             con.sql(s)
         assert set(map(tuple, con.sql("SELECT * FROM tgt").fetchall())) == expect
+
+    def test_postgres_statements_execute_and_upsert_on_duckdb(self):
+        self._run_dialect_on_duckdb("postgres", self.ARGS)
+
+    def test_mysql_statements_execute_and_upsert_on_duckdb(self):
+        """With the portable rewrite (VERDICT r5 ask #5) the MySQL
+        sequence executes on a live engine too — all three dialects'
+        statements now run for real (Derby live above, these two on
+        DuckDB), none is string-checked only."""
+        self._run_dialect_on_duckdb("mysql", self.ARGS)
 
 
 class TestLayoutDetection:
