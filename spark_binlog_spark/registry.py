@@ -46,12 +46,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # signature check — which moves to TAIL), and q_pq_topk in (trained
 # codebook compression + ADC search) for q_similarity_lsh (bucketed
 # top-k shape still covered by q_ivf_topk and the recall family).
+#
+# Round-6 rotation (VERDICT r5 ask #1): the round-5 batch marquee had
+# only local sf0.001 parity — swapped IN: q_scd2_history + q_time_travel
+# (SCD2 audit history / point-in-time), q_hybrid_search (sparse+dense
+# RRF), q_stream_embedding_dedup (vector admission sink),
+# q_mixture_rebalance, q_corpus_diff.  Swapped OUT (each now holds a
+# green r05 driver row and is shape-covered by a remaining neighbor):
+# q_rotate_offsets (S1 scan shape: q_stream_change_counts),
+# q_hbase_rolled_wal (S2 shape: q_hbase_cells), q_dedup_canonical
+# (CC shape: q_stream_neardup_dedup's oracle recomputes components),
+# q_incremental_dedup (anti-join shape: q_dedup_exact + the ingest
+# sinks), q_rp_topk and q_ivf_topk (compressed/celled-ANN shape:
+# q_pq_topk stays as the representative).
 PRIORITY = [
     # --- tier 1: operator rows -------------------------------------
     "q_stream_change_counts",   # S1 MySQL binlog streaming scan
-    "q_rotate_offsets",         # S1 multi-segment rotation (r5 swap-in)
     "q_hbase_cells",            # S2 HBase WAL scan
-    "q_hbase_rolled_wal",       # S2 rolled-WAL live pickup (r5 swap-in)
     "q_bootstrap_snapshot",     # S4 batch bootstrap
     "q_table_filter",           # F1
     "q_event_type_filter",      # F2
@@ -69,6 +80,8 @@ PRIORITY = [
     "q_envelope_parse",         # D1
     "q_route_by_table",         # D2
     "q_latest_image",           # D3
+    "q_scd2_history",           # D3 generalization: versioned history (r6 swap-in)
+    "q_time_travel",            # D3 generalization: point-in-time (r6 swap-in)
     "q_cdc_apply",              # D4
     "q_change_counts",          # D5
     "q_snapshot_union",         # D6
@@ -89,24 +102,33 @@ PRIORITY = [
     "q_dedup_minhash",
     "q_stream_simhash_dedup",   # subsumes q_dedup_simhash (r5 late swap)
     "q_ngram_jaccard",
-    "q_dedup_canonical",        # CC canonicalization (r5 swap-in)
     "q_embedding_dedup",
+    "q_stream_embedding_dedup", # vector admission sink (r6 swap-in)
     "q_similarity_topk",
-    "q_pq_topk",                # PQ/ADC ANN (r5 late swap for q_similarity_lsh)
-    "q_ivf_topk",
-    "q_rp_topk",                # JL compressed ANN (r5 swap-in)
+    "q_pq_topk",                # PQ/ADC ANN — compressed/celled representative
+    "q_hybrid_search",          # sparse+dense RRF fusion (r6 swap-in)
     "q_tfidf_topterms",
     "q_stream_bm25",            # streaming inverted index (r5 late swap
                                 # for q_fingerprint, whose fingerprint fn
                                 # q_dedup_exact/q_incremental_dedup cover)
-    "q_incremental_dedup",
     "q_stream_neardup_dedup",   # streaming MinHash admission (r5 swap-in)
+    "q_mixture_rebalance",      # data-dependent remix (r6 swap-in)
+    "q_corpus_diff",            # corpus snapshot diff (r6 swap-in)
     "q_corpus_report",
 ]
 
-# Value-ranked tail (variants / parity forms / building-block views);
-# graded only if the driver's cap exceeds len(PRIORITY).
+# Value-ranked tail: REAL queries that simply don't fit the 50-slot
+# graded prefix this round; rotation candidates.  Graded only if the
+# driver's cap exceeds len(PRIORITY).  Building-block/parity-reference
+# views live in PARITY below, NOT here — the never-graded count that
+# matters is len(TAIL), not len(TAIL) + len(PARITY) (VERDICT r5 ask #6).
 TAIL = [
+    "q_rotate_offsets",         # r6 swap-out (green r05 row; shape: q_stream_change_counts)
+    "q_hbase_rolled_wal",       # r6 swap-out (green r05 row; shape: q_hbase_cells)
+    "q_dedup_canonical",        # r6 swap-out (green r05 row; shape: q_stream_neardup_dedup)
+    "q_incremental_dedup",      # r6 swap-out (green r05 row; shape: q_dedup_exact)
+    "q_rp_topk",                # r6 swap-out (green r05 row; shape: q_pq_topk)
+    "q_ivf_topk",               # r6 swap-out (green r05 row; shape: q_pq_topk)
     "q_stream_schema_epochs",
     "q_churned_keys",           # r5 swap-out (shape: q_retained_keys)
     "q_datetime_normalize",     # r5 swap-out (shape: q_project_decode)
@@ -114,8 +136,6 @@ TAIL = [
     "q_hash_sample",            # r5 swap-out (shape: q_stratified_sample)
     "q_lang_id",                # r5 swap-out (shape: q_fingerprint)
     "q_decontaminate",
-    "q_mixture_rebalance",
-    "q_corpus_diff",
     "q_stratified_sample",
     "q_exact_sample",
     "q_quality_prune",
@@ -126,7 +146,6 @@ TAIL = [
     "q_stream_length_histogram",
     "q_dedup_simhash",          # r5 late swap-out (subsumed by stream form)
     "q_similarity_lsh",         # r5 late swap-out (shape: q_ivf_topk family)
-    "q_stream_embedding_dedup",
     "q_stream_embedding_search",
     "q_embedding_dedup_multitable",
     "q_sq8_topk",
@@ -138,7 +157,6 @@ TAIL = [
     "q_compressibility",
     "q_vocab_coverage",
     "q_bm25_search",
-    "q_hybrid_search",
     "q_fingerprint",            # r5 late swap-out (fn covered by dedup rows)
     "q_source_dup_matrix",
     "q_change_counts_windowed",
@@ -152,10 +170,7 @@ TAIL = [
     "q_lsh_recall",
     "q_ivf_multiprobe",
     "q_ivf_trained_topk",
-    "q_kmeans_step",
     "q_dup_components",
-    "q_minhash_signatures",
-    "q_length_stats",
     "q_multimodal_meta",
     "q_multimodal_frames",
     "q_mv_segment_balance",
@@ -163,13 +178,24 @@ TAIL = [
     "q_range_band",
     "q_interval_overlap",
     "q_retained_keys",
-    "q_scd2_history",
-    "q_time_travel",
-    "q_cell_rollup",
     "q_latest_image_composite",
     "q_change_counts_sliding",
     "q_distinct_users",
     "q_payload_key_stats",
+]
+
+# Building-block / parity-reference views (VERDICT r5 ask #6): each is
+# the internal stage or global-order reference form of an operator whose
+# USER-FACING query already sits in PRIORITY/TAIL.  They stay registered
+# (and locally oracle-checked every session — a drifting building block
+# would break the operator built on it) but are NOT rotation candidates
+# and are excluded from "never driver-graded" exposure counts: grading
+# the view would re-grade machinery its consumer already grades.
+PARITY = [
+    "q_minhash_signatures",     # stage view of q_dedup_minhash / the MinHash sinks
+    "q_kmeans_step",            # one Lloyd update — stage of q_ivf_trained_topk
+    "q_cell_rollup",            # global-order reference form of q_cell_rollup_regional
+    "q_length_stats",           # quartile view folded into q_corpus_report
 ]
 
 
@@ -186,13 +212,13 @@ def queries() -> dict[str, QueryFn]:
     pool.update(_collect(queries_cdc))
     pool.update(_collect(queries_ext))
     out: dict[str, QueryFn] = {}
-    for name in PRIORITY + TAIL:
-        out[name] = pool.pop(name)  # KeyError = stale PRIORITY/TAIL entry
+    for name in PRIORITY + TAIL + PARITY:
+        out[name] = pool.pop(name)  # KeyError = stale PRIORITY/TAIL/PARITY entry
     # A new q_ function MUST be ranked explicitly — silently appending it
     # after TAIL hid ordering surprises (VERDICT r4 "What's wrong" #4).
     if pool:
         raise KeyError(
-            f"unranked q_ functions (add to PRIORITY or TAIL): {sorted(pool)}"
+            f"unranked q_ functions (add to PRIORITY, TAIL or PARITY): {sorted(pool)}"
         )
     return out
 
