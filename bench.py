@@ -50,6 +50,25 @@ HEADLINE = [
     "q_ship_priority",
 ]
 
+# headline_v2 (VERDICT r5 ask #2): the marquee operators built in rounds
+# 3-5 had no timing record while the legacy 16 above kept timing queries
+# already rotated out of the graded prefix.  The legacy set stays frozen
+# for baseline comparability ("metric"/"value" still report it); this
+# section times the current marquee under "queries_v2"/"v2_total".  For
+# the streaming-store queries the df CONSTRUCTION (one-time ingest into a
+# temp store) happens outside the timer — the timed number is the SERVING
+# read off the published store; ingest cost is measured separately under
+# "sink_admission" (per-batch admission latency of the three text ingest
+# sinks).
+HEADLINE_V2 = [
+    "q_pq_topk",          # trained PQ/ADC compressed ANN
+    "q_rp_topk",          # JL random-projection ANN
+    "q_stream_bm25",      # BM25 served off the streaming inverted index
+    "q_hybrid_search",    # sparse+dense RRF fusion
+    "q_scd2_history",     # SCD2 versioned history
+    "q_corpus_report",    # per-(source,lang) corpus dashboard
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,18 +99,75 @@ def main() -> None:
     # without a same-session A/B (VERDICT r4 "What's wrong" #2).
     spread: dict[str, list[float]] = {}
 
-    def timed_min2(name: str, df) -> float:
+    def timed_min2(name: str, df, spread_map=None) -> float:
         df.write.format("noop").mode("overwrite").save()  # warm (plan + IO cache)
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        (spread if spread_map is None else spread_map)[name] = [
+            round(min(runs), 3),
+            round(max(runs), 3),
+        ]
         return round(min(runs), 3)
 
     for name in HEADLINE:
         timings[name] = timed_min2(name, queries[name](spark, sf_dir))
+
+    timings_v2: dict[str, float] = {}
+    spread_v2: dict[str, list[float]] = {}
+    for name in HEADLINE_V2:
+        timings_v2[name] = timed_min2(
+            name, queries[name](spark, sf_dir), spread_map=spread_v2
+        )
+    spark.catalog.clearCache()  # marquee queries persist intermediates
+
+    # per-batch admission latency of the text ingest sinks: the corpus
+    # split into 4 micro-batches by doc_id mod 4, each admitted against
+    # the store built by its predecessors — the number a user sizing a
+    # streaming dedup pipeline actually needs (sec/batch at this batch
+    # size, and end-to-end admitted rows/sec)
+    import shutil
+    import tempfile
+
+    from spark_binlog_spark.streaming.dedup_sink import DedupIngestSink
+    from spark_binlog_spark.streaming.neardup_sink import NearDupIngestSink
+    from spark_binlog_spark.streaming.simhash_sink import SimHashIngestSink
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    n_batches = 4
+    batches = [
+        docs.filter(f"doc_id % {n_batches} = {i}").localCheckpoint()
+        for i in range(n_batches)
+    ]
+    sink_admission: dict[str, dict] = {}
+    sink_root = tempfile.mkdtemp(prefix="bench_sinks_")
+    try:
+        for label, make in [
+            ("dedup_exact", lambda d: DedupIngestSink(spark, d)),
+            ("neardup_minhash", lambda d: NearDupIngestSink(spark, d)),
+            ("simhash", lambda d: SimHashIngestSink(spark, d)),
+        ]:
+            sink = make(os.path.join(sink_root, label))
+            per_batch = []
+            t_all = time.perf_counter()
+            for i, b in enumerate(batches):
+                t0 = time.perf_counter()
+                sink(b, i)
+                per_batch.append(round(time.perf_counter() - t0, 3))
+            total_sec = time.perf_counter() - t_all
+            sink_admission[label] = {
+                "sec_per_batch": round(sum(per_batch) / len(per_batch), 3),
+                "batches": per_batch,
+                "rows_per_sec": round(n_docs / total_sec, 1),
+                "admitted": sink.admitted_rows,
+            }
+    finally:
+        shutil.rmtree(sink_root, ignore_errors=True)
+    for b in batches:
+        b.unpersist()
 
     # flagship: the full CDC slice (encode -> parse -> filter -> flatten
     # -> latest-image -> apply)
@@ -151,7 +227,9 @@ def main() -> None:
     stream_sec = round(time.perf_counter() - t0, 3)
 
     # headline total = batch queries + flagship; stream ingest reported
-    # separately (it measures source throughput, not query latency)
+    # separately (it measures source throughput, not query latency).
+    # "metric"/"value" stay the LEGACY headline for cross-round baseline
+    # comparability; the marquee set reports under queries_v2/v2_total.
     total = round(sum(timings.values()), 3)
     timings["stream_ingest"] = stream_sec
     print(
@@ -162,6 +240,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "queries_v2": timings_v2,
+                "spread_v2": spread_v2,
+                "v2_total": round(sum(timings_v2.values()), 3),
+                "sink_admission": sink_admission,
                 "sf": float(sf),
                 "stream_rows_per_sec": round(n_events / stream_sec, 1) if stream_sec else None,
             }
