@@ -141,6 +141,7 @@ TAIL = [
     "q_quality_prune",
     "q_token_shards",
     "q_stream_incremental_dedup",
+    "q_stream_scd2",            # r6 new: incremental SCD2 maintenance sink
     "q_stream_source_mix",
     "q_stream_sessions",
     "q_stream_length_histogram",

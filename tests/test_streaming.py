@@ -1708,6 +1708,124 @@ class TestNearDupCompactionHygiene:
         assert sink.accepted().count() == sink.admitted_rows
 
 
+class TestScd2Sink:
+    """Incremental SCD2 maintenance (streaming/scd2_sink.py): after any
+    prefix of offset-ordered batches, history() must equal the batch
+    scd2_history over the same events; replays and crashes converge
+    (VERDICT r5 ask #4 — mirrors the other sink batteries)."""
+
+    SCHEMA = "pk long, value double, cdc_offset long, op string"
+    # key 1: insert, update, update (spans batches); key 2: insert then
+    # delete (delete closes, emits nothing); key 3: insert, delete,
+    # re-insert ALL in one batch; key 4: untouched after batch 0
+    BATCH0 = [
+        (1, 10.0, 1, "insert"),
+        (2, 20.0, 2, "insert"),
+        (1, 11.0, 3, "update"),
+        (4, 40.0, 4, "insert"),
+    ]
+    BATCH1 = [
+        (1, 12.0, 5, "update"),
+        (2, None, 6, "delete"),
+        (3, 30.0, 7, "insert"),
+        (3, None, 8, "delete"),
+        (3, 31.0, 9, "insert"),
+    ]
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    def _expected(self, spark, rows):
+        from spark_binlog_spark.operators import scd2_history
+
+        return {
+            tuple(r)
+            for r in scd2_history(
+                self._batch(spark, rows), key_col="pk", value_cols=["value"]
+            ).collect()
+        }
+
+    def test_incremental_equals_batch_recompute(self, spark, tmp_path):
+        from spark_binlog_spark.streaming.scd2_sink import Scd2HistorySink
+
+        sink = Scd2HistorySink(spark, str(tmp_path / "store"))
+        sink(self._batch(spark, self.BATCH0), 0)
+        # invariant holds at EVERY batch boundary, not just the end
+        assert {tuple(r) for r in sink.history().collect()} == self._expected(
+            spark, self.BATCH0
+        )
+        sink(self._batch(spark, self.BATCH1), 1)
+        got = {tuple(r) for r in sink.history().collect()}
+        assert got == self._expected(spark, self.BATCH0 + self.BATCH1)
+        # spot semantics: key 2 fully closed, key 3's final version
+        # open at 9, key 1 has three chained versions
+        by_key = {}
+        for pk, value, vf, vt, cur in got:
+            by_key.setdefault(pk, []).append((vf, vt, cur))
+        assert all(not cur for _, _, cur in by_key[2])
+        assert (9, None, True) in by_key[3]
+        assert sorted(by_key[1]) == [(1, 3, False), (3, 5, False), (5, None, True)]
+
+    def test_as_of_matches_interval_filter(self, spark, tmp_path):
+        from spark_binlog_spark.streaming.scd2_sink import Scd2HistorySink
+
+        sink = Scd2HistorySink(spark, str(tmp_path / "store"))
+        sink(self._batch(spark, self.BATCH0), 0)
+        sink(self._batch(spark, self.BATCH1), 1)
+        # at offset 6: key 1 at value 12 (open), key 2 deleted at 6
+        # (closure bound is exclusive), key 4 still at 40
+        got = {(r["pk"], r["value"]) for r in sink.as_of(6).collect()}
+        assert got == {(1, 12.0), (4, 40.0)}
+
+    def test_replay_and_crash_recovery_converge(self, spark, tmp_path):
+        import os
+        import shutil
+
+        from spark_binlog_spark.streaming.scd2_sink import Scd2HistorySink
+
+        store = str(tmp_path / "store")
+        sink = Scd2HistorySink(spark, store)
+        sink(self._batch(spark, self.BATCH0), 0)
+        # at-least-once replay of batch 0 (including via a RESTARTED
+        # sink): deterministic delta name -> publish-if-absent no-op
+        sink(self._batch(spark, self.BATCH0), 0)
+        sink2 = Scd2HistorySink(spark, store)
+        sink2(self._batch(spark, self.BATCH0), 0)
+        assert {tuple(r) for r in sink2.history().collect()} == self._expected(
+            spark, self.BATCH0
+        )
+        # crash BEFORE publish of batch 1: aside debris only, invisible
+        sink2(self._batch(spark, self.BATCH1), 1)
+        deltas = [p for p in os.listdir(store) if p == "d_b1"]
+        assert deltas == ["d_b1"]
+        shutil.move(os.path.join(store, "d_b1"), os.path.join(store, "_aside_b1_x"))
+        sink3 = Scd2HistorySink(spark, store)  # sweeps the aside
+        assert not os.path.exists(os.path.join(store, "_aside_b1_x"))
+        assert {tuple(r) for r in sink3.history().collect()} == self._expected(
+            spark, self.BATCH0
+        )
+        # the redelivery recomputes identical rows (store state unchanged)
+        sink3(self._batch(spark, self.BATCH1), 1)
+        assert {tuple(r) for r in sink3.history().collect()} == self._expected(
+            spark, self.BATCH0 + self.BATCH1
+        )
+
+    def test_batch_reads_only_its_key_buckets(self, spark, tmp_path):
+        """The open-version probe must read only the bucket dirs the
+        batch's own keys hash into — the pruning receipt, same contract
+        as the admission sinks."""
+        from spark_binlog_spark.streaming.scd2_sink import Scd2HistorySink
+
+        sink = Scd2HistorySink(spark, str(tmp_path / "store"), n_buckets=32)
+        wide = [(i, float(i), i, "insert") for i in range(1, 65)]
+        sink(self._batch(spark, wide), 0)
+        sink(self._batch(spark, [(7, 7.5, 100, "update")]), 1)
+        _, n_buckets_scanned, _ = sink.scan_stats[-1]
+        assert n_buckets_scanned <= 1
+        got = {tuple(r) for r in sink.history().collect()}
+        assert got == self._expected(spark, wide + [(7, 7.5, 100, "update")])
+
+
 class TestInvertedIndexSink:
     DOCS0 = [(1, "hash join hash scan"), (2, "window sort window")]
     DOCS1 = [(3, "hash stream batch"), (4, "scan scan sort")]
