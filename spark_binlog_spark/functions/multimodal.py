@@ -3,17 +3,19 @@
 Images/audio/video are opaque ``binary`` columns + a typed metadata
 struct.  The Spark-side plumbing — schema, batch shape, partitioning,
 Arrow transfer — is real and tested.  Decode is REAL and
-dependency-free for the uncompressed formats: 24-bit BMP and binary
-PNM images (struct-parsed per the public specs, integer-luma 4×4
-box-average features) and PCM WAV audio (stdlib ``wave``) — exact,
-deterministic, and pinned by tests in this container.  Compressed
-formats (JPEG/PNG, non-WAV audio) run behind executor-side
-import-tries (PIL / soundfile — neither ships here): with the libs
-installed ``extract_features(fake=False)`` produces real features
-from the identical plan; without them those formats raise the
-clearly-marked NotImplementedError stub, and ``fake=True`` produces a
-deterministic fake derived from the bytes so pipelines are testable
-end-to-end.
+dependency-free for: 24-bit BMP and binary PNM images (struct-parsed
+per the public specs), PNG (chunk walk + stdlib ``zlib`` inflate +
+None/Sub/Up/Average/Paeth scanline unfiltering), GIF (variable-width
+LZW + interlace reorder), and PCM WAV audio (stdlib ``wave``) — all
+exact, deterministic, and pinned by tests in this container
+(integer-luma 4×4 box-average features for images).  Only JPEG-class
+images and compressed audio (FLAC/OGG/MP3) still run behind
+executor-side import-tries (PIL / soundfile — neither ships here):
+with the libs installed ``extract_features(fake=False)`` produces
+real features from the identical plan; without them those formats
+raise the clearly-marked NotImplementedError stub, and ``fake=True``
+produces a deterministic fake derived from the bytes so pipelines are
+testable end-to-end.
 
 Scale notes: media blobs ride in their own column so parquet column
 pruning skips them unless a stage touches them; ``mapInPandas`` streams
@@ -176,6 +178,236 @@ def _bmp_pixels(data: bytes):
     return width, height, rows
 
 
+def _png_pixels(data: bytes):
+    """Dependency-free PNG decode per the public spec (RFC 2083 /
+    ISO 15948): chunk walk (IHDR / PLTE / IDAT+ / IEND), stdlib
+    ``zlib`` inflate of the concatenated IDAT stream, then scanline
+    unfiltering (None/Sub/Up/Average/Paeth).  Supports bit depth 8 in
+    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha) and
+    6 (RGBA), non-interlaced — alpha is dropped (features are luma).
+    Anything else returns None so the PIL import-try can still claim
+    it.  Returns (width, height, row-major RGB tuples) or None."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, n = 8, len(data)
+    ihdr = None
+    palette: list[tuple[int, int, int]] = []
+    idat = bytearray()
+    while i + 8 <= n:
+        (clen,) = struct.unpack_from(">I", data, i)
+        ctype = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + clen]
+        if len(body) < clen:
+            return None  # truncated chunk
+        if ctype == b"IHDR":
+            if clen < 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
+        elif ctype == b"PLTE":
+            palette = [
+                (body[j], body[j + 1], body[j + 2]) for j in range(0, len(body) - 2, 3)
+            ]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + body + crc
+    if ihdr is None or not idat:
+        return None
+    width, height, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if (
+        channels is None
+        or depth != 8
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or width <= 0
+        or height <= 0
+        or (color == 3 and not palette)
+    ):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        return None
+    rows_bytes: list[bytearray] = []
+    pos = 0
+    for _r in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        prev = rows_bytes[-1] if rows_bytes else bytearray(stride)
+        bpp = channels  # depth 8: one byte per sample
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            return None  # not a spec filter type
+        rows_bytes.append(line)
+    rows = []
+    for line in rows_bytes:
+        if color == 0:
+            rows.append([(v,) * 3 for v in line])
+        elif color == 2:
+            rows.append(
+                [tuple(line[3 * c : 3 * c + 3]) for c in range(width)]
+            )
+        elif color == 3:
+            if max(line) >= len(palette):
+                return None  # index past the palette
+            rows.append([palette[v] for v in line])
+        elif color == 4:  # gray + alpha: drop alpha
+            rows.append([(line[2 * c],) * 3 for c in range(width)])
+        else:  # RGBA: drop alpha
+            rows.append(
+                [tuple(line[4 * c : 4 * c + 3]) for c in range(width)]
+            )
+    return width, height, rows
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int):
+    """GIF's LZW variant (GIF89a spec appendix F): variable-width codes
+    LSB-first, CLEAR resets the table, EOI ends the stream, code width
+    grows when the next entry would not fit (capped at 12 bits).
+    Returns the index stream (list of palette indices) or None."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            if len(out) > max_pixels:
+                return None  # corrupt stream ballooning past the image
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _gif_pixels(data: bytes):
+    """Dependency-free GIF decode per the public GIF89a spec: logical
+    screen descriptor, global/local color tables, extension-block
+    skipping, first image descriptor only (animation = first frame),
+    LZW index stream, interlace row reordering.  Returns
+    (width, height, row-major RGB tuples) or None."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        return None
+    flags = data[10]
+    i = 13
+    global_pal: list[tuple[int, int, int]] = []
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        pal = data[i : i + 3 * size]
+        if len(pal) < 3 * size:
+            return None
+        global_pal = [tuple(pal[3 * j : 3 * j + 3]) for j in range(size)]
+        i += 3 * size
+    while i < len(data):
+        block = data[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(data) and data[i] != 0:
+                i += 1 + data[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            if i + 10 > len(data):
+                return None
+            _left, _top, width, height = struct.unpack_from("<HHHH", data, i + 1)
+            iflags = data[i + 9]
+            i += 10
+            pal = global_pal
+            if iflags & 0x80:  # local color table wins
+                size = 2 << (iflags & 0x07)
+                raw = data[i : i + 3 * size]
+                if len(raw) < 3 * size:
+                    return None
+                pal = [tuple(raw[3 * j : 3 * j + 3]) for j in range(size)]
+                i += 3 * size
+            if not pal or width <= 0 or height <= 0 or i >= len(data):
+                return None
+            min_code = data[i]
+            i += 1
+            lzw = bytearray()
+            while i < len(data) and data[i] != 0:
+                n = data[i]
+                lzw += data[i + 1 : i + 1 + n]
+                i += 1 + n
+            idx = _gif_lzw_decode(min_code, bytes(lzw), width * height)
+            if idx is None or len(idx) < width * height:
+                return None
+            if max(idx[: width * height]) >= len(pal):
+                return None
+            flat = [pal[v] for v in idx[: width * height]]
+            rows = [flat[r * width : (r + 1) * width] for r in range(height)]
+            if iflags & 0x40:  # interlaced: pass order 8/0, 8/4, 4/2, 2/1
+                ordered: list = [None] * height
+                src = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    for r in range(start, height, step):
+                        ordered[r] = rows[src]
+                        src += 1
+                rows = ordered
+            return width, height, rows
+        elif block == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
 def _pnm_tokens(data: bytes, n_tokens: int, start: int = 2):
     """The netpbm header walk (whitespace-separated ASCII tokens with
     '#' line comments): returns (tokens, index-one-past-the-last-token)
@@ -242,13 +474,20 @@ def _pnm_pixels(data: bytes):
 
 
 def _image_features_stdlib(content: bytes) -> list[float] | None:
-    """REAL dependency-free image encoder for the uncompressed formats
-    (24-bit BMP, binary PNM): integer-luma grayscale
+    """REAL dependency-free image encoder: 24-bit BMP and binary PNM
+    (uncompressed), plus PNG (stdlib zlib inflate + scanline
+    unfiltering) and GIF (LZW) since round 6 — integer-luma grayscale
     ((299r + 587g + 114b) // 1000), 4×4 box-average downsample with
     integer means — fully deterministic, so tests pin exact features.
-    Compressed formats (JPEG/PNG) still go through the PIL import-try.
+    Only JPEG (and exotic variants of the above) still goes through
+    the PIL import-try.
     """
-    decoded = _bmp_pixels(content) or _pnm_pixels(content)
+    decoded = (
+        _bmp_pixels(content)
+        or _pnm_pixels(content)
+        or _png_pixels(content)
+        or _gif_pixels(content)
+    )
     if decoded is None:
         return None
     width, height, rows = decoded
@@ -356,8 +595,8 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
                         raise NotImplementedError(
                             f"no encoder available for media_type={mtype!r} "
                             "(PIL/soundfile not installed, or unsupported "
-                            "compressed format; BMP/PNM images and PCM WAV "
-                            "decode real without any lib); "
+                            "compressed format; BMP/PNM/PNG/GIF images and "
+                            "PCM WAV decode real without any lib); "
                             "use fake=True for the deterministic test encoder"
                         )
                 norm4 = int(sum(x * x for x in vec) * 10000)

@@ -303,6 +303,265 @@ class TestImageDecoderProperties:
         assert got[2] == img
 
 
+def _png_encode(img, color_type, filters, palette=None):
+    """Minimal spec-correct PNG writer for the tests: depth 8, chosen
+    per-row filter types (the decoder must invert all five), zlib
+    stream, proper chunk CRCs.  ``img`` is top-down rows; samples per
+    color type: 0=gray int, 2=(r,g,b), 3=palette index, 4=(gray, a),
+    6=(r,g,b,a)."""
+    import struct
+    import zlib
+
+    h = len(img)
+    w = len(img[0])
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+
+    def flat(row):
+        out = bytearray()
+        for px in row:
+            out += bytes(px if isinstance(px, tuple) else (px,))
+        return out
+
+    raw = bytearray()
+    prev = bytearray(w * ch)
+    for r in range(h):
+        line = flat(img[r])
+        ft = filters[r % len(filters)]
+        enc = bytearray(line)
+        if ft == 1:  # Sub
+            for x in range(len(line) - 1, ch - 1, -1):
+                enc[x] = (line[x] - line[x - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(len(line)):
+                enc[x] = (line[x] - prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(len(line)):
+                left = line[x - ch] if x >= ch else 0
+                enc[x] = (line[x] - ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(len(line)):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (line[x] - pred) & 0xFF
+        raw += bytes([ft]) + enc
+        prev = line
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    if color_type == 3:
+        out += chunk(b"PLTE", b"".join(bytes(p) for p in palette))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def _gif_encode(w, h, indices, palette, interlace=False):
+    """Minimal spec-correct GIF writer for the tests: global palette,
+    one image block, a real variable-width LZW encoder emitting only
+    literal codes but tracking table growth exactly like a decoder
+    (each emitted code after the first adds one table entry, so the
+    code width must widen at the same points)."""
+    import struct
+
+    pal_bits = max(2, (len(palette) - 1).bit_length())
+    pal = list(palette) + [(0, 0, 0)] * ((1 << pal_bits) - len(palette))
+    min_code = max(2, pal_bits)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    if interlace:
+        # an interlaced GIF stores rows in PASS order (8/0, 8/4, 4/2,
+        # 2/1) — reorder the natural-order rows before encoding
+        rows = [indices[r * w : (r + 1) * w] for r in range(h)]
+        indices = [
+            v
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for r in range(start, h, step)
+            for v in rows[r]
+        ]
+
+    codes = [clear]
+    table_size = eoi + 1
+    width = min_code + 1
+    widths = []
+    first = True
+    for idx in indices:
+        widths.append(width)
+        codes.append(idx)
+        if not first:
+            table_size += 1
+            # decoder grows width BEFORE reading the next code once the
+            # table fills the current width
+            if table_size == (1 << width) and width < 12:
+                width += 1
+        first = False
+    widths.append(width)
+    codes.append(eoi)
+    widths.insert(0, min_code + 1)  # the leading CLEAR's width
+
+    acc = bits = 0
+    payload = bytearray()
+    for code, cw in zip(codes, widths):
+        acc |= code << bits
+        bits += cw
+        while bits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        payload.append(acc & 0xFF)
+
+    out = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+    out += b"".join(bytes(c) for c in pal)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0, min_code])
+    for i in range(0, len(payload), 255):
+        sub = payload[i : i + 255]
+        out += bytes([len(sub)]) + sub
+    return out + b"\x00\x3b"
+
+
+class TestPngGifDecoderProperties:
+    @given(data=st.binary(max_size=300))
+    @settings(max_examples=300, deadline=None)
+    def test_decoders_never_raise_on_arbitrary_bytes(self, data):
+        """PNG/GIF decoders parse UNTRUSTED blobs — pixels or None,
+        never an exception (same contract as BMP/PNM)."""
+        from spark_binlog_spark.functions.multimodal import _gif_pixels, _png_pixels
+
+        for fn in (_png_pixels, _gif_pixels):
+            out = fn(data)
+            assert out is None or (len(out) == 3 and out[0] > 0 and out[1] > 0)
+
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        seed=st.integers(0, 2**31),
+        color_type=st.sampled_from([0, 2, 3, 4, 6]),
+        filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_png_roundtrip_all_color_types_and_filters(
+        self, w, h, seed, color_type, filters
+    ):
+        """A generated PNG — any supported color type, any mix of the
+        five scanline filters — decodes to exactly the source pixels
+        (alpha dropped, gray expanded, palette resolved)."""
+        from spark_binlog_spark.functions.multimodal import _png_pixels
+
+        rng = [(seed * (i + 11) * 2654435761) % 256 for i in range(w * h * 4)]
+        palette = [( (7 * i) % 256, (13 * i) % 256, (29 * i) % 256) for i in range(16)]
+        img, expect = [], []
+        for r in range(h):
+            row, erow = [], []
+            for c in range(w):
+                b = rng[(r * w + c) * 4 : (r * w + c) * 4 + 4]
+                if color_type == 0:
+                    row.append(b[0])
+                    erow.append((b[0],) * 3)
+                elif color_type == 2:
+                    row.append((b[0], b[1], b[2]))
+                    erow.append((b[0], b[1], b[2]))
+                elif color_type == 3:
+                    row.append(b[0] % 16)
+                    erow.append(palette[b[0] % 16])
+                elif color_type == 4:
+                    row.append((b[0], b[1]))
+                    erow.append((b[0],) * 3)
+                else:
+                    row.append((b[0], b[1], b[2], b[3]))
+                    erow.append((b[0], b[1], b[2]))
+            img.append(row)
+            expect.append(erow)
+        png = _png_encode(img, color_type, filters, palette)
+        got = _png_pixels(png)
+        assert got is not None
+        assert (got[0], got[1]) == (w, h)
+        assert got[2] == expect
+
+    @given(
+        w=st.integers(1, 10),
+        h=st.integers(1, 10),
+        seed=st.integers(0, 2**31),
+        npal=st.integers(2, 16),
+        interlace=st.booleans(),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_gif_roundtrip_with_lzw_and_interlace(self, w, h, seed, npal, interlace):
+        """A generated GIF (real variable-width LZW stream, optional
+        interlace) decodes to exactly the palette-mapped pixels."""
+        from spark_binlog_spark.functions.multimodal import _gif_pixels
+
+        palette = [((11 * i) % 256, (17 * i) % 256, (23 * i) % 256) for i in range(npal)]
+        idx = [(seed * (i + 5) * 2654435761) % npal for i in range(w * h)]
+        gif = _gif_encode(w, h, idx, palette, interlace)
+        got = _gif_pixels(gif)
+        assert got is not None
+        assert (got[0], got[1]) == (w, h)
+        flat = [px for row in got[2] for px in row]
+        assert flat == [palette[v] for v in idx]
+
+    def test_png_gif_feed_the_feature_encoder(self):
+        """End contract: a real PNG and GIF run through the stdlib
+        feature encoder (no PIL) and produce the same features as the
+        equivalent uncompressed BMP of identical pixels."""
+        import struct
+
+        from spark_binlog_spark.functions.multimodal import _image_features_stdlib
+
+        w, h = 8, 8
+        img = [
+            [((r * 31 + c * 7) % 256, (r * 13) % 256, (c * 29) % 256) for c in range(w)]
+            for r in range(h)
+        ]
+        png = _png_encode(img, 2, [0, 1, 2, 3, 4])
+        # BMP with the same pixels (bottom-up, BGR, padded)
+        stride = (w * 3 + 3) & ~3
+        pix = bytearray()
+        for r in reversed(range(h)):
+            row = bytearray()
+            for rgb in img[r]:
+                row += bytes([rgb[2], rgb[1], rgb[0]])
+            row += b"\x00" * (stride - len(row))
+            pix += row
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+        bmp = header + dib + bytes(pix)
+        assert _image_features_stdlib(png) == _image_features_stdlib(bmp)
+        # GIF is palette-bound: check exactness on a 4-color image
+        palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (255, 255, 255)]
+        idx = [(r + c) % 4 for r in range(h) for c in range(w)]
+        gif = _gif_encode(w, h, idx, palette)
+        feats = _image_features_stdlib(gif)
+        assert feats is not None and len(feats) == 16
+        # exact integer-luma box means, computed independently
+        lum = [
+            (299 * palette[v][0] + 587 * palette[v][1] + 114 * palette[v][2]) // 1000
+            for v in idx
+        ]
+        expect = []
+        for gy in range(4):
+            for gx in range(4):
+                cells = [
+                    lum[y * w + x]
+                    for y in range(gy * 2, gy * 2 + 2)
+                    for x in range(gx * 2, gx * 2 + 2)
+                ]
+                expect.append((sum(cells) // len(cells) - 128) / 128.0)
+        assert feats == expect
+
+
 class TestBm25ScoreProperties:
     @staticmethod
     def _score(n, tf, T, df, dl):
