@@ -6,16 +6,19 @@ Arrow transfer — is real and tested.  Decode is REAL and
 dependency-free for: 24-bit BMP and binary PNM images (struct-parsed
 per the public specs), PNG (chunk walk + stdlib ``zlib`` inflate +
 None/Sub/Up/Average/Paeth scanline unfiltering), GIF (variable-width
-LZW + interlace reorder), and PCM WAV audio (stdlib ``wave``) — all
-exact, deterministic, and pinned by tests in this container
-(integer-luma 4×4 box-average features for images).  Only JPEG-class
-images and compressed audio (FLAC/OGG/MP3) still run behind
-executor-side import-tries (PIL / soundfile — neither ships here):
-with the libs installed ``extract_features(fake=False)`` produces
-real features from the identical plan; without them those formats
-raise the clearly-marked NotImplementedError stub, and ``fake=True``
-produces a deterministic fake derived from the bytes so pipelines are
-testable end-to-end.
+LZW + interlace reorder), baseline JPEG (T.81 sequential: Huffman
+entropy decode, dequant, numpy inverse DCT, 4:2:0/4:2:2 upsampling,
+restart markers), and PCM WAV audio (stdlib ``wave``) — deterministic
+and pinned by tests in this container (integer-luma 4×4 box-average
+features for images; JPEG property-tested against a spec-correct
+encoder with bounded rounding tolerance).  Only exotic image variants
+(progressive JPEG, 16-bit/interlaced PNG) and compressed audio
+(FLAC/OGG/MP3) still run behind executor-side import-tries
+(PIL / soundfile — neither ships here): with the libs installed
+``extract_features(fake=False)`` produces real features from the
+identical plan; without them those formats raise the clearly-marked
+NotImplementedError stub, and ``fake=True`` produces a deterministic
+fake derived from the bytes so pipelines are testable end-to-end.
 
 Scale notes: media blobs ride in their own column so parquet column
 pruning skips them unless a stage touches them; ``mapInPandas`` streams
@@ -288,6 +291,320 @@ def _png_pixels(data: bytes):
     return width, height, rows
 
 
+class _JpegBitReader:
+    """Entropy-segment bit reader per ITU-T T.81 F.2.2.5: MSB-first,
+    0xFF00 byte stuffing removed, RSTn markers surfaced to the caller
+    for predictor resync (read stops AT a marker; ``sync_restart``
+    consumes it and realigns)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.bits = 0
+
+    def _fill(self) -> bool:
+        d, i = self.data, self.pos
+        if i >= len(d):
+            return False
+        b = d[i]
+        if b == 0xFF:
+            if i + 1 < len(d) and d[i + 1] == 0x00:
+                self.pos = i + 2  # stuffed literal 0xFF
+            else:
+                return False  # a real marker: stop here
+        else:
+            self.pos = i + 1
+        self.acc = (self.acc << 8) | b
+        self.bits += 8
+        return True
+
+    def read_bit(self) -> int | None:
+        if self.bits == 0 and not self._fill():
+            return None
+        self.bits -= 1
+        return (self.acc >> self.bits) & 1
+
+    def read_bits(self, n: int) -> int | None:
+        v = 0
+        for _ in range(n):
+            b = self.read_bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+    def sync_restart(self, expect: int) -> bool:
+        """Consume the next RSTn marker (T.81 F.2.2.5: byte-align,
+        expect FFD0+expect) and reset the bit buffer."""
+        self.acc = self.bits = 0
+        d = self.data
+        i = self.pos
+        while i + 1 < len(d) and d[i] == 0xFF and d[i + 1] == 0xFF:
+            i += 1  # fill bytes before the marker
+        if i + 1 >= len(d) or d[i] != 0xFF or d[i + 1] != 0xD0 + (expect & 7):
+            return False
+        self.pos = i + 2
+        return True
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict | None:
+    """Canonical Huffman map per T.81 C.2: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            if k >= len(symbols):
+                return None
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_decode_huff(reader: _JpegBitReader, table: dict) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        b = reader.read_bit()
+        if b is None:
+            return None
+        code = (code << 1) | b
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the t raw bits to the signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_pixels(data: bytes):
+    """Dependency-free BASELINE JPEG decode per ITU-T T.81 (the public
+    JPEG spec): marker walk, DQT/DHT/SOF0-SOF1/DRI/SOS, canonical
+    Huffman entropy decode with byte-stuffing and restart-marker
+    resync, dequantize + dezigzag, orthonormal inverse DCT (numpy),
+    chroma upsampling by sample replication (JFIF), YCbCr->RGB.
+    Supports 8-bit precision, 1 (grayscale) or 3 (YCbCr) components,
+    sampling factors 1-2, sequential single-scan files.  Progressive
+    (SOF2), arithmetic coding, 12-bit, and multi-scan files return
+    None (the PIL import-try can still claim them); so does any
+    malformed blob — untrusted input never raises."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+        frame = None
+        restart_interval = 0
+        i = 2
+        n = len(data)
+        while i + 4 <= n:
+            if data[i] != 0xFF:
+                return None
+            while i + 1 < n and data[i + 1] == 0xFF:
+                i += 1  # fill bytes
+            marker = data[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI before any scan
+                return None
+            (seg_len,) = struct.unpack_from(">H", data, i + 2)
+            seg = data[i + 4 : i + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    prec, tid = seg[j] >> 4, seg[j] & 15
+                    j += 1
+                    if prec == 0:
+                        vals = list(seg[j : j + 64])
+                        j += 64
+                    else:
+                        vals = [
+                            struct.unpack_from(">H", seg, j + 2 * k)[0]
+                            for k in range(64)
+                        ]
+                        j += 128
+                    if len(vals) < 64:
+                        return None
+                    qt[tid] = vals
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j + 17 <= len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 15
+                    counts = seg[j + 1 : j + 17]
+                    nsym = sum(counts)
+                    symbols = seg[j + 17 : j + 17 + nsym]
+                    tbl = _jpeg_huff_table(counts, symbols)
+                    if tbl is None:
+                        return None
+                    huff[(tc, th)] = tbl
+                    j += 17 + nsym
+            elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline sequential
+                prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+                if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                    ch, cv = hv >> 4, hv & 15
+                    if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                        return None
+                    comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+                frame = (w, h, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive/arithmetic/hierarchical
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:  # SOS — the single scan we decode
+                if frame is None:
+                    return None
+                w, h, comps = frame
+                ns = seg[0]
+                if ns != len(comps):
+                    return None  # multi-scan files unsupported
+                sel = {}
+                for s in range(ns):
+                    cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                    sel[cs] = (tt >> 4, tt & 15)
+                for c in comps:
+                    if c["id"] not in sel or c["tq"] not in qt:
+                        return None
+                    td, ta = sel[c["id"]]
+                    if (0, td) not in huff or (1, ta) not in huff:
+                        return None
+                    c["dc"] = huff[(0, td)]
+                    c["ac"] = huff[(1, ta)]
+                    c["q"] = np.array(qt[c["tq"]], dtype=np.float64)
+                return _jpeg_scan(
+                    data, i + 2 + seg_len, w, h, comps, restart_interval
+                )
+            i += 2 + seg_len
+        return None
+    except (IndexError, ValueError, struct.error):
+        return None  # untrusted bytes: malformed is None, never a raise
+
+
+# orthonormal 8x8 DCT basis (numpy, built once): row k of _DCT_M is
+# sqrt(2/8)*c(k)*cos((2j+1)k*pi/16) — IDCT of F is M.T @ F @ M
+def _jpeg_dct_matrix():
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for k in range(8):
+        ck = math.sqrt(0.5) if k == 0 else 1.0
+        for j in range(8):
+            m[k, j] = 0.5 * ck * math.cos((2 * j + 1) * k * math.pi / 16)
+    return m
+
+
+_DCT_M = None
+
+
+def _jpeg_scan(data, pos, w, h, comps, restart_interval):
+    """Entropy-decode the single sequential scan and reassemble RGB."""
+    import numpy as np
+
+    global _DCT_M
+    if _DCT_M is None:
+        _DCT_M = _jpeg_dct_matrix()
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    reader = _JpegBitReader(data, pos)
+    pred = [0] * len(comps)
+    zz = _JPEG_ZIGZAG
+    n_rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcu_idx = my * mcux + mx
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                if not reader.sync_restart(n_rst):
+                    return None
+                n_rst = (n_rst + 1) & 7
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64)
+                        t = _jpeg_decode_huff(reader, c["dc"])
+                        if t is None or t > 11:
+                            return None
+                        diff = reader.read_bits(t) if t else 0
+                        if diff is None:
+                            return None
+                        pred[ci] += _jpeg_extend(diff, t)
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_huff(reader, c["ac"])
+                            if rs is None:
+                                return None
+                            run, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                return None
+                            v = reader.read_bits(size)
+                            if v is None:
+                                return None
+                            coef[k] = _jpeg_extend(v, size)
+                            k += 1
+                        # dequant in scan order, then dezigzag: zz maps
+                        # scan position -> natural index
+                        nat = np.zeros(64)
+                        nat[zz] = coef * c["q"]
+                        spat = _DCT_M.T @ nat.reshape(8, 8) @ _DCT_M + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spat
+    # upsample to full resolution by sample replication, crop to (h, w)
+    full = []
+    for ci, c in enumerate(comps):
+        sy, sx = vmax // c["v"], hmax // c["h"]
+        p = np.repeat(np.repeat(planes[ci], sy, axis=0), sx, axis=1)[:h, :w]
+        full.append(p)
+    if len(comps) == 1:
+        Y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return w, h, [[(int(v),) * 3 for v in row] for row in Y]
+    Y, Cb, Cr = full
+    r = Y + 1.402 * (Cr - 128.0)
+    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    b = Y + 1.772 * (Cb - 128.0)
+    rgb = [np.clip(np.rint(x), 0, 255).astype(np.uint8) for x in (r, g, b)]
+    return w, h, [
+        [(int(rgb[0][y, x]), int(rgb[1][y, x]), int(rgb[2][y, x])) for x in range(w)]
+        for y in range(h)
+    ]
+
+
 def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int):
     """GIF's LZW variant (GIF89a spec appendix F): variable-width codes
     LSB-first, CLEAR resets the table, EOI ends the stream, code width
@@ -476,17 +793,19 @@ def _pnm_pixels(data: bytes):
 def _image_features_stdlib(content: bytes) -> list[float] | None:
     """REAL dependency-free image encoder: 24-bit BMP and binary PNM
     (uncompressed), plus PNG (stdlib zlib inflate + scanline
-    unfiltering) and GIF (LZW) since round 6 — integer-luma grayscale
-    ((299r + 587g + 114b) // 1000), 4×4 box-average downsample with
-    integer means — fully deterministic, so tests pin exact features.
-    Only JPEG (and exotic variants of the above) still goes through
-    the PIL import-try.
+    unfiltering), GIF (LZW) and baseline JPEG (Huffman + numpy IDCT)
+    since round 6 — integer-luma grayscale ((299r + 587g + 114b) //
+    1000), 4×4 box-average downsample with integer means — fully
+    deterministic, so tests pin exact features (JPEG within the
+    codec's rounding tolerance).  Only exotic variants (progressive
+    JPEG, 16-bit PNG) still go through the PIL import-try.
     """
     decoded = (
         _bmp_pixels(content)
         or _pnm_pixels(content)
         or _png_pixels(content)
         or _gif_pixels(content)
+        or _jpeg_pixels(content)
     )
     if decoded is None:
         return None
@@ -595,7 +914,7 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
                         raise NotImplementedError(
                             f"no encoder available for media_type={mtype!r} "
                             "(PIL/soundfile not installed, or unsupported "
-                            "compressed format; BMP/PNM/PNG/GIF images and "
+                            "exotic format; BMP/PNM/PNG/GIF/baseline-JPEG images and "
                             "PCM WAV decode real without any lib); "
                             "use fake=True for the deterministic test encoder"
                         )

@@ -432,6 +432,183 @@ def _gif_encode(w, h, indices, palette, interlace=False):
     return out + b"\x00\x3b"
 
 
+def _jpeg_encode(img, subsample=False, restart_interval=0):
+    """Minimal spec-correct baseline JPEG writer for the tests (ITU-T
+    T.81): JFIF YCbCr conversion, orthonormal forward DCT, all-ones
+    quant tables (near-lossless, so decode tolerance is bounded by
+    coefficient rounding), canonical Huffman tables (12 DC symbols at
+    4 bits, 256 AC symbols at 9 bits), byte stuffing, optional 4:2:0
+    chroma subsampling (2x2 box mean) and restart intervals."""
+    import math
+    import struct
+
+    import numpy as np
+
+    h = len(img)
+    w = len(img[0])
+    arr = np.array(img, dtype=np.float64)  # (h, w, 3)
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    Y = 0.299 * r + 0.587 * g + 0.114 * b
+    Cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    Cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    m = np.zeros((8, 8))
+    for k in range(8):
+        ck = math.sqrt(0.5) if k == 0 else 1.0
+        for j in range(8):
+            m[k, j] = 0.5 * ck * math.cos((2 * j + 1) * k * math.pi / 16)
+
+    zz = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+
+    def pad_to(plane, mult):
+        ph = -(-plane.shape[0] // mult) * mult
+        pw = -(-plane.shape[1] // mult) * mult
+        out = np.empty((ph, pw))
+        out[: plane.shape[0], : plane.shape[1]] = plane
+        out[plane.shape[0] :, : plane.shape[1]] = plane[-1:, :]
+        out[:, plane.shape[1] :] = out[:, plane.shape[1] - 1 : plane.shape[1]]
+        return out
+
+    if subsample:
+        Yp = pad_to(Y, 16)
+        Cbp = pad_to(Cb, 16)
+        Crp = pad_to(Cr, 16)
+        # 2x2 box mean to half resolution
+        Cbs = Cbp.reshape(Cbp.shape[0] // 2, 2, Cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+        Crs = Crp.reshape(Crp.shape[0] // 2, 2, Crp.shape[1] // 2, 2).mean(axis=(1, 3))
+        comps = [(Yp, 2, 2), (Cbs, 1, 1), (Crs, 1, 1)]
+    else:
+        comps = [(pad_to(Y, 8), 1, 1), (pad_to(Cb, 8), 1, 1), (pad_to(Cr, 8), 1, 1)]
+
+    def fdct_block(block):
+        # natural-order 64-vector of rounded coefficients
+        return np.rint(m @ (block - 128.0) @ m.T).astype(int).reshape(64)
+
+    # canonical tables: DC symbols 0..11 at length 4; AC symbols 0..254
+    # at length 9 plus symbol 255 at length 10 (a DHT count byte caps
+    # at 255 symbols per code length)
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_syms = list(range(12))
+    ac_counts = [0] * 8 + [255, 1] + [0] * 6
+    ac_syms = list(range(256))
+
+    dc_code = {s: (4, s) for s in dc_syms}
+    ac_code = {s: (9, s) for s in range(255)}
+    ac_code[255] = (10, 255 << 1)  # canonical: (code after 254) << 1
+
+    out_bits: list[tuple[int, int]] = []  # (nbits, value)
+
+    def put(nbits, value):
+        if nbits:
+            out_bits.append((nbits, value))
+
+    def category(v):
+        return abs(v).bit_length()
+
+    def encode_block(coef, pred):
+        diff = int(coef[0]) - pred
+        t = category(diff)
+        ln, code = dc_code[t]
+        put(ln, code)
+        put(t, diff if diff >= 0 else diff + (1 << t) - 1)
+        seq = [int(coef[zz[k]]) for k in range(64)]
+        k = 1
+        run = 0
+        last_nz = max((i for i in range(1, 64) if seq[i]), default=0)
+        while k <= last_nz:
+            v = seq[k]
+            if v == 0:
+                run += 1
+                k += 1
+                continue
+            while run >= 16:
+                ln, code = ac_code[0xF0]
+                put(ln, code)
+                run -= 16
+            size = category(v)
+            ln, code = ac_code[(run << 4) | size]
+            put(ln, code)
+            put(size, v if v >= 0 else v + (1 << size) - 1)
+            run = 0
+            k += 1
+        if last_nz < 63:
+            ln, code = ac_code[0x00]
+            put(ln, code)
+        return int(coef[0])
+
+    def flush_bytes():
+        data = bytearray()
+        acc = bits = 0
+        for nbits, value in out_bits:
+            acc = (acc << nbits) | (value & ((1 << nbits) - 1))
+            bits += nbits
+            while bits >= 8:
+                byte = (acc >> (bits - 8)) & 0xFF
+                data.append(byte)
+                if byte == 0xFF:
+                    data.append(0x00)
+                bits -= 8
+                acc &= (1 << bits) - 1
+        if bits:
+            byte = ((acc << (8 - bits)) | ((1 << (8 - bits)) - 1)) & 0xFF
+            data.append(byte)
+            if byte == 0xFF:
+                data.append(0x00)
+        out_bits.clear()
+        return bytes(data)
+
+    hmax = max(ch for _, ch, _ in comps)
+    vmax = max(cv for _, _, cv in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    pred = [0, 0, 0]
+    entropy = bytearray()
+    n_rst = 0
+    mcu_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                entropy += flush_bytes()
+                entropy += bytes([0xFF, 0xD0 + n_rst])
+                n_rst = (n_rst + 1) & 7
+                pred = [0, 0, 0]
+            for ci, (plane, ch, cv) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        block = plane[y0 : y0 + 8, x0 : x0 + 8]
+                        pred[ci] = encode_block(fdct_block(block), pred[ci])
+            mcu_idx += 1
+    entropy += flush_bytes()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))  # quant table 0: all ones
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (_, ch, cv) in zip((1, 2, 3), comps):
+        sof += bytes([cid, (ch << 4) | cv, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([3])
+    for cid in (1, 2, 3):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bytes(entropy) + b"\xff\xd9"
+    return out
+
+
 class TestPngGifDecoderProperties:
     @given(data=st.binary(max_size=300))
     @settings(max_examples=300, deadline=None)
@@ -560,6 +737,97 @@ class TestPngGifDecoderProperties:
                 ]
                 expect.append((sum(cells) // len(cells) - 128) / 128.0)
         assert feats == expect
+
+
+class TestJpegDecoderProperties:
+    TOL = 8  # coefficient rounding through DCT->IDCT + color transform
+
+    @given(data=st.binary(max_size=300))
+    @settings(max_examples=300, deadline=None)
+    def test_decoder_never_raises_on_arbitrary_bytes(self, data):
+        from spark_binlog_spark.functions.multimodal import _jpeg_pixels
+
+        out = _jpeg_pixels(b"\xff\xd8" + data)
+        assert out is None or (len(out) == 3 and out[0] > 0 and out[1] > 0)
+        assert _jpeg_pixels(data) is None or data[:2] == b"\xff\xd8"
+
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 20),
+        seed=st.integers(0, 2**31),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_444_roundtrip_within_tolerance(self, w, h, seed):
+        """With all-ones quant tables the only loss is coefficient
+        rounding: every decoded channel lands within TOL of the
+        source."""
+        from spark_binlog_spark.functions.multimodal import _jpeg_pixels
+
+        rng = [(seed * (i + 3) * 2654435761) % 256 for i in range(w * h * 3)]
+        img = [
+            [tuple(rng[(r * w + c) * 3 : (r * w + c) * 3 + 3]) for c in range(w)]
+            for r in range(h)
+        ]
+        got = _jpeg_pixels(_jpeg_encode(img))
+        assert got is not None
+        assert (got[0], got[1]) == (w, h)
+        for r in range(h):
+            for c in range(w):
+                for ch in range(3):
+                    assert abs(got[2][r][c][ch] - img[r][c][ch]) <= self.TOL
+
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        seed=st.integers(0, 2**31),
+        restart=st.sampled_from([0, 1, 2]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_420_and_restart_roundtrip_on_gray_content(self, w, h, seed, restart):
+        """4:2:0 subsampling with r=g=b content: chroma is exactly 128
+        everywhere so subsampling is lossless and the decode must land
+        within the luma rounding tolerance — also exercises the
+        restart-marker resync path."""
+        from spark_binlog_spark.functions.multimodal import _jpeg_pixels
+
+        rng = [(seed * (i + 9) * 2654435761) % 256 for i in range(w * h)]
+        img = [[(rng[r * w + c],) * 3 for c in range(w)] for r in range(h)]
+        blob = _jpeg_encode(img, subsample=True, restart_interval=restart)
+        got = _jpeg_pixels(blob)
+        assert got is not None
+        assert (got[0], got[1]) == (w, h)
+        for r in range(h):
+            for c in range(w):
+                px = got[2][r][c]
+                # gray in, gray out (Cb=Cr=128 survive the round trip)
+                assert max(px) - min(px) <= 2
+                assert abs(px[0] - img[r][c][0]) <= self.TOL
+
+    def test_flat_color_is_dc_exact(self):
+        """A flat-color image has DC-only blocks: with quant 1 the
+        round trip is exact up to YCbCr<->RGB rounding (±1)."""
+        from spark_binlog_spark.functions.multimodal import _jpeg_pixels
+
+        for color in [(128, 128, 128), (200, 30, 90), (0, 0, 0), (255, 255, 255)]:
+            img = [[color] * 12 for _ in range(10)]
+            got = _jpeg_pixels(_jpeg_encode(img))
+            assert got is not None and (got[0], got[1]) == (12, 10)
+            for row in got[2]:
+                for px in row:
+                    assert all(abs(px[i] - color[i]) <= 1 for i in range(3))
+
+    def test_jpeg_feeds_the_feature_encoder_and_probe(self):
+        from spark_binlog_spark.functions.multimodal import (
+            _image_features_stdlib,
+            _probe_header,
+        )
+
+        img = [[((r * 37 + c * 11) % 256,) * 3 for c in range(16)] for r in range(16)]
+        blob = _jpeg_encode(img)
+        assert _probe_header(blob)[:3] == ("jpeg", 16, 16)
+        feats = _image_features_stdlib(blob)
+        assert feats is not None and len(feats) == 16
+        assert all(-1.0 <= x <= 1.0 for x in feats)
 
 
 class TestBm25ScoreProperties:
