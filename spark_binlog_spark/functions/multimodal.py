@@ -8,12 +8,15 @@ per the public specs), PNG (chunk walk + stdlib ``zlib`` inflate +
 None/Sub/Up/Average/Paeth scanline unfiltering), GIF (variable-width
 LZW + interlace reorder), baseline JPEG (T.81 sequential: Huffman
 entropy decode, dequant, numpy inverse DCT, 4:2:0/4:2:2 upsampling,
-restart markers), and PCM WAV audio (stdlib ``wave``) — deterministic
-and pinned by tests in this container (integer-luma 4×4 box-average
-features for images; JPEG property-tested against a spec-correct
-encoder with bounded rounding tolerance).  Only exotic image variants
-(progressive JPEG, 16-bit/interlaced PNG) and compressed audio
-(FLAC/OGG/MP3) still run behind executor-side import-tries
+restart markers), PCM WAV audio (stdlib ``wave``), and the compressed
+WAV families (G.711 mu-law/A-law per the public tables, IMA/DVI
+ADPCM per the public step algorithm) — deterministic and pinned by
+tests in this container (integer-luma 4×4 box-average features for
+images; JPEG property-tested against a spec-correct encoder with
+bounded rounding tolerance; G.711 pinned to the spec anchor values).
+Only exotic image variants (progressive JPEG, 16-bit/interlaced PNG)
+and frame-compressed audio (FLAC/OGG/MP3) still run behind
+executor-side import-tries
 (PIL / soundfile — neither ships here): with the libs installed
 ``extract_features(fake=False)`` produces real features from the
 identical plan; without them those formats raise the clearly-marked
@@ -856,12 +859,151 @@ def _wav_features_stdlib(content: bytes) -> list[float] | None:
     return (flat + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
 
 
+def _wav_chunks(content: bytes):
+    """RIFF/WAVE chunk walk shared by the compressed-WAV decoders:
+    returns (fmt_fields, data_bytes) or None.  fmt_fields =
+    (audio_format, channels, sample_rate, block_align,
+    bits_per_sample)."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    fmt = data = None
+    i = 12
+    n = len(content)
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        (clen,) = struct.unpack_from("<I", content, i + 4)
+        body = content[i + 8 : i + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            tag, ch, rate = struct.unpack_from("<HHI", body, 0)
+            block_align, bits = struct.unpack_from("<HH", body, 12)
+            fmt = (tag, ch, rate, block_align, bits)
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        return None
+    return fmt, data
+
+
+def _ulaw_expand(b: int) -> int:
+    """G.711 mu-law byte -> linear PCM16 (the spec's inverse transform:
+    bias 0x84, 3-bit exponent segment, 4-bit mantissa)."""
+    u = ~b & 0xFF
+    sign, exp, mant = u & 0x80, (u >> 4) & 7, u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return -mag if sign else mag
+
+
+def _alaw_expand(b: int) -> int:
+    """G.711 A-law byte -> linear PCM16 (toggle 0x55, segmented)."""
+    a = b ^ 0x55
+    sign, exp, mant = a & 0x80, (a >> 4) & 7, a & 0x0F
+    if exp == 0:
+        mag = (mant << 4) + 8
+    else:
+        mag = ((mant << 4) + 0x108) << (exp - 1)
+    return -mag if sign else mag
+
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_adpcm_step(nibble: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step (the public DVI/IMA algorithm):
+    returns (new predictor, new step index)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nibble & 7]))
+    return pred, index
+
+
+def _compressed_wav_features_stdlib(content: bytes) -> list[float] | None:
+    """Dependency-free decode of the compressed WAV families stdlib
+    ``wave`` rejects: G.711 mu-law (format tag 7) and A-law (tag 6)
+    per the public G.711 tables, and IMA/DVI ADPCM (tag 0x11) per the
+    public IMA algorithm (4-byte-per-channel block headers carrying
+    the initial predictor/step index, then 4-bit nibbles, low nibble
+    first, interleaved in 4-byte channel runs).  First FEATURE_DIM
+    channel-0 samples normalized to [-1, 1), zero-padded."""
+    import struct
+
+    parsed = _wav_chunks(content)
+    if parsed is None:
+        return None
+    (tag, nch, _rate, block_align, bits), data = parsed
+    if nch < 1:
+        return None
+    if tag in (6, 7):
+        if bits != 8:
+            return None
+        expand = _alaw_expand if tag == 6 else _ulaw_expand
+        samples = [expand(b) for b in data[: FEATURE_DIM * nch]][::nch]
+        flat = [s / 32768.0 for s in samples]
+        return (flat + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+    if tag == 0x11:
+        if bits != 4 or block_align < 4 * nch:
+            return None
+        out: list[float] = []
+        pos = 0
+        while len(out) < FEATURE_DIM and pos + block_align <= len(data):
+            block = data[pos : pos + block_align]
+            pos += block_align
+            # channel-0 header: predictor int16, step index, reserved
+            pred, index = struct.unpack_from("<hB", block, 0)
+            if index > 88:
+                return None
+            out.append(pred / 32768.0)  # header predictor IS sample 0
+            # data nibbles: channels interleaved in 4-byte runs; walk
+            # channel 0's runs only
+            run = 0
+            i = 4 * nch
+            while i < len(block) and len(out) < FEATURE_DIM:
+                if nch > 1 and (run // 4) % nch != 0:
+                    i += 1
+                    run += 1
+                    continue
+                byte = block[i]
+                for nib in (byte & 0x0F, byte >> 4):
+                    pred, index = _ima_adpcm_step(nib, pred, index)
+                    out.append(pred / 32768.0)
+                    if len(out) >= FEATURE_DIM:
+                        break
+                i += 1
+                run += 1
+        if not out:
+            return None
+        return (out + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+    return None
+
+
 def _real_audio_features(content: bytes) -> list[float] | None:
-    """Audio encoder: stdlib-``wave`` WAV decode first (always
-    available — a real, non-stub decode path even in this container),
-    then the soundfile import-try for every other format.  First
-    FEATURE_DIM samples, zero-padded."""
+    """Audio encoder: stdlib-``wave`` PCM WAV decode first, then the
+    dependency-free G.711/IMA-ADPCM WAV decoders (formats ``wave``
+    rejects), then the soundfile import-try for everything else.
+    First FEATURE_DIM samples, zero-padded."""
     wav = _wav_features_stdlib(content)
+    if wav is not None:
+        return wav
+    wav = _compressed_wav_features_stdlib(content)
     if wav is not None:
         return wav
     try:

@@ -830,6 +830,162 @@ class TestJpegDecoderProperties:
         assert all(-1.0 <= x <= 1.0 for x in feats)
 
 
+def _wav_bytes(tag, nch, rate, bits, block_align, data):
+    """Minimal RIFF/WAVE writer for the compressed-audio tests."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", tag, nch, rate, rate * block_align, block_align, bits)
+    out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
+
+class TestCompressedWavDecoders:
+    def test_g711_spec_anchor_values(self):
+        """The canonical G.711 anchors: mu-law 0xFF/0x7F are plus and
+        minus zero, 0x80/0x00 are the 16-bit extremes +/-32124; A-law
+        0x55/0xD5 are +/-8, 0x2A/0xAA the extremes +/-32256."""
+        from spark_binlog_spark.functions.multimodal import _alaw_expand, _ulaw_expand
+
+        assert _ulaw_expand(0xFF) == 0 and _ulaw_expand(0x7F) == 0
+        assert _ulaw_expand(0x80) == 32124 and _ulaw_expand(0x00) == -32124
+        assert _alaw_expand(0x55) == 8 and _alaw_expand(0xD5) == -8
+        assert _alaw_expand(0x2A) == 32256 and _alaw_expand(0xAA) == -32256
+
+    def test_g711_monotone_and_symmetric(self):
+        """Within each sign the expanded magnitudes are strictly
+        monotone in the code's (exponent, mantissa), and the negative
+        half mirrors the positive half exactly."""
+        from spark_binlog_spark.functions.multimodal import _alaw_expand, _ulaw_expand
+
+        for expand, pos_codes, neg_codes in (
+            # mu-law: positive codes 0xFF..0x80 ascending magnitude
+            (_ulaw_expand, [0xFF - i for i in range(128)], [0x7F - i for i in range(128)]),
+            # A-law: positive = sign bit SET after XOR... enumerate by value
+            (_alaw_expand, None, None),
+        ):
+            if pos_codes is None:
+                vals = [expand(b) for b in range(256)]
+                pos = sorted(v for v in vals if v > 0)
+                neg = sorted(-v for v in vals if v < 0)
+                assert pos == neg  # exact mirror
+                assert len(set(pos)) == len(pos)  # strictly monotone
+            else:
+                pos = [expand(b) for b in pos_codes]
+                neg = [-expand(b) for b in neg_codes]
+                assert pos == neg
+                assert all(a < b for a, b in zip(pos, pos[1:]))
+
+    def test_g711_wav_decodes_like_manual_expand(self):
+        from spark_binlog_spark.functions.multimodal import (
+            FEATURE_DIM,
+            _compressed_wav_features_stdlib,
+            _ulaw_expand,
+        )
+
+        codes = bytes((i * 37) % 256 for i in range(FEATURE_DIM))
+        wav = _wav_bytes(7, 1, 8000, 8, 1, codes)
+        feats = _compressed_wav_features_stdlib(wav)
+        assert feats == [_ulaw_expand(b) / 32768.0 for b in codes]
+        # stereo: only channel 0's samples are taken
+        inter = bytes(
+            x for pair in zip(codes, bytes(FEATURE_DIM)) for x in pair
+        )
+        wav2 = _wav_bytes(7, 2, 8000, 8, 2, inter)
+        assert _compressed_wav_features_stdlib(wav2) == feats
+
+    def test_ima_adpcm_matches_independent_simulation(self):
+        """Decode a hand-built mono ADPCM block and compare against an
+        independent transcription of the public IMA step algorithm."""
+        import struct
+
+        from spark_binlog_spark.functions.multimodal import (
+            FEATURE_DIM,
+            _IMA_INDEX_ADJ,
+            _IMA_STEPS,
+            _compressed_wav_features_stdlib,
+        )
+
+        nibbles = [(i * 7 + 3) % 16 for i in range(30)]
+        packed = bytes(
+            (nibbles[i] | (nibbles[i + 1] << 4)) for i in range(0, len(nibbles), 2)
+        )
+        pred0, idx0 = 1000, 20
+        block = struct.pack("<hBB", pred0, idx0, 0) + packed
+        wav = _wav_bytes(0x11, 1, 8000, 4, len(block), block)
+        got = _compressed_wav_features_stdlib(wav)
+
+        exp = [pred0 / 32768.0]
+        pred, index = pred0, idx0
+        for nib in nibbles:
+            step = _IMA_STEPS[index]
+            diff = (step >> 3) + (step >> 2 if nib & 1 else 0) \
+                + (step >> 1 if nib & 2 else 0) + (step if nib & 4 else 0)
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
+            exp.append(pred / 32768.0)
+        assert got == (exp + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+
+    def test_ima_adpcm_tracks_a_slow_ramp(self):
+        """End-quality contract: a canonical test-side IMA ENCODER over
+        a slow ramp decodes back within a few quantization steps."""
+        import struct
+
+        from spark_binlog_spark.functions.multimodal import (
+            _IMA_INDEX_ADJ,
+            _IMA_STEPS,
+            _compressed_wav_features_stdlib,
+        )
+
+        # genuinely slow ramp: +2/sample stays inside the initial step
+        # sizes, so the codec tracks without an adaptation transient
+        src = [2 * i for i in range(15)]
+        pred, index = src[0], 0
+        nibbles = []
+        for s in src[1:]:
+            step = _IMA_STEPS[index]
+            diff = s - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            # decoder-mirror update
+            d = (step >> 3) + (step >> 2 if nib & 1 else 0) \
+                + (step >> 1 if nib & 2 else 0) + (step if nib & 4 else 0)
+            pred = pred - d if nib & 8 else pred + d
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        packed = bytes(
+            nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+        )
+        block = struct.pack("<hBB", src[0], 0, 0) + packed
+        wav = _wav_bytes(0x11, 1, 8000, 4, len(block), block)
+        got = _compressed_wav_features_stdlib(wav)
+        for i, s in enumerate(src):
+            assert abs(got[i] * 32768.0 - s) <= 16, (i, got[i] * 32768.0, s)
+
+    @given(data=st.binary(max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_never_raises_on_arbitrary_bytes(self, data):
+        from spark_binlog_spark.functions.multimodal import (
+            _compressed_wav_features_stdlib,
+        )
+
+        for blob in (data, b"RIFF" + data, _wav_bytes(0x11, 1, 8000, 4, 8, data[:40])):
+            out = _compressed_wav_features_stdlib(blob)
+            assert out is None or len(out) == 16
+
+
 class TestBm25ScoreProperties:
     @staticmethod
     def _score(n, tf, T, df, dl):
