@@ -8,15 +8,18 @@ per the public specs), PNG (chunk walk + stdlib ``zlib`` inflate +
 None/Sub/Up/Average/Paeth scanline unfiltering), GIF (variable-width
 LZW + interlace reorder), baseline JPEG (T.81 sequential: Huffman
 entropy decode, dequant, numpy inverse DCT, 4:2:0/4:2:2 upsampling,
-restart markers), PCM WAV audio (stdlib ``wave``), and the compressed
+restart markers), PCM WAV audio (stdlib ``wave``), the compressed
 WAV families (G.711 mu-law/A-law per the public tables, IMA/DVI
-ADPCM per the public step algorithm) — deterministic and pinned by
-tests in this container (integer-luma 4×4 box-average features for
-images; JPEG property-tested against a spec-correct encoder with
-bounded rounding tolerance; G.711 pinned to the spec anchor values).
-Only exotic image variants (progressive JPEG, 16-bit/interlaced PNG)
-and frame-compressed audio (FLAC/OGG/MP3) still run behind
-executor-side import-tries
+ADPCM per the public step algorithm), and FLAC (frame-header parse,
+constant/verbatim/fixed/LPC subframes, rice-coded residuals, stereo
+decorrelation — lossless integer math, bit-exact) — deterministic and
+pinned by tests in this container (integer-luma 4×4 box-average
+features for images; JPEG property-tested against a spec-correct
+encoder with bounded rounding tolerance; G.711 pinned to the spec
+anchor values; FLAC round-tripped bit-exactly against a spec-correct
+writer).  Only exotic image variants (progressive JPEG,
+16-bit/interlaced PNG) and perceptual audio (OGG/MP3) still run
+behind executor-side import-tries
 (PIL / soundfile — neither ships here): with the libs installed
 ``extract_features(fake=False)`` produces real features from the
 identical plan; without them those formats raise the clearly-marked
@@ -995,15 +998,243 @@ def _compressed_wav_features_stdlib(content: bytes) -> list[float] | None:
     return None
 
 
+class _FlacBits:
+    """MSB-first bit reader for the FLAC stream (raises IndexError at
+    end of data — the caller's try/except turns that into None)."""
+
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes, bytepos: int):
+        self.data = data
+        self.bitpos = bytepos * 8
+
+    def read(self, n: int) -> int:
+        v = 0
+        d = self.data
+        p = self.bitpos
+        if (p + n - 1) >> 3 >= len(d):
+            raise IndexError("flac: out of data")
+        for _ in range(n):
+            v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.bitpos = p
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise IndexError("flac: runaway unary")
+        return q
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_residual(bits: _FlacBits, blocksize: int, order: int) -> list[int]:
+    """Rice-coded residual per the FLAC format spec: 2-bit method
+    (0 = 4-bit rice params, 1 = 5-bit), 4-bit partition order,
+    2^order partitions, escape code = raw verbatim bits."""
+    method = bits.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual method")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    porder = bits.read(4)
+    nparts = 1 << porder
+    if blocksize % nparts:
+        raise ValueError("flac: blocksize not divisible by partitions")
+    out: list[int] = []
+    for p in range(nparts):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("flac: bad partition layout")
+        param = bits.read(plen)
+        if param == escape:
+            raw = bits.read(5)
+            for _ in range(n):
+                out.append(bits.read_signed(raw) if raw else 0)
+        else:
+            for _ in range(n):
+                q = bits.read_unary()
+                r = bits.read(param) if param else 0
+                zz = (q << param) | r
+                out.append((zz >> 1) ^ -(zz & 1))  # un-zigzag
+    return out
+
+
+def _flac_subframe(bits: _FlacBits, blocksize: int, bps: int) -> list[int]:
+    """One subframe per the spec: padding bit, 6-bit type, wasted-bits
+    unary; constant / verbatim / fixed(0-4) / LPC(1-32)."""
+    if bits.read(1):
+        raise ValueError("flac: subframe padding bit set")
+    ftype = bits.read(6)
+    wasted = 0
+    if bits.read(1):
+        wasted = 1 + bits.read_unary()
+    eff = bps - wasted
+    if ftype == 0:  # CONSTANT
+        v = bits.read_signed(eff)
+        samples = [v] * blocksize
+    elif ftype == 1:  # VERBATIM
+        samples = [bits.read_signed(eff) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # FIXED, order = ftype - 8
+        order = ftype - 8
+        samples = [bits.read_signed(eff) for _ in range(order)]
+        resid = _flac_residual(bits, blocksize, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        for e in resid:
+            pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs))
+            samples.append(pred + e)
+    elif ftype >= 32:  # LPC, order = ftype - 31
+        order = ftype - 31
+        samples = [bits.read_signed(eff) for _ in range(order)]
+        prec = bits.read(4) + 1
+        if prec == 16:
+            raise ValueError("flac: invalid lpc precision")
+        shift = bits.read_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative lpc shift")
+        coefs = [bits.read_signed(prec) for _ in range(order)]
+        resid = _flac_residual(bits, blocksize, order)
+        for e in resid:
+            pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs)) >> shift
+            samples.append(pred + e)
+    else:
+        raise ValueError("flac: reserved subframe type")
+    return [s << wasted for s in samples]
+
+
+_FLAC_BLOCKSIZES = [
+    0, 192, 576, 1152, 2304, 4608, -1, -2, 256, 512, 1024, 2048, 4096,
+    8192, 16384, 32768,
+]
+
+
+def _flac_features_stdlib(content: bytes) -> list[float] | None:
+    """Dependency-free FLAC decode per the public format spec
+    (xiph.org): STREAMINFO walk, frame-header parse, constant /
+    verbatim / fixed / LPC subframes with rice-coded residuals, and
+    left-side / right-side / mid-side stereo decorrelation — FLAC is
+    lossless integer arithmetic end to end, so decode is bit-exact.
+    First FEATURE_DIM channel-0 samples normalized by 2^(bps-1).
+    CRCs are consumed, not verified (features, not archival).  Only
+    the first frame is read (FEATURE_DIM << any real blocksize)."""
+    if content[:4] != b"fLaC":
+        return None
+    try:
+        # ---- metadata blocks: need STREAMINFO's bps fallback
+        i = 4
+        si_bps = None
+        while True:
+            if i + 4 > len(content):
+                return None
+            last = content[i] & 0x80
+            btype = content[i] & 0x7F
+            blen = int.from_bytes(content[i + 1 : i + 4], "big")
+            if btype == 0 and blen >= 18:  # STREAMINFO
+                body = content[i + 4 : i + 4 + blen]
+                # layout from byte 10: 20 bits rate | 3 bits channels-1
+                # | 5 bits bps-1 | 36 bits total samples — bps-1 spans
+                # byte 12's low bit and byte 13's high nibble
+                si_bps = (((body[12] & 0x01) << 4) | (body[13] >> 4)) + 1
+            i += 4 + blen
+            if last:
+                break
+        bits = _FlacBits(content, i)
+        # ---- frame header
+        if bits.read(14) != 0x3FFE:
+            return None
+        bits.read(1)  # reserved
+        bits.read(1)  # blocking strategy
+        bs_code = bits.read(4)
+        sr_code = bits.read(4)
+        ch_code = bits.read(4)
+        ss_code = bits.read(3)
+        bits.read(1)  # reserved
+        # UTF-8-coded frame/sample number: first byte tells the length
+        first = bits.read(8)
+        extra = 0
+        if first >= 0xC0:
+            b = first
+            while b & 0x40:
+                extra += 1
+                b <<= 1
+        for _ in range(extra):
+            bits.read(8)
+        if bs_code == 0:
+            return None
+        blocksize = _FLAC_BLOCKSIZES[bs_code]
+        if blocksize == -1:
+            blocksize = bits.read(8) + 1
+        elif blocksize == -2:
+            blocksize = bits.read(16) + 1
+        if sr_code == 12:
+            bits.read(8)
+        elif sr_code in (13, 14):
+            bits.read(16)
+        elif sr_code == 15:
+            return None
+        bps_map = {0: si_bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+        bps = bps_map.get(ss_code)
+        if bps is None:
+            return None
+        bits.read(8)  # header CRC-8 (consumed, not verified)
+        # ---- subframes + stereo decorrelation
+        if ch_code <= 7:
+            nch = ch_code + 1
+            chans = []
+            for _c in range(nch):
+                chans.append(_flac_subframe(bits, blocksize, bps))
+            ch0 = chans[0]
+        elif ch_code == 8:  # left-side: ch0 = left
+            left = _flac_subframe(bits, blocksize, bps)
+            _side = _flac_subframe(bits, blocksize, bps + 1)
+            ch0 = left
+        elif ch_code == 9:  # right-side: ch0 = right + side
+            side = _flac_subframe(bits, blocksize, bps + 1)
+            right = _flac_subframe(bits, blocksize, bps)
+            ch0 = [r + s for r, s in zip(right, side)]
+        elif ch_code == 10:  # mid-side: mid = (L+R)>>1 (side LSB lost),
+            # side = L-R; reconstruct L = ((mid<<1 | side&1) + side) >> 1
+            mid = _flac_subframe(bits, blocksize, bps)
+            side = _flac_subframe(bits, blocksize, bps + 1)
+            ch0 = [(((m << 1) | (s & 1)) + s) >> 1 for m, s in zip(mid, side)]
+        else:
+            return None
+        scale = float(1 << (bps - 1))
+        flat = [s / scale for s in ch0[:FEATURE_DIM]]
+        return (flat + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+    except (IndexError, ValueError):
+        return None  # untrusted bytes: malformed is None, never a raise
+
+
 def _real_audio_features(content: bytes) -> list[float] | None:
     """Audio encoder: stdlib-``wave`` PCM WAV decode first, then the
-    dependency-free G.711/IMA-ADPCM WAV decoders (formats ``wave``
-    rejects), then the soundfile import-try for everything else.
-    First FEATURE_DIM samples, zero-padded."""
+    dependency-free G.711/IMA-ADPCM WAV and FLAC decoders (formats
+    ``wave`` can't parse), then the soundfile import-try for
+    everything else.  First FEATURE_DIM samples, zero-padded."""
     wav = _wav_features_stdlib(content)
     if wav is not None:
         return wav
     wav = _compressed_wav_features_stdlib(content)
+    if wav is not None:
+        return wav
+    wav = _flac_features_stdlib(content)
     if wav is not None:
         return wav
     try:

@@ -986,6 +986,247 @@ class TestCompressedWavDecoders:
             assert out is None or len(out) == 16
 
 
+class _FlacWriter:
+    """Minimal spec-correct FLAC writer for the tests: STREAMINFO +
+    one frame, any subframe type, rice or escaped residuals, the
+    three stereo decorrelation modes, wasted bits."""
+
+    def __init__(self):
+        self.bits: list[tuple[int, int]] = []
+
+    def put(self, n, v):
+        self.bits.append((n, v & ((1 << n) - 1)))
+
+    def put_signed(self, n, v):
+        self.put(n, v + (1 << n) if v < 0 else v)
+
+    def bytes_(self):
+        acc = nb = 0
+        out = bytearray()
+        for n, v in self.bits:
+            acc = (acc << n) | v
+            nb += n
+            while nb >= 8:
+                out.append((acc >> (nb - 8)) & 0xFF)
+                nb -= 8
+                acc &= (1 << nb) - 1
+        if nb:
+            out.append((acc << (8 - nb)) & 0xFF)
+        return bytes(out)
+
+    # --- subframe encoders -------------------------------------------
+    def subframe_constant(self, v, bps):
+        self.put(1, 0)
+        self.put(6, 0)
+        self.put(1, 0)
+        self.put_signed(bps, v)
+
+    def subframe_verbatim(self, samples, bps, wasted=0):
+        self.put(1, 0)
+        self.put(6, 1)
+        if wasted:
+            self.put(1, 1)
+            self.put(wasted - 1, 0)  # unary: (wasted-1) zeros ...
+            self.put(1, 1)  # ... then the terminating 1
+        else:
+            self.put(1, 0)
+        for s in samples:
+            self.put_signed(bps - wasted, s >> wasted)
+
+    def _rice_residual(self, resid, param, escape_raw=None):
+        self.put(2, 0)  # method 0: 4-bit params
+        self.put(4, 0)  # partition order 0
+        if escape_raw is not None:
+            self.put(4, 15)  # escape
+            self.put(5, escape_raw)
+            for e in resid:
+                self.put_signed(escape_raw, e)
+            return
+        self.put(4, param)
+        for e in resid:
+            zz = (e << 1) if e >= 0 else ((-e) << 1) - 1
+            q, r = zz >> param, zz & ((1 << param) - 1)
+            self.put(q, 0)  # q zero bits ...
+            self.put(1, 1)  # ... then the 1 terminator
+            if param:
+                self.put(param, r)
+
+    def subframe_fixed(self, samples, order, bps, param=4, escape_raw=None):
+        from spark_binlog_spark.functions.multimodal import _FLAC_FIXED_COEFS
+
+        self.put(1, 0)
+        self.put(6, 8 + order)
+        self.put(1, 0)
+        for s in samples[:order]:
+            self.put_signed(bps, s)
+        coefs = _FLAC_FIXED_COEFS[order]
+        resid = [
+            samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, len(samples))
+        ]
+        self._rice_residual(resid, param, escape_raw)
+
+    def subframe_lpc(self, samples, coefs, shift, prec, bps, param=4):
+        order = len(coefs)
+        self.put(1, 0)
+        self.put(6, 31 + order)
+        self.put(1, 0)
+        for s in samples[:order]:
+            self.put_signed(bps, s)
+        self.put(4, prec - 1)
+        self.put_signed(5, shift)
+        for c in coefs:
+            self.put_signed(prec, c)
+        resid = [
+            samples[i]
+            - (sum(c * samples[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+            for i in range(order, len(samples))
+        ]
+        self._rice_residual(resid, param)
+
+
+def _flac_bytes(writer_body, blocksize, bps, ch_code, rate=8000):
+    """Container: fLaC magic + STREAMINFO (last block) + one frame
+    whose subframe bits come from ``writer_body(w)``."""
+    import struct
+
+    si = struct.pack(">HH", blocksize, blocksize) + b"\x00" * 6
+    packed = (rate << 44) | ((0) << 41) | ((bps - 1) << 36) | blocksize
+    si += packed.to_bytes(8, "big") + b"\x00" * 16
+    head = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+    w = _FlacWriter()
+    w.put(14, 0x3FFE)
+    w.put(1, 0)
+    w.put(1, 0)
+    w.put(4, 6)  # blocksize: 8-bit value at end
+    w.put(4, 4)  # sample rate code (table value; decoder skips)
+    w.put(4, ch_code)
+    w.put(3, 4)  # 16-bit samples
+    w.put(1, 0)
+    w.put(8, 0x00)  # UTF-8 frame number 0
+    w.put(8, blocksize - 1)  # the 8-bit blocksize
+    w.put(8, 0)  # header CRC-8 (consumed, not verified)
+    writer_body(w)
+    return head + w.bytes_()
+
+
+class TestFlacDecoderProperties:
+    @given(data=st.binary(max_size=300))
+    @settings(max_examples=300, deadline=None)
+    def test_never_raises_on_arbitrary_bytes(self, data):
+        from spark_binlog_spark.functions.multimodal import _flac_features_stdlib
+
+        for blob in (data, b"fLaC" + data):
+            out = _flac_features_stdlib(blob)
+            assert out is None or len(out) == 16
+
+    @given(seed=st.integers(0, 2**31), n=st.integers(16, 64))
+    @settings(max_examples=100, deadline=None)
+    def test_verbatim_roundtrip_is_bit_exact(self, seed, n):
+        from spark_binlog_spark.functions.multimodal import _flac_features_stdlib
+
+        samples = [((seed * (i + 17) * 2654435761) % 65536) - 32768 for i in range(n)]
+        blob = _flac_bytes(
+            lambda w: w.subframe_verbatim(samples, 16), n, 16, ch_code=0
+        )
+        got = _flac_features_stdlib(blob)
+        assert got == [s / 32768.0 for s in samples[:16]]
+
+    @given(
+        seed=st.integers(0, 2**31),
+        order=st.integers(0, 4),
+        param=st.integers(0, 10),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_fixed_predictor_roundtrip_all_orders(self, seed, order, param):
+        """FLAC is lossless: any fixed order with any rice parameter
+        reconstructs the samples bit-exactly."""
+        from spark_binlog_spark.functions.multimodal import _flac_features_stdlib
+
+        n = 24
+        # smooth-ish signal so residuals stay small at any order
+        samples = [
+            (seed % 1000) + 3 * i + ((seed >> 4) * (i + 1) % 7) for i in range(n)
+        ]
+        blob = _flac_bytes(
+            lambda w: w.subframe_fixed(samples, order, 16, param=param),
+            n, 16, ch_code=0,
+        )
+        got = _flac_features_stdlib(blob)
+        assert got == [s / 32768.0 for s in samples[:16]]
+
+    def test_lpc_escape_wasted_and_constant(self):
+        from spark_binlog_spark.functions.multimodal import _flac_features_stdlib
+
+        n = 20
+        samples = [100 + 7 * i - (i * i) % 13 for i in range(n)]
+        # LPC order 2, shift 2, coefs ~ 2x - x^2-ish
+        blob = _flac_bytes(
+            lambda w: w.subframe_lpc(samples, [7, -3], 2, prec=6, bps=16),
+            n, 16, ch_code=0,
+        )
+        assert _flac_features_stdlib(blob) == [s / 32768.0 for s in samples[:16]]
+        # escaped (verbatim-bits) residual partition
+        blob = _flac_bytes(
+            lambda w: w.subframe_fixed(samples, 1, 16, escape_raw=12),
+            n, 16, ch_code=0,
+        )
+        assert _flac_features_stdlib(blob) == [s / 32768.0 for s in samples[:16]]
+        # wasted bits: all samples share 2 trailing zero bits
+        shifted = [s << 2 for s in samples]
+        blob = _flac_bytes(
+            lambda w: w.subframe_verbatim(shifted, 16, wasted=2),
+            n, 16, ch_code=0,
+        )
+        assert _flac_features_stdlib(blob) == [s / 32768.0 for s in shifted[:16]]
+        # constant subframe
+        blob = _flac_bytes(
+            lambda w: w.subframe_constant(-1234, 16), n, 16, ch_code=0
+        )
+        assert _flac_features_stdlib(blob) == [-1234 / 32768.0] * 16
+
+    @given(seed=st.integers(0, 2**31), mode=st.sampled_from([8, 9, 10]))
+    @settings(max_examples=60, deadline=None)
+    def test_stereo_decorrelation_reconstructs_left(self, seed, mode):
+        """left-side / right-side / mid-side frames must all hand back
+        the true LEFT channel as channel 0."""
+        from spark_binlog_spark.functions.multimodal import _flac_features_stdlib
+
+        n = 20
+        L = [((seed * (i + 5) * 40503) % 4096) - 2048 for i in range(n)]
+        R = [((seed * (i + 11) * 69069) % 4096) - 2048 for i in range(n)]
+        side = [left - r for left, r in zip(L, R)]
+
+        def body(w):
+            if mode == 8:  # left-side: left (bps), side (bps+1)
+                w.subframe_verbatim(L, 16)
+                w.subframe_verbatim(side, 17)
+            elif mode == 9:  # right-side: side (bps+1), right (bps)
+                w.subframe_verbatim(side, 17)
+                w.subframe_verbatim(R, 16)
+            else:  # mid-side: mid (bps), side (bps+1)
+                mid = [(left + r) >> 1 for left, r in zip(L, R)]
+                w.subframe_verbatim(mid, 16)
+                w.subframe_verbatim(side, 17)
+
+        blob = _flac_bytes(body, n, 16, ch_code=mode)
+        got = _flac_features_stdlib(blob)
+        assert got == [s / 32768.0 for s in L[:16]]
+
+    def test_flac_feeds_the_audio_feature_encoder(self):
+        from spark_binlog_spark.functions.multimodal import (
+            _flac_features_stdlib,
+            _real_audio_features,
+        )
+
+        samples = [300 * i - 2000 for i in range(20)]
+        blob = _flac_bytes(
+            lambda w: w.subframe_verbatim(samples, 16), 20, 16, ch_code=0
+        )
+        assert _real_audio_features(blob) == _flac_features_stdlib(blob) is not None
+
+
 class TestBm25ScoreProperties:
     @staticmethod
     def _score(n, tf, T, df, dl):
