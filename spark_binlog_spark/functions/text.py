@@ -63,6 +63,67 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The published Gopher document-quality rule battery (Rae et al.
+    2021, appendix A) as one JVM-only scan — per-document boolean
+    flags plus the conjunctive ``keep``:
+
+      * 50 <= word count <= 100,000
+      * mean word length in [3, 10] characters
+      * symbol-to-word ratio < 0.1 for both '#' and '...'
+      * < 90% of lines start with a bullet ('-' or '*')
+      * < 30% of lines end with an ellipsis
+      * >= 80% of words contain at least one alphabetic character
+      * at least 2 distinct Gopher stopwords present
+        (the/be/to/of/and/that/have/with)
+
+    Every test is an INTEGER comparison (a < b/10 becomes 10*a < b),
+    so Spark and any oracle engine agree bit-for-bit — the same
+    fixed-point discipline as the other text scorers.  One projection,
+    no shuffle, no Python: the standard first-pass corpus filter at
+    any scale."""
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    word_chars = F.length(t) - (n_words - 1)  # spaces removed
+    n_hash = F.size(F.split(t, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(t, r"\.\.\.", -1)) - 1
+    bullet_lines = F.size(
+        F.filter(lines, lambda x: x.startswith("-") | x.startswith("*"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda x: x.endswith("...")))
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]")))
+    stop_distinct = F.size(
+        F.array_intersect(
+            F.array_distinct(w), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    flags = {
+        "word_count_ok": (n_words >= 50) & (n_words <= 100000),
+        "mean_word_len_ok": (word_chars >= 3 * n_words)
+        & (word_chars <= 10 * n_words),
+        "hash_ratio_ok": 10 * n_hash < n_words,
+        "ellipsis_ratio_ok": 10 * n_ellipsis < n_words,
+        "bullet_lines_ok": 10 * bullet_lines < 9 * n_lines,
+        "ellipsis_lines_ok": 10 * ellipsis_lines < 3 * n_lines,
+        "alpha_words_ok": 5 * alpha_words >= 4 * n_words,
+        "stopwords_ok": stop_distinct >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col("doc_id"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + regex (BPE-ish) token count."""
     t = F.col(text_col)

@@ -1679,6 +1679,61 @@ SELECT doc_id, lang, bucket4 FROM b WHERE bucket4 < {_rates_case_sql()}
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality-rule battery (Rae et al. 2021,
+    appendix A) over the corpus: per-document boolean flags for word
+    count, mean word length, #/ellipsis symbol ratios, bullet/ellipsis
+    line ratios, alphabetic-word fraction and stopword presence, plus
+    the conjunctive keep — the standard first-pass pre-training filter,
+    integer-exact in one JVM-only scan (functions/text.py
+    gopher_rules)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_rules(docs)
+
+
+ORACLE["q_gopher_rules"] = """
+WITH f AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS ws,
+         string_split(text, chr(10)) AS ls,
+         length(text) AS n_chars,
+         len(string_split(text, '#')) - 1 AS n_hash,
+         len(string_split(text, '...')) - 1 AS n_ell
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         n_chars - (len(ws) - 1) AS word_chars,
+         n_hash, n_ell,
+         len(ls) AS n_lines,
+         len(list_filter(ls, x -> x LIKE '-%' OR x LIKE '*%')) AS bullet_lines,
+         len(list_filter(ls, x -> x LIKE '%...')) AS ell_lines,
+         len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_words,
+         len(list_intersect(list_distinct(ws),
+             ['the','be','to','of','and','that','have','with'])) AS stop_distinct
+  FROM f
+)
+SELECT doc_id,
+       n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+       word_chars >= 3 * n_words AND word_chars <= 10 * n_words AS mean_word_len_ok,
+       10 * n_hash < n_words AS hash_ratio_ok,
+       10 * n_ell < n_words AS ellipsis_ratio_ok,
+       10 * bullet_lines < 9 * n_lines AS bullet_lines_ok,
+       10 * ell_lines < 3 * n_lines AS ellipsis_lines_ok,
+       5 * alpha_words >= 4 * n_words AS alpha_words_ok,
+       stop_distinct >= 2 AS stopwords_ok,
+       (n_words >= 50 AND n_words <= 100000)
+         AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+         AND (10 * n_hash < n_words)
+         AND (10 * n_ell < n_words)
+         AND (10 * bullet_lines < 9 * n_lines)
+         AND (10 * ell_lines < 3 * n_lines)
+         AND (5 * alpha_words >= 4 * n_words)
+         AND (stop_distinct >= 2) AS keep
+FROM g
+"""
+
+
 def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language QUALITY PRUNING: drop each language's bottom
     quartile by length — the percentile-threshold filter stage of a

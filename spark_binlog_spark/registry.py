@@ -139,6 +139,7 @@ TAIL = [
     "q_stratified_sample",
     "q_exact_sample",
     "q_quality_prune",
+    "q_gopher_rules",           # r6 new: full Gopher-rule battery
     "q_token_shards",
     "q_stream_incremental_dedup",
     "q_stream_scd2",            # r6 new: incremental SCD2 maintenance sink
