@@ -547,3 +547,52 @@ def cross_source_dup_matrix(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .agg(F.countDistinct(F.col("a.fp48")).alias("n_shared_fp"))
     )
+
+
+def line_dedup_rebuild(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style CORPUS-WIDE line deduplication with document
+    reassembly (Raffel et al. 2020 §2.2 "we discard all but one of
+    any three-sentence span occurring more than once" — applied here
+    at line granularity, the common open-source variant): a line is
+    kept only in its FIRST occurrence across the whole corpus (lowest
+    (doc_id, line_no)); every document is rebuilt from its surviving
+    lines in order.  Documents whose lines all lose are dropped.
+
+    Plan: one explode to (doc_id, line_no, line), ONE shuffle keyed on
+    the normalized line hash (h48 inline in the scan projection) with
+    a min_by pick of the winning occurrence, then ONE shuffle back on
+    doc_id with a sort_array(collect_list(struct)) reassembly — the
+    standard distributed rebuild pattern, no window over the corpus,
+    no n² anything.  At 100 TB both shuffles are content-keyed and
+    AQE-splittable; the struct carried through the rebuild is (int,
+    line) — the full text never rides the line-hash shuffle."""
+    lines = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    keyed = lines.select(
+        "doc_id",
+        "line_no",
+        "line",
+        h48(F.regexp_replace(F.lower(F.col("line")), "\\s+", " ")).alias("lh"),
+    )
+    # winner per line hash: lexicographically smallest (doc_id, line_no)
+    winners = keyed.groupBy("lh").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("w")
+    ).select("lh", F.col("w.doc_id").alias("wdoc"), F.col("w.line_no").alias("wline"))
+    kept = keyed.join(winners, "lh").filter(
+        (F.col("doc_id") == F.col("wdoc")) & (F.col("line_no") == F.col("wline"))
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_lines_kept"),
+        )
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from spark_binlog_spark.cdc import load_table
 from spark_binlog_spark.functions import dedup, multimodal, similarity, text
+from spark_binlog_spark.functions.hashing import h48_sql
 
 ORACLE: dict[str, str] = {}
 
@@ -1676,6 +1677,44 @@ WITH b AS (
   FROM documents
 )
 SELECT doc_id, lang, bucket4 FROM b WHERE bucket4 < {_rates_case_sql()}
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style CORPUS-WIDE line dedup + document rebuild: a line
+    survives only at its first (doc_id, line_no) occurrence across the
+    whole corpus; documents are reassembled from their surviving lines
+    (functions/dedup.py line_dedup_rebuild — one content-keyed shuffle
+    to pick winners, one doc-keyed shuffle to rebuild; the full text
+    never rides the line-hash shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.line_dedup_rebuild(docs)
+
+
+_LINE_H48 = h48_sql(r"regexp_replace(lower(e.line), '\s+', ' ', 'g')")
+
+ORACLE["q_line_dedup"] = f"""
+WITH parts AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents
+),
+ls AS (
+  SELECT doc_id,
+         unnest([{{'ln': i - 1, 'line': ps[i]}} for i in generate_series(1, len(ps))]) AS e
+  FROM parts
+),
+k AS (
+  SELECT doc_id, e.ln AS line_no, e.line AS line,
+         {_LINE_H48} AS lh
+  FROM ls
+),
+k2 AS (
+  SELECT *, row_number() OVER (PARTITION BY lh ORDER BY doc_id, line_no) AS rn
+  FROM k
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY line_no) AS clean_text,
+       count(*) AS n_lines_kept
+FROM k2 WHERE rn = 1 GROUP BY doc_id
 """
 
 

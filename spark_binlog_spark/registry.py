@@ -140,6 +140,7 @@ TAIL = [
     "q_exact_sample",
     "q_quality_prune",
     "q_gopher_rules",           # r6 new: full Gopher-rule battery
+    "q_line_dedup",             # r6 new: C4-style corpus line dedup + rebuild
     "q_token_shards",
     "q_stream_incremental_dedup",
     "q_stream_scd2",            # r6 new: incremental SCD2 maintenance sink
