@@ -262,6 +262,49 @@ class TestTrainingDataOps:
             plan = _physical(fn(spark, SF_TEST))
             assert "Exchange SinglePartition" not in plan, fn.__name__
 
+    def test_gopher_rules_is_one_scan_no_shuffle(self, spark):
+        """q_gopher_rules: the whole rule battery is a single corpus
+        scan projection — no Exchange, no join, no Python eval."""
+        from spark_binlog_spark.queries_ext import q_gopher_rules
+
+        plan = _physical(q_gopher_rules(spark, SF_TEST))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert plan.count("Scan parquet") == 1
+
+    def test_line_dedup_two_content_shuffles_no_global_order(self, spark):
+        """q_line_dedup: winner pick shuffles on the line hash,
+        reassembly on doc_id — content-keyed hash exchanges only; no
+        cartesian, no global-order window, no sort-merge explosion on
+        the full text (the struct carried is (line_no, line) keyed by
+        doc)."""
+        from spark_binlog_spark.queries_ext import q_line_dedup
+
+        plan = _physical(q_line_dedup(spark, SF_TEST))
+        assert "CartesianProduct" not in plan
+        assert "Exchange SinglePartition" not in plan
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_stream_scd2_history_single_fold_shuffle(self, spark, tmp_path):
+        """Scd2HistorySink.history(): ONE groupBy(key, valid_from)
+        hash exchange over the store — no window, no join, no
+        single-partition stage."""
+        from spark_binlog_spark.streaming.scd2_sink import Scd2HistorySink
+
+        sink = Scd2HistorySink(spark, str(tmp_path / "store"))
+        sink(
+            spark.createDataFrame(
+                [(1, 10.0, 1, "insert"), (2, 20.0, 2, "insert")],
+                "pk long, value double, cdc_offset long, op string",
+            ),
+            0,
+        )
+        plan = _physical(sink.history())
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Exchange SinglePartition" not in plan
+        assert "Join" not in plan
+
     def test_bm25_broadcasts_small_relations_reuses_tf(self, spark):
         """q_bm25_search: query-term table, df table, and the 1-row
         totals broadcast; the persisted (doc, term) relation feeds tf,
