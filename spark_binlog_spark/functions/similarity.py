@@ -896,3 +896,58 @@ def pq_topk_with_recall(
         "pcos4",
         F.coalesce(F.col("in_exact"), F.lit(0)).cast("long").alias("in_exact"),
     )
+
+
+def power_iteration_projection(
+    df: DataFrame,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    scale: int = 100,
+) -> DataFrame:
+    """Distributed POWER ITERATION over the corpus Gram matrix — the
+    dominant-eigenvector projection (1-D PCA without centering), the
+    embedding-space analysis primitive behind whitening, dominant-
+    direction removal, and spectral diagnostics of an embedding table.
+
+    The iterative-linear-algebra member of the driver-loop family
+    (kmeans_train: centroid fixpoint; min_label_components: label
+    fixpoint; this: eigenvector fixpoint): each iteration is ONE
+    corpus aggregation w[i] = Σ_rows q[i]·(q·v) — never a dim×dim
+    matrix materialization, never a row×row product — and only the
+    dim-sized w vector reaches the driver (a plan step, exactly like
+    the kmeans centroid collect).
+
+    Exactness across engines: vectors are the standard floor(x·10^6)
+    quantization; per-row products stay inside int64 (|q| ≤ 10^6,
+    |v| ≤ scale) and the corpus sum is accumulated as decimal(38,0)
+    (DuckDB sums BIGINT into HUGEINT — same headroom); the driver
+    renormalizes v to ``floor(|w|·scale / max|w|)`` in exact Python
+    integer arithmetic with sign applied AFTER the truncating
+    division, which is the form the oracle reproduces (Spark ``div``
+    truncates toward zero while DuckDB ``//`` floors — they agree
+    only on non-negative operands, hence the sign-magnitude dance).
+
+    Returns (vec_id, projection) with projection = q · v_final —
+    integer, bit-equal on any engine."""
+    base = with_quantized(df, vec_col).select("vec_id", "q")
+    dim = _vec_dim(df, vec_col)
+    v = [1] * dim
+    for _ in range(iterations):
+        varr = F.array(*[F.lit(int(x)) for x in v])
+        d = base.select("q", int_dot(F.col("q"), varr).alias("d"))
+        rows = (
+            d.select(F.posexplode("q").alias("i", "qi"), "d")
+            .groupBy("i")
+            .agg(F.sum((F.col("qi") * F.col("d")).cast("decimal(38,0)")).alias("w"))
+            .collect()  # dim scalars to the driver — a plan step
+        )
+        w = {int(r["i"]): int(r["w"]) for r in rows}
+        wl = [w.get(i, 0) for i in range(dim)]
+        m = max(abs(x) for x in wl) or 1
+        v = [
+            -((-x) * scale // m) if x < 0 else (x * scale // m) for x in wl
+        ]
+    varr = F.array(*[F.lit(int(x)) for x in v])
+    return base.select(
+        "vec_id", int_dot(F.col("q"), varr).cast("long").alias("projection")
+    )

@@ -227,6 +227,61 @@ SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, cosine4 FROM ranked WHERE 
 """
 
 
+def q_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-eigenvector projection via distributed POWER ITERATION
+    (similarity.power_iteration_projection): two Gram-matvec rounds —
+    each ONE corpus aggregation, dim scalars to the driver — then one
+    integer projection pass.  The iterative-linear-algebra class
+    (eigenvector fixpoint) beside kmeans (centroid) and connected
+    components (label), exact across engines via quantized vectors,
+    decimal-safe sums, and sign-magnitude truncating renormalization."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.power_iteration_projection(emb, iterations=2)
+
+
+ORACLE["q_power_projection"] = f"""
+WITH quant AS ({_QUANT_SQL}),
+v0 AS (SELECT [CAST(1 AS BIGINT) for i in generate_series(1, 64)] AS v),
+d1 AS (
+  SELECT q, CAST(list_sum([q[i] * v[i] for i in generate_series(1, 64)]) AS HUGEINT) AS d
+  FROM quant, v0
+),
+w1 AS (
+  SELECT i, sum(CAST(q[i] AS HUGEINT) * d) AS w
+  FROM d1 CROSS JOIN generate_series(1, 64) AS g(i)
+  GROUP BY i
+),
+v1 AS (
+  SELECT list_transform(
+           list(w ORDER BY i),
+           w -> CAST(CASE WHEN w < 0 THEN -(((-w) * 100) // m)
+                          ELSE (w * 100) // m END AS BIGINT)) AS v
+  FROM w1, (SELECT greatest(max(abs(w)), 1) AS m FROM w1) mm
+  GROUP BY m
+),
+d2 AS (
+  SELECT q, CAST(list_sum([q[i] * v[i] for i in generate_series(1, 64)]) AS HUGEINT) AS d
+  FROM quant, v1
+),
+w2 AS (
+  SELECT i, sum(CAST(q[i] AS HUGEINT) * d) AS w
+  FROM d2 CROSS JOIN generate_series(1, 64) AS g(i)
+  GROUP BY i
+),
+v2 AS (
+  SELECT list_transform(
+           list(w ORDER BY i),
+           w -> CAST(CASE WHEN w < 0 THEN -(((-w) * 100) // m)
+                          ELSE (w * 100) // m END AS BIGINT)) AS v
+  FROM w2, (SELECT greatest(max(abs(w)), 1) AS m FROM w2) mm
+  GROUP BY m
+)
+SELECT vec_id,
+       CAST(list_sum([q[i] * v[i] for i in generate_series(1, 64)]) AS BIGINT) AS projection
+FROM quant, v2
+"""
+
+
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-3 (sign bits of first 4 dims = 16 buckets)."""
     emb = load_table(spark, sf_dir, "embeddings")

@@ -152,6 +152,7 @@ TAIL = [
     "q_stream_embedding_search",
     "q_embedding_dedup_multitable",
     "q_sq8_topk",
+    "q_power_projection",       # r6 new: power-iteration eigen projection
     "q_repeated_spans",
     "q_lm_familiarity",
     "q_bpe_merges",
