@@ -1033,6 +1033,63 @@ SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank, rrf FROM ranked WHERE rnk 
 """
 
 
+def q_stream_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval SERVED ENTIRELY FROM STREAMING STORES: the
+    documents table streams into the InvertedIndexSink (sparse side)
+    and the embeddings table streams into the sign-LSH embedding
+    admission sink (dense side) — two real two-batch availableNow
+    Structured Streaming ingests — then reciprocal-rank fusion runs
+    over the two MAINTAINED indexes: BM25 top-10 off the term-bucketed
+    postings store, ANN top-10 off the published bucket index
+    (bucket-collision candidacy, exact quantized cosine), fused with
+    the same integer RRF as the batch q_hybrid_search.  The full RAG
+    serving stack with zero batch recompute: both stores are written
+    by streams and read by the query."""
+    import os
+
+    from spark_binlog_spark.streaming.embedding_sink import (
+        run_embedding_neardup_ingest,
+    )
+    from spark_binlog_spark.streaming.inverted_index import run_inverted_index
+    from pyspark.sql import Window
+
+    docs_dir = _parity_batches(sf_dir, "hybinvidx_ingest_")
+    d1 = os.path.dirname(docs_dir)
+    dschema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sparse = run_inverted_index(
+        spark, docs_dir, os.path.join(d1, "store"), os.path.join(d1, "ck"), dschema
+    )
+    vecs_dir = _parity_batches(sf_dir, "hybemb_ingest_", "embeddings", "vec_id")
+    d2 = os.path.dirname(vecs_dir)
+    eschema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    dense = run_embedding_neardup_ingest(
+        spark, vecs_dir, os.path.join(d2, "store"), os.path.join(d2, "ck"), eschema,
+        min_cosine4=5000, planes=4, n_tables=2,
+    )
+    queries = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 3
+    )
+    bm = sparse.bm25(BM25_QUERIES, k=10).select(
+        "query_id", "doc_id", F.expr("1000000 div (60 + rank)").alias("s")
+    )
+    dn = dense.search_topk(queries, k=10).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.expr("1000000 div (60 + rank)").alias("s"),
+    )
+    fused = (
+        bm.unionByName(dn)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").cast("long").alias("rrf"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", F.col("rank").cast("long").alias("rank"), "rrf")
+    )
+
+
 def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus boilerplate dictionary: 3-gram shingles appearing in >= 2
     distinct documents (the CCNet-style pre-pass a cleaning job
@@ -1469,6 +1526,46 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, cosine4 FROM ranked WHERE rnk <= 5
+"""
+
+
+# defined here (not beside its query fn) because it reuses _EMB_ADM_CTES,
+# which is declared just above
+ORACLE["q_stream_hybrid_search"] = f"""
+WITH bm AS ({_bm25_oracle_sql(k=10)}),
+{_EMB_ADM_CTES},
+adm AS (SELECT vec_id FROM adm0 UNION ALL SELECT vec_id FROM adm1),
+idx AS (SELECT b.* FROM base b JOIN adm ON b.vec_id = adm.vec_id),
+qs AS (SELECT * FROM base WHERE vec_id < 3),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, i.vec_id
+  FROM qs q JOIN idx i
+    ON (q.b0 = i.b0 OR q.b1 = i.b1) AND q.vec_id <> i.vec_id
+),
+dscored AS (
+  SELECT c.query_id, c.vec_id,
+         {_COS4.format(a='a', b='b', an='norm', bn='norm')} AS cosine4
+  FROM cand c JOIN base a ON a.vec_id = c.query_id JOIN base b ON b.vec_id = c.vec_id
+),
+dn AS (
+  SELECT query_id, vec_id, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine4 DESC, vec_id) AS rnk
+    FROM dscored) WHERE rnk <= 10
+),
+parts AS (
+  SELECT query_id, doc_id, 1000000 // (60 + rank) AS s FROM bm
+  UNION ALL
+  SELECT query_id, vec_id AS doc_id, 1000000 // (60 + rnk) AS s FROM dn
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS rrf
+  FROM parts GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+  FROM fused
+)
+SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank, rrf FROM ranked WHERE rnk <= 5
 """
 
 

@@ -161,6 +161,7 @@ TAIL = [
     "q_compressibility",
     "q_vocab_coverage",
     "q_bm25_search",
+    "q_stream_hybrid_search",   # r6 new: RRF served from both streaming stores
     "q_fingerprint",            # r5 late swap-out (fn covered by dedup rows)
     "q_source_dup_matrix",
     "q_change_counts_windowed",
