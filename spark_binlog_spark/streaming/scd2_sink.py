@@ -176,9 +176,23 @@ class Scd2HistorySink:
                 if n == 0:
                     self.applied_batches.append((batch_id, 0))
                     return
+                # compact BEFORE publish — the opposite order from the
+                # admission sinks, and load-bearing: this sink's replay
+                # guard is the deterministic d_b<id> delta name, and a
+                # post-publish compaction could drain and prune THAT
+                # delta before the checkpoint commits the batch.  A
+                # crash in that window would make the redelivery's
+                # delta_exists check miss and re-apply the batch
+                # against a store that already contains it (closures
+                # would then close the batch's own versions BACKWARD).
+                # Compacting first only ever merges deltas of
+                # already-committed batches, so d_b<id> survives until
+                # batch_id itself is committed and can never be
+                # redelivered again.  (The inverted-index sink solves
+                # the same hazard with marker files instead.)
+                self.store.maybe_compact(buckets)
                 self.store.publish(out, self.cols, batch_id, delta_name=delta)
                 self.applied_batches.append((batch_id, n))
-                self.store.maybe_compact(buckets)
             finally:
                 out.unpersist()
         finally:

@@ -1810,6 +1810,32 @@ class TestScd2Sink:
             spark, self.BATCH0 + self.BATCH1
         )
 
+    def test_replay_after_compaction_stays_idempotent(self, spark, tmp_path):
+        """Compaction must never eat the CURRENT batch's deterministic
+        d_b<id> delta (the replay guard): with compact_threshold=1
+        every batch triggers compaction, older deltas drain into
+        d_compact_*, but each batch's own delta survives its call — so
+        a redelivery of the latest batch (crash before checkpoint
+        commit) is still a no-op and history stays exact."""
+        import os
+
+        from spark_binlog_spark.streaming.scd2_sink import Scd2HistorySink
+
+        store = str(tmp_path / "store")
+        sink = Scd2HistorySink(spark, store, n_buckets=1, compact_threshold=1)
+        sink(self._batch(spark, self.BATCH0), 0)
+        sink(self._batch(spark, self.BATCH1), 1)
+        # batch 1's compaction merged batch 0's delta away; batch 1's
+        # own delta must still exist under its deterministic name
+        assert os.path.isdir(os.path.join(store, "d_b1"))
+        # crash-before-commit: batch 1 is redelivered to a fresh sink
+        sink2 = Scd2HistorySink(spark, store, n_buckets=1, compact_threshold=1)
+        sink2(self._batch(spark, self.BATCH1), 1)
+        assert sink2.applied_batches == [(1, 0)]  # no-op replay
+        assert {tuple(r) for r in sink2.history().collect()} == self._expected(
+            spark, self.BATCH0 + self.BATCH1
+        )
+
     def test_batch_reads_only_its_key_buckets(self, spark, tmp_path):
         """The open-version probe must read only the bucket dirs the
         batch's own keys hash into — the pruning receipt, same contract
