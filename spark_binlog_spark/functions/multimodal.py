@@ -239,12 +239,20 @@ def _png_pixels(data: bytes):
         or (color == 3 and not palette)
     ):
         return None
+    stride = width * channels
+    need = height * (stride + 1)
+    # resource guards for untrusted bytes: reject dimension lies that
+    # can't fit the deflate stream's maximum ~1032:1 expansion before
+    # inflating anything, and bound the inflater's output to exactly
+    # the raster size so a crafted zip bomb cannot balloon memory
+    if need > 1100 * len(idat) + (1 << 16):
+        return None
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), need)
     except zlib.error:
         return None
-    stride = width * channels
-    if len(raw) < height * (stride + 1):
+    if len(raw) < need:
         return None
     rows_bytes: list[bytearray] = []
     pos = 0
@@ -465,6 +473,13 @@ def _jpeg_pixels(data: bytes):
             elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline sequential
                 prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
+                    return None
+                # resource guard for untrusted bytes: a hostile SOF can
+                # claim 65535x65535 (a multi-GB plane allocation).  A
+                # real scan needs at least ~2 bits of entropy data per
+                # 8x8 block, so dimensions wildly beyond the blob size
+                # are a lie — reject before allocating anything.
+                if (w * h) // 64 > 8 * len(data):
                     return None
                 comps = []
                 for c in range(nc):

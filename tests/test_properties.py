@@ -816,6 +816,50 @@ class TestJpegDecoderProperties:
                 for px in row:
                     assert all(abs(px[i] - color[i]) <= 1 for i in range(3))
 
+    def test_hostile_dimension_claims_rejected_cheaply(self):
+        """Resource-bomb guards: a tiny blob claiming a 65535x65535
+        JPEG frame, and a tiny PNG IDAT claiming a huge raster, must
+        both return None WITHOUT attempting the implied multi-GB
+        allocation (the untrusted-bytes contract extended to memory)."""
+        import struct
+        import zlib
+
+        from spark_binlog_spark.functions.multimodal import (
+            _jpeg_pixels,
+            _png_pixels,
+        )
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+        sof = struct.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0])
+        bomb = (
+            b"\xff\xd8"
+            + seg(0xDB, bytes([0]) + bytes([1] * 64))
+            + seg(0xC0, sof)
+            + seg(0xC4, bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12)))
+            + seg(0xC4, bytes([0x10]) + bytes([0] * 8 + [255, 1] + [0] * 6) + bytes(range(256)))
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + b"\x00" * 16
+        )
+        assert _jpeg_pixels(bomb) is None
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body))
+            )
+
+        png_bomb = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 20000, 20000, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + chunk(b"IEND", b"")
+        )
+        assert _png_pixels(png_bomb) is None
+
     def test_jpeg_feeds_the_feature_encoder_and_probe(self):
         from spark_binlog_spark.functions.multimodal import (
             _image_features_stdlib,
