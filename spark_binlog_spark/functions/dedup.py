@@ -596,3 +596,73 @@ def line_dedup_rebuild(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.count("*").cast("long").alias("n_lines_kept"),
         )
     )
+
+
+# Bloom-filter decontamination constants — ONE definition shared by the
+# Spark operator and the DuckDB oracle (a drifting pair silently breaks
+# parity).  Seeds live in their own namespace (>= 1000) so no bloom
+# position ever aliases a MinHash permutation hash.
+BLOOM_M = 1 << 22          # filter width in bits
+BLOOM_K = 4                # hash functions per gram
+BLOOM_SEEDS = [1000 + i for i in range(BLOOM_K)]
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination through a BLOOM FILTER instead of the
+    exact gram-hash set (``decontaminate``): the benchmark's grams set
+    K=4 seeded h48-mod-M bit positions in a fixed M=2^22-bit filter; a
+    training gram is flagged iff ALL K of its positions are set.  This
+    is the constant-size variant you deploy when the eval suite grows
+    past comfortable broadcast size — the filter is M bits forever, and
+    the false-positive rate is the classical (1-e^{-Kn/M})^K, which
+    only ever OVER-flags (safe direction for decontamination).
+
+    Determinism: both engines derive positions as h48(gram#seed) mod M
+    from md5, so the filter — including its false positives — is
+    bit-identical in Spark and the DuckDB oracle.
+
+    Scale shape: the benchmark side collapses to DISTINCT set-bit
+    positions (<= K * |bench grams| rows of one int, independent of
+    benchmark text size) and is BROADCAST; the corpus side is ONE scan
+    exploding each gram into K position probes, a map-side join, and a
+    (doc, gram)-keyed count==K verdict — the only shuffle carries the
+    surviving probe hits, never corpus text.
+
+    Output: one row per FLAGGED doc — (doc_id, n_flagged = distinct
+    grams whose K bits all hit, n_grams, flagged4).
+    """
+    def positions(shingle: Column) -> Column:
+        return F.array(*[(h48(shingle, seed=s) % BLOOM_M) for s in BLOOM_SEEDS])
+
+    bench_bits = (
+        doc_shingles(benchmark, text_col, n)
+        .select(F.explode(positions(F.col("shingle"))).alias("bit"))
+        .distinct()
+    )
+    probes = doc_shingles(spread_small_input(docs), text_col, n).select(
+        "doc_id",
+        h48(F.col("shingle")).alias("sh_h"),
+        F.explode(positions(F.col("shingle"))).alias("bit"),
+    )
+    gram_hits = (
+        probes.join(F.broadcast(bench_bits), "bit")
+        .groupBy("doc_id", "sh_h")
+        .agg(F.count("*").alias("k_hit"))
+        .filter(F.col("k_hit") == BLOOM_K)
+    )
+    flagged = gram_hits.groupBy("doc_id").agg(F.count("*").alias("n_flagged"))
+    sizes = docs.select(
+        F.col("doc_id"),
+        F.size(shingles(F.col(text_col), n)).cast("long").alias("n_grams"),
+    )
+    f4 = (
+        F.floor(F.col("n_flagged").cast("double") / F.col("n_grams").cast("double") * 10000)
+        .cast("long")
+        .alias("flagged4")
+    )
+    return flagged.join(sizes, "doc_id").select("doc_id", "n_flagged", "n_grams", f4)

@@ -337,7 +337,12 @@ class _JpegBitReader:
         if self.bits == 0 and not self._fill():
             return None
         self.bits -= 1
-        return (self.acc >> self.bits) & 1
+        v = (self.acc >> self.bits) & 1
+        # Drop consumed high bits so acc stays a few bytes wide — an
+        # unbounded accumulator makes each read O(stream) bigint work
+        # (quadratic over a multi-MB entropy segment).
+        self.acc &= (1 << self.bits) - 1
+        return v
 
     def read_bits(self, n: int) -> int | None:
         v = 0
@@ -922,7 +927,9 @@ def _alaw_expand(b: int) -> int:
         mag = (mant << 4) + 8
     else:
         mag = ((mant << 4) + 0x108) << (exp - 1)
-    return -mag if sign else mag
+    # G.711 sign convention: after the 0x55 toggle a SET sign bit means
+    # POSITIVE (canonical g711.c: alaw2linear(0xD5) == +8, 0x55 == -8).
+    return mag if sign else -mag
 
 
 _IMA_STEPS = [

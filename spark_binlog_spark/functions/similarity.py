@@ -951,3 +951,75 @@ def power_iteration_projection(
     return base.select(
         "vec_id", int_dot(F.col("q"), varr).cast("long").alias("projection")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    n_centroids: int = 8,
+    threshold4: int = 5000,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    deduplication by clustering the embedding space and removing
+    near-duplicates WITHIN each cluster — the step that makes
+    embedding dedup tractable at corpus scale, because the quadratic
+    pair search runs per-cluster, never corpus-wide.
+
+    Drop rule (deterministic, order-free): a vector is dropped iff some
+    SMALLER-id vector in the SAME cluster has quantized cosine >=
+    ``threshold4``.  This is the pessimistic superset of the paper's
+    greedy representative sweep — embarrassingly parallel, no
+    sequential scan-order dependence (the chain-following variant is
+    ``min_label_components`` in functions/dedup.py, already exposed via
+    q_dedup_canonical).
+
+    Scale shape: centroid assignment is one broadcast of n_centroids
+    rows + one corpus pass (assign_to_centroids); the pair search is a
+    self-join keyed ON the cluster id, so both sides co-partition on
+    one shuffle and no pair crosses clusters.  At 100 TB you grow
+    n_centroids proportionally to the corpus (SemDeDup's own recipe:
+    ~sqrt(N) clusters), keeping per-cluster work bounded; the drop
+    verdict needs only a left-semi join probe, so the dropped set is
+    never wider than (vec_id).
+
+    Returns (vec_id, centroid_id, keep) for EVERY vector — keep=false
+    marks semantic duplicates.
+
+    The assignment relation is PERSISTED: it feeds both sides of the
+    pair join and the final verdict join, and without the persist the
+    centroid argmax (a per-vector window shuffle) would run three
+    times — materializing cluster assignments once is also exactly
+    what the SemDeDup pipeline does at production scale.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    base = with_quantized(df, vec_col)
+    assigned = assign_to_centroids(base, seed_centroids(base, n_centroids)).drop(
+        "c4"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = assigned.alias("a")
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("q").alias("bq"),
+        F.col("norm").alias("bnorm"),
+        F.col("centroid_id").alias("b_cent"),
+    ).alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.b_cent"))
+            & (F.col("b.b_id") < F.col("a.vec_id")),
+        )
+        .filter(
+            cosine4(int_dot(F.col("a.q"), F.col("b.bq")), F.col("a.norm"), F.col("b.bnorm"))
+            >= threshold4
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"),
+    )

@@ -72,7 +72,11 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     flags plus the conjunctive ``keep``:
 
       * 50 <= word count <= 100,000
-      * mean word length in [3, 10] characters
+      * mean word length in [3, 10] characters — computed over
+        WHITESPACE-delimited words (explicit ``[ \\t\\n\\r]`` class so
+        Spark/Java and DuckDB/RE2 regexes agree), with every separator
+        char excluded from the character total; a newline-separated
+        document no longer counts the newline as a word character
       * symbol-to-word ratio < 0.1 for both '#' and '...'
       * < 90% of lines start with a bullet ('-' or '*')
       * < 30% of lines end with an ellipsis
@@ -90,7 +94,15 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_words = F.size(w)
     lines = F.split(t, "\n")
     n_lines = F.size(lines)
-    word_chars = F.length(t) - (n_words - 1)  # spaces removed
+    # Mean-word-length operands: whitespace-delimited words and the
+    # text length with ALL separator chars removed (not just the single
+    # spaces `words()` splits on — Rae et al. appendix A is about words,
+    # and newlines are separators, not word characters).
+    ws_words = F.filter(
+        F.split(t, "[ \\t\\n\\r]+"), lambda x: x != F.lit("")
+    )
+    n_ws_words = F.size(ws_words)
+    word_chars = F.length(F.regexp_replace(t, "[ \\t\\n\\r]", ""))
     n_hash = F.size(F.split(t, "#", -1)) - 1
     n_ellipsis = F.size(F.split(t, r"\.\.\.", -1)) - 1
     bullet_lines = F.size(
@@ -105,8 +117,8 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     flags = {
         "word_count_ok": (n_words >= 50) & (n_words <= 100000),
-        "mean_word_len_ok": (word_chars >= 3 * n_words)
-        & (word_chars <= 10 * n_words),
+        "mean_word_len_ok": (word_chars >= 3 * n_ws_words)
+        & (word_chars <= 10 * n_ws_words),
         "hash_ratio_ok": 10 * n_hash < n_words,
         "ellipsis_ratio_ok": 10 * n_ellipsis < n_words,
         "bullet_lines_ok": 10 * bullet_lines < 9 * n_lines,
@@ -742,4 +754,94 @@ def bm25_topk(
         per_doc.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", F.col("rank").cast("long").alias("rank"), "bm25s")
+    )
+
+
+# Sequence-packing length — ONE constant shared with the DuckDB oracle.
+SEQ_LEN = 2048
+
+
+def sequence_pack(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """GPT-style SEQUENCE PACKING layout: documents are concatenated in
+    (source, doc_id) order and chunked into fixed SEQ_LEN-token
+    training sequences; each document learns which packs it lands in.
+
+    Per document: its whitespace token count, its starting token offset
+    within its source's concatenated stream (exclusive running sum),
+    and the first/last pack index it touches — ``pack_last - pack_first``
+    > 0 means the document straddles a pack boundary and will be split
+    at tokenization time.  This is the shard-layout planning step of a
+    tokenize-and-pack pipeline, computed BEFORE any tokenizer runs.
+
+    Scale shape: ONE window shuffle keyed on source — exactly how
+    production packers run, one ordered stream per source shard; no
+    global order is ever imposed across sources.  Everything is integer
+    arithmetic on token counts, so any engine agrees bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.col(text_col), "\\s+")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    out = df.select("doc_id", "source", toks.alias("n_tokens")).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start.alias("start_offset"),
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        (F.col("start_offset") / SEQ_LEN).cast("long").alias("pack_first"),
+        ((F.col("start_offset") + F.col("n_tokens") - 1) / SEQ_LEN)
+        .cast("long")
+        .alias("pack_last"),
+    )
+
+
+# Hashed-linear quality-classifier constants — shared with the oracle.
+QC_SEED = 7
+QC_RANGE = 2001  # weights span [-1000, 1000]
+
+
+def quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hashed-feature LINEAR QUALITY CLASSIFIER (the fastText-style
+    bag-of-words scorer used as a pre-training quality gate): each word
+    indexes a deterministic weight w(word) = h48(word#7) mod 2001 -
+    1000, the document score is the mean weight, and keep = score >= 0.
+
+    The weight table is IMPLICIT — derived from the hash, so there is
+    no vocabulary to broadcast and the scorer is one JVM-only
+    projection (the shape of serving a real exported linear model whose
+    weights you'd look up the same way, hashed into a fixed-size
+    table).  Deterministic across engines: md5-derived integer weights,
+    integer sum, one floored division at the end.
+
+    Output: (doc_id, n_words, weight_sum, score4, keep) — score4 =
+    floor(10^4 * mean_weight / 1000), i.e. [-10000, 10000].
+    """
+    from spark_binlog_spark.functions.hashing import h48
+
+    w = words(F.col(text_col))
+    weight = lambda x: (h48(x, seed=QC_SEED) % QC_RANGE) - (QC_RANGE - 1) // 2
+    wsum = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + weight(x)
+    )
+    n = F.size(w).cast("long")
+    out = df.select(F.col("doc_id"), n.alias("n_words"), wsum.alias("weight_sum"))
+    score4 = F.floor(
+        F.col("weight_sum").cast("double") * 10.0 / F.col("n_words").cast("double")
+    ).cast("long")
+    return out.select(
+        "doc_id",
+        "n_words",
+        "weight_sum",
+        score4.alias("score4"),
+        (F.col("weight_sum") >= 0).alias("keep"),
     )

@@ -1887,14 +1887,16 @@ WITH f AS (
   SELECT doc_id,
          string_split(text, ' ') AS ws,
          string_split(text, chr(10)) AS ls,
-         length(text) AS n_chars,
+         len(list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
+             x -> x <> '')) AS n_ws_words,
+         length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS word_chars,
          len(string_split(text, '#')) - 1 AS n_hash,
          len(string_split(text, '...')) - 1 AS n_ell
   FROM documents
 ), g AS (
   SELECT doc_id,
          len(ws) AS n_words,
-         n_chars - (len(ws) - 1) AS word_chars,
+         n_ws_words, word_chars,
          n_hash, n_ell,
          len(ls) AS n_lines,
          len(list_filter(ls, x -> x LIKE '-%' OR x LIKE '*%')) AS bullet_lines,
@@ -1906,7 +1908,7 @@ WITH f AS (
 )
 SELECT doc_id,
        n_words >= 50 AND n_words <= 100000 AS word_count_ok,
-       word_chars >= 3 * n_words AND word_chars <= 10 * n_words AS mean_word_len_ok,
+       word_chars >= 3 * n_ws_words AND word_chars <= 10 * n_ws_words AS mean_word_len_ok,
        10 * n_hash < n_words AS hash_ratio_ok,
        10 * n_ell < n_words AS ellipsis_ratio_ok,
        10 * bullet_lines < 9 * n_lines AS bullet_lines_ok,
@@ -1914,7 +1916,7 @@ SELECT doc_id,
        5 * alpha_words >= 4 * n_words AS alpha_words_ok,
        stop_distinct >= 2 AS stopwords_ok,
        (n_words >= 50 AND n_words <= 100000)
-         AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+         AND (word_chars >= 3 * n_ws_words AND word_chars <= 10 * n_ws_words)
          AND (10 * n_hash < n_words)
          AND (10 * n_ell < n_words)
          AND (10 * bullet_lines < 9 * n_lines)
@@ -2619,3 +2621,151 @@ FROM ptop p LEFT JOIN etop e ON p.query_id = e.query_id AND p.vec_id = e.vec_id
 
 
 ORACLE["q_pq_topk"] = _pq_oracle_sql()
+
+
+# ---------------------------------------------------------------- semdedup
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    deterministic centroids, then drop any vector whose cluster holds a
+    smaller-id neighbor above cosine 0.5 — the per-cluster pair search
+    that makes semantic dedup tractable at corpus scale (the pair join
+    is keyed ON the cluster, never corpus-wide; functions/similarity.py
+    semdedup)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup(emb, n_centroids=8, threshold4=5000)
+
+
+ORACLE["q_semdedup"] = f"""
+WITH quant AS ({_QUANT_SQL}),
+base0 AS ({_NORM_SQL}),
+cents AS (SELECT vec_id AS centroid_id, q, norm FROM base0 WHERE vec_id < 8),
+assign_scored AS (
+  SELECT b.vec_id, b.q, b.norm, c.centroid_id,
+         {_COS4.format(a='b', b='c', an='norm', bn='norm')} AS c4
+  FROM base0 b CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, q, norm, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c4 DESC, centroid_id) AS rn
+    FROM assign_scored) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+  WHERE {_COS4.format(a='a', b='b', an='norm', bn='norm')} >= 5000
+)
+SELECT a.vec_id, CAST(a.centroid_id AS BIGINT) AS centroid_id,
+       d.vec_id IS NULL AS keep
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+# ---------------------------------------------------------------- bloom decontaminate
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the constant-memory variant of
+    q_decontaminate — benchmark grams set K=4 seeded bits in a fixed
+    2^22-bit filter, and a training gram is flagged iff all 4 of its
+    positions are set (false positives only ever OVER-flag, and both
+    engines derive identical md5 positions, so the oracle reproduces
+    them bit-for-bit; functions/dedup.py bloom_decontaminate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.bloom_decontaminate(corpus, bench, n=4)
+
+
+def _bloom_bits_sql(source_cte: str) -> str:
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {h48_sql('shingle')} AS sh_h, "
+        f"{h48_sql('shingle', seed=s)} % {dedup.BLOOM_M} AS bit FROM {source_cte}"
+        for s in dedup.BLOOM_SEEDS
+    )
+    return arms
+
+
+ORACLE["q_bloom_decontaminate"] = f"""
+WITH bsh AS ({_ngram_sql(4, "(SELECT * FROM documents WHERE doc_id % 97 = 0)")}),
+dsh AS ({_ngram_sql(4, "(SELECT * FROM documents WHERE doc_id % 97 != 0)")}),
+bbits AS (
+  SELECT DISTINCT bit FROM (
+{_bloom_bits_sql("bsh")}
+  )
+),
+probes AS (
+{_bloom_bits_sql("dsh")}
+),
+gram_hits AS (
+  SELECT p.doc_id, p.sh_h
+  FROM probes p JOIN bbits b ON p.bit = b.bit
+  GROUP BY p.doc_id, p.sh_h
+  HAVING count(*) = {dedup.BLOOM_K}
+),
+flagged AS (SELECT doc_id, count(*) AS n_flagged FROM gram_hits GROUP BY doc_id),
+gs AS (SELECT doc_id, count(*) AS n_grams FROM dsh GROUP BY doc_id)
+SELECT f.doc_id, f.n_flagged, g.n_grams,
+       CAST(floor(f.n_flagged / CAST(g.n_grams AS DOUBLE) * 10000) AS BIGINT) AS flagged4
+FROM flagged f JOIN gs g ON f.doc_id = g.doc_id
+"""
+
+
+# ---------------------------------------------------------------- sequence packing
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence-packing layout: concatenate each source's
+    documents in doc_id order, chunk into 2048-token training
+    sequences, and report every document's start offset and the
+    first/last pack it lands in — the shard-layout plan computed before
+    any tokenizer runs (one window shuffle keyed on source;
+    functions/text.py sequence_pack)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.sequence_pack(docs)
+
+
+ORACLE["q_sequence_pack"] = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM t
+)
+SELECT doc_id, source, n_tokens, start_offset,
+       start_offset // {text.SEQ_LEN} AS pack_first,
+       (start_offset + n_tokens - 1) // {text.SEQ_LEN} AS pack_last
+FROM o
+"""
+
+
+# ---------------------------------------------------------------- quality classifier
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier (fastText-style): each
+    word indexes a deterministic md5-derived weight, the document score
+    is the mean weight, keep = score >= 0 — the shape of serving an
+    exported linear quality model with a hashed weight table, one
+    JVM-only projection with no vocabulary broadcast (functions/text.py
+    quality_classifier)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_classifier(docs)
+
+
+ORACLE["q_quality_classifier"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(ws,
+           x -> {h48_sql('x', seed=text.QC_SEED)} % {text.QC_RANGE}
+                - {(text.QC_RANGE - 1) // 2})) AS BIGINT) AS weight_sum
+  FROM t
+)
+SELECT doc_id, n_words, weight_sum,
+       CAST(floor(CAST(weight_sum AS DOUBLE) * 10.0 / CAST(n_words AS DOUBLE)) AS BIGINT) AS score4,
+       weight_sum >= 0 AS keep
+FROM s
+"""

@@ -331,6 +331,59 @@ class TestTrainingDataOps:
         assert "SortMergeJoin" not in plan
         assert plan.count("BroadcastHashJoin") >= 2
 
+    def test_semdedup_persists_assignment_and_joins_on_cluster(self, spark):
+        """q_semdedup: the centroid set broadcasts, the pair search
+        joins keyed ON the cluster id (no cartesian pair explosion
+        across clusters), and the assignment relation is persisted so
+        the per-vector argmax window runs ONCE, not once per
+        reference."""
+        from spark_binlog_spark.queries_ext import q_semdedup
+
+        spark.catalog.clearCache()
+        plan = _physical(q_semdedup(spark, SF_TEST))
+        assert "CartesianProduct" not in plan
+        assert "InMemoryTableScan" in plan
+        assert "Exchange SinglePartition" not in plan
+        # all three assignment references read the SAME cached relation
+        # (the plan string re-prints the cached subtree per reference,
+        # but at runtime the argmax window computes once)
+        assert plan.count("InMemoryTableScan") >= 3
+
+    def test_bloom_decontaminate_broadcasts_filter_corpus_never_smj(self, spark):
+        """q_bloom_decontaminate: the set-bit position table and the
+        per-doc gram sizes broadcast; the training corpus must never
+        sort-merge — its only shuffle is the (doc, gram) verdict
+        aggregate."""
+        from spark_binlog_spark.queries_ext import q_bloom_decontaminate
+
+        plan = _physical(q_bloom_decontaminate(spark, SF_TEST))
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+        assert "Exchange SinglePartition" not in plan
+
+    def test_sequence_pack_single_source_window_shuffle(self, spark):
+        """q_sequence_pack: ONE hash exchange keyed on source feeding
+        the running-sum window — no global order, no join, no
+        single-partition stage."""
+        from spark_binlog_spark.queries_ext import q_sequence_pack
+
+        plan = _physical(q_sequence_pack(spark, SF_TEST))
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Exchange SinglePartition" not in plan
+        assert "Exchange rangepartitioning" not in plan
+        assert "Join" not in plan
+
+    def test_quality_classifier_pure_scan(self, spark):
+        """q_quality_classifier: the hashed weight table is implicit in
+        the expression — the whole scorer must be a single
+        scan-project with no exchange, no join, no Python."""
+        from spark_binlog_spark.queries_ext import q_quality_classifier
+
+        plan = _physical(q_quality_classifier(spark, SF_TEST))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "Python" not in plan
+
 
 class TestCodegen:
     def test_quality_features_jvm_only_columnar_scan(self, spark):

@@ -888,13 +888,14 @@ class TestCompressedWavDecoders:
     def test_g711_spec_anchor_values(self):
         """The canonical G.711 anchors: mu-law 0xFF/0x7F are plus and
         minus zero, 0x80/0x00 are the 16-bit extremes +/-32124; A-law
-        0x55/0xD5 are +/-8, 0x2A/0xAA the extremes +/-32256."""
+        0xD5/0x55 are +/-8, 0xAA/0x2A the extremes +/-32256 (sign bit
+        SET after the 0x55 toggle is POSITIVE, per canonical g711.c)."""
         from spark_binlog_spark.functions.multimodal import _alaw_expand, _ulaw_expand
 
         assert _ulaw_expand(0xFF) == 0 and _ulaw_expand(0x7F) == 0
         assert _ulaw_expand(0x80) == 32124 and _ulaw_expand(0x00) == -32124
-        assert _alaw_expand(0x55) == 8 and _alaw_expand(0xD5) == -8
-        assert _alaw_expand(0x2A) == 32256 and _alaw_expand(0xAA) == -32256
+        assert _alaw_expand(0xD5) == 8 and _alaw_expand(0x55) == -8
+        assert _alaw_expand(0xAA) == 32256 and _alaw_expand(0x2A) == -32256
 
     def test_g711_monotone_and_symmetric(self):
         """Within each sign the expanded magnitudes are strictly
