@@ -67,6 +67,16 @@ HEADLINE_V2 = [
     "q_hybrid_search",    # sparse+dense RRF fusion
     "q_scd2_history",     # SCD2 versioned history
     "q_corpus_report",    # per-(source,lang) corpus dashboard
+    # round-7 marquee (tracks the rotated graded prefix)
+    "q_stream_hybrid_search",  # RRF served from both streaming stores
+    "q_stream_scd2",      # incremental SCD2 maintenance sink read
+    "q_gopher_rules",     # full Gopher quality battery
+    "q_line_dedup",       # corpus line dedup + document rebuild
+    "q_power_projection", # power-iteration eigen projection
+    "q_semdedup",         # cluster-partitioned semantic dedup
+    "q_bloom_decontaminate",  # constant-memory bloom leakage sweep
+    "q_sequence_pack",    # training-sequence packing layout
+    "q_quality_classifier",   # hashed linear quality scorer
 ]
 
 

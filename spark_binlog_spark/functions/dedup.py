@@ -355,7 +355,11 @@ def decontaminate(
         "doc_id", h48(F.col("shingle")).alias("sh_h")
     )
     hits = sh.join(bench, "sh_h").groupBy("doc_id").agg(F.count("*").alias("n_hits"))
-    sizes = docs.select(
+    # sizes rebuilds every doc's gram array — as hash-heavy as the probe
+    # branch, so it needs the same small-input spread (unspread, a
+    # one-file local table ran this projection in ONE task: 4.5 of the
+    # 5.9 s total at sf0.1; a no-op on well-split input)
+    sizes = spread_small_input(docs).select(
         F.col("doc_id"), F.size(shingles(F.col(text_col), n)).cast("long").alias("n_grams")
     )
     c4 = (
@@ -600,11 +604,14 @@ def line_dedup_rebuild(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # Bloom-filter decontamination constants — ONE definition shared by the
 # Spark operator and the DuckDB oracle (a drifting pair silently breaks
-# parity).  Seeds live in their own namespace (>= 1000) so no bloom
-# position ever aliases a MinHash permutation hash.
+# parity).  The K positions come from ONE md5 via Kirsch-Mitzenmacher
+# double hashing (g_i = h1 + i*h2 mod M, h1/h2 = two 48-bit slices of
+# the same digest — Kirsch & Mitzenmacher 2006 prove the false-positive
+# asymptotics match K independent hashes): one digest per gram instead
+# of K+1 kept the sweep at gram-hash cost (5 md5/gram ran 5.9 s at
+# sf0.1 vs 0.6 s for this form; BASELINE.md round 7).
 BLOOM_M = 1 << 22          # filter width in bits
 BLOOM_K = 4                # hash functions per gram
-BLOOM_SEEDS = [1000 + i for i in range(BLOOM_K)]
 
 
 def bloom_decontaminate(
@@ -636,18 +643,29 @@ def bloom_decontaminate(
     Output: one row per FLAGGED doc — (doc_id, n_flagged = distinct
     grams whose K bits all hit, n_grams, flagged4).
     """
-    def positions(shingle: Column) -> Column:
-        return F.array(*[(h48(shingle, seed=s) % BLOOM_M) for s in BLOOM_SEEDS])
+    def h1h2(shingle: Column) -> tuple[Column, Column]:
+        digest = F.md5(shingle.cast("string"))
+        h1 = F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")
+        h2 = F.conv(F.substring(digest, 13, 12), 16, 10).cast("long")
+        return h1, h2
 
+    def positions(h1: Column, h2: Column) -> Column:
+        # h1 + i*h2 < 2^48 * (1 + BLOOM_K) — far inside signed-64
+        return F.array(*[((h1 + i * h2) % BLOOM_M) for i in range(BLOOM_K)])
+
+    bsh = doc_shingles(benchmark, text_col, n).select(*h1h2(F.col("shingle")))
     bench_bits = (
-        doc_shingles(benchmark, text_col, n)
-        .select(F.explode(positions(F.col("shingle"))).alias("bit"))
+        bsh.toDF("h1", "h2")
+        .select(F.explode(positions(F.col("h1"), F.col("h2"))).alias("bit"))
         .distinct()
     )
-    probes = doc_shingles(spread_small_input(docs), text_col, n).select(
+    dsh = doc_shingles(spread_small_input(docs), text_col, n).select(
+        "doc_id", *h1h2(F.col("shingle"))
+    )
+    probes = dsh.toDF("doc_id", "h1", "h2").select(
         "doc_id",
-        h48(F.col("shingle")).alias("sh_h"),
-        F.explode(positions(F.col("shingle"))).alias("bit"),
+        F.col("h1").alias("sh_h"),  # h1 doubles as the gram identity
+        F.explode(positions(F.col("h1"), F.col("h2"))).alias("bit"),
     )
     gram_hits = (
         probes.join(F.broadcast(bench_bits), "bit")
@@ -656,7 +674,9 @@ def bloom_decontaminate(
         .filter(F.col("k_hit") == BLOOM_K)
     )
     flagged = gram_hits.groupBy("doc_id").agg(F.count("*").alias("n_flagged"))
-    sizes = docs.select(
+    # same small-input spread as decontaminate's sizes branch — the gram
+    # rebuild is the expensive part, not the bloom probes
+    sizes = spread_small_input(docs).select(
         F.col("doc_id"),
         F.size(shingles(F.col(text_col), n)).cast("long").alias("n_grams"),
     )

@@ -2675,25 +2675,30 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.bloom_decontaminate(corpus, bench, n=4)
 
 
-def _bloom_bits_sql(source_cte: str) -> str:
-    arms = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {h48_sql('shingle')} AS sh_h, "
-        f"{h48_sql('shingle', seed=s)} % {dedup.BLOOM_M} AS bit FROM {source_cte}"
-        for s in dedup.BLOOM_SEEDS
+def _bloom_positions_sql() -> str:
+    """Kirsch-Mitzenmacher positions [(h1 + i*h2) % M for i in 0..K-1]
+    from h1/h2 columns — mirrors dedup.bloom_decontaminate exactly."""
+    items = ", ".join(
+        f"(h1 + {i} * h2) % {dedup.BLOOM_M}" for i in range(dedup.BLOOM_K)
     )
-    return arms
+    return f"[{items}]"
 
+
+_BLOOM_H12 = (
+    "CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h1, "
+    "CAST('0x' || substr(md5(shingle), 13, 12) AS BIGINT) AS h2"
+)
 
 ORACLE["q_bloom_decontaminate"] = f"""
 WITH bsh AS ({_ngram_sql(4, "(SELECT * FROM documents WHERE doc_id % 97 = 0)")}),
 dsh AS ({_ngram_sql(4, "(SELECT * FROM documents WHERE doc_id % 97 != 0)")}),
+bh AS (SELECT {_BLOOM_H12} FROM bsh),
+dh AS (SELECT doc_id, {_BLOOM_H12} FROM dsh),
 bbits AS (
-  SELECT DISTINCT bit FROM (
-{_bloom_bits_sql("bsh")}
-  )
+  SELECT DISTINCT unnest({_bloom_positions_sql()}) AS bit FROM bh
 ),
 probes AS (
-{_bloom_bits_sql("dsh")}
+  SELECT doc_id, h1 AS sh_h, unnest({_bloom_positions_sql()}) AS bit FROM dh
 ),
 gram_hits AS (
   SELECT p.doc_id, p.sh_h
