@@ -77,6 +77,8 @@ HEADLINE_V2 = [
     "q_bloom_decontaminate",  # constant-memory bloom leakage sweep
     "q_sequence_pack",    # training-sequence packing layout
     "q_quality_classifier",   # hashed linear quality scorer
+    "q_hard_negatives",   # contrastive hard-negative mining
+    "q_epoch_shuffle",    # deterministic epoch-shuffle layout
 ]
 
 

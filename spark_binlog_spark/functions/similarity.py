@@ -1023,3 +1023,71 @@ def semdedup(
         F.col("centroid_id").cast("long").alias("centroid_id"),
         F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"),
     )
+
+
+def hard_negatives(
+    df: DataFrame, n_anchors: int = 5, k: int = 3, vec_col: str = "embedding"
+) -> DataFrame:
+    """CONTRASTIVE HARD-NEGATIVE MINING: for each anchor vector, the
+    top-k most-similar vectors carrying a DIFFERENT label — the pairs a
+    contrastive/embedding training run wants as negatives precisely
+    because they are hard (high similarity, wrong class).
+
+    Shape mirrors brute_force_topk: the n_anchors anchor rows (with
+    their labels) BROADCAST, the corpus is scanned once, the label
+    inequality is a pre-window filter (so same-label candidates never
+    reach the top-k state), and the rank window partitions by anchor —
+    n_anchors partitions of k rows.  At scale you run this per
+    IVF/LSH cell exactly like the ANN family; the brute form is the
+    recall baseline.
+
+    Output: (anchor_id, vec_id, anchor_label, neg_label, rank,
+    cosine4).
+    """
+    from pyspark.sql import Window
+
+    # quantize inline so label rides along — joining with_quantized
+    # back to df on vec_id would shuffle the corpus twice for nothing
+    qc = quantized(F.col(vec_col))
+    base = df.select(
+        "vec_id",
+        qc.alias("q"),
+        int_dot(qc, qc).alias("norm"),
+        F.col("label").cast("long").alias("label"),
+    )
+    anchors = F.broadcast(
+        base.filter(F.col("vec_id") < n_anchors).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("q").alias("aq"),
+            F.col("norm").alias("anorm"),
+            F.col("label").alias("anchor_label"),
+        )
+    )
+    cands = base.filter(F.col("vec_id") >= n_anchors)
+    scored = anchors.join(cands, how="cross").filter(
+        F.col("label") != F.col("anchor_label")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine4").desc(), F.col("vec_id")
+    )
+    return (
+        scored.select(
+            "anchor_id",
+            "vec_id",
+            "anchor_label",
+            F.col("label").alias("neg_label"),
+            cosine4(
+                int_dot(F.col("aq"), F.col("q")), F.col("anorm"), F.col("norm")
+            ).alias("cosine4"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "vec_id",
+            "anchor_label",
+            "neg_label",
+            F.col("rank").cast("long").alias("rank"),
+            "cosine4",
+        )
+    )

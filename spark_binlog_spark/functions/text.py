@@ -825,9 +825,16 @@ def quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Output: (doc_id, n_words, weight_sum, score4, keep) — score4 =
     floor(10^4 * mean_weight / 1000), i.e. [-10000, 10000].
+
+    One md5 per word makes this hash-heavy like the shingle pipelines,
+    so the small-input spread applies (a no-op on well-split input);
+    the only possible exchange is that round-robin redistribution —
+    never a key shuffle or join.
     """
+    from spark_binlog_spark.functions.dedup import spread_small_input
     from spark_binlog_spark.functions.hashing import h48
 
+    df = spread_small_input(df)
     w = words(F.col(text_col))
     weight = lambda x: (h48(x, seed=QC_SEED) % QC_RANGE) - (QC_RANGE - 1) // 2
     wsum = F.aggregate(
@@ -844,4 +851,35 @@ def quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
         "weight_sum",
         score4.alias("score4"),
         (F.col("weight_sum") >= 0).alias("keep"),
+    )
+
+
+def epoch_shuffle(df, epoch: int = 1, n_shards: int = 8) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE plan: the reproducible global
+    permutation a training run needs per epoch, computed as a layout
+    (doc -> shard, position) instead of an actual data move.  Each
+    document's shuffle key is h48(doc_id#epoch) — changing the epoch
+    re-permutes everything, re-running the same epoch is bit-identical.
+    shard = key mod n_shards; position = rank of the key within the
+    shard.
+
+    Scale shape: ONE hash shuffle keyed on shard + a per-shard rank
+    window — never a global sort.  n_shards grows with the corpus
+    (shards ≈ data-loader workers), keeping per-shard window state
+    bounded; readers then stream their shard in position order.
+    """
+    from pyspark.sql import Window
+
+    from spark_binlog_spark.functions.hashing import h48
+
+    key = h48(F.col("doc_id"), seed=epoch)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        df.select(
+            "doc_id",
+            key.alias("shuffle_key"),
+            (key % n_shards).cast("long").alias("shard"),
+        )
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "position", "shuffle_key")
     )

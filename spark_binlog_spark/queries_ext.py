@@ -2774,3 +2774,64 @@ SELECT doc_id, n_words, weight_sum,
        weight_sum >= 0 AS keep
 FROM s
 """
+
+
+# ---------------------------------------------------------------- hard negatives
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor embedding, the
+    top-3 most-similar vectors with a DIFFERENT label — the
+    high-similarity wrong-class pairs a contrastive training run wants
+    as negatives.  Anchors broadcast, one corpus pass, label filter
+    before the rank window (functions/similarity.py hard_negatives)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb, n_anchors=5, k=3)
+
+
+ORACLE["q_hard_negatives"] = f"""
+WITH quant AS ({_QUANT_SQL}),
+base0 AS ({_NORM_SQL}),
+base AS (
+  SELECT b.vec_id, b.q, b.norm, CAST(e.label AS BIGINT) AS label
+  FROM base0 b JOIN embeddings e ON b.vec_id = e.vec_id
+),
+scored AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id, a.label AS anchor_label,
+         b.label AS neg_label,
+         {_COS4.format(a='a', b='b', an='norm', bn='norm')} AS cosine4
+  FROM base a CROSS JOIN base b
+  WHERE a.vec_id < 5 AND b.vec_id >= 5 AND b.label != a.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY cosine4 DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT anchor_id, vec_id, anchor_label, neg_label,
+       CAST(rnk AS BIGINT) AS rank, cosine4
+FROM ranked WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------- epoch shuffle
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle layout: the reproducible global
+    permutation of a training epoch as (doc -> shard, position) — one
+    shard-keyed shuffle plus a per-shard rank window, never a global
+    sort (functions/text.py epoch_shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.epoch_shuffle(docs, epoch=1, n_shards=8)
+
+
+ORACLE["q_epoch_shuffle"] = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {h48_sql('doc_id', seed=1)} AS shuffle_key
+  FROM documents
+)
+SELECT doc_id,
+       shuffle_key % 8 AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY shuffle_key % 8 ORDER BY shuffle_key, doc_id) AS BIGINT)
+         AS position,
+       shuffle_key
+FROM keyed
+"""

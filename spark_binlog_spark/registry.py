@@ -170,6 +170,8 @@ TAIL = [
     "q_incremental_dedup",      # r6 swap-out (green r05 row; shape: q_dedup_exact)
     "q_rp_topk",                # r6 swap-out (green r05 row; shape: q_pq_topk)
     "q_ivf_topk",               # r6 swap-out (green r05 row; shape: q_pq_topk)
+    "q_hard_negatives",         # r7 new: contrastive hard-negative mining
+    "q_epoch_shuffle",          # r7 new: deterministic epoch-shuffle layout
     "q_stream_schema_epochs",
     "q_churned_keys",           # r5 swap-out (shape: q_retained_keys)
     "q_datetime_normalize",     # r5 swap-out (shape: q_project_decode)

@@ -373,14 +373,40 @@ class TestTrainingDataOps:
         assert "Exchange rangepartitioning" not in plan
         assert "Join" not in plan
 
+    def test_hard_negatives_broadcasts_anchors_no_corpus_shuffle(self, spark):
+        """q_hard_negatives: the anchor rows broadcast; the corpus is
+        ONE scan (label rides the quantize projection — no self-join to
+        fetch it) feeding the per-anchor rank window."""
+        from spark_binlog_spark.queries_ext import q_hard_negatives
+
+        plan = _physical(q_hard_negatives(spark, SF_TEST))
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        # one corpus scan per side of the broadcast join, nothing more
+        assert plan.count("FileScan parquet") <= 2
+
+    def test_epoch_shuffle_single_shard_window_no_global_sort(self, spark):
+        """q_epoch_shuffle: ONE hash exchange keyed on shard for the
+        rank window — never a global sort or single-partition stage."""
+        from spark_binlog_spark.queries_ext import q_epoch_shuffle
+
+        plan = _physical(q_epoch_shuffle(spark, SF_TEST))
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Exchange rangepartitioning" not in plan
+        assert "Exchange SinglePartition" not in plan
+        assert "Join" not in plan
+
     def test_quality_classifier_pure_scan(self, spark):
         """q_quality_classifier: the hashed weight table is implicit in
-        the expression — the whole scorer must be a single
-        scan-project with no exchange, no join, no Python."""
+        the expression — the whole scorer is a single scan-project with
+        no join and no Python; the only exchange allowed is the
+        hash-heavy small-input round-robin spread (never a key
+        shuffle)."""
         from spark_binlog_spark.queries_ext import q_quality_classifier
 
         plan = _physical(q_quality_classifier(spark, SF_TEST))
-        assert "Exchange" not in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange SinglePartition" not in plan
         assert "Join" not in plan
         assert "Python" not in plan
 
