@@ -2835,3 +2835,60 @@ SELECT doc_id,
        shuffle_key
 FROM keyed
 """
+
+
+# ---------------------------------------------------------------- streaming drift
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DISTRIBUTION-DRIFT monitor: the documents table
+    arrives as two micro-batches through CorpusStatsSink; drift() then
+    reports, per source, the exact integer L1 distance (×10^4) between
+    the second batch's length-bin distribution and the first batch's
+    corpus — the data-quality tripwire a continuous-ingestion pipeline
+    alarms on (streaming/corpus_stats.py drift; cost is the
+    |sources × bins| stats table, the corpus is never re-read)."""
+    import os
+
+    from spark_binlog_spark.streaming.corpus_stats import run_corpus_stats
+
+    docs_dir = _parity_batches(sf_dir, "corpus_drift_")
+    d = os.path.dirname(docs_dir)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sink = run_corpus_stats(
+        spark, docs_dir, os.path.join(d, "stats"), os.path.join(d, "ck"), schema
+    )
+    return sink.drift()
+
+
+ORACLE["q_stream_drift"] = r"""
+WITH t AS (
+  SELECT source, doc_id % 2 AS par,
+         CAST(length(bin(len(regexp_split_to_array(text, '\s+')))) - 1 AS BIGINT) AS len_bin
+  FROM documents
+),
+prev_h AS (SELECT source, len_bin, count(*) AS prev_b FROM t WHERE par = 0 GROUP BY 1, 2),
+last_h AS (SELECT source, len_bin, count(*) AS last_b FROM t WHERE par = 1 GROUP BY 1, 2),
+j AS (
+  SELECT coalesce(p.source, l.source) AS source,
+         coalesce(p.prev_b, 0) AS prev_b,
+         coalesce(l.last_b, 0) AS last_b
+  FROM prev_h p FULL OUTER JOIN last_h l
+    ON p.source = l.source AND p.len_bin = l.len_bin
+),
+g AS (
+  SELECT source, CAST(sum(prev_b) AS BIGINT) AS prev_docs,
+         CAST(sum(last_b) AS BIGINT) AS last_docs
+  FROM j GROUP BY source
+),
+n AS (
+  SELECT j.source,
+         sum(abs(CAST(j.prev_b AS HUGEINT) * g.last_docs
+                 - CAST(j.last_b AS HUGEINT) * g.prev_docs)) AS numer
+  FROM j JOIN g ON j.source = g.source GROUP BY j.source
+)
+SELECT g.source, g.prev_docs, g.last_docs,
+       CAST(CASE WHEN g.last_docs = 0 THEN 0
+                 WHEN g.prev_docs = 0 THEN 20000
+                 ELSE (n.numer * 10000) // (CAST(g.prev_docs AS HUGEINT) * g.last_docs)
+            END AS BIGINT) AS drift4
+FROM g JOIN n ON g.source = n.source
+"""

@@ -183,6 +183,7 @@ TAIL = [
     "q_exact_sample",
     "q_quality_prune",
     "q_token_shards",
+    "q_stream_drift",           # r7 new: streaming distribution-drift monitor
     "q_stream_source_mix",
     "q_stream_sessions",
     "q_stream_length_histogram",

@@ -63,7 +63,26 @@ class CorpusStatsSink:
                 StructField("batch_id", LongType()),
             ]
         )
+        # last-batch delta store (feeds drift()): same swap machinery,
+        # written BEFORE the totals swap each batch so a crash between
+        # the two converges on replay (totals ratchet re-applies and
+        # rewrites the identical delta)
+        self.delta_dir = f"{stats_dir}_last_delta"
+        self._delta_schema = StructType(
+            [
+                StructField(by, StringType()),
+                StructField("len_bin", LongType()),
+                StructField("d_docs", LongType()),
+                StructField("d_tokens", LongType()),
+                StructField("batch_id", LongType()),
+            ]
+        )
         ok = recover_dir(stats_dir)
+        dok = recover_dir(self.delta_dir)
+        if not (resume and dok):
+            self.spark.createDataFrame([], self._delta_schema).write.mode(
+                "overwrite"
+            ).parquet(self.delta_dir)
         if not (resume and ok):
             self.spark.createDataFrame([], self._schema).write.mode(
                 "overwrite"
@@ -110,6 +129,74 @@ class CorpusStatsSink:
 
         return mixing_rates(self.current(), self.by)
 
+    def drift(self) -> DataFrame:
+        """Per-``by`` DISTRIBUTION-DRIFT tripwire: the L1 distance
+        (×10^4, range 0..20000) between the LAST ingested batch's
+        length-bin distribution and the PRIOR corpus's — the check a
+        continuous-ingestion pipeline alarms on when a source suddenly
+        ships truncated or concatenated documents.
+
+        drift4 = floor(10^4 · Σ_bins |prev_b/P − last_b/L|), computed
+        as ONE exact integer division of Σ|prev_b·L − last_b·P| by P·L
+        (decimal(38,0) products — no float sums, so any engine agrees
+        bit-for-bit).  A ``by`` group with no prior corpus scores the
+        maximal 20000 (a brand-new source IS maximal drift); a group
+        absent from the last batch scores 0 (no new evidence).
+
+        Cost: the |groups × bins| stats table only — the corpus is
+        never re-read.
+        """
+        from pyspark.sql import Window
+
+        totals = self._stats().select(self.by, "len_bin", "n_docs")
+        delta = self.spark.read.schema(self._delta_schema).parquet(self.delta_dir)
+        j = totals.join(
+            delta.select(self.by, "len_bin", "d_docs"),
+            [self.by, "len_bin"],
+            "full_outer",
+        ).select(
+            F.col(self.by),
+            (
+                F.coalesce(F.col("n_docs"), F.lit(0))
+                - F.coalesce(F.col("d_docs"), F.lit(0))
+            )
+            .cast("long")
+            .alias("prev"),
+            F.coalesce(F.col("d_docs"), F.lit(0)).cast("long").alias("last"),
+        )
+        w = Window.partitionBy(self.by)
+        dec = "decimal(38,0)"
+        j2 = (
+            j.withColumn("prev_docs", F.sum("prev").over(w))
+            .withColumn("last_docs", F.sum("last").over(w))
+        )
+        per = j2.groupBy(self.by).agg(
+            F.max("prev_docs").cast("long").alias("prev_docs"),
+            F.max("last_docs").cast("long").alias("last_docs"),
+            F.sum(
+                F.abs(
+                    F.col("prev").cast(dec) * F.col("last_docs").cast(dec)
+                    - F.col("last").cast(dec) * F.col("prev_docs").cast(dec)
+                )
+            ).alias("numer"),
+        )
+        drift4 = (
+            F.when(F.col("last_docs") == 0, F.lit(0))
+            .when(F.col("prev_docs") == 0, F.lit(20000))
+            .otherwise(
+                F.expr(
+                    "(numer * 10000) div "
+                    "(CAST(prev_docs AS DECIMAL(38,0)) * CAST(last_docs AS DECIMAL(38,0)))"
+                )
+            )
+        )
+        return per.select(
+            self.by,
+            "prev_docs",
+            "last_docs",
+            drift4.cast("long").alias("drift4"),
+        )
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # replay guard: an already-applied batch (crash between the
         # swap and the checkpoint commit) must not double-count
@@ -126,8 +213,21 @@ class CorpusStatsSink:
                 F.col("t"),
             )
             .groupBy(self.by, "len_bin")
-            .agg(F.count("*").alias("d_docs"), F.sum("t").alias("d_tokens"))
+            .agg(
+                F.count("*").cast("long").alias("d_docs"),
+                F.sum("t").cast("long").alias("d_tokens"),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
         )
+        # publish the delta FIRST (drift()'s last-batch view), then the
+        # totals: a crash between the swaps replays the batch (totals
+        # ratchet still behind), rewriting the identical delta
+        dtmp = f"{self.delta_dir}.b{batch_id}"
+        delta.write.mode("overwrite").parquet(dtmp)
+        safe_swap(self.delta_dir, dtmp)
+        # merge FROM the published delta so totals reflect exactly the
+        # bytes drift() will read (and the batch agg runs once)
+        delta = self.spark.read.schema(self._delta_schema).parquet(self.delta_dir)
         old = self._stats()
         merged = (
             old.join(delta, [self.by, "len_bin"], "full_outer")

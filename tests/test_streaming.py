@@ -2814,6 +2814,44 @@ class TestCorpusStatsSink:
         mix = {r["source"]: r["sample_rate4"] for r in sink.mixture().collect()}
         assert mix == {"s0": 2 * 10000 // 7, "s1": 10000}
 
+    def test_drift_matches_reference_and_survives_replay(self, spark, tmp_path):
+        """drift() = exact integer L1 distance between the last batch's
+        length-bin distribution and the prior corpus's; a replayed
+        batch changes nothing; a source with no prior corpus scores the
+        maximal 20000."""
+        from spark_binlog_spark.streaming.corpus_stats import CorpusStatsSink
+
+        sink = CorpusStatsSink(spark, str(tmp_path / "stats"), resume=False)
+        # batch 0: s0 has two 1-token docs (bin 0) and one 2-token (bin 1)
+        sink(self._docs(spark, [("a", "s0"), ("b", "s0"), ("c d", "s0")]), 0)
+        # batch 1: s0 ships one bin-0 and three bin-1 docs; s1 is new
+        sink(
+            self._docs(
+                spark,
+                [("x", "s0"), ("p q", "s0"), ("r s", "s0"), ("t u", "s0"), ("n", "s1")],
+            ),
+            1,
+        )
+        got = {r["source"]: r for r in sink.drift().collect()}
+        # s0: prev = {bin0: 2, bin1: 1} (P=3), last = {bin0: 1, bin1: 3} (L=4)
+        # numer = |2*4 - 1*3| + |1*4 - 3*3| = 5 + 5 = 10
+        # drift4 = 10 * 10000 // 12 = 8333
+        assert got["s0"]["prev_docs"] == 3 and got["s0"]["last_docs"] == 4
+        assert got["s0"]["drift4"] == 10 * 10000 // 12
+        assert got["s1"]["prev_docs"] == 0 and got["s1"]["drift4"] == 20000
+        # replaying batch 1 is a complete no-op (totals AND delta)
+        sink(
+            self._docs(
+                spark,
+                [("x", "s0"), ("p q", "s0"), ("r s", "s0"), ("t u", "s0"), ("n", "s1")],
+            ),
+            1,
+        )
+        again = {r["source"]: r for r in sink.drift().collect()}
+        assert {k: (v["prev_docs"], v["last_docs"], v["drift4"]) for k, v in got.items()} == {
+            k: (v["prev_docs"], v["last_docs"], v["drift4"]) for k, v in again.items()
+        }
+
     def test_restart_resumes_and_matches_batch_totals(self, spark, tmp_path):
         """availableNow run, then new files land, then a second run on
         the same checkpoint: only the new files apply, and the final

@@ -948,3 +948,169 @@ class TestApproxVariants:
         assert approx_plan.count("Exchange") == 1
         assert "approx_count_distinct" in approx_plan
         assert "distinct" not in approx_plan.replace("approx_count_distinct", "")
+
+
+class TestSemDedup:
+    def test_drop_rule_and_smallest_id_always_kept(self, spark):
+        """keep=false iff a smaller-id same-cluster neighbor scores >=
+        threshold — verified directly against an exact recomputation on
+        a small corpus; the smallest id in every cluster is always
+        kept."""
+        from itertools import combinations
+
+        from spark_binlog_spark.functions.similarity import semdedup
+
+        from tests.conftest import SF_TEST
+
+        emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        out = {r["vec_id"]: r for r in semdedup(emb, n_centroids=4, threshold4=3000).collect()}
+        assert set(out) == {r["vec_id"] for r in emb.select("vec_id").collect()}
+
+        # exact reference: quantized cosine + seeded assignment in Python
+        import math
+
+        rows = emb.select("vec_id", "embedding").collect()
+        q = {r["vec_id"]: [math.floor(float(x) * 1_000_000) for x in r["embedding"]] for r in rows}
+
+        def dot(a, b):
+            return sum(x * y for x, y in zip(a, b))
+
+        def cos4(a, b):
+            return math.floor(dot(a, b) / math.sqrt(dot(a, a) * dot(b, b)) * 10000)
+
+        cents = {i: q[i] for i in sorted(q) if i < 4}
+        assign = {}
+        for vid, vec in q.items():
+            best = max(cents, key=lambda c: (cos4(vec, cents[c]), -c))
+            assign[vid] = best
+        expect_drop = set()
+        for a, b in combinations(sorted(q), 2):
+            if assign[a] == assign[b] and cos4(q[a], q[b]) >= 3000:
+                expect_drop.add(b)  # b is the larger id
+        for vid, r in out.items():
+            assert r["centroid_id"] == assign[vid], vid
+            assert r["keep"] == (vid not in expect_drop), vid
+        # smallest id per cluster can have no smaller neighbor
+        for c in set(assign.values()):
+            smallest = min(v for v, cc in assign.items() if cc == c)
+            assert out[smallest]["keep"]
+
+
+class TestBloomDecontaminate:
+    def test_no_false_negatives_vs_exact(self, spark):
+        """Bloom semantics can only OVER-flag: every doc the exact
+        sweep flags is bloom-flagged, with n_flagged >= the exact hit
+        count, and n_grams identical."""
+        from pyspark.sql import functions as F
+
+        from spark_binlog_spark.functions.dedup import bloom_decontaminate, decontaminate
+
+        from tests.conftest import SF_TEST
+
+        docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        corpus = docs.filter(F.col("doc_id") % 97 != 0)
+        exact = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=4).collect()}
+        bloom = {r["doc_id"]: r for r in bloom_decontaminate(corpus, bench, n=4).collect()}
+        assert set(exact) <= set(bloom)
+        for d, r in exact.items():
+            assert bloom[d]["n_flagged"] >= r["n_hits"]
+            assert bloom[d]["n_grams"] == r["n_grams"]
+
+
+class TestSequencePack:
+    def test_prefix_sums_and_pack_bounds(self, spark):
+        """start_offset is the exclusive prefix sum per source in
+        doc_id order (first doc of each source starts at 0), packs are
+        floor-div boundaries, and pack_first <= pack_last always."""
+        from collections import defaultdict
+
+        from spark_binlog_spark.functions.text import SEQ_LEN, sequence_pack
+
+        from tests.conftest import SF_TEST
+
+        docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        rows = sequence_pack(docs).collect()
+        by_source = defaultdict(list)
+        for r in rows:
+            by_source[r["source"]].append(r)
+        for src, rs in by_source.items():
+            rs.sort(key=lambda r: r["doc_id"])
+            cum = 0
+            for r in rs:
+                assert r["start_offset"] == cum, (src, r["doc_id"])
+                assert r["pack_first"] == cum // SEQ_LEN
+                assert r["pack_last"] == (cum + r["n_tokens"] - 1) // SEQ_LEN
+                assert r["pack_first"] <= r["pack_last"]
+                cum += r["n_tokens"]
+
+
+class TestEpochShuffle:
+    def test_permutation_contiguous_positions_epoch_sensitivity(self, spark):
+        """The layout is a permutation (every doc exactly once), shard
+        positions are contiguous 1..n, and a different epoch produces a
+        different order."""
+        from collections import defaultdict
+
+        from spark_binlog_spark.functions.text import epoch_shuffle
+
+        from tests.conftest import SF_TEST
+
+        docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        n = docs.count()
+        e1 = epoch_shuffle(docs, epoch=1, n_shards=4).collect()
+        assert len(e1) == n and len({r["doc_id"] for r in e1}) == n
+        by_shard = defaultdict(list)
+        for r in e1:
+            assert 0 <= r["shard"] < 4
+            by_shard[r["shard"]].append(r["position"])
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+        e2 = epoch_shuffle(docs, epoch=2, n_shards=4).collect()
+        order1 = {r["doc_id"]: (r["shard"], r["position"]) for r in e1}
+        order2 = {r["doc_id"]: (r["shard"], r["position"]) for r in e2}
+        assert order1 != order2
+        # re-running the same epoch is bit-identical
+        e1b = epoch_shuffle(docs, epoch=1, n_shards=4).collect()
+        assert order1 == {r["doc_id"]: (r["shard"], r["position"]) for r in e1b}
+
+
+class TestHardNegatives:
+    def test_labels_differ_and_ranks_contiguous(self, spark):
+        from spark_binlog_spark.functions.similarity import hard_negatives
+
+        from tests.conftest import SF_TEST
+
+        emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        rows = hard_negatives(emb, n_anchors=5, k=3).collect()
+        by_anchor = {}
+        for r in rows:
+            assert r["neg_label"] != r["anchor_label"]
+            by_anchor.setdefault(r["anchor_id"], []).append(r["rank"])
+        for a, ranks in by_anchor.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), a
+
+
+class TestQualityClassifier:
+    def test_scores_match_python_reference(self, spark):
+        """weight_sum equals the exact Python recomputation of the
+        hashed weights on a sample; keep == (weight_sum >= 0)."""
+        import hashlib
+
+        from spark_binlog_spark.functions.text import QC_RANGE, QC_SEED, quality_classifier
+
+        from tests.conftest import SF_TEST
+
+        # deterministic sample (limit without order could differ between
+        # the two collects below)
+        docs = spark.read.parquet(f"{SF_TEST}/documents.parquet").filter("doc_id < 20")
+        got = {r["doc_id"]: r for r in quality_classifier(docs).collect()}
+        for row in docs.collect():
+            ws = row["text"].split(" ")
+            s = 0
+            for w in ws:
+                h = int(hashlib.md5(f"{w}#{QC_SEED}".encode()).hexdigest()[:12], 16)
+                s += (h % QC_RANGE) - (QC_RANGE - 1) // 2
+            r = got[row["doc_id"]]
+            assert r["weight_sum"] == s and r["n_words"] == len(ws)
+            assert r["keep"] == (s >= 0)
