@@ -686,3 +686,54 @@ def bloom_decontaminate(
         .alias("flagged4")
     )
     return flagged.join(sizes, "doc_id").select("doc_id", "n_flagged", "n_grams", f4)
+
+
+def positional_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, pos, shingle) with 0-based word positions — the
+    POSITIONAL variant of ``doc_shingles`` (which dedupes): span-level
+    reporting needs every occurrence and where it starts."""
+    w = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+    )
+    return df.select(
+        F.col("doc_id"), F.posexplode(grams).alias("pos", "shingle")
+    )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """SPAN-LEVEL decontamination: not just WHICH training docs leak
+    benchmark n-grams but WHERE — every (doc, word-position) at which a
+    leaked gram starts, the form a surgical span-removal pass consumes
+    (mask/cut the span instead of dropping the whole document, the Lee
+    et al. 2022 dedup-then-train recipe applied to eval leakage).
+
+    Same scale shape as ``decontaminate``: the benchmark collapses to a
+    broadcast DISTINCT gram-hash set; the corpus side is one positional
+    scan + a map-side semi join — the only shuffle-free difference from
+    the doc-level sweep is that positions ride along, and nothing
+    aggregates (output is one row per leaked occurrence).
+
+    Output: (doc_id, pos, sh_h) ordered facts; pos is the 0-based word
+    index where the leaked n-gram starts.
+    """
+    bench = (
+        doc_shingles(benchmark, text_col, n)
+        .select(h48(F.col("shingle")).alias("sh_h"))
+        .distinct()
+    )
+    sp = positional_shingles(spread_small_input(docs), text_col, n).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        h48(F.col("shingle")).alias("sh_h"),
+    )
+    return sp.join(F.broadcast(bench), "sh_h").select("doc_id", "pos", "sh_h")

@@ -1091,3 +1091,45 @@ def hard_negatives(
             "cosine4",
         )
     )
+
+
+def standardize_dims(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension EMBEDDING STANDARDIZATION (z-score whitening-lite):
+    the feature-normalization pass run before clustering / linear
+    probes when dimensions have wildly different scales.
+
+    Exactness: with quantized components, z = (x − mean)/std is
+    computed as (n·x − S) / sqrt(n·SS − S²) over EXACT integer sums
+    (S, SS accumulated as decimal(38,0) — S² at 10^9 rows × 10^6
+    magnitude needs ~10^30), so both engines do ONE identical
+    double division+sqrt per element; reported as floor(z·10^4).
+
+    Scale shape: one (dim)-keyed aggregation (64 rows out) BROADCAST
+    back into a second corpus pass — the corpus itself never shuffles,
+    and there is no driver collect.  A zero-variance dimension scores
+    z4 = 0 (it carries no signal).
+
+    Output: (vec_id, dim, z4) — the exploded form downstream feature
+    selectors consume directly.
+    """
+    base = with_quantized(df, vec_col).select("vec_id", "q")
+    dims = base.select("vec_id", F.posexplode("q").alias("dim", "v"))
+    dec = "decimal(38,0)"
+    stats = dims.groupBy("dim").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("ss"),
+    )
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    z4 = F.when(var_num == 0, F.lit(0)).otherwise(
+        F.floor(
+            (F.col("n") * F.col("v").cast(dec) - F.col("s")).cast("double")
+            / F.sqrt(var_num.cast("double"))
+            * 10000
+        )
+    )
+    return dims.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        z4.cast("long").alias("z4"),
+    )

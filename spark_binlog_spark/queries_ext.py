@@ -2892,3 +2892,73 @@ SELECT g.source, g.prev_docs, g.last_docs,
             END AS BIGINT) AS drift4
 FROM g JOIN n ON g.source = n.source
 """
+
+
+# ---------------------------------------------------------------- standardize dims
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding table —
+    the feature-normalization pass before clustering or linear probes.
+    Exact integer moments (decimal(38,0) sums), one dim-keyed 64-row
+    aggregate broadcast back into a second corpus pass; the corpus
+    never shuffles (functions/similarity.py standardize_dims)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.standardize_dims(emb)
+
+
+ORACLE["q_embedding_standardize"] = f"""
+WITH quant AS ({_QUANT_SQL}),
+dims0 AS (
+  SELECT vec_id,
+         unnest([{{'dim': CAST(i - 1 AS BIGINT), 'v': q[i]}}
+                 for i in generate_series(1, len(q))]) AS e
+  FROM quant
+),
+dims AS (SELECT vec_id, e.dim AS dim, e.v AS v FROM dims0),
+stats AS (
+  SELECT dim, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss
+  FROM dims GROUP BY dim
+)
+SELECT d.vec_id, d.dim,
+       CAST(CASE WHEN st.n * st.ss - st.s * st.s = 0 THEN 0
+                 ELSE floor(CAST(st.n * CAST(d.v AS HUGEINT) - st.s AS DOUBLE)
+                      / sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE)) * 10000)
+            END AS BIGINT) AS z4
+FROM dims d JOIN stats st ON d.dim = st.dim
+"""
+
+
+# ---------------------------------------------------------------- span decontamination
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: every (doc, word-position) where a
+    benchmark 4-gram starts inside a training document — the facts a
+    surgical span-removal pass consumes instead of dropping whole
+    documents.  Broadcast benchmark gram-hash set, one positional
+    corpus scan, no aggregation (functions/dedup.py
+    decontaminate_spans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.decontaminate_spans(corpus, bench, n=4)
+
+
+ORACLE["q_decontaminate_spans"] = f"""
+WITH bsh AS (
+  SELECT DISTINCT {_h48_shingle()} AS sh_h
+  FROM ({_ngram_sql(4, "(SELECT * FROM documents WHERE doc_id % 97 = 0)")})
+),
+pos0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= 4
+                THEN [{{'pos': CAST(i - 1 AS BIGINT),
+                        'shingle': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]}}
+                      for i in generate_series(1, len(ws) - 3)]
+                ELSE [] END) AS e
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE doc_id % 97 != 0)
+),
+pos AS (SELECT doc_id, e.pos AS pos, e.shingle AS shingle FROM pos0)
+SELECT p.doc_id, p.pos, {h48_sql('p.shingle')} AS sh_h
+FROM pos p JOIN bsh b ON {h48_sql('p.shingle')} = b.sh_h
+"""

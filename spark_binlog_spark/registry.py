@@ -179,6 +179,8 @@ TAIL = [
     "q_hash_sample",            # r5 swap-out (shape: q_stratified_sample)
     "q_lang_id",                # r5 swap-out (shape: q_fingerprint)
     "q_decontaminate",
+    "q_decontaminate_spans",    # r7 new: span-level leakage facts
+    "q_embedding_standardize",  # r7 new: per-dim z-score normalization
     "q_stratified_sample",
     "q_exact_sample",
     "q_quality_prune",

@@ -396,6 +396,29 @@ class TestTrainingDataOps:
         assert "Exchange SinglePartition" not in plan
         assert "Join" not in plan
 
+    def test_embedding_standardize_broadcasts_stats(self, spark):
+        """q_embedding_standardize: the 64-row per-dim moment table
+        broadcasts back into the corpus pass — the exploded corpus must
+        never sort-merge or hit a single partition."""
+        from spark_binlog_spark.queries_ext import q_embedding_standardize
+
+        plan = _physical(q_embedding_standardize(spark, SF_TEST))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "Exchange SinglePartition" not in plan
+
+    def test_decontaminate_spans_broadcast_semi_no_corpus_shuffle(self, spark):
+        """q_decontaminate_spans: the benchmark gram-hash set
+        broadcasts; the positional corpus scan joins map-side with no
+        downstream aggregation — the ONLY key exchange in the plan is
+        the (tiny) benchmark distinct."""
+        from spark_binlog_spark.queries_ext import q_decontaminate_spans
+
+        plan = _physical(q_decontaminate_spans(spark, SF_TEST))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1  # bench distinct
+
     def test_quality_classifier_pure_scan(self, spark):
         """q_quality_classifier: the hashed weight table is implicit in
         the expression — the whole scorer is a single scan-project with
