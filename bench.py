@@ -79,6 +79,9 @@ HEADLINE_V2 = [
     "q_quality_classifier",   # hashed linear quality scorer
     "q_hard_negatives",   # contrastive hard-negative mining
     "q_epoch_shuffle",    # deterministic epoch-shuffle layout
+    "q_stream_drift",     # drift read off the streamed stats store
+    "q_embedding_standardize",  # per-dim z-score normalization
+    "q_decontaminate_spans",    # span-level leakage facts
 ]
 
 

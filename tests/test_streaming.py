@@ -2852,6 +2852,42 @@ class TestCorpusStatsSink:
             k: (v["prev_docs"], v["last_docs"], v["drift4"]) for k, v in again.items()
         }
 
+    def test_crash_between_delta_and_totals_swaps_converges(self, spark, tmp_path, monkeypatch):
+        """The delta store publishes BEFORE the totals store; a crash
+        between the two swaps leaves a fresh delta with stale totals.
+        Replay must re-apply the batch (totals ratchet is still behind)
+        and converge both stores to the no-crash state."""
+        from spark_binlog_spark.streaming import corpus_stats as cs
+
+        sink = cs.CorpusStatsSink(spark, str(tmp_path / "stats"), resume=False)
+        sink(self._docs(spark, [("a", "s0"), ("b c", "s0")]), 0)
+
+        real_swap = cs.safe_swap
+        calls = {"n": 0}
+
+        def crashing_swap(dst, tmp):
+            calls["n"] += 1
+            if calls["n"] == 2:  # the totals swap of this batch
+                raise RuntimeError("simulated crash between swaps")
+            return real_swap(dst, tmp)
+
+        monkeypatch.setattr(cs, "safe_swap", crashing_swap)
+        b1 = self._docs(spark, [("x y z", "s0"), ("w", "s1")])
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            sink(b1, 1)
+        monkeypatch.setattr(cs, "safe_swap", real_swap)
+        # foreachBatch replays batch 1 after the crash (checkpoint never
+        # committed); the ratchet sees totals still at batch 0
+        sink(b1, 1)
+        got = {r["source"]: (r["n_docs"], r["n_tokens"]) for r in sink.current().collect()}
+        assert got == {"s0": (3, 6), "s1": (1, 1)}
+        drift = {r["source"]: r["drift4"] for r in sink.drift().collect()}
+        # s0 prev {bin0:1, bin1:1} P=2; last {bin1:1} L=1
+        # numer = |1*1 - 0*2| + |1*1 - 1*2| = 1 + 1 = 2 -> 2*10000//2 = 10000
+        assert drift == {"s0": 10000, "s1": 20000}
+
     def test_restart_resumes_and_matches_batch_totals(self, spark, tmp_path):
         """availableNow run, then new files land, then a second run on
         the same checkpoint: only the new files apply, and the final
