@@ -82,6 +82,7 @@ HEADLINE_V2 = [
     "q_stream_drift",     # drift read off the streamed stats store
     "q_embedding_standardize",  # per-dim z-score normalization
     "q_decontaminate_spans",    # span-level leakage facts
+    "q_ivfadc_topk",      # coarse cells + residual PQ + ADC
 ]
 
 

@@ -1133,3 +1133,180 @@ def standardize_dims(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.col("dim").cast("long").alias("dim"),
         z4.cast("long").alias("z4"),
     )
+
+
+def ivfadc_topk_with_recall(
+    df: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_cells: int = 8,
+    m: int = 8,
+    codes: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search" §IV): the canonical billion-scale ANN layout —
+    a coarse quantizer partitions the corpus into cells, PQ compresses
+    each vector's RESIDUAL from its cell centroid, and a query scans
+    only its own cell with asymmetric-distance lookups.  This composes
+    the repo's IVF (cell pruning) and PQ (compressed-domain scoring)
+    paths the way a production index actually nests them; residuals
+    carry far less variance than raw vectors, so the same codebook
+    budget quantizes much finer.
+
+    Deterministic end-to-end: seeded coarse centroids (first n_cells
+    vectors) and seeded residual codewords (first ``codes`` vectors'
+    residual sub-vectors) — the trained forms exist in kmeans_train /
+    pq_train and share these plan shapes exactly.
+
+    Scoring identity (exact integer until the final cosine):
+      dot(q, x) ≈ dot(q, c) + Σ_sub LUT[q, sub, code]   (c = x's cell)
+      |x̃|²     = |c|² + Σ_sub (2·c_sub·r̃_code + |r̃_code|²)
+    where the second term comes from a broadcast (cell, sub, code)
+    CROSS TABLE of n_cells·M·codes rows — reconstructed norms cost
+    lookups, never vector arithmetic.
+
+    Plan: centroids, codebooks, LUT and the cross table all broadcast;
+    the encoded corpus carries (vec_id, cell, sub, code) ints only;
+    candidates meet queries through an equi-join ON THE CELL ID
+    (nprobe=1), then one (query, vec) aggregation sums the M lookups.
+    Output: (query_id, vec_id, rank, pcos4, in_exact) — recall@k
+    against the exact top-k, same harness as the RP/SQ8/PQ queries.
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    dim = _vec_dim(df, vec_col)
+    if m <= 0 or dim % m != 0:
+        raise ValueError(f"m ({m}) must evenly divide the vector dim ({dim})")
+    subdim = dim // m
+
+    base = with_quantized(df, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    cents = seed_centroids(base, n_cells)
+    assigned = assign_to_centroids(base, cents).drop("c4")
+
+    # residuals r = q - c, cell id carried through
+    resid = assigned.join(F.broadcast(cents), "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        "norm",
+        F.zip_with("q", "cq", lambda x, y: x - y).alias("r"),
+        F.col("q"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def sub_explode(rel: DataFrame, vcol: str) -> DataFrame:
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("int").alias("sub"),
+                    F.slice(F.col(vcol), s * subdim + 1, subdim).alias("v"),
+                )
+                for s in range(m)
+            ]
+        )
+        return rel.select(
+            "vec_id", "centroid_id", F.explode(subs).alias("sv")
+        ).select(
+            "vec_id", "centroid_id", F.col("sv.sub").alias("sub"), F.col("sv.v").alias("v")
+        )
+
+    rsub = sub_explode(resid, "r")
+    codebooks = rsub.filter(F.col("vec_id") < codes).select(
+        "sub",
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("v").alias("cv"),
+        int_dot(F.col("v"), F.col("v")).alias("cnorm"),
+    )
+    # encode the corpus: nearest residual codeword per (vec, sub)
+    enc = _pq_assign(
+        rsub.filter(F.col("vec_id") >= n_queries).drop("centroid_id"), codebooks
+    ).join(
+        assigned.select("vec_id", "centroid_id"), "vec_id"
+    ).select("vec_id", "centroid_id", "sub", "code")
+
+    # broadcast side 1: (cell, sub, code) cross table for norms
+    cent_sub = sub_explode(
+        cents.select(
+            F.col("centroid_id").alias("vec_id"),
+            F.col("centroid_id"),
+            F.col("cq"),
+        ),
+        "cq",
+    ).select(F.col("centroid_id").alias("cell"), "sub", F.col("v").alias("cs"))
+    # distinct column names: enc's (sub, code) share lineage with the
+    # codebook attributes, so an equi-join condition written on the
+    # same names would resolve trivially true (Spark folds it away and
+    # the join silently widens)
+    cross = cent_sub.join(codebooks, "sub").select(
+        "cell",
+        F.col("sub").alias("x_sub"),
+        F.col("code").alias("x_code"),
+        (2 * int_dot(F.col("cs"), F.col("cv")) + F.col("cnorm")).alias("xnorm_term"),
+    )
+
+    # broadcast side 2: per-query facts + LUT over RAW query sub-vectors
+    q_info = assigned.filter(F.col("vec_id") < n_queries).join(
+        F.broadcast(cents), "centroid_id"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("centroid_id").alias("qcell"),
+        int_dot(F.col("q"), F.col("cq")).alias("qc_dot"),
+        F.col("cnorm").alias("cellnorm"),
+        F.col("norm").alias("qnorm"),
+    )
+    qsub = sub_explode(
+        resid.filter(F.col("vec_id") < n_queries), "q"
+    ).select(F.col("vec_id").alias("query_id"), "sub", F.col("v").alias("qv"))
+    lut = qsub.join(codebooks, "sub").select(
+        F.col("query_id").alias("l_query"),
+        F.col("sub").alias("l_sub"),
+        F.col("code").alias("l_code"),
+        int_dot(F.col("qv"), F.col("cv")).alias("pdot"),
+    )
+
+    scored = (
+        enc.join(F.broadcast(q_info), F.col("centroid_id") == F.col("qcell"))
+        .join(
+            F.broadcast(lut),
+            (F.col("query_id") == F.col("l_query"))
+            & (F.col("sub") == F.col("l_sub"))
+            & (F.col("code") == F.col("l_code")),
+        )
+        .join(
+            F.broadcast(cross),
+            (F.col("centroid_id") == F.col("cell"))
+            & (F.col("sub") == F.col("x_sub"))
+            & (F.col("code") == F.col("x_code")),
+        )
+    )
+    adc = scored.groupBy("query_id", "vec_id").agg(
+        (F.max("qc_dot") + F.sum("pdot")).alias("adot"),
+        (F.max("cellnorm") + F.sum("xnorm_term")).alias("rnorm"),
+        F.max("qnorm").alias("qn"),
+    )
+    pcos4 = F.floor(
+        F.col("adot").cast("double")
+        / F.sqrt(F.col("qn").cast("double") * F.col("rnorm").cast("double"))
+        * 10000
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy(F.col("pcos4").desc(), F.col("vec_id"))
+    approx = (
+        adc.select("query_id", "vec_id", pcos4.alias("pcos4"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    exact = brute_force_topk(df, n_queries=n_queries, k=k, vec_col=vec_col).select(
+        "query_id", F.col("vec_id").alias("evec")
+    )
+    out = approx.join(
+        exact,
+        (approx["query_id"] == exact["query_id"]) & (approx["vec_id"] == exact["evec"]),
+        "left",
+    ).select(
+        approx["query_id"],
+        approx["vec_id"],
+        F.col("rank").cast("long").alias("rank"),
+        "pcos4",
+        F.when(F.col("evec").isNotNull(), 1).otherwise(0).cast("long").alias("in_exact"),
+    )
+    return out

@@ -2962,3 +2962,112 @@ pos AS (SELECT doc_id, e.pos AS pos, e.shingle AS shingle FROM pos0)
 SELECT p.doc_id, p.pos, {h48_sql('p.shingle')} AS sh_h
 FROM pos p JOIN bsh b ON {h48_sql('p.shingle')} = b.sh_h
 """
+
+
+# ---------------------------------------------------------------- IVFADC
+def q_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. 2011): coarse cells + product quantization
+    of RESIDUALS + cell-pruned asymmetric-distance scoring — the
+    canonical billion-scale ANN layout, composing this repo's IVF and
+    PQ paths the way a production index nests them.  Centroids,
+    codebooks, query LUTs and the (cell, sub, code) norm cross table
+    all broadcast; the encoded corpus carries four ints per (vec, sub)
+    (functions/similarity.py ivfadc_topk_with_recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfadc_topk_with_recall(emb, n_queries=5, k=10, n_cells=8, m=8, codes=16)
+
+
+def _ivfadc_oracle_sql(n_cells: int = 8, m: int = 8, subdim: int = 8, codes: int = 16) -> str:
+    subs = f"(SELECT unnest(generate_series(0, {m - 1})) AS sub) s"
+    return f"""
+WITH quant AS ({_QUANT_SQL}),
+base0 AS ({_NORM_SQL}),
+cents AS (SELECT vec_id AS cell, q AS ccq, norm AS cellnorm FROM base0 WHERE vec_id < {n_cells}),
+asg_scored AS (
+  SELECT b.vec_id, b.q, b.norm, c.cell, c.ccq, c.cellnorm,
+         CAST(floor(
+           CAST(CAST(list_sum([b.q[i] * c.ccq[i] for i in generate_series(1, len(b.q))]) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(b.norm AS DOUBLE) * CAST(c.cellnorm AS DOUBLE)) * 10000) AS BIGINT) AS c4
+  FROM base0 b CROSS JOIN cents c),
+asg AS (
+  SELECT vec_id, q, norm, cell, ccq, cellnorm FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c4 DESC, cell) AS rn
+    FROM asg_scored) WHERE rn = 1),
+resid AS (
+  SELECT vec_id, cell, norm, q,
+         [q[i] - ccq[i] for i in generate_series(1, len(q))] AS r
+  FROM asg),
+rsub AS (
+  SELECT vec_id, cell, s.sub,
+         [r[s.sub * {subdim} + i] for i in generate_series(1, {subdim})] AS v
+  FROM resid CROSS JOIN {subs}),
+cb AS (
+  SELECT sub, CAST(vec_id AS INT) AS code, v AS cv,
+         CAST(list_sum([v[i] * v[i] for i in generate_series(1, {subdim})]) AS BIGINT) AS cnorm
+  FROM rsub WHERE vec_id < {codes}),
+enc_scored AS (
+  SELECT r.vec_id, r.cell, r.sub, c.code,
+         CAST(list_sum([(r.v[i] - c.cv[i]) * (r.v[i] - c.cv[i])
+                        for i in generate_series(1, {subdim})]) AS BIGINT) AS l2
+  FROM rsub r JOIN cb c ON r.sub = c.sub WHERE r.vec_id >= 5),
+enc AS (
+  SELECT vec_id, cell, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY l2, code) AS rn
+    FROM enc_scored) WHERE rn = 1),
+cents_sub AS (
+  SELECT cell, s.sub,
+         [ccq[s.sub * {subdim} + i] for i in generate_series(1, {subdim})] AS cs
+  FROM cents CROSS JOIN {subs}),
+crossx AS (
+  SELECT cs.cell, cs.sub, c.code,
+         CAST(2 * list_sum([cs.cs[i] * c.cv[i] for i in generate_series(1, {subdim})])
+              + c.cnorm AS BIGINT) AS xnorm_term
+  FROM cents_sub cs JOIN cb c ON cs.sub = c.sub),
+qinfo AS (
+  SELECT a.vec_id AS query_id, a.cell AS qcell,
+         CAST(list_sum([a.q[i] * a.ccq[i] for i in generate_series(1, len(a.q))]) AS BIGINT) AS qc_dot,
+         a.cellnorm, a.norm AS qnorm
+  FROM asg a WHERE a.vec_id < 5),
+qsub AS (
+  SELECT vec_id AS query_id, s.sub,
+         [q[s.sub * {subdim} + i] for i in generate_series(1, {subdim})] AS qv
+  FROM asg CROSS JOIN {subs} WHERE vec_id < 5),
+lut AS (
+  SELECT qs.query_id, qs.sub, c.code,
+         CAST(list_sum([qs.qv[i] * c.cv[i] for i in generate_series(1, {subdim})]) AS BIGINT) AS pdot
+  FROM qsub qs JOIN cb c ON qs.sub = c.sub),
+adc AS (
+  SELECT qi.query_id, e.vec_id,
+         CAST(max(qi.qc_dot) + sum(l.pdot) AS BIGINT) AS adot,
+         CAST(max(qi.cellnorm) + sum(x.xnorm_term) AS BIGINT) AS rnorm,
+         CAST(max(qi.qnorm) AS BIGINT) AS qn
+  FROM enc e
+  JOIN qinfo qi ON e.cell = qi.qcell
+  JOIN lut l ON l.query_id = qi.query_id AND l.sub = e.sub AND l.code = e.code
+  JOIN crossx x ON x.cell = e.cell AND x.sub = e.sub AND x.code = e.code
+  GROUP BY qi.query_id, e.vec_id),
+pscored AS (
+  SELECT query_id, vec_id,
+         CAST(floor(CAST(adot AS DOUBLE)
+              / sqrt(CAST(qn AS DOUBLE) * CAST(rnorm AS DOUBLE)) * 10000) AS BIGINT) AS pcos4
+  FROM adc),
+ptop AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY pcos4 DESC, vec_id) AS rnk
+    FROM pscored) WHERE rnk <= 10),
+escored AS (
+  SELECT qs.vec_id AS query_id, b.vec_id,
+         {_COS4.format(a='qs', b='b', an='norm', bn='norm')} AS cosine4
+  FROM base0 qs CROSS JOIN base0 b
+  WHERE qs.vec_id < 5 AND b.vec_id >= 5),
+etop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine4 DESC, vec_id) AS rnk
+    FROM escored) WHERE rnk <= 10)
+SELECT p.query_id, p.vec_id, CAST(p.rnk AS BIGINT) AS rank, p.pcos4,
+       CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact
+FROM ptop p LEFT JOIN etop e ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+"""
+
+
+ORACLE["q_ivfadc_topk"] = _ivfadc_oracle_sql()

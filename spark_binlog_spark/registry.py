@@ -194,6 +194,7 @@ TAIL = [
     "q_stream_embedding_search",
     "q_embedding_dedup_multitable",
     "q_sq8_topk",
+    "q_ivfadc_topk",            # r7 new: coarse cells + residual PQ + ADC
     "q_repeated_spans",
     "q_lm_familiarity",
     "q_bpe_merges",

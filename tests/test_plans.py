@@ -396,6 +396,18 @@ class TestTrainingDataOps:
         assert "Exchange SinglePartition" not in plan
         assert "Join" not in plan
 
+    def test_ivfadc_all_small_relations_broadcast(self, spark):
+        """q_ivfadc_topk: centroids, residual codebooks, the query LUT
+        and the (cell, sub, code) norm cross table ALL broadcast — the
+        encoded corpus must never sort-merge after encoding."""
+        from spark_binlog_spark.queries_ext import q_ivfadc_topk
+
+        spark.catalog.clearCache()
+        plan = _physical(q_ivfadc_topk(spark, SF_TEST))
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "CartesianProduct" not in plan
+        assert "Exchange SinglePartition" not in plan
+
     def test_embedding_standardize_broadcasts_stats(self, spark):
         """q_embedding_standardize: the 64-row per-dim moment table
         broadcasts back into the corpus pass — the exploded corpus must
