@@ -1217,12 +1217,27 @@ def ivfadc_topk_with_recall(
         F.col("v").alias("cv"),
         int_dot(F.col("v"), F.col("v")).alias("cnorm"),
     )
-    # encode the corpus: nearest residual codeword per (vec, sub)
-    enc = _pq_assign(
-        rsub.filter(F.col("vec_id") >= n_queries).drop("centroid_id"), codebooks
-    ).join(
-        assigned.select("vec_id", "centroid_id"), "vec_id"
-    ).select("vec_id", "centroid_id", "sub", "code")
+    # encode the corpus: nearest residual codeword per (vec, sub) —
+    # the _pq_assign argmin inlined so the cell id RIDES ALONG instead
+    # of being re-joined on vec_id afterwards (that join is a second
+    # corpus-sized shuffle at real scale; AQE hides it locally)
+    enc_scored = (
+        rsub.filter(F.col("vec_id") >= n_queries)
+        .join(F.broadcast(codebooks), "sub")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "sub",
+            "code",
+            _l2(F.col("v"), F.col("cv")).alias("l2"),
+        )
+    )
+    w_enc = Window.partitionBy("vec_id", "sub").orderBy("l2", "code")
+    enc = (
+        enc_scored.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "sub", "code")
+    )
 
     # broadcast side 1: (cell, sub, code) cross table for norms
     cent_sub = sub_explode(

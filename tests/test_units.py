@@ -1114,3 +1114,45 @@ class TestQualityClassifier:
             r = got[row["doc_id"]]
             assert r["weight_sum"] == s and r["n_words"] == len(ws)
             assert r["keep"] == (s >= 0)
+
+
+class TestIvfadc:
+    def test_candidates_come_from_query_cell_and_ranks_contiguous(self, spark):
+        """Every returned candidate shares the query's coarse cell
+        (nprobe=1 contract), ranks are contiguous 1..k, and scores are
+        valid quantized cosines."""
+        import math
+
+        from spark_binlog_spark.functions.similarity import ivfadc_topk_with_recall
+
+        from tests.conftest import SF_TEST
+
+        emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        rows = ivfadc_topk_with_recall(emb, n_queries=5, k=10).collect()
+        assert len(rows) == 50
+
+        # exact Python recomputation of the seeded coarse assignment
+        vecs = {
+            r["vec_id"]: [math.floor(float(x) * 1_000_000) for x in r["embedding"]]
+            for r in emb.select("vec_id", "embedding").collect()
+        }
+
+        def dot(a, b):
+            return sum(x * y for x, y in zip(a, b))
+
+        def cos4(a, b):
+            return math.floor(dot(a, b) / math.sqrt(dot(a, a) * dot(b, b)) * 10000)
+
+        cents = {i: vecs[i] for i in sorted(vecs) if i < 8}
+        cell = {
+            vid: max(cents, key=lambda c: (cos4(v, cents[c]), -c))
+            for vid, v in vecs.items()
+        }
+        by_q = {}
+        for r in rows:
+            assert cell[r["vec_id"]] == cell[r["query_id"]], r
+            assert -10000 <= r["pcos4"] <= 10000
+            assert r["in_exact"] in (0, 1)
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        for q, ranks in by_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
