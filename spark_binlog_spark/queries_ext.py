@@ -3071,3 +3071,65 @@ FROM ptop p LEFT JOIN etop e ON p.query_id = e.query_id AND p.vec_id = e.vec_id
 
 
 ORACLE["q_ivfadc_topk"] = _ivfadc_oracle_sql()
+
+
+# ---------------------------------------------------------------- pack efficiency
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over the q_sequence_pack layout: per
+    source, how many 2048-token training sequences the concatenated
+    stream fills, the fill ratio, and how many documents straddle a
+    pack boundary (and will be split at tokenization).  The dashboard
+    numbers a pipeline watches to choose sequence length and
+    concatenation policy — one aggregate over the pack layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = text.sequence_pack(docs)
+    n_packs = (F.max("pack_last") + 1).cast("long")
+    n_tokens = F.sum("n_tokens").cast("long")
+    return packed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        n_tokens.alias("n_tokens"),
+        n_packs.alias("n_packs"),
+        F.floor(
+            F.sum("n_tokens").cast("double")
+            / ((F.max("pack_last") + 1) * text.SEQ_LEN).cast("double")
+            * 10000
+        )
+        .cast("long")
+        .alias("fill4"),
+        F.sum(
+            F.when(F.col("pack_first") != F.col("pack_last"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_straddlers"),
+    )
+
+
+ORACLE["q_pack_efficiency"] = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM t
+),
+p AS (
+  SELECT source, n_tokens,
+         start_offset // {text.SEQ_LEN} AS pack_first,
+         (start_offset + n_tokens - 1) // {text.SEQ_LEN} AS pack_last
+  FROM o
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(max(pack_last) + 1 AS BIGINT) AS n_packs,
+       CAST(floor(CAST(sum(n_tokens) AS DOUBLE)
+            / CAST((max(pack_last) + 1) * {text.SEQ_LEN} AS DOUBLE) * 10000) AS BIGINT) AS fill4,
+       CAST(sum(CASE WHEN pack_first != pack_last THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+FROM p GROUP BY source
+"""

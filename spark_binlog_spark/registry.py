@@ -185,6 +185,7 @@ TAIL = [
     "q_exact_sample",
     "q_quality_prune",
     "q_token_shards",
+    "q_pack_efficiency",        # r7 new: pack fill/straddle dashboard
     "q_stream_drift",           # r7 new: streaming distribution-drift monitor
     "q_stream_source_mix",
     "q_stream_sessions",
