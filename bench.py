@@ -247,8 +247,30 @@ def main() -> None:
     # separately (it measures source throughput, not query latency).
     # "metric"/"value" stay the LEGACY headline for cross-round baseline
     # comparability; the marquee set reports under queries_v2/v2_total.
+    #
+    # Output contract (VERDICT r7 "What's wrong" #1): the driver captures
+    # only a bounded TAIL of stdout, and round 7's single fat JSON line
+    # outgrew it (parsed: null).  So the FULL detail (spreads, v2, sink
+    # admission) prints FIRST and is also written to bench_detail.json,
+    # and the LAST stdout line is a compact legacy-headline JSON (~1 KB)
+    # that always fits the capture window.
     total = round(sum(timings.values()), 3)
     timings["stream_ingest"] = stream_sec
+    stream_rps = round(n_events / stream_sec, 1) if stream_sec else None
+    detail = {
+        "metric": "bench_detail",
+        "spread": spread,
+        "queries_v2": timings_v2,
+        "spread_v2": spread_v2,
+        "v2_total": round(sum(timings_v2.values()), 3),
+        "sink_admission": sink_admission,
+    }
+    print(json.dumps(detail))
+    try:
+        with open(os.path.join(REPO_ROOT, "bench_detail.json"), "w") as f:
+            json.dump({**detail, "sf": float(sf), "legacy_total": total}, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout detail line above still has it
     print(
         json.dumps(
             {
@@ -256,13 +278,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spread": spread,
-                "queries_v2": timings_v2,
-                "spread_v2": spread_v2,
-                "v2_total": round(sum(timings_v2.values()), 3),
-                "sink_admission": sink_admission,
+                "v2_total": detail["v2_total"],
                 "sf": float(sf),
-                "stream_rows_per_sec": round(n_events / stream_sec, 1) if stream_sec else None,
+                "stream_rows_per_sec": stream_rps,
             }
         )
     )

@@ -88,11 +88,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (pair-scoring shape: q_semdedup subsumes bucketed pair cosine),
 # q_similarity_topk (exact-ANN shape embedded in q_pq_topk's recall
 # oracle).
+#
+# Round-8 rotation (VERDICT r7 ask #4, exactly its candidate list):
+# the seven round-7 tail newcomers swap IN — q_ivfadc_topk (coarse
+# cells + residual PQ + ADC), q_hard_negatives (contrastive mining),
+# q_epoch_shuffle (deterministic shard layout), q_embedding_standardize
+# (per-dim z-score), q_decontaminate_spans (span-level leakage),
+# q_stream_drift (streamed stats-store drift read), q_pack_efficiency
+# (pack fill/straddle dashboard).  Swapped OUT, each green since r1/r2
+# and shape-represented by a remaining neighbor: q_bootstrap_snapshot
+# (S4 shape: q_snapshot_union + the S1 row), q_asof_enrich (as-of shape:
+# q_latest_image window family), q_grid_range_join (banded-join shape:
+# q_ngram_jaccard/LSH band joins), q_pricing_summary (columnar-agg
+# shape: q_change_counts/q_corpus_report), q_user_sessions (session
+# window shape: q_stream_mv_maintain + monotonic windows), q_offset_gaps
+# (lag-window shape: q_monotonic_dedup), q_dedup_minhash (banded
+# MinHash shape: q_stream_neardup_dedup's oracle recomputes it).
 PRIORITY = [
     # --- tier 1: operator rows -------------------------------------
     "q_stream_change_counts",   # S1 MySQL binlog streaming scan
     "q_hbase_cells",            # S2 HBase WAL scan
-    "q_bootstrap_snapshot",     # S4 batch bootstrap
     "q_table_filter",           # F1
     "q_event_type_filter",      # F2
     "q_project_decode",         # P1
@@ -117,16 +132,9 @@ PRIORITY = [
     # --- tier 2: §2.C category demos -------------------------------
     "q_enriched_changes",
     "q_ship_priority",
-    "q_pricing_summary",
-    "q_asof_enrich",
-    "q_grid_range_join",
-    "q_user_sessions",
     "q_schema_evolution",
     "q_stream_mv_maintain",
-    "q_offset_gaps",
-    # --- tier 3: LLM-pipeline core ----------------------------------
     "q_dedup_exact",
-    "q_dedup_minhash",
     "q_stream_simhash_dedup",   # subsumes q_dedup_simhash (r5 late swap)
     "q_ngram_jaccard",
     "q_semdedup",               # cluster-partitioned semantic dedup (r7 new)
@@ -145,6 +153,13 @@ PRIORITY = [
     "q_line_dedup",             # corpus line dedup + rebuild (r7 swap-in)
     "q_sequence_pack",          # training-sequence layout plan (r7 new)
     "q_quality_classifier",     # hashed linear quality scorer (r7 new)
+    "q_ivfadc_topk",            # IVFADC: coarse cells + residual PQ (r8 swap-in)
+    "q_hard_negatives",         # contrastive hard-negative mining (r8 swap-in)
+    "q_epoch_shuffle",          # deterministic epoch-shuffle layout (r8 swap-in)
+    "q_embedding_standardize",  # per-dim z-score normalization (r8 swap-in)
+    "q_decontaminate_spans",    # span-level leakage facts (r8 swap-in)
+    "q_stream_drift",           # streamed stats-store drift read (r8 swap-in)
+    "q_pack_efficiency",        # pack fill/straddle dashboard (r8 swap-in)
     "q_corpus_report",
 ]
 
@@ -154,6 +169,13 @@ PRIORITY = [
 # views live in PARITY below, NOT here — the never-graded count that
 # matters is len(TAIL), not len(TAIL) + len(PARITY) (VERDICT r5 ask #6).
 TAIL = [
+    "q_bootstrap_snapshot",     # r8 swap-out (green r01+ rows; shape: q_snapshot_union + S1 row)
+    "q_asof_enrich",            # r8 swap-out (green r01+ rows; shape: q_latest_image windows)
+    "q_grid_range_join",        # r8 swap-out (green r01+ rows; shape: banded joins in dedup family)
+    "q_pricing_summary",        # r8 swap-out (green r01+ rows; shape: q_change_counts/q_corpus_report)
+    "q_user_sessions",          # r8 swap-out (green r01+ rows; shape: q_stream_mv_maintain windows)
+    "q_offset_gaps",            # r8 swap-out (green r01+ rows; shape: q_monotonic_dedup lag windows)
+    "q_dedup_minhash",          # r8 swap-out (green r01+ rows; oracle recomputed by q_stream_neardup_dedup)
     "q_returned_top_customers", # r7 swap-out (green r01+ rows; shape: q_enriched_changes/q_ship_priority)
     "q_top_events_per_table",   # r7 swap-out (green r01+ rows; shape: q_tfidf_topterms top-k)
     "q_embedding_dedup",        # r7 swap-out (green r05/r06 rows; shape: q_semdedup)
@@ -170,8 +192,6 @@ TAIL = [
     "q_incremental_dedup",      # r6 swap-out (green r05 row; shape: q_dedup_exact)
     "q_rp_topk",                # r6 swap-out (green r05 row; shape: q_pq_topk)
     "q_ivf_topk",               # r6 swap-out (green r05 row; shape: q_pq_topk)
-    "q_hard_negatives",         # r7 new: contrastive hard-negative mining
-    "q_epoch_shuffle",          # r7 new: deterministic epoch-shuffle layout
     "q_stream_schema_epochs",
     "q_churned_keys",           # r5 swap-out (shape: q_retained_keys)
     "q_datetime_normalize",     # r5 swap-out (shape: q_project_decode)
@@ -179,14 +199,10 @@ TAIL = [
     "q_hash_sample",            # r5 swap-out (shape: q_stratified_sample)
     "q_lang_id",                # r5 swap-out (shape: q_fingerprint)
     "q_decontaminate",
-    "q_decontaminate_spans",    # r7 new: span-level leakage facts
-    "q_embedding_standardize",  # r7 new: per-dim z-score normalization
     "q_stratified_sample",
     "q_exact_sample",
     "q_quality_prune",
     "q_token_shards",
-    "q_pack_efficiency",        # r7 new: pack fill/straddle dashboard
-    "q_stream_drift",           # r7 new: streaming distribution-drift monitor
     "q_stream_source_mix",
     "q_stream_sessions",
     "q_stream_length_histogram",
@@ -195,7 +211,6 @@ TAIL = [
     "q_stream_embedding_search",
     "q_embedding_dedup_multitable",
     "q_sq8_topk",
-    "q_ivfadc_topk",            # r7 new: coarse cells + residual PQ + ADC
     "q_repeated_spans",
     "q_lm_familiarity",
     "q_bpe_merges",

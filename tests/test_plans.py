@@ -316,6 +316,12 @@ class TestTrainingDataOps:
         assert plan.count("BroadcastHashJoin") >= 3
         assert "CartesianProduct" not in plan
         assert "InMemoryTableScan" in plan
+        # the dfreq relation must be bounded by the query-term table
+        # BEFORE it broadcasts (VERDICT r7 #3: a full-vocab dfreq
+        # broadcast is ~10^8 rows at 100 TB): the plan carries a
+        # broadcast LeftSemi against the query terms feeding the dfreq
+        # aggregate
+        assert "LeftSemi" in plan
         assert "Exchange SinglePartition" not in plan.replace(
             "Exchange SinglePartition", "", 1
         )  # only the 1-row totals agg may single-partition

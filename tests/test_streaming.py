@@ -1238,7 +1238,8 @@ class TestStreamingDedup:
 
 
 class TestStreamStreamJoin:
-    def test_interval_join_insert_to_delete(self, spark, tmp_path):
+    def test_interval_join_insert_to_delete(self, isolated_spark, tmp_path):
+        spark = isolated_spark  # own sessionState: see conftest.isolated_spark
         """Stream-stream INNER interval join with watermarks on both
         sides (state-backed, multi-batch): pair each insert with the
         delete of the same pk arriving within 10 s of event time.
