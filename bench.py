@@ -83,6 +83,7 @@ HEADLINE_V2 = [
     "q_embedding_standardize",  # per-dim z-score normalization
     "q_decontaminate_spans",    # span-level leakage facts
     "q_ivfadc_topk",      # coarse cells + residual PQ + ADC
+    "q_ivfadc_trained_topk",  # kmeans_train + pq_train composed IVFADC (r8)
     "q_pack_efficiency",  # pack fill/straddle dashboard
 ]
 

@@ -220,7 +220,11 @@ def ivf_assign(df: DataFrame, n_centroids: int = 8, vec_col: str = "embedding") 
 
 
 def kmeans_train(
-    df: DataFrame, n_centroids: int = 8, iterations: int = 3, vec_col: str = "embedding"
+    df: DataFrame,
+    n_centroids: int = 8,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Full Lloyd training: a driver-side loop of shuffle-once steps
     (assign -> per-(cell, dim) mean -> rebuild centroid vectors).
@@ -231,10 +235,15 @@ def kmeans_train(
     ``assign_to_centroids``.  Each iteration materializes only
     n_centroids rows on the driver side of the loop condition — the
     corpus never leaves the cluster.
+
+    Callers that already hold a persisted quantized corpus pass it via
+    ``base`` (ivfadc_topk_with_recall does) — otherwise every Lloyd
+    iteration re-quantizes the corpus from storage.
     """
     from pyspark.storagelevel import StorageLevel
 
-    base = with_quantized(df, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    if base is None:
+        base = with_quantized(df, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
     centroids = seed_centroids(base, n_centroids)
     for _ in range(iterations):
         assigned = assign_to_centroids(base, centroids)
@@ -1143,6 +1152,7 @@ def ivfadc_topk_with_recall(
     m: int = 8,
     codes: int = 16,
     vec_col: str = "embedding",
+    train_iterations: int = 0,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011, "Product Quantization for Nearest
     Neighbor Search" §IV): the canonical billion-scale ANN layout —
@@ -1156,8 +1166,13 @@ def ivfadc_topk_with_recall(
 
     Deterministic end-to-end: seeded coarse centroids (first n_cells
     vectors) and seeded residual codewords (first ``codes`` vectors'
-    residual sub-vectors) — the trained forms exist in kmeans_train /
-    pq_train and share these plan shapes exactly.
+    residual sub-vectors).  ``train_iterations > 0`` composes the
+    TRAINED index the way Jégou §IV prescribes: ``kmeans_train`` runs
+    that many Lloyd iterations for the coarse quantizer, then
+    ``pq_train`` runs the same count over the RESIDUALS from the
+    trained cells.  Both trained relations are materialized eagerly
+    (n_cells and M·codes rows) so the three broadcasts below don't
+    each re-run training; search plan shapes are identical either way.
 
     Scoring identity (exact integer until the final cosine):
       dot(q, x) ≈ dot(q, c) + Σ_sub LUT[q, sub, code]   (c = x's cell)
@@ -1182,7 +1197,18 @@ def ivfadc_topk_with_recall(
     subdim = dim // m
 
     base = with_quantized(df, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
-    cents = seed_centroids(base, n_cells)
+    if train_iterations > 0:
+        trained = kmeans_train(
+            df, n_centroids=n_cells, iterations=train_iterations,
+            vec_col=vec_col, base=base,
+        )
+        # materialize the n_cells-row result so the broadcasts below
+        # don't each replay the Lloyd passes over the corpus
+        cents = df.sparkSession.createDataFrame(
+            trained.collect(), "centroid_id long, cq array<long>, cnorm long"
+        )
+    else:
+        cents = seed_centroids(base, n_cells)
     assigned = assign_to_centroids(base, cents).drop("c4")
 
     # residuals r = q - c, cell id carried through
@@ -1211,12 +1237,24 @@ def ivfadc_topk_with_recall(
         )
 
     rsub = sub_explode(resid, "r")
-    codebooks = rsub.filter(F.col("vec_id") < codes).select(
-        "sub",
-        F.col("vec_id").cast("int").alias("code"),
-        F.col("v").alias("cv"),
-        int_dot(F.col("v"), F.col("v")).alias("cnorm"),
-    )
+    if train_iterations > 0:
+        # residual codebooks TRAINED on the residual corpus: pq_train's
+        # Lloyd loop over the (already persisted) residual relation,
+        # materialized to its M·codes rows before the broadcasts below
+        cb_trained = pq_train(
+            df, m=m, codes=codes, iterations=train_iterations, vec_col=vec_col,
+            base=resid.select("vec_id", F.col("r").alias("q")),
+        )
+        codebooks = df.sparkSession.createDataFrame(
+            cb_trained.collect(), "sub int, code int, cv array<long>, cnorm long"
+        )
+    else:
+        codebooks = rsub.filter(F.col("vec_id") < codes).select(
+            "sub",
+            F.col("vec_id").cast("int").alias("code"),
+            F.col("v").alias("cv"),
+            int_dot(F.col("v"), F.col("v")).alias("cnorm"),
+        )
     # encode the corpus: nearest residual codeword per (vec, sub) —
     # the _pq_assign argmin inlined so the cell id RIDES ALONG instead
     # of being re-joined on vec_id afterwards (that join is a second

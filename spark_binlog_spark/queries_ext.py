@@ -2977,12 +2977,72 @@ def q_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfadc_topk_with_recall(emb, n_queries=5, k=10, n_cells=8, m=8, codes=16)
 
 
-def _ivfadc_oracle_sql(n_cells: int = 8, m: int = 8, subdim: int = 8, codes: int = 16) -> str:
+def _ivfadc_oracle_sql(
+    n_cells: int = 8, m: int = 8, subdim: int = 8, codes: int = 16, trained: bool = False
+) -> str:
     subs = f"(SELECT unnest(generate_series(0, {m - 1})) AS sub) s"
+    if trained:
+        # one Lloyd iteration for the coarse quantizer (the kmeans_train
+        # recipe: cosine assignment, exact integer per-(cell, dim) sums,
+        # one floored double division) — empty cells drop out
+        cents_sql = f"""cents0 AS (SELECT vec_id AS cell, q AS ccq, norm AS cellnorm FROM base0 WHERE vec_id < {n_cells}),
+t_scored AS (
+  SELECT b.vec_id, b.q, c.cell,
+         CAST(floor(
+           CAST(CAST(list_sum([b.q[i] * c.ccq[i] for i in generate_series(1, len(b.q))]) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(b.norm AS DOUBLE) * CAST(c.cellnorm AS DOUBLE)) * 10000) AS BIGINT) AS c4
+  FROM base0 b CROSS JOIN cents0 c),
+t_asg AS (
+  SELECT vec_id, q, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c4 DESC, cell) AS rn
+    FROM t_scored) WHERE rn = 1),
+t_dims AS (
+  SELECT cell, i - 1 AS dim, q[i] AS val
+  FROM t_asg CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) idx),
+t_means AS (
+  SELECT cell, dim,
+         CAST(floor(CAST(sum(val) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mv
+  FROM t_dims GROUP BY cell, dim),
+t_vecs AS (SELECT cell, list(mv ORDER BY dim) AS ccq FROM t_means GROUP BY cell),
+cents AS (
+  SELECT cell, ccq,
+         CAST(list_sum([ccq[i] * ccq[i] for i in generate_series(1, len(ccq))]) AS BIGINT) AS cellnorm
+  FROM t_vecs)"""
+        # one Lloyd iteration for the residual codebooks (the pq_train
+        # recipe per subspace: integer-L2 assignment over ALL residual
+        # sub-vectors, floored per-(sub, code, dim) means)
+        cb_sql = f"""cb0 AS (SELECT sub, CAST(vec_id AS INT) AS code, v AS cv FROM rsub WHERE vec_id < {codes}),
+cb_scored AS (
+  SELECT r.vec_id, r.sub, r.v, c.code,
+         CAST(list_sum([(r.v[i] - c.cv[i]) * (r.v[i] - c.cv[i])
+                        for i in generate_series(1, {subdim})]) AS BIGINT) AS l2
+  FROM rsub r JOIN cb0 c ON r.sub = c.sub),
+cb_asg AS (
+  SELECT sub, code, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY l2, code) AS rn
+    FROM cb_scored) WHERE rn = 1),
+cb_dims AS (
+  SELECT sub, code, i AS dim, v[i] AS val
+  FROM cb_asg CROSS JOIN (SELECT unnest(generate_series(1, {subdim})) AS i) ci),
+cb_means AS (
+  SELECT sub, code, dim,
+         CAST(floor(CAST(sum(val) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mval
+  FROM cb_dims GROUP BY sub, code, dim),
+cb_vecs AS (SELECT sub, code, list(mval ORDER BY dim) AS cv FROM cb_means GROUP BY sub, code),
+cb AS (
+  SELECT sub, code, cv,
+         CAST(list_sum([cv[i] * cv[i] for i in generate_series(1, {subdim})]) AS BIGINT) AS cnorm
+  FROM cb_vecs)"""
+    else:
+        cents_sql = f"cents AS (SELECT vec_id AS cell, q AS ccq, norm AS cellnorm FROM base0 WHERE vec_id < {n_cells})"
+        cb_sql = f"""cb AS (
+  SELECT sub, CAST(vec_id AS INT) AS code, v AS cv,
+         CAST(list_sum([v[i] * v[i] for i in generate_series(1, {subdim})]) AS BIGINT) AS cnorm
+  FROM rsub WHERE vec_id < {codes})"""
     return f"""
 WITH quant AS ({_QUANT_SQL}),
 base0 AS ({_NORM_SQL}),
-cents AS (SELECT vec_id AS cell, q AS ccq, norm AS cellnorm FROM base0 WHERE vec_id < {n_cells}),
+{cents_sql},
 asg_scored AS (
   SELECT b.vec_id, b.q, b.norm, c.cell, c.ccq, c.cellnorm,
          CAST(floor(
@@ -3001,10 +3061,7 @@ rsub AS (
   SELECT vec_id, cell, s.sub,
          [r[s.sub * {subdim} + i] for i in generate_series(1, {subdim})] AS v
   FROM resid CROSS JOIN {subs}),
-cb AS (
-  SELECT sub, CAST(vec_id AS INT) AS code, v AS cv,
-         CAST(list_sum([v[i] * v[i] for i in generate_series(1, {subdim})]) AS BIGINT) AS cnorm
-  FROM rsub WHERE vec_id < {codes}),
+{cb_sql},
 enc_scored AS (
   SELECT r.vec_id, r.cell, r.sub, c.code,
          CAST(list_sum([(r.v[i] - c.cv[i]) * (r.v[i] - c.cv[i])
@@ -3071,6 +3128,22 @@ FROM ptop p LEFT JOIN etop e ON p.query_id = e.query_id AND p.vec_id = e.vec_id
 
 
 ORACLE["q_ivfadc_topk"] = _ivfadc_oracle_sql()
+
+
+def q_ivfadc_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED IVFADC (Jégou et al. 2011 §IV, the full prescription):
+    ``kmeans_train`` runs one Lloyd iteration for the coarse quantizer,
+    ``pq_train`` one over the residuals from the trained cells, and the
+    search runs the identical cell-pruned ADC plan as q_ivfadc_topk —
+    trained relations are materialized once (n_cells + M*codes rows) so
+    training cost is plan construction, never per-broadcast replay."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfadc_topk_with_recall(
+        emb, n_queries=5, k=10, n_cells=8, m=8, codes=16, train_iterations=1
+    )
+
+
+ORACLE["q_ivfadc_trained_topk"] = _ivfadc_oracle_sql(trained=True)
 
 
 # ---------------------------------------------------------------- pack efficiency

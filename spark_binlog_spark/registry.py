@@ -211,6 +211,7 @@ TAIL = [
     "q_stream_embedding_search",
     "q_embedding_dedup_multitable",
     "q_sq8_topk",
+    "q_ivfadc_trained_topk",    # r8 new: kmeans_train + pq_train composed IVFADC
     "q_repeated_spans",
     "q_lm_familiarity",
     "q_bpe_merges",

@@ -414,6 +414,25 @@ class TestTrainingDataOps:
         assert "CartesianProduct" not in plan
         assert "Exchange SinglePartition" not in plan
 
+    def test_ivfadc_trained_all_small_relations_broadcast(self, spark):
+        """q_ivfadc_trained_topk: the TRAINED centroids and codebooks
+        are materialized local relations (n_cells and M*codes rows), so
+        the SEARCH plan must look exactly like the seeded form — every
+        small relation broadcast, no sort-merge onto the encoded
+        corpus, no cartesian products, and no replay of the Lloyd
+        training inside the search plan (training is plan
+        construction, asserted by the LocalTableScan count)."""
+        from spark_binlog_spark.queries_ext import q_ivfadc_trained_topk
+
+        spark.catalog.clearCache()
+        plan = _physical(q_ivfadc_trained_topk(spark, SF_TEST))
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "CartesianProduct" not in plan
+        assert "Exchange SinglePartition" not in plan
+        # trained cents + codebooks enter as materialized local tables
+        # (Python createDataFrame renders as an ExistingRDD scan)
+        assert "LocalTableScan" in plan or "ExistingRDD" in plan
+
     def test_embedding_standardize_broadcasts_stats(self, spark):
         """q_embedding_standardize: the 64-row per-dim moment table
         broadcasts back into the corpus pass — the exploded corpus must
