@@ -894,3 +894,197 @@ def epoch_shuffle(df, epoch: int = 1, n_shards: int = 8) -> DataFrame:
         .withColumn("position", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "position", "shuffle_key")
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str = "lang",
+    max_epochs: int = 2,
+    budget_num: int = 3,
+    budget_den: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax token-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): split a total training-token budget as
+    evenly as possible across groups (languages), but never ask any
+    group for more than ``max_epochs`` passes over its data.  The
+    closed form is a waterfill: visit groups in ascending order of
+    their epoch cap; a group whose cap is below the current equal share
+    of the remaining budget takes its cap, everyone after splits what
+    is left evenly.
+
+    Budget = floor(total_tokens * budget_num / budget_den) — expressed
+    as an exact rational of the corpus total so every engine agrees.
+
+    Integer-exact determinism: the "cap below equal share" test is the
+    cross-multiplied ``cap * groups_left < budget_remaining`` (no
+    division), and the two final divisions (equal share, epochs) are
+    single floored double divisions, the repo-wide convention.  The
+    capped set is a PREFIX of the ascending cap order (waterfill
+    property), enforced with a running minimum so the condition for
+    group j is evaluated against the budget actually spent by 1..j-1.
+
+    Output per group: (group, n_tokens, cap_tokens, capped,
+    alloc_tokens, epochs4) with epochs4 = floor(10^4 * alloc/n_tokens).
+
+    Scale shape: ONE hash-agg over the corpus (map-side partial sums of
+    whitespace token counts) down to |groups| rows; the waterfill
+    windows run on that tiny relation only — at 100 TB the corpus is
+    scanned once and everything else is per-language bookkeeping.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.col(text_col), "\\s+")).cast("long")
+    per = df.select(F.col(group_col).alias("grp"), toks.alias("t")).groupBy(
+        "grp"
+    ).agg(F.sum("t").alias("n_tokens"))
+
+    w_all = Window.partitionBy()  # |groups| rows — tiny by construction
+    w_ord = w_all.orderBy("cap_tokens", "grp")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    stats = per.select(
+        "grp",
+        "n_tokens",
+        (F.col("n_tokens") * max_epochs).alias("cap_tokens"),
+    ).select(
+        "*",
+        F.floor(
+            F.sum("n_tokens").over(w_all) * budget_num / F.lit(budget_den)
+        ).cast("long").alias("budget"),
+        F.count("*").over(w_all).alias("n_groups"),
+        F.row_number().over(w_ord).alias("j"),
+        F.sum("cap_tokens").over(w_run).alias("prefix_cap"),
+    )
+    # group j caps iff cap_j * groups_from_j < budget − spent_by_1..j−1,
+    # AND every earlier group capped (running min = the prefix property)
+    raw = (
+        F.col("cap_tokens") * (F.col("n_groups") - F.col("j") + 1)
+        < F.col("budget") - (F.col("prefix_cap") - F.col("cap_tokens"))
+    ).cast("int")
+    marked = stats.select("*", F.min(raw).over(w_run).alias("capped_i"))
+    final = marked.select(
+        "*",
+        F.sum(F.col("capped_i") * F.col("cap_tokens")).over(w_all).alias("spent"),
+        F.sum("capped_i").over(w_all).alias("n_capped"),
+    )
+    share = F.floor(
+        (F.col("budget") - F.col("spent")).cast("double")
+        / (F.col("n_groups") - F.col("n_capped")).cast("double")
+    ).cast("long")
+    alloc = F.when(F.col("capped_i") == 1, F.col("cap_tokens")).otherwise(share)
+    return final.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "cap_tokens",
+        (F.col("capped_i") == 1).alias("capped"),
+        alloc.alias("alloc_tokens"),
+        F.floor(
+            alloc.cast("double") * 10000 / F.col("n_tokens").cast("double")
+        ).cast("long").alias("epochs4"),
+    )
+
+
+# DSIR hashed-importance constants — shared with the oracle.
+DSIR_SEED = 11
+DSIR_BUCKETS = 4096
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed n-gram IMPORTANCE WEIGHTING for data selection (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — DSIR): score every raw document by how much its
+    hashed unigram+bigram profile looks like a TARGET distribution
+    (here: the ``target_col == target_value`` slice standing in for the
+    high-quality target corpus) versus the raw distribution (everything
+    else).
+
+    Per bucket b the paper uses the log-ratio log(p̂_b/q̂_b) of
+    Laplace-smoothed bucket probabilities; logs are not bit-stable
+    across engines (libm ulps at floor boundaries — the BM25 note), so
+    the score is the integer CENTERED RATIO
+
+        lr4[b] = (p_b+1)·(Q+B)·10^4 div ((q_b+1)·(P+B)) − 10^4
+
+    (P/Q = total target/raw gram instances, B = n_buckets; positive
+    iff the bucket is over-represented in the target — the first-order
+    Taylor of the log-ratio, monotone in it per bucket).  A document's
+    score is the exact integer sum of lr4 over its gram INSTANCES,
+    exactly DSIR's feature dot-product with the importance vector.
+    int64 headroom: (p+1)(Q+B)10^4 must stay under 2^63 — shard the
+    estimate or drop the 10^4 scale past ~10^9 target grams.
+
+    Scale shape — the reason DSIR works at 100 TB: the distribution
+    tables are AT MOST n_buckets rows no matter the corpus size (one
+    gram-explode pass with map-side partial counts), the lr4 table
+    broadcasts, and scoring is the same explode joined to that
+    broadcast + ONE doc_id hash-agg.  No vocabulary is ever collected.
+
+    Output: (doc_id, is_target, n_grams, score_sum, avg4, keep) with
+    avg4 = floor(score_sum/n_grams) and keep = raw doc with
+    score_sum >= 0 (the resampling acceptance stand-in).
+    """
+    from spark_binlog_spark.functions.dedup import spread_small_input
+    from spark_binlog_spark.functions.hashing import h48
+
+    df = spread_small_input(df)
+    w = words(F.col(text_col))
+    grams = F.concat(
+        w,
+        F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.slice(w, 1, F.size(w) - 1),
+                lambda x, i: F.concat_ws(" ", x, F.element_at(w, i + 2)),
+            ),
+        ).otherwise(F.array()),
+    )
+    base = df.select(
+        F.col("doc_id"),
+        (F.col(target_col) == target_value).alias("is_target"),
+        F.explode(grams).alias("gram"),
+    ).select(
+        "doc_id", "is_target", (h48(F.col("gram"), seed=DSIR_SEED) % n_buckets).alias("bucket")
+    )
+    dist = base.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("p"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("q"),
+    )
+    # P/Q totals ride the same ≤ n_buckets-row relation (window over it);
+    # integer `div` (all operands positive, so Spark's truncation and
+    # DuckDB's floor agree) keeps the ratio exact — no double round-trip
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    lr = dist.select(
+        "bucket",
+        "p",
+        "q",
+        F.sum("p").over(w_all).alias("pt"),
+        F.sum("q").over(w_all).alias("qt"),
+    ).selectExpr(
+        "bucket",
+        f"(p + 1) * 10000 * (qt + {n_buckets}) div ((q + 1) * (pt + {n_buckets})) - 10000 as lr4",
+    )
+    scored = (
+        base.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "is_target")
+        .agg(F.count("*").alias("n_grams"), F.sum("lr4").alias("score_sum"))
+    )
+    return scored.select(
+        "doc_id",
+        "is_target",
+        "n_grams",
+        "score_sum",
+        F.floor(
+            F.col("score_sum").cast("double") / F.col("n_grams").cast("double")
+        ).cast("long").alias("avg4"),
+        ((~F.col("is_target")) & (F.col("score_sum") >= 0)).alias("keep"),
+    )

@@ -3206,3 +3206,114 @@ SELECT source,
        CAST(sum(CASE WHEN pack_first != pack_last THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
 FROM p GROUP BY source
 """
+
+
+# ---------------------------------------------------------------- unimax budget
+def q_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax token-budget allocation across languages (Chung et al.
+    2023): budget = 1.5x the corpus tokens, epoch cap = 2 — the
+    waterfill gives small languages their full cap and splits the rest
+    evenly, the published fix for temperature sampling's over/under-
+    sampling of head/tail languages.  One corpus hash-agg down to
+    |langs| rows; the waterfill itself runs on that tiny relation
+    (functions/text.py unimax_allocation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unimax_allocation(
+        docs, group_col="lang", max_epochs=2, budget_num=3, budget_den=2
+    )
+
+
+ORACLE["q_unimax_budget"] = """
+WITH per AS (
+  SELECT lang AS grp,
+         CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+stats AS (
+  SELECT grp, n_tokens, n_tokens * 2 AS cap_tokens,
+         CAST(floor(CAST(sum(n_tokens) OVER () * 3 AS DOUBLE) / 2) AS BIGINT) AS budget,
+         count(*) OVER () AS n_groups,
+         row_number() OVER (ORDER BY n_tokens * 2, grp) AS j,
+         sum(n_tokens * 2) OVER (ORDER BY n_tokens * 2, grp
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix_cap
+  FROM per
+),
+marked AS (
+  SELECT *, min(CASE WHEN cap_tokens * (n_groups - j + 1)
+                          < budget - (prefix_cap - cap_tokens)
+                     THEN 1 ELSE 0 END)
+            OVER (ORDER BY cap_tokens, grp
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped_i
+  FROM stats
+),
+final AS (
+  SELECT *, sum(capped_i * cap_tokens) OVER () AS spent,
+            sum(capped_i) OVER () AS n_capped
+  FROM marked
+)
+SELECT grp AS lang, n_tokens, cap_tokens,
+       capped_i = 1 AS capped,
+       CAST(CASE WHEN capped_i = 1 THEN cap_tokens
+                 ELSE CAST(floor(CAST(budget - spent AS DOUBLE)
+                           / CAST(n_groups - n_capped AS DOUBLE)) AS BIGINT)
+            END AS BIGINT) AS alloc_tokens,
+       CAST(floor(CAST(CASE WHEN capped_i = 1 THEN cap_tokens
+                 ELSE CAST(floor(CAST(budget - spent AS DOUBLE)
+                           / CAST(n_groups - n_capped AS DOUBLE)) AS BIGINT)
+            END AS DOUBLE) * 10000 / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS epochs4
+FROM final
+"""
+
+
+# ---------------------------------------------------------------- DSIR importance
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed n-gram importance weighting (Xie et al. 2023): score
+    every document by target-vs-raw hashed unigram+bigram bucket
+    ratios, with the 'en' slice standing in for the target corpus.
+    Both distribution tables are bounded at DSIR_BUCKETS rows no matter
+    the corpus size; the importance table broadcasts and scoring is one
+    doc_id hash-agg (functions/text.py dsir_importance)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.dsir_importance(docs, target_col="lang", target_value="en")
+
+
+ORACLE["q_dsir_importance"] = f"""
+WITH g0 AS (
+  SELECT doc_id, lang = 'en' AS is_target, string_split(text, ' ') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, is_target, unnest(
+    ws || CASE WHEN len(ws) >= 2
+               THEN [ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws) - 1)]
+               ELSE [] END) AS gram
+  FROM g0
+),
+b AS (
+  SELECT doc_id, is_target,
+         {h48_sql('gram', seed=text.DSIR_SEED)} % {text.DSIR_BUCKETS} AS bucket
+  FROM grams
+),
+dist AS (
+  SELECT bucket,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS p,
+         sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS q
+  FROM b GROUP BY bucket
+),
+lr AS (
+  SELECT bucket,
+         (p + 1) * 10000 * (sum(q) OVER () + {text.DSIR_BUCKETS})
+           // ((q + 1) * (sum(p) OVER () + {text.DSIR_BUCKETS})) - 10000 AS lr4
+  FROM dist
+),
+s AS (
+  SELECT doc_id, is_target, count(*) AS n_grams, sum(lr4) AS score_sum
+  FROM b JOIN lr USING (bucket) GROUP BY doc_id, is_target
+)
+SELECT doc_id, is_target,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(score_sum AS BIGINT) AS score_sum,
+       CAST(floor(CAST(score_sum AS DOUBLE) / CAST(n_grams AS DOUBLE)) AS BIGINT) AS avg4,
+       (NOT is_target) AND score_sum >= 0 AS keep
+FROM s
+"""

@@ -212,6 +212,8 @@ TAIL = [
     "q_embedding_dedup_multitable",
     "q_sq8_topk",
     "q_ivfadc_trained_topk",    # r8 new: kmeans_train + pq_train composed IVFADC
+    "q_unimax_budget",          # r8 new: UniMax waterfill token-budget allocation
+    "q_dsir_importance",        # r8 new: DSIR hashed n-gram importance weighting
     "q_repeated_spans",
     "q_lm_familiarity",
     "q_bpe_merges",

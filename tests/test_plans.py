@@ -433,6 +433,33 @@ class TestTrainingDataOps:
         # (Python createDataFrame renders as an ExistingRDD scan)
         assert "LocalTableScan" in plan or "ExistingRDD" in plan
 
+    def test_unimax_corpus_aggregates_once(self, spark):
+        """q_unimax_budget: the corpus hash-aggregates ONCE (map-side
+        partial sums) down to |langs| rows; the only SinglePartition
+        exchange is the waterfill windows over that tiny relation, and
+        the scan is pruned to (text, lang)."""
+        from spark_binlog_spark.queries_ext import q_unimax_budget
+
+        plan = _physical(q_unimax_budget(spark, SF_TEST))
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("Exchange SinglePartition") == 1  # post-agg only
+        assert "Join" not in plan
+        assert "struct<text:string,lang:string>" in plan
+
+    def test_dsir_broadcasts_bucket_table_corpus_never_smj(self, spark):
+        """q_dsir_importance: the lr4 importance table (≤ DSIR_BUCKETS
+        rows by construction) broadcasts into the scoring pass; the
+        exploded corpus must never sort-merge, and the only
+        SinglePartition exchange is the totals window over the bucket
+        relation."""
+        from spark_binlog_spark.queries_ext import q_dsir_importance
+
+        plan = _physical(q_dsir_importance(spark, SF_TEST))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("Exchange SinglePartition") <= 1
+
     def test_embedding_standardize_broadcasts_stats(self, spark):
         """q_embedding_standardize: the 64-row per-dim moment table
         broadcasts back into the corpus pass — the exploded corpus must

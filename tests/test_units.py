@@ -1156,3 +1156,73 @@ class TestIvfadc:
             by_q.setdefault(r["query_id"], []).append(r["rank"])
         for q, ranks in by_q.items():
             assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+class TestUnimaxAllocation:
+    def test_waterfill_invariants_and_hand_case(self, spark):
+        """UniMax invariants on a hand-built corpus: the capped set is
+        an ascending-cap prefix, capped groups get exactly their cap,
+        uncapped groups share the remainder evenly (within 1 token of
+        each other by the single floored division), and total
+        allocation never exceeds the budget."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions.text import unimax_allocation
+
+        # tokens: a=2, b=4, c=10  (caps 4, 8, 20 at E=2)
+        # budget = floor(16 * 3/2) = 24: a capped (4*3=12 < 24),
+        # b capped (8*2=16 < 24-4=20), c gets 24-12=12 < its 20 cap
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, lang="a", text="t1 t2"),
+                Row(doc_id=2, lang="b", text="t1 t2 t3 t4"),
+                Row(doc_id=3, lang="c", text=" ".join(f"t{i}" for i in range(10))),
+            ]
+        )
+        rows = {r["lang"]: r for r in unimax_allocation(docs).collect()}
+        assert rows["a"]["capped"] and rows["a"]["alloc_tokens"] == 4
+        assert rows["b"]["capped"] and rows["b"]["alloc_tokens"] == 8
+        assert not rows["c"]["capped"] and rows["c"]["alloc_tokens"] == 12
+        assert rows["a"]["epochs4"] == 20000  # exactly the 2-epoch cap
+        assert rows["c"]["epochs4"] == 12000  # 1.2 epochs
+        assert sum(r["alloc_tokens"] for r in rows.values()) <= 24
+
+    def test_no_group_exceeds_cap_on_real_corpus(self, spark):
+        from spark_binlog_spark.functions.text import unimax_allocation
+
+        from tests.conftest import SF_TEST
+
+        docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        rows = unimax_allocation(docs).collect()
+        for r in rows:
+            assert r["alloc_tokens"] <= r["cap_tokens"]
+            assert r["epochs4"] <= 20000
+        total = sum(r["n_tokens"] for r in rows)
+        assert sum(r["alloc_tokens"] for r in rows) <= total * 3 // 2
+
+
+class TestDsirImportance:
+    def test_gram_counts_signal_direction_and_keep(self, spark):
+        """n_grams = 2*len-1 (unigrams + bigrams), target-language raw
+        docs score above docs in a disjoint-vocabulary language, keep
+        only fires on raw docs, and every doc appears exactly once."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions.text import dsir_importance
+
+        en = "the cat sat on the mat and the dog ran"
+        de = "der hund lief und die katze sass auf der matte"
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, lang="en", text=en) for i in range(4)]
+            + [Row(doc_id=10 + i, lang="xx", text=en) for i in range(2)]  # raw, en-like
+            + [Row(doc_id=20 + i, lang="xx", text=de) for i in range(2)]  # raw, disjoint
+        )
+        rows = {r["doc_id"]: r for r in dsir_importance(docs).collect()}
+        assert len(rows) == 8
+        n_words = len(en.split())
+        assert rows[0]["n_grams"] == 2 * n_words - 1
+        # en-like raw docs must out-score disjoint-vocab raw docs
+        assert rows[10]["avg4"] > rows[20]["avg4"]
+        # target docs never kept (resampling selects from the raw pool)
+        assert not rows[0]["keep"]
+        assert rows[10]["keep"]  # positive-scoring raw doc
