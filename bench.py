@@ -84,6 +84,10 @@ HEADLINE_V2 = [
     "q_decontaminate_spans",    # span-level leakage facts
     "q_ivfadc_topk",      # coarse cells + residual PQ + ADC
     "q_ivfadc_trained_topk",  # kmeans_train + pq_train composed IVFADC (r8)
+    "q_unimax_budget",    # UniMax waterfill token-budget allocation (r8)
+    "q_dsir_importance",  # DSIR hashed n-gram importance weighting (r8)
+    "q_ccnet_buckets",    # CCNet head/middle/tail LM terciles (r8)
+    "q_cluster_sample",   # cluster-balanced embedding subsample (r8)
     "q_pack_efficiency",  # pack fill/straddle dashboard
 ]
 

@@ -1363,3 +1363,71 @@ def ivfadc_topk_with_recall(
         F.when(F.col("evec").isNotNull(), 1).otherwise(0).cast("long").alias("in_exact"),
     )
     return out
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    n_clusters: int = 8,
+    budget_num: int = 1,
+    budget_den: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """CLUSTER-BALANCED SUBSAMPLING (Vo et al. 2024, "Automatic Data
+    Curation for Self-Supervised Learning: A Clustering-Based
+    Approach"): pick an equal quota of vectors from every embedding
+    cluster instead of sampling the raw distribution — the published
+    fix for web-scale corpora where dominant modes (one language, one
+    template) would otherwise swamp the sample.
+
+    Deterministic end-to-end: seeded centroids (first n_clusters
+    vectors — ``kmeans_train`` drops in for the trained form, identical
+    plan), per-cluster order by the md5-derived key h48(vec_id#5) (a
+    reproducible shuffle, not a biased id order), and quota =
+    floor(N * budget_num / budget_den / n_clusters).  Clusters smaller
+    than the quota contribute everything.
+
+    Output: (vec_id, cluster, r, quota, keep) — r = the vector's
+    position in its cluster's shuffled order, keep = r <= quota.
+
+    Scale shape: centroid set broadcasts into one assignment pass; the
+    quota is derived from the k-row per-cluster count table (corpus
+    never re-aggregated globally, the scalar rides a broadcast cross
+    join); ranking is ONE per-cluster window — with n_clusters grown
+    ~sqrt(N) per the SemDeDup sizing note, per-cluster window state
+    stays bounded.  No global order anywhere.
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from spark_binlog_spark.functions.hashing import h48
+
+    base = with_quantized(df, vec_col)
+    cents = seed_centroids(base, n_clusters)
+    assigned = (
+        assign_to_centroids(base, cents)
+        .select("vec_id", F.col("centroid_id").alias("cluster"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # quota from the k-row cluster-count table — never a corpus-wide
+    # window; the 1-row result broadcasts
+    quota_df = (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum("n").alias("total"))
+        .select(
+            F.floor(
+                F.col("total").cast("double") * budget_num / (budget_den * n_clusters)
+            ).cast("long").alias("quota")
+        )
+    )
+    w_c = Window.partitionBy("cluster").orderBy("skey", "vec_id")
+    ranked = assigned.select(
+        "vec_id", "cluster", h48(F.col("vec_id"), seed=5).alias("skey")
+    ).withColumn("r", F.row_number().over(w_c).cast("long"))
+    return ranked.crossJoin(F.broadcast(quota_df)).select(
+        "vec_id",
+        "cluster",
+        "r",
+        "quota",
+        (F.col("r") <= F.col("quota")).alias("keep"),
+    )

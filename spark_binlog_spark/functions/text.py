@@ -1088,3 +1088,68 @@ def dsir_importance(
         ).cast("long").alias("avg4"),
         ((~F.col("is_target")) & (F.col("score_sum") >= 0)).alias("keep"),
     )
+
+
+# CCNet familiarity-bucket constants — shared with the oracle.
+CCNET_BIN = 10000  # famil6 is 0..10^6 -> 101 histogram bins
+
+
+def ccnet_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style quality BUCKETING (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): split each language's documents into head / middle / tail
+    terciles by LM score — CCNet uses KenLM perplexity, here the same
+    repo-native integer trigram familiarity (``lm_familiarity``), high
+    = head.  Downstream pipelines keep head+middle or reweight the
+    terciles.
+
+    Scale shape — CCNet's own trick, not a per-language sort: tercile
+    CUTOFFS come from a bounded (lang, bin) HISTOGRAM (famil6 div 10^4
+    -> 101 bins/language), cumulative-summed from the top bin on that
+    tiny relation; the cutoff table broadcasts back and bucket
+    assignment is a comparison in one scan.  A per-language ntile()
+    would globally sort every language partition — the exact window
+    scale-killer this repo bans on corpus relations.
+
+    Cutoff definition (integer-exact): cut_head = max bin b with
+    3·cum_desc(b) >= total, cut_mid = max bin with 3·cum_desc(b) >=
+    2·total (cum_desc = docs in bins >= b); head = bin >= cut_head,
+    middle = bin >= cut_mid below that, tail = the rest.  Buckets land
+    within one bin width of exact terciles, deterministically.
+
+    Output: (doc_id, lang, lm_famil6, bin, bucket).
+    """
+    from pyspark.sql import Window
+
+    fam = lm_familiarity(df, text_col)
+    binned = (
+        df.select("doc_id", "lang")
+        .join(fam, "doc_id")
+        .select(
+            "doc_id", "lang", "lm_famil6",
+            F.expr(f"lm_famil6 div {CCNET_BIN}").alias("bin"),
+        )
+    )
+    hist = binned.groupBy("lang", "bin").agg(F.count("*").alias("c"))
+    w_desc = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "lang", "bin", "c",
+        F.sum("c").over(w_desc).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("total"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.max(F.when(3 * F.col("cum") >= F.col("total"), F.col("bin"))).alias("cut_head"),
+        F.max(F.when(3 * F.col("cum") >= 2 * F.col("total"), F.col("bin"))).alias("cut_mid"),
+    )
+    bucket = (
+        F.when(F.col("bin") >= F.col("cut_head"), F.lit("head"))
+        .when(F.col("bin") >= F.col("cut_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return binned.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "lm_famil6", "bin", bucket.alias("bucket")
+    )

@@ -3317,3 +3317,92 @@ SELECT doc_id, is_target,
        (NOT is_target) AND score_sum >= 0 AS keep
 FROM s
 """
+
+
+# ---------------------------------------------------------------- CCNet buckets
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail LM-quality terciles per language (Wenzek
+    et al. 2020), cut from a bounded (lang, bin) histogram instead of a
+    per-language sort — cutoffs broadcast, assignment is a comparison
+    in one scan (functions/text.py ccnet_buckets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ccnet_buckets(docs)
+
+
+ORACLE["q_ccnet_buckets"] = f"""
+WITH pos AS (
+  SELECT doc_id, tri, substr(tri, 1, 2) AS big
+  FROM (SELECT doc_id, unnest(
+          CASE WHEN len(text) >= 3
+               THEN [substr(text, i, 3) for i in generate_series(1, len(text) - 2)]
+               ELSE [] END) AS tri
+        FROM documents)),
+tc AS (SELECT tri, count(*) AS c_tri FROM pos GROUP BY tri),
+bc AS (SELECT big, count(*) AS c_big FROM pos GROUP BY big),
+per AS (
+  SELECT p.doc_id, count(*) AS n_tri,
+         sum(tc.c_tri * 1000000 // bc.c_big) AS s
+  FROM pos p JOIN tc USING (tri) JOIN bc USING (big)
+  GROUP BY p.doc_id),
+fam AS (
+  SELECT d.doc_id, d.lang,
+         CAST(coalesce(per.s // per.n_tri, 0) AS BIGINT) AS lm_famil6
+  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+binned AS (
+  SELECT doc_id, lang, lm_famil6, lm_famil6 // {text.CCNET_BIN} AS bin FROM fam),
+hist AS (SELECT lang, bin, count(*) AS c FROM binned GROUP BY lang, bin),
+cum AS (
+  SELECT lang, bin, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY bin DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS total
+  FROM hist),
+cuts AS (
+  SELECT lang,
+         max(bin) FILTER (WHERE 3 * cum >= total) AS cut_head,
+         max(bin) FILTER (WHERE 3 * cum >= 2 * total) AS cut_mid
+  FROM cum GROUP BY lang)
+SELECT b.doc_id, b.lang, b.lm_famil6, CAST(b.bin AS BIGINT) AS bin,
+       CASE WHEN b.bin >= cut_head THEN 'head'
+            WHEN b.bin >= cut_mid THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM binned b JOIN cuts USING (lang)
+"""
+
+
+# ---------------------------------------------------------------- cluster-balanced sample
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subsampling (Vo et al. 2024): equal per-cluster
+    quotas over the embedding k-means partition instead of sampling the
+    raw distribution — centroids broadcast, quota derived from the
+    k-row count table, one per-cluster rank window over a reproducible
+    md5 shuffle key (functions/similarity.py cluster_balanced_sample)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cluster_balanced_sample(
+        emb, n_clusters=8, budget_num=1, budget_den=2
+    )
+
+
+ORACLE["q_cluster_sample"] = f"""
+WITH quant AS ({_QUANT_SQL}),
+base0 AS ({_NORM_SQL}),
+cents AS (SELECT vec_id AS cluster, q, norm FROM base0 WHERE vec_id < 8),
+asg_scored AS (
+  SELECT b.vec_id, c.cluster,
+         {_COS4.format(a='b', b='c', an='norm', bn='norm')} AS c4
+  FROM base0 b CROSS JOIN cents c),
+asg AS (
+  SELECT vec_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c4 DESC, cluster) AS rn
+    FROM asg_scored) WHERE rn = 1),
+ranked AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster
+           ORDER BY {h48_sql('vec_id', seed=5)}, vec_id) AS r
+  FROM asg),
+qt AS (
+  SELECT CAST(floor(CAST(count(*) AS DOUBLE) * 1 / (2 * 8)) AS BIGINT) AS quota
+  FROM asg)
+SELECT vec_id, cluster, CAST(r AS BIGINT) AS r, quota, r <= quota AS keep
+FROM ranked CROSS JOIN qt
+"""

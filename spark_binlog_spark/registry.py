@@ -214,6 +214,8 @@ TAIL = [
     "q_ivfadc_trained_topk",    # r8 new: kmeans_train + pq_train composed IVFADC
     "q_unimax_budget",          # r8 new: UniMax waterfill token-budget allocation
     "q_dsir_importance",        # r8 new: DSIR hashed n-gram importance weighting
+    "q_ccnet_buckets",          # r8 new: CCNet head/middle/tail LM terciles
+    "q_cluster_sample",         # r8 new: cluster-balanced embedding subsample
     "q_repeated_spans",
     "q_lm_familiarity",
     "q_bpe_merges",

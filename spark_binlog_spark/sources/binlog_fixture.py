@@ -1192,4 +1192,9 @@ def register(spark) -> None:
     except ImportError:  # vendored location moved in some releases
         from pyspark.serializers import cloudpickle as _cp  # type: ignore
     _cp.register_pickle_by_value(_sys.modules[__name__])
+    # NOTE: Python DataSources do not survive spark.newSession() — the
+    # child session's exists-check sees the parent's registration
+    # (re-register raises DATA_SOURCE_ALREADY_EXISTS) while its lookup
+    # does NOT (reads fail DATA_SOURCE_NOT_FOUND).  Register and read
+    # from the SAME session.  (DEVNOTES "Known one-off flake".)
     spark.dataSource.register(BinlogFixtureDataSource)

@@ -43,16 +43,6 @@ def spark():
     s.stop()
 
 
-@pytest.fixture()
-def isolated_spark(spark):
-    """A session with its OWN sessionState (analyzer, optimizer, temp
-    views, streaming-query plan caches) sharing the SparkContext —
-    isolates the planning-time ``TreeNode.makeCopy`` clone race the
-    stream-stream join test hit twice under the shared session
-    (DEVNOTES "Known one-off flake", VERDICT r7 #4/#5)."""
-    return spark.newSession()
-
-
 @pytest.fixture(scope="session")
 def duck():
     import duckdb

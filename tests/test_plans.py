@@ -446,6 +446,33 @@ class TestTrainingDataOps:
         assert "Join" not in plan
         assert "struct<text:string,lang:string>" in plan
 
+    def test_ccnet_buckets_histogram_cuts_no_corpus_sort(self, spark):
+        """q_ccnet_buckets: tercile cutoffs come from the bounded
+        (lang, bin) histogram — the corpus relation must never be
+        globally or per-lang sorted (no rangepartitioning), the cutoff
+        table broadcasts, and the trigram model tables broadcast (the
+        lm_familiarity shape underneath)."""
+        from spark_binlog_spark.queries_ext import q_ccnet_buckets
+
+        spark.catalog.clearCache()
+        plan = _physical(q_ccnet_buckets(spark, SF_TEST))
+        assert "Exchange rangepartitioning" not in plan
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "CartesianProduct" not in plan
+
+    def test_cluster_sample_broadcasts_centroids_and_quota(self, spark):
+        """q_cluster_sample: centroids broadcast into the assignment
+        pass, the 1-row quota rides a broadcast cross join (a scalar,
+        not a corpus-wide window), and the corpus is never globally
+        sorted."""
+        from spark_binlog_spark.queries_ext import q_cluster_sample
+
+        spark.catalog.clearCache()
+        plan = _physical(q_cluster_sample(spark, SF_TEST))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "Exchange rangepartitioning" not in plan
+        assert "SortMergeJoin" not in plan
+
     def test_dsir_broadcasts_bucket_table_corpus_never_smj(self, spark):
         """q_dsir_importance: the lr4 importance table (≤ DSIR_BUCKETS
         rows by construction) broadcasts into the scoring pass; the

@@ -1238,12 +1238,20 @@ class TestStreamingDedup:
 
 
 class TestStreamStreamJoin:
-    def test_interval_join_insert_to_delete(self, isolated_spark, tmp_path):
-        spark = isolated_spark  # own sessionState: see conftest.isolated_spark
+    def test_interval_join_insert_to_delete(self, spark, tmp_path):
         """Stream-stream INNER interval join with watermarks on both
         sides (state-backed, multi-batch): pair each insert with the
         delete of the same pk arriving within 10 s of event time.
-        The final pair set must equal the batch interval join."""
+        The final pair set must equal the batch interval join.
+
+        Retries (bounded, fresh checkpoint) ONLY on the documented
+        Spark-internal ``TreeNode.makeCopy`` planning race
+        (DEVNOTES "Known one-off flake"; VERDICT r7 #4).  An isolated
+        ``spark.newSession()`` was tried first but Python DataSources
+        don't survive it: the child session's exists-check sees the
+        parent's registration while its LOOKUP does not
+        (DATA_SOURCE_NOT_FOUND on read) — so the shared session plus a
+        narrowly-scoped retry is the correct isolation here."""
         import time
 
         from pyspark.sql import functions as F
@@ -1289,21 +1297,26 @@ class TestStreamStreamJoin:
         ).select("i_pk", "i_off", "d_off")
 
         name = "ssj_pairs"
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", str(tmp_path / "ck"))
-            .trigger(processingTime="200 milliseconds")
-            .start()
-        )
-        deadline = time.monotonic() + 90
-        while time.monotonic() < deadline:
-            if q.exception() is not None or spark.table(name).count() >= 2:
-                break
-            time.sleep(0.3)
-        q.stop()
-        q.awaitTermination()
+        for attempt in range(3):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / f"ck{attempt}"))
+                .trigger(processingTime="200 milliseconds")
+                .start()
+            )
+            deadline = time.monotonic() + 90
+            while time.monotonic() < deadline:
+                if q.exception() is not None or spark.table(name).count() >= 2:
+                    break
+                time.sleep(0.3)
+            q.stop()
+            exc = q.exception()
+            if exc is not None and "makeCopy" in str(exc) and attempt < 2:
+                continue  # the documented planning race — fresh checkpoint
+            q.awaitTermination()
+            break
         got = {(r["i_pk"], r["i_off"], r["d_off"]) for r in spark.table(name).collect()}
         assert got == {(1, 0, 3), (3, 4, 5)}, got
 

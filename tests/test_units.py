@@ -1226,3 +1226,61 @@ class TestDsirImportance:
         # target docs never kept (resampling selects from the raw pool)
         assert not rows[0]["keep"]
         assert rows[10]["keep"]  # positive-scoring raw doc
+
+
+class TestCcnetBuckets:
+    def test_tercile_sizes_and_ordering(self, spark):
+        """Each language's buckets partition its docs; head docs never
+        score below a middle doc of the same language, middle never
+        below tail; head holds >= a third of the language's docs (the
+        marginal-bin-inclusive cut) and head+middle >= two thirds."""
+        from collections import defaultdict
+
+        from spark_binlog_spark.functions.text import ccnet_buckets
+
+        from tests.conftest import SF_TEST
+
+        docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        rows = ccnet_buckets(docs).collect()
+        assert len(rows) == docs.count()
+        by_lang = defaultdict(lambda: defaultdict(list))
+        for r in rows:
+            by_lang[r["lang"]][r["bucket"]].append(r["lm_famil6"])
+        for lang, buckets in by_lang.items():
+            n = sum(len(v) for v in buckets.values())
+            h, m, t = (len(buckets.get(b, [])) for b in ("head", "middle", "tail"))
+            assert 3 * h >= n, (lang, h, n)
+            assert 3 * (h + m) >= 2 * n, (lang, h, m, n)
+            if buckets.get("head") and buckets.get("middle"):
+                assert min(buckets["head"]) >= max(buckets["middle"]) - 9999
+            if buckets.get("middle") and buckets.get("tail"):
+                assert min(buckets["middle"]) >= max(buckets["tail"]) - 9999
+
+
+class TestClusterBalancedSample:
+    def test_quota_balance_and_determinism(self, spark):
+        """Every vector appears once with a contiguous per-cluster rank,
+        kept counts are min(quota, cluster size) — never more — and the
+        sample is identical across runs (reproducible shuffle key)."""
+        from collections import Counter, defaultdict
+
+        from spark_binlog_spark.functions.similarity import cluster_balanced_sample
+
+        from tests.conftest import SF_TEST
+
+        emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        rows = cluster_balanced_sample(emb, n_clusters=8).collect()
+        assert len(rows) == emb.count()
+        quota = rows[0]["quota"]
+        assert quota == len(rows) // 16  # budget 1/2 over 8 clusters
+        by_c = defaultdict(list)
+        for r in rows:
+            by_c[r["cluster"]].append(r)
+        kept = Counter()
+        for c, rs in by_c.items():
+            assert sorted(r["r"] for r in rs) == list(range(1, len(rs) + 1))
+            kept[c] = sum(1 for r in rs if r["keep"])
+            assert kept[c] == min(quota, len(rs))
+        again = {(r["vec_id"], r["keep"]) for r in
+                 cluster_balanced_sample(emb, n_clusters=8).collect()}
+        assert again == {(r["vec_id"], r["keep"]) for r in rows}
