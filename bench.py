@@ -88,6 +88,7 @@ HEADLINE_V2 = [
     "q_dsir_importance",  # DSIR hashed n-gram importance weighting (r8)
     "q_ccnet_buckets",    # CCNet head/middle/tail LM terciles (r8)
     "q_cluster_sample",   # cluster-balanced embedding subsample (r8)
+    "q_stream_unimax",    # UniMax served off the streamed stats store (r8)
     "q_pack_efficiency",  # pack fill/straddle dashboard
 ]
 

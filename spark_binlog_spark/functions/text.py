@@ -933,12 +933,30 @@ def unimax_allocation(
     windows run on that tiny relation only — at 100 TB the corpus is
     scanned once and everything else is per-language bookkeeping.
     """
-    from pyspark.sql import Window
-
     toks = F.size(F.split(F.col(text_col), "\\s+")).cast("long")
     per = df.select(F.col(group_col).alias("grp"), toks.alias("t")).groupBy(
         "grp"
     ).agg(F.sum("t").alias("n_tokens"))
+    return unimax_waterfill(
+        per, group_col=group_col, max_epochs=max_epochs,
+        budget_num=budget_num, budget_den=budget_den,
+    )
+
+
+def unimax_waterfill(
+    per: DataFrame,
+    group_col: str = "lang",
+    max_epochs: int = 2,
+    budget_num: int = 3,
+    budget_den: int = 2,
+) -> DataFrame:
+    """The UniMax waterfill over an ALREADY-AGGREGATED (grp, n_tokens)
+    table — the piece the streaming stats store serves directly
+    (``CorpusStatsSink.token_budget``), so a live ingest pipeline can
+    re-plan its token budget each batch without re-reading the corpus.
+    See ``unimax_allocation`` for semantics; every window here runs on
+    the |groups|-row relation only."""
+    from pyspark.sql import Window
 
     w_all = Window.partitionBy()  # |groups| rows — tiny by construction
     w_ord = w_all.orderBy("cap_tokens", "grp")

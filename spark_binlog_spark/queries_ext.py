@@ -3406,3 +3406,68 @@ qt AS (
 SELECT vec_id, cluster, CAST(r AS BIGINT) AS r, quota, r <= quota AS keep
 FROM ranked CROSS JOIN qt
 """
+
+
+# ---------------------------------------------------------------- stream unimax
+def q_stream_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax token-budget allocation served LIVE off the streamed
+    stats store: the documents table arrives as two micro-batches
+    through CorpusStatsSink, then the waterfill runs on the store's
+    per-source token totals — a continuous-ingest pipeline re-planning
+    its budget each batch without re-reading the corpus; must
+    hash-match the one-shot batch waterfill oracle
+    (streaming/corpus_stats.py token_budget)."""
+    import os
+
+    from spark_binlog_spark.streaming.corpus_stats import run_corpus_stats
+
+    docs_dir = _parity_batches(sf_dir, "unimax_stats_")
+    d = os.path.dirname(docs_dir)
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sink = run_corpus_stats(
+        spark, docs_dir, os.path.join(d, "stats"), os.path.join(d, "ck"), schema
+    )
+    return sink.token_budget(max_epochs=2, budget_num=3, budget_den=2)
+
+
+ORACLE["q_stream_unimax"] = """
+WITH per AS (
+  SELECT source AS grp,
+         CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+stats AS (
+  SELECT grp, n_tokens, n_tokens * 2 AS cap_tokens,
+         CAST(floor(CAST(sum(n_tokens) OVER () * 3 AS DOUBLE) / 2) AS BIGINT) AS budget,
+         count(*) OVER () AS n_groups,
+         row_number() OVER (ORDER BY n_tokens * 2, grp) AS j,
+         sum(n_tokens * 2) OVER (ORDER BY n_tokens * 2, grp
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix_cap
+  FROM per
+),
+marked AS (
+  SELECT *, min(CASE WHEN cap_tokens * (n_groups - j + 1)
+                          < budget - (prefix_cap - cap_tokens)
+                     THEN 1 ELSE 0 END)
+            OVER (ORDER BY cap_tokens, grp
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped_i
+  FROM stats
+),
+final AS (
+  SELECT *, sum(capped_i * cap_tokens) OVER () AS spent,
+            sum(capped_i) OVER () AS n_capped
+  FROM marked
+)
+SELECT grp AS source, n_tokens, cap_tokens,
+       capped_i = 1 AS capped,
+       CAST(CASE WHEN capped_i = 1 THEN cap_tokens
+                 ELSE CAST(floor(CAST(budget - spent AS DOUBLE)
+                           / CAST(n_groups - n_capped AS DOUBLE)) AS BIGINT)
+            END AS BIGINT) AS alloc_tokens,
+       CAST(floor(CAST(CASE WHEN capped_i = 1 THEN cap_tokens
+                 ELSE CAST(floor(CAST(budget - spent AS DOUBLE)
+                           / CAST(n_groups - n_capped AS DOUBLE)) AS BIGINT)
+            END AS DOUBLE) * 10000 / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS epochs4
+FROM final
+"""

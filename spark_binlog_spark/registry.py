@@ -216,6 +216,7 @@ TAIL = [
     "q_dsir_importance",        # r8 new: DSIR hashed n-gram importance weighting
     "q_ccnet_buckets",          # r8 new: CCNet head/middle/tail LM terciles
     "q_cluster_sample",         # r8 new: cluster-balanced embedding subsample
+    "q_stream_unimax",          # r8 new: UniMax served off the streamed stats store
     "q_repeated_spans",
     "q_lm_familiarity",
     "q_bpe_merges",

@@ -129,6 +129,23 @@ class CorpusStatsSink:
 
         return mixing_rates(self.current(), self.by)
 
+    def token_budget(
+        self, max_epochs: int = 2, budget_num: int = 3, budget_den: int = 2
+    ) -> DataFrame:
+        """UniMax token-budget allocation (Chung et al. 2023) served
+        LIVE off the streamed per-``by`` token totals: a continuous
+        ingest pipeline re-plans its budget split each batch from this
+        |groups|-row store — the corpus is never re-read.  Identical
+        waterfill (and oracle) as the batch ``unimax_allocation``; the
+        sink counts tokens with the same whitespace split."""
+        from spark_binlog_spark.functions.text import unimax_waterfill
+
+        per = self.current().select(F.col(self.by).alias("grp"), "n_tokens")
+        return unimax_waterfill(
+            per, group_col=self.by, max_epochs=max_epochs,
+            budget_num=budget_num, budget_den=budget_den,
+        )
+
     def drift(self) -> DataFrame:
         """Per-``by`` DISTRIBUTION-DRIFT tripwire: the L1 distance
         (×10^4, range 0..20000) between the LAST ingested batch's
