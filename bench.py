@@ -89,6 +89,7 @@ HEADLINE_V2 = [
     "q_ccnet_buckets",    # CCNet head/middle/tail LM terciles (r8)
     "q_cluster_sample",   # cluster-balanced embedding subsample (r8)
     "q_stream_unimax",    # UniMax served off the streamed stats store (r8)
+    "q_stream_dsir",      # DSIR scored off the incrementally maintained model (r8)
     "q_pack_efficiency",  # pack fill/straddle dashboard
 ]
 

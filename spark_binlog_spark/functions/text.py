@@ -1049,6 +1049,24 @@ def dsir_importance(
     avg4 = floor(score_sum/n_grams) and keep = raw doc with
     score_sum >= 0 (the resampling acceptance stand-in).
     """
+    base = dsir_gram_buckets(df, target_col, target_value, n_buckets, text_col)
+    dist = base.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("p"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("q"),
+    )
+    return dsir_score(base, dsir_lr_table(dist, n_buckets))
+
+
+def dsir_gram_buckets(
+    df: DataFrame,
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, is_target, bucket): every unigram+bigram instance
+    hashed into its DSIR feature bucket — the shared explode feeding
+    both distribution estimation (batch or incremental) and scoring."""
     from spark_binlog_spark.functions.dedup import spread_small_input
     from spark_binlog_spark.functions.hashing import h48
 
@@ -1064,24 +1082,24 @@ def dsir_importance(
             ),
         ).otherwise(F.array()),
     )
-    base = df.select(
+    return df.select(
         F.col("doc_id"),
         (F.col(target_col) == target_value).alias("is_target"),
         F.explode(grams).alias("gram"),
     ).select(
         "doc_id", "is_target", (h48(F.col("gram"), seed=DSIR_SEED) % n_buckets).alias("bucket")
     )
-    dist = base.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("p"),
-        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("q"),
-    )
-    # P/Q totals ride the same ≤ n_buckets-row relation (window over it);
-    # integer `div` (all operands positive, so Spark's truncation and
-    # DuckDB's floor agree) keeps the ratio exact — no double round-trip
+
+
+def dsir_lr_table(dist: DataFrame, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """(bucket, lr4) from a (bucket, p, q) distribution table.  The P/Q
+    totals ride the same ≤ n_buckets-row relation (window over it);
+    integer `div` (all operands positive, so Spark's truncation and
+    DuckDB's floor agree) keeps the ratio exact — no double round-trip."""
     from pyspark.sql import Window
 
     w_all = Window.partitionBy()
-    lr = dist.select(
+    return dist.select(
         "bucket",
         "p",
         "q",
@@ -1091,6 +1109,11 @@ def dsir_importance(
         "bucket",
         f"(p + 1) * 10000 * (qt + {n_buckets}) div ((q + 1) * (pt + {n_buckets})) - 10000 as lr4",
     )
+
+
+def dsir_score(base: DataFrame, lr: DataFrame) -> DataFrame:
+    """Score (doc_id, is_target, bucket) gram instances against a
+    broadcast (bucket, lr4) importance table — one doc_id hash-agg."""
     scored = (
         base.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id", "is_target")

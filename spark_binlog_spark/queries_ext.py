@@ -3471,3 +3471,28 @@ SELECT grp AS source, n_tokens, cap_tokens,
             END AS DOUBLE) * 10000 / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS epochs4
 FROM final
 """
+
+
+# ---------------------------------------------------------------- stream DSIR
+def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring served off the INCREMENTALLY maintained
+    model: the documents table arrives as two micro-batches through
+    DsirModelSink (additive ≤ 4096-row bucket distributions, batch-id
+    replay guard, crash-safe swaps), then the corpus is scored against
+    the live model — must hash-match the one-shot batch
+    q_dsir_importance oracle (streaming/dsir_sink.py)."""
+    import os
+
+    from spark_binlog_spark.streaming.dsir_sink import run_dsir_model
+
+    docs_dir = _parity_batches(sf_dir, "dsir_model_")
+    d = os.path.dirname(docs_dir)
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sink = run_dsir_model(
+        spark, docs_dir, os.path.join(d, "stats"), os.path.join(d, "ck"), schema
+    )
+    return sink.score(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE["q_stream_dsir"] = ORACLE["q_dsir_importance"]

@@ -3245,3 +3245,61 @@ class TestLayoutDetection:
             f"{rolled}/region=1/part-0.parquet",
         )
         assert not is_region_rolled(rolled)
+
+
+class TestDsirModelSink:
+    def _docs(self, spark, rows, start_id=0):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(doc_id=start_id + i, text=t, lang=lg) for i, (t, lg) in enumerate(rows)]
+        )
+
+    def test_incremental_model_matches_batch_and_survives_replay(
+        self, spark, tmp_path
+    ):
+        """Two batches through the sink build the SAME distributions as
+        the one-shot batch estimate (scores bit-identical), a replayed
+        batch never double-counts, and the store never exceeds
+        n_buckets rows."""
+        from spark_binlog_spark.functions.text import dsir_importance
+        from spark_binlog_spark.streaming.dsir_sink import DsirModelSink
+
+        rows0 = [("the cat sat on the mat", "en"), ("der hund lief schnell", "de")]
+        rows1 = [("the dog ran to the mat", "en"), ("die katze sass still", "de"),
+                 ("the the the cat cat", "xx")]
+        sink = DsirModelSink(spark, str(tmp_path / "stats"), resume=False)
+        b0 = self._docs(spark, rows0)
+        sink(b0, 0)
+        sink(b0, 0)  # replay after a crash between swap and commit
+        sink(self._docs(spark, rows1, start_id=10), 1)
+
+        full = self._docs(spark, rows0).unionByName(
+            self._docs(spark, rows1, start_id=10)
+        )
+        want = {r["doc_id"]: r for r in dsir_importance(full).collect()}
+        got = {r["doc_id"]: r for r in sink.score(full).collect()}
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == want[k], k
+        assert sink.distributions().count() <= 4096
+
+    def test_crash_before_swap_resumes_clean(self, spark, tmp_path):
+        """A tmp directory left by a crash mid-write is ignored on
+        resume (recover_dir) and the interrupted batch re-applies."""
+        import os
+
+        from spark_binlog_spark.streaming.dsir_sink import DsirModelSink
+
+        stats = str(tmp_path / "stats")
+        sink = DsirModelSink(spark, stats, resume=False)
+        sink(self._docs(spark, [("the cat", "en")]), 0)
+        # simulate a crash AFTER writing the next batch's tmp dir but
+        # BEFORE the swap: the tmp must not shadow the live store
+        os.makedirs(stats + ".b1", exist_ok=True)
+        with open(os.path.join(stats + ".b1", "junk"), "w") as f:
+            f.write("partial")
+        sink2 = DsirModelSink(spark, stats)  # resume
+        assert sink2._last_batch_id() == 0
+        sink2(self._docs(spark, [("the dog", "en")], start_id=5), 1)
+        assert sink2._last_batch_id() == 1
