@@ -17,8 +17,9 @@ pinned by tests in this container (integer-luma 4×4 box-average
 features for images; JPEG property-tested against a spec-correct
 encoder with bounded rounding tolerance; G.711 pinned to the spec
 anchor values; FLAC round-tripped bit-exactly against a spec-correct
-writer).  Only exotic image variants (progressive JPEG,
-16-bit/interlaced PNG) and perceptual audio (OGG/MP3) still run
+writer; PNG covers depths 8 AND 16 plus Adam7 interlace since
+round 8).  Only exotic image variants (progressive JPEG) and
+perceptual audio (OGG/MP3) still run
 behind executor-side import-tries
 (PIL / soundfile — neither ships here): with the libs installed
 ``extract_features(fake=False)`` produces real features from the
@@ -191,11 +192,16 @@ def _png_pixels(data: bytes):
     """Dependency-free PNG decode per the public spec (RFC 2083 /
     ISO 15948): chunk walk (IHDR / PLTE / IDAT+ / IEND), stdlib
     ``zlib`` inflate of the concatenated IDAT stream, then scanline
-    unfiltering (None/Sub/Up/Average/Paeth).  Supports bit depth 8 in
-    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha) and
-    6 (RGBA), non-interlaced — alpha is dropped (features are luma).
-    Anything else returns None so the PIL import-try can still claim
-    it.  Returns (width, height, row-major RGB tuples) or None."""
+    unfiltering (None/Sub/Up/Average/Paeth).  Supports bit depths 8
+    AND 16 (16-bit samples reduce to their high byte — the spec's own
+    8-bit approximation) in color types 0 (gray), 2 (RGB), 3 (palette,
+    depth 8 per spec), 4 (gray+alpha) and 6 (RGBA), BOTH interlace
+    methods (0 = none, 1 = Adam7: each of the 7 passes is an
+    independently filtered sub-image scattered back on its
+    (x0 + i·dx, y0 + j·dy) lattice) — alpha is dropped (features are
+    luma).  Anything else (sub-byte depths) returns None so the PIL
+    import-try can still claim it.  Returns (width, height, row-major
+    RGB tuples) or None."""
     import struct
     import zlib
 
@@ -230,17 +236,35 @@ def _png_pixels(data: bytes):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if (
         channels is None
-        or depth != 8
+        or depth not in (8, 16)
+        or (color == 3 and depth != 8)  # palette is 8-bit-indexed per spec
         or comp != 0
         or filt != 0
-        or interlace != 0
+        or interlace not in (0, 1)
         or width <= 0
         or height <= 0
         or (color == 3 and not palette)
     ):
         return None
-    stride = width * channels
-    need = height * (stride + 1)
+    sb = depth // 8  # bytes per sample; 16-bit is big-endian, high byte kept
+    bpp = channels * sb  # filter byte distance (spec: filters act on bytes)
+    # interlace 0 = one full-image pass; 1 = the seven Adam7 passes,
+    # each an (x0, y0, dx, dy) lattice with its own filtered scanlines
+    if interlace == 0:
+        passes = [(0, 0, 1, 1)]
+    else:
+        passes = [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+    dims = []
+    need = 0
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        dims.append((pw, ph))
+        if pw > 0 and ph > 0:
+            need += ph * (1 + pw * bpp)
     # resource guards for untrusted bytes: reject dimension lies that
     # can't fit the deflate stream's maximum ~1032:1 expansion before
     # inflating anything, and bound the inflater's output to exactly
@@ -254,55 +278,57 @@ def _png_pixels(data: bytes):
         return None
     if len(raw) < need:
         return None
-    rows_bytes: list[bytearray] = []
+    grid: list[list] = [[(0, 0, 0)] * width for _ in range(height)]
     pos = 0
-    for _r in range(height):
-        ftype = raw[pos]
-        line = bytearray(raw[pos + 1 : pos + 1 + stride])
-        pos += 1 + stride
-        prev = rows_bytes[-1] if rows_bytes else bytearray(stride)
-        bpp = channels  # depth 8: one byte per sample
-        if ftype == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pred) & 0xFF
-        elif ftype != 0:
-            return None  # not a spec filter type
-        rows_bytes.append(line)
-    rows = []
-    for line in rows_bytes:
-        if color == 0:
-            rows.append([(v,) * 3 for v in line])
-        elif color == 2:
-            rows.append(
-                [tuple(line[3 * c : 3 * c + 3]) for c in range(width)]
-            )
-        elif color == 3:
-            if max(line) >= len(palette):
-                return None  # index past the palette
-            rows.append([palette[v] for v in line])
-        elif color == 4:  # gray + alpha: drop alpha
-            rows.append([(line[2 * c],) * 3 for c in range(width)])
-        else:  # RGBA: drop alpha
-            rows.append(
-                [tuple(line[4 * c : 4 * c + 3]) for c in range(width)]
-            )
-    return width, height, rows
+    for (x0, y0, dx, dy), (pw, ph) in zip(passes, dims):
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * bpp
+        prev = bytearray(stride)
+        for ry in range(ph):
+            ftype = raw[pos]
+            line = bytearray(raw[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            if ftype == 1:  # Sub
+                for x in range(bpp, stride):
+                    line[x] = (line[x] + line[x - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for x in range(stride):
+                    line[x] = (line[x] + prev[x]) & 0xFF
+            elif ftype == 3:  # Average
+                for x in range(stride):
+                    left = line[x - bpp] if x >= bpp else 0
+                    line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for x in range(stride):
+                    a = line[x - bpp] if x >= bpp else 0
+                    b = prev[x]
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[x] = (line[x] + pred) & 0xFF
+            elif ftype != 0:
+                return None  # not a spec filter type
+            prev = line
+            y = y0 + ry * dy
+            for cx in range(pw):
+                base_i = cx * bpp
+                s = [line[base_i + k * sb] for k in range(channels)]
+                if color == 0:
+                    px = (s[0],) * 3
+                elif color == 2:
+                    px = (s[0], s[1], s[2])
+                elif color == 3:
+                    if s[0] >= len(palette):
+                        return None  # index past the palette
+                    px = palette[s[0]]
+                elif color == 4:  # gray + alpha: drop alpha
+                    px = (s[0],) * 3
+                else:  # RGBA: drop alpha
+                    px = (s[0], s[1], s[2])
+                grid[y][x0 + cx * dx] = px
+    return width, height, grid
 
 
 class _JpegBitReader:
@@ -823,8 +849,8 @@ def _image_features_stdlib(content: bytes) -> list[float] | None:
     since round 6 — integer-luma grayscale ((299r + 587g + 114b) //
     1000), 4×4 box-average downsample with integer means — fully
     deterministic, so tests pin exact features (JPEG within the
-    codec's rounding tolerance).  Only exotic variants (progressive
-    JPEG, 16-bit PNG) still go through the PIL import-try.
+    codec's rounding tolerance).  Only progressive JPEG still goes
+    through the PIL import-try.
     """
     decoded = (
         _bmp_pixels(content)

@@ -303,52 +303,72 @@ class TestImageDecoderProperties:
         assert got[2] == img
 
 
-def _png_encode(img, color_type, filters, palette=None):
-    """Minimal spec-correct PNG writer for the tests: depth 8, chosen
-    per-row filter types (the decoder must invert all five), zlib
-    stream, proper chunk CRCs.  ``img`` is top-down rows; samples per
-    color type: 0=gray int, 2=(r,g,b), 3=palette index, 4=(gray, a),
-    6=(r,g,b,a)."""
+def _png_encode(img, color_type, filters, palette=None, depth=8, interlace=False):
+    """Minimal spec-correct PNG writer for the tests: depth 8 or 16,
+    chosen per-scanline filter types (the decoder must invert all
+    five), interlace method 0 or 1 (Adam7: each pass filtered as an
+    independent sub-image), zlib stream, proper chunk CRCs.  ``img``
+    is top-down rows; samples per color type: 0=gray int, 2=(r,g,b),
+    3=palette index, 4=(gray, a), 6=(r,g,b,a).  depth-16 samples carry
+    the value in the HIGH byte and ``255 - v`` in the low byte so a
+    decoder that truncates instead of taking the high byte fails."""
     import struct
     import zlib
 
     h = len(img)
     w = len(img[0])
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    sb = depth // 8
+    bpp = ch * sb
 
     def flat(row):
         out = bytearray()
         for px in row:
-            out += bytes(px if isinstance(px, tuple) else (px,))
+            for v in px if isinstance(px, tuple) else (px,):
+                out += bytes((v,)) if depth == 8 else bytes((v, (255 - v) & 0xFF))
         return out
 
+    passes = (
+        [(0, 0, 1, 1)]
+        if not interlace
+        else [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+    )
     raw = bytearray()
-    prev = bytearray(w * ch)
-    for r in range(h):
-        line = flat(img[r])
-        ft = filters[r % len(filters)]
-        enc = bytearray(line)
-        if ft == 1:  # Sub
-            for x in range(len(line) - 1, ch - 1, -1):
-                enc[x] = (line[x] - line[x - ch]) & 0xFF
-        elif ft == 2:  # Up
-            for x in range(len(line)):
-                enc[x] = (line[x] - prev[x]) & 0xFF
-        elif ft == 3:  # Average
-            for x in range(len(line)):
-                left = line[x - ch] if x >= ch else 0
-                enc[x] = (line[x] - ((left + prev[x]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for x in range(len(line)):
-                a = line[x - ch] if x >= ch else 0
-                b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                enc[x] = (line[x] - pred) & 0xFF
-        raw += bytes([ft]) + enc
-        prev = line
+    fi = 0
+    for x0, y0, dx, dy in passes:
+        sub = [[img[y][x] for x in range(x0, w, dx)] for y in range(y0, h, dy)]
+        if not sub or not sub[0]:
+            continue
+        prev = bytearray(len(sub[0]) * bpp)
+        for rowpix in sub:
+            line = flat(rowpix)
+            ft = filters[fi % len(filters)]
+            fi += 1
+            enc = bytearray(line)
+            if ft == 1:  # Sub
+                for x in range(len(line) - 1, bpp - 1, -1):
+                    enc[x] = (line[x] - line[x - bpp]) & 0xFF
+            elif ft == 2:  # Up
+                for x in range(len(line)):
+                    enc[x] = (line[x] - prev[x]) & 0xFF
+            elif ft == 3:  # Average
+                for x in range(len(line)):
+                    left = line[x - bpp] if x >= bpp else 0
+                    enc[x] = (line[x] - ((left + prev[x]) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                for x in range(len(line)):
+                    a = line[x - bpp] if x >= bpp else 0
+                    b = prev[x]
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[x] = (line[x] - pred) & 0xFF
+            raw += bytes([ft]) + enc
+            prev = line
 
     def chunk(ctype, body):
         return (
@@ -359,7 +379,10 @@ def _png_encode(img, color_type, filters, palette=None):
         )
 
     out = b"\x89PNG\r\n\x1a\n"
-    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    out += chunk(
+        b"IHDR",
+        struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0),
+    )
     if color_type == 3:
         out += chunk(b"PLTE", b"".join(bytes(p) for p in palette))
     out += chunk(b"IDAT", zlib.compress(bytes(raw)))
@@ -627,15 +650,23 @@ class TestPngGifDecoderProperties:
         seed=st.integers(0, 2**31),
         color_type=st.sampled_from([0, 2, 3, 4, 6]),
         filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+        depth=st.sampled_from([8, 16]),
+        interlace=st.booleans(),
     )
     @settings(max_examples=200, deadline=None)
     def test_png_roundtrip_all_color_types_and_filters(
-        self, w, h, seed, color_type, filters
+        self, w, h, seed, color_type, filters, depth, interlace
     ):
         """A generated PNG — any supported color type, any mix of the
-        five scanline filters — decodes to exactly the source pixels
-        (alpha dropped, gray expanded, palette resolved)."""
+        five scanline filters, depth 8 or 16, interlaced (Adam7) or
+        not — decodes to exactly the source pixels (alpha dropped,
+        gray expanded, palette resolved, 16-bit reduced to the high
+        byte; the encoder plants ``255 - v`` in the low byte so
+        truncation bugs fail)."""
         from spark_binlog_spark.functions.multimodal import _png_pixels
+
+        if color_type == 3:
+            depth = 8  # palette is 8-bit-indexed per spec
 
         rng = [(seed * (i + 11) * 2654435761) % 256 for i in range(w * h * 4)]
         palette = [( (7 * i) % 256, (13 * i) % 256, (29 * i) % 256) for i in range(16)]
@@ -661,7 +692,9 @@ class TestPngGifDecoderProperties:
                     erow.append((b[0], b[1], b[2]))
             img.append(row)
             expect.append(erow)
-        png = _png_encode(img, color_type, filters, palette)
+        png = _png_encode(
+            img, color_type, filters, palette, depth=depth, interlace=interlace
+        )
         got = _png_pixels(png)
         assert got is not None
         assert (got[0], got[1]) == (w, h)
