@@ -1399,8 +1399,12 @@ def cluster_balanced_sample(
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
+    from spark_binlog_spark.cache_util import release, swap_caches
     from spark_binlog_spark.functions.hashing import h48
 
+    # assigned feeds the quota agg AND the rank window; release-then-swap
+    # bounds the cache to one live set across repeated invocations
+    release("similarity.cluster_balanced_sample")
     base = with_quantized(df, vec_col)
     cents = seed_centroids(base, n_clusters)
     assigned = (
@@ -1408,6 +1412,7 @@ def cluster_balanced_sample(
         .select("vec_id", F.col("centroid_id").alias("cluster"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    swap_caches("similarity.cluster_balanced_sample", [assigned])
     # quota from the k-row cluster-count table — never a corpus-wide
     # window; the 1-row result broadcasts
     quota_df = (

@@ -454,11 +454,19 @@ def lm_familiarity(df: DataFrame, text_col: str = "text") -> DataFrame:
     tri = F.transform(idx, lambda i: t.substr(i, F.lit(3)))
     from pyspark.storagelevel import StorageLevel
 
+    # the returned plan references pos three ways (model tables + the
+    # scoring pass); release-then-swap bounds the leak to one live set
+    # across repeated invocations (ccnet_buckets calls this too) — the
+    # bm25_topk convention, see cache_util's ordering note
+    from spark_binlog_spark.cache_util import release, swap_caches
+
+    release("text.lm_familiarity")
     pos = (
         df.select(F.col("doc_id"), F.explode(tri).alias("tri"))
         .select("doc_id", F.col("tri"), F.col("tri").substr(1, 2).alias("big"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    swap_caches("text.lm_familiarity", [pos])
     tri_counts = pos.groupBy("tri").agg(F.count("*").alias("c_tri"))
     big_counts = pos.groupBy("big").agg(F.count("*").alias("c_big"))
     scored = (
