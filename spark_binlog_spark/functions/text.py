@@ -448,10 +448,6 @@ def lm_familiarity(df: DataFrame, text_col: str = "text") -> DataFrame:
     shuffled only once, by doc_id, for the final average.  This is the
     standard n-gram-LM-at-scale layout: train = tiny agg, score = map
     join."""
-    t = F.col(text_col)
-    n3 = F.length(t) - 2
-    idx = F.when(n3 >= 1, F.sequence(F.lit(1), n3)).otherwise(F.array().cast("array<int>"))
-    tri = F.transform(idx, lambda i: t.substr(i, F.lit(3)))
     from pyspark.storagelevel import StorageLevel
 
     # the returned plan references pos three ways (model tables + the
@@ -461,14 +457,36 @@ def lm_familiarity(df: DataFrame, text_col: str = "text") -> DataFrame:
     from spark_binlog_spark.cache_util import release, swap_caches
 
     release("text.lm_familiarity")
-    pos = (
-        df.select(F.col("doc_id"), F.explode(tri).alias("tri"))
-        .select("doc_id", F.col("tri"), F.col("tri").substr(1, 2).alias("big"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    pos = lm_positions(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     swap_caches("text.lm_familiarity", [pos])
     tri_counts = pos.groupBy("tri").agg(F.count("*").alias("c_tri"))
-    big_counts = pos.groupBy("big").agg(F.count("*").alias("c_big"))
+    return lm_score(df, pos, tri_counts)
+
+
+def lm_positions(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, tri, big): one row per trigram position with its prefix
+    bigram — the shared extraction feeding both model estimation
+    (batch or incremental) and scoring.  Pure projection, no shuffle."""
+    t = F.col(text_col)
+    n3 = F.length(t) - 2
+    idx = F.when(n3 >= 1, F.sequence(F.lit(1), n3)).otherwise(F.array().cast("array<int>"))
+    tri = F.transform(idx, lambda i: t.substr(i, F.lit(3)))
+    return df.select(F.col("doc_id"), F.explode(tri).alias("tri")).select(
+        "doc_id", F.col("tri"), F.col("tri").substr(1, 2).alias("big")
+    )
+
+
+def lm_score(df: DataFrame, pos: DataFrame, tri_counts: DataFrame) -> DataFrame:
+    """Score a corpus's trigram positions against a (tri, c_tri) model
+    table.  The bigram table DERIVES from the trigram table (each
+    position's prefix-bigram count = the sum of its trigram extensions'
+    counts), so one |charset|³-bounded relation is the whole model —
+    what the incremental sink stores.  Both broadcast; the corpus
+    shuffles once, by doc_id, for the final average."""
+    big_counts = (
+        tri_counts.groupBy(F.col("tri").substr(1, 2).alias("big"))
+        .agg(F.sum("c_tri").alias("c_big"))
+    )
     scored = (
         pos.join(F.broadcast(tri_counts), "tri")
         .join(F.broadcast(big_counts), "big")
@@ -1168,16 +1186,20 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Output: (doc_id, lang, lm_famil6, bin, bucket).
     """
+    fam = lm_familiarity(df, text_col)
+    return ccnet_cut_buckets(df.select("doc_id", "lang").join(fam, "doc_id"))
+
+
+def ccnet_cut_buckets(fam: DataFrame) -> DataFrame:
+    """The histogram-cut tercile assignment over an ALREADY-SCORED
+    (doc_id, lang, lm_famil6, ...) relation — the piece the streaming
+    LM-model sink serves directly (``LmModelSink.quality_buckets``).
+    See ``ccnet_buckets`` for semantics and the no-ntile scale note."""
     from pyspark.sql import Window
 
-    fam = lm_familiarity(df, text_col)
-    binned = (
-        df.select("doc_id", "lang")
-        .join(fam, "doc_id")
-        .select(
-            "doc_id", "lang", "lm_famil6",
-            F.expr(f"lm_famil6 div {CCNET_BIN}").alias("bin"),
-        )
+    binned = fam.select(
+        "doc_id", "lang", "lm_famil6",
+        F.expr(f"lm_famil6 div {CCNET_BIN}").alias("bin"),
     )
     hist = binned.groupBy("lang", "bin").agg(F.count("*").alias("c"))
     w_desc = (

@@ -3496,3 +3496,29 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_stream_dsir"] = ORACLE["q_dsir_importance"]
+
+
+# ---------------------------------------------------------------- stream CCNet
+def q_stream_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality terciles served off the
+    INCREMENTALLY maintained trigram LM: the documents table arrives as
+    two micro-batches through LmModelSink (additive |charset|³-bounded
+    trigram counts, batch-id replay guard, crash-safe swaps), then the
+    corpus is scored and bucketed against the live model — must
+    hash-match the one-shot batch q_ccnet_buckets oracle
+    (streaming/lm_sink.py)."""
+    import os
+
+    from spark_binlog_spark.streaming.lm_sink import run_lm_model
+
+    docs_dir = _parity_batches(sf_dir, "lm_model_")
+    d = os.path.dirname(docs_dir)
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sink = run_lm_model(
+        spark, docs_dir, os.path.join(d, "stats"), os.path.join(d, "ck"), schema
+    )
+    return sink.quality_buckets(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE["q_stream_ccnet"] = ORACLE["q_ccnet_buckets"]

@@ -218,6 +218,7 @@ TAIL = [
     "q_cluster_sample",         # r8 new: cluster-balanced embedding subsample
     "q_stream_unimax",          # r8 new: UniMax served off the streamed stats store
     "q_stream_dsir",            # r8 new: DSIR scored off the incrementally maintained model
+    "q_stream_ccnet",           # r8 new: CCNet terciles off the incrementally maintained LM
     "q_repeated_spans",
     "q_lm_familiarity",
     "q_bpe_merges",

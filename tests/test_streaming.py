@@ -3303,3 +3303,43 @@ class TestDsirModelSink:
         assert sink2._last_batch_id() == 0
         sink2(self._docs(spark, [("the dog", "en")], start_id=5), 1)
         assert sink2._last_batch_id() == 1
+
+
+class TestLmModelSink:
+    def _docs(self, spark, rows, start_id=0):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(doc_id=start_id + i, text=t, lang=lg) for i, (t, lg) in enumerate(rows)]
+        )
+
+    def test_incremental_model_matches_batch_and_survives_replay(
+        self, spark, tmp_path
+    ):
+        """Two batches through the sink build the SAME trigram model as
+        the one-shot batch estimate (familiarity scores AND tercile
+        buckets bit-identical), and a replayed batch never
+        double-counts."""
+        from spark_binlog_spark.functions.text import ccnet_buckets, lm_familiarity
+        from spark_binlog_spark.streaming.lm_sink import LmModelSink
+
+        rows0 = [("the cat sat on the mat", "en"), ("der hund lief schnell", "de")]
+        rows1 = [("the dog sat on the rug", "en"), ("die katze sass still", "de"),
+                 ("zzq xvk wqj pff", "en")]
+        sink = LmModelSink(spark, str(tmp_path / "stats"), resume=False)
+        b0 = self._docs(spark, rows0)
+        sink(b0, 0)
+        sink(b0, 0)  # replay after a crash between swap and commit
+        sink(self._docs(spark, rows1, start_id=10), 1)
+
+        full = self._docs(spark, rows0).unionByName(
+            self._docs(spark, rows1, start_id=10)
+        )
+        want_fam = {r["doc_id"]: r for r in lm_familiarity(full).collect()}
+        got_fam = {r["doc_id"]: r for r in sink.familiarity(full).collect()}
+        assert got_fam == want_fam
+        want_b = {r["doc_id"]: r for r in ccnet_buckets(full).collect()}
+        got_b = {r["doc_id"]: r for r in sink.quality_buckets(full).collect()}
+        assert got_b == want_b
+        # the model is the merged trigram table, bounded and queryable
+        assert sink.model().count() == sink.model().select("tri").distinct().count()
