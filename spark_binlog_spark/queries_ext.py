@@ -3522,3 +3522,77 @@ def q_stream_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_stream_ccnet"] = ORACLE["q_ccnet_buckets"]
+
+
+# ---------------------------------------------------------------- stream kmeans
+def q_stream_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cluster centroids maintained INCREMENTALLY under
+    streaming ingest (mini-batch k-means, Sculley 2010, in its
+    order-free batch-mean form): the embeddings table arrives as two
+    micro-batches through MiniBatchKmeansSink — per batch, assign to
+    the current broadcast centroids and fold per-(cell, dim) integer
+    sums into the additive k*dim-row store — then the live model table
+    is served; the oracle replays the same batch sequence in SQL
+    (streaming/kmeans_sink.py)."""
+    import os
+
+    from spark_binlog_spark.streaming.kmeans_sink import run_minibatch_kmeans
+
+    vecs_dir = _parity_batches(sf_dir, "kmeans_model_", table="embeddings", id_col="vec_id")
+    d = os.path.dirname(vecs_dir)
+
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    sink = run_minibatch_kmeans(
+        spark, vecs_dir, os.path.join(d, "stats"), os.path.join(d, "ck"), schema,
+        n_clusters=8,
+    )
+    return sink.model()
+
+
+ORACLE["q_stream_kmeans"] = f"""
+WITH quant AS ({_QUANT_SQL}),
+base0 AS ({_NORM_SQL}),
+b0 AS (SELECT * FROM base0 WHERE vec_id % 2 = 0),
+b1 AS (SELECT * FROM base0 WHERE vec_id % 2 = 1),
+seeds AS (SELECT vec_id AS cell, q, norm FROM b0 ORDER BY vec_id LIMIT 8),
+a0s AS (
+  SELECT b.vec_id, b.q, c.cell,
+         {_COS4.format(a='b', b='c', an='norm', bn='norm')} AS c4
+  FROM b0 b CROSS JOIN seeds c),
+a0 AS (
+  SELECT vec_id, q, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c4 DESC, cell) AS rn
+    FROM a0s) WHERE rn = 1),
+m0 AS (
+  SELECT cell, i - 1 AS dim, CAST(sum(q[i]) AS BIGINT) AS s, count(*) AS n
+  FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+  GROUP BY cell, i),
+c1v AS (
+  SELECT cell,
+         list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+              ORDER BY dim) AS cq
+  FROM m0 GROUP BY cell),
+c1 AS (
+  SELECT cell, cq,
+         CAST(list_sum([cq[i] * cq[i] for i in generate_series(1, len(cq))]) AS BIGINT) AS cnorm
+  FROM c1v),
+a1s AS (
+  SELECT b.vec_id, b.q, c.cell,
+         CAST(floor(
+           CAST(CAST(list_sum([b.q[i] * c.cq[i] for i in generate_series(1, len(b.q))]) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(b.norm AS DOUBLE) * CAST(c.cnorm AS DOUBLE)) * 10000) AS BIGINT) AS c4
+  FROM b1 b CROSS JOIN c1 c),
+a1 AS (
+  SELECT vec_id, q, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c4 DESC, cell) AS rn
+    FROM a1s) WHERE rn = 1),
+m1 AS (
+  SELECT cell, i - 1 AS dim, CAST(sum(q[i]) AS BIGINT) AS s, count(*) AS n
+  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+  GROUP BY cell, i)
+SELECT cell AS centroid_id, CAST(dim AS BIGINT) AS dim,
+       CAST(sum(n) AS BIGINT) AS n_members,
+       CAST(floor(CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE)) AS BIGINT) AS mean_q
+FROM (SELECT * FROM m0 UNION ALL SELECT * FROM m1)
+GROUP BY cell, dim
+"""

@@ -3343,3 +3343,41 @@ class TestLmModelSink:
         assert got_b == want_b
         # the model is the merged trigram table, bounded and queryable
         assert sink.model().count() == sink.model().select("tri").distinct().count()
+
+
+class TestMiniBatchKmeansSink:
+    def test_sequential_batches_replay_guard_and_centroid_shape(
+        self, spark, tmp_path
+    ):
+        """Two batches fold into the additive store exactly once under
+        replay; the served centroids have k rows of dim-length vectors;
+        counts equal the ingested vector count."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.streaming.kmeans_sink import MiniBatchKmeansSink
+
+        def vecs(ids):
+            return spark.createDataFrame(
+                [Row(vec_id=i, embedding=[float((i * 7 + d * 3) % 11) - 5.0
+                                          for d in range(4)]) for i in ids]
+            )
+
+        sink = MiniBatchKmeansSink(spark, str(tmp_path / "stats"), n_clusters=2)
+        b0 = vecs([0, 2, 4, 6])
+        sink(b0, 0)
+        sink(b0, 0)  # replay after a crash between swap and commit
+        mid = {(r["centroid_id"], r["dim"]): r for r in sink.model().collect()}
+        assert sum(v["n_members"] for (c, d), v in mid.items() if d == 0) == 4
+        sink(vecs([1, 3, 5]), 1)
+        rows = sink.model().collect()
+        # counts now cover all 7 vectors, once each
+        assert sum(r["n_members"] for r in rows if r["dim"] == 0) == 7
+        cents = {r["centroid_id"]: r["cq"] for r in sink.centroids().collect()}
+        assert set(cents) <= {0, 2} and all(len(v) == 4 for v in cents.values())
+        # deterministic: a fresh sink fed the same sequence agrees
+        sink2 = MiniBatchKmeansSink(spark, str(tmp_path / "stats2"), n_clusters=2)
+        sink2(vecs([0, 2, 4, 6]), 0)
+        sink2(vecs([1, 3, 5]), 1)
+        assert {tuple(sorted(r.asDict().items())) for r in rows} == {
+            tuple(sorted(r.asDict().items())) for r in sink2.model().collect()
+        }
