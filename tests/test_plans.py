@@ -473,6 +473,19 @@ class TestTrainingDataOps:
         assert "Exchange rangepartitioning" not in plan
         assert "SortMergeJoin" not in plan
 
+    def test_streamed_model_serving_reads_are_corpus_free(self, spark):
+        """q_stream_unimax / q_stream_kmeans: the RETURNED serving plan
+        reads only the streamed model store — the corpus parquet must
+        not appear anywhere in it (re-planning a budget or serving
+        centroids costs the |groups|/k·dim-row store, never a corpus
+        re-read)."""
+        from spark_binlog_spark.queries_ext import q_stream_kmeans, q_stream_unimax
+
+        plan = _physical(q_stream_unimax(spark, SF_TEST))
+        assert "documents.parquet" not in plan
+        plan = _physical(q_stream_kmeans(spark, SF_TEST))
+        assert "embeddings.parquet" not in plan
+
     def test_dsir_broadcasts_bucket_table_corpus_never_smj(self, spark):
         """q_dsir_importance: the lr4 importance table (≤ DSIR_BUCKETS
         rows by construction) broadcasts into the scoring pass; the
