@@ -92,6 +92,7 @@ HEADLINE_V2 = [
     "q_stream_dsir",      # DSIR scored off the incrementally maintained model (r8)
     "q_stream_ccnet",     # CCNet terciles off the incrementally maintained LM (r8)
     "q_stream_kmeans",    # mini-batch k-means centroids off the additive store (r8)
+    "q_stream_cluster_sample",  # balanced sampling against the streamed centroids (r8)
     "q_pack_efficiency",  # pack fill/straddle dashboard
 ]
 

@@ -1371,6 +1371,7 @@ def cluster_balanced_sample(
     budget_num: int = 1,
     budget_den: int = 2,
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """CLUSTER-BALANCED SUBSAMPLING (Vo et al. 2024, "Automatic Data
     Curation for Self-Supervised Learning: A Clustering-Based
@@ -1406,7 +1407,9 @@ def cluster_balanced_sample(
     # bounds the cache to one live set across repeated invocations
     release("similarity.cluster_balanced_sample")
     base = with_quantized(df, vec_col)
-    cents = seed_centroids(base, n_clusters)
+    # any (centroid_id, cq, cnorm) set drops in — trained, or the
+    # streamed MiniBatchKmeansSink store's — with the identical plan
+    cents = centroids if centroids is not None else seed_centroids(base, n_clusters)
     assigned = (
         assign_to_centroids(base, cents)
         .select("vec_id", F.col("centroid_id").alias("cluster"))

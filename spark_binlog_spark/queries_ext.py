@@ -3549,8 +3549,7 @@ def q_stream_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.model()
 
 
-ORACLE["q_stream_kmeans"] = f"""
-WITH quant AS ({_QUANT_SQL}),
+_STREAM_KMEANS_CTES = f"""quant AS ({_QUANT_SQL}),
 base0 AS ({_NORM_SQL}),
 b0 AS (SELECT * FROM base0 WHERE vec_id % 2 = 0),
 b1 AS (SELECT * FROM base0 WHERE vec_id % 2 = 1),
@@ -3589,10 +3588,77 @@ a1 AS (
 m1 AS (
   SELECT cell, i - 1 AS dim, CAST(sum(q[i]) AS BIGINT) AS s, count(*) AS n
   FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
-  GROUP BY cell, i)
-SELECT cell AS centroid_id, CAST(dim AS BIGINT) AS dim,
-       CAST(sum(n) AS BIGINT) AS n_members,
-       CAST(floor(CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE)) AS BIGINT) AS mean_q
-FROM (SELECT * FROM m0 UNION ALL SELECT * FROM m1)
-GROUP BY cell, dim
+  GROUP BY cell, i),
+model AS (
+  SELECT cell AS centroid_id, CAST(dim AS BIGINT) AS dim,
+         CAST(sum(n) AS BIGINT) AS n_members,
+         CAST(floor(CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE)) AS BIGINT) AS mean_q
+  FROM (SELECT * FROM m0 UNION ALL SELECT * FROM m1)
+  GROUP BY cell, dim)"""
+
+ORACLE["q_stream_kmeans"] = (
+    "WITH " + _STREAM_KMEANS_CTES
+    + "\nSELECT centroid_id, dim, n_members, mean_q FROM model"
+)
+
+
+
+# ------------------------------------------------- stream cluster sample
+def q_stream_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subsampling served against the STREAMED
+    centroids: the embeddings ingest maintains the mini-batch k-means
+    model incrementally, then the balanced-quota sample runs with the
+    live store's centroids dropped into the identical batch plan —
+    the model store acting as a live index for downstream curation
+    (streaming/kmeans_sink.py + functions/similarity.py
+    cluster_balanced_sample)."""
+    import os
+
+    from spark_binlog_spark.streaming.kmeans_sink import run_minibatch_kmeans
+
+    vecs_dir = _parity_batches(
+        sf_dir, "kmeans_sample_", table="embeddings", id_col="vec_id"
+    )
+    d = os.path.dirname(vecs_dir)
+
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    sink = run_minibatch_kmeans(
+        spark, vecs_dir, os.path.join(d, "stats"), os.path.join(d, "ck"), schema,
+        n_clusters=8,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cluster_balanced_sample(
+        emb, n_clusters=8, budget_num=1, budget_den=2, centroids=sink.centroids()
+    )
+
+
+ORACLE["q_stream_cluster_sample"] = (
+    "WITH " + _STREAM_KMEANS_CTES + "," + f"""
+scents0 AS (
+  SELECT centroid_id, list(mean_q ORDER BY dim) AS cq FROM model GROUP BY centroid_id),
+scents AS (
+  SELECT centroid_id AS cluster, cq,
+         CAST(list_sum([cq[i] * cq[i] for i in generate_series(1, len(cq))]) AS BIGINT) AS cnorm
+  FROM scents0),
+sa_s AS (
+  SELECT b.vec_id, c.cluster,
+         CAST(floor(
+           CAST(CAST(list_sum([b.q[i] * c.cq[i] for i in generate_series(1, len(b.q))]) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(b.norm AS DOUBLE) * CAST(c.cnorm AS DOUBLE)) * 10000) AS BIGINT) AS c4
+  FROM base0 b CROSS JOIN scents c),
+sa AS (
+  SELECT vec_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c4 DESC, cluster) AS rn
+    FROM sa_s) WHERE rn = 1),
+ranked AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster
+           ORDER BY {h48_sql('vec_id', seed=5)}, vec_id) AS r
+  FROM sa),
+qt AS (
+  SELECT CAST(floor(CAST(count(*) AS DOUBLE) * 1 / (2 * 8)) AS BIGINT) AS quota
+  FROM sa)
+SELECT vec_id, cluster, CAST(r AS BIGINT) AS r, quota, r <= quota AS keep
+FROM ranked CROSS JOIN qt
 """
+)

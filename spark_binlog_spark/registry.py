@@ -220,6 +220,7 @@ TAIL = [
     "q_stream_dsir",            # r8 new: DSIR scored off the incrementally maintained model
     "q_stream_ccnet",           # r8 new: CCNet terciles off the incrementally maintained LM
     "q_stream_kmeans",          # r8 new: mini-batch k-means centroids off the additive store
+    "q_stream_cluster_sample",  # r8 new: balanced sampling against the streamed centroids
     "q_repeated_spans",
     "q_lm_familiarity",
     "q_bpe_merges",
