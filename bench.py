@@ -125,6 +125,10 @@ def main() -> None:
     # the max lets the reader separate plan regressions from host noise
     # without a same-session A/B (VERDICT r4 "What's wrong" #2).
     spread: dict[str, list[float]] = {}
+    # names whose outlier-insurance third run fired: min-of-3 there,
+    # min-of-2 elsewhere — recorded so cross-round deltas can be
+    # interpreted against the methodology (ADVICE r8)
+    insurance_fired: list[str] = []
 
     def timed_min2(name: str, df, spread_map=None) -> float:
         df.write.format("noop").mode("overwrite").save()  # warm (plan + IO cache)
@@ -139,6 +143,7 @@ def main() -> None:
         # extra run gives the min a chance to escape the plateau; costs
         # a few seconds per full bench on a noisy host, nothing quiet
         if max(runs) > 1.5 * min(runs):
+            insurance_fired.append(name)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
@@ -283,6 +288,7 @@ def main() -> None:
         "spread_v2": spread_v2,
         "v2_total": round(sum(timings_v2.values()), 3),
         "sink_admission": sink_admission,
+        "insurance_fired": insurance_fired,
     }
     print(json.dumps(detail))
     try:

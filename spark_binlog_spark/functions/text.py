@@ -1013,9 +1013,16 @@ def unimax_waterfill(
         F.sum(F.col("capped_i") * F.col("cap_tokens")).over(w_all).alias("spent"),
         F.sum("capped_i").over(w_all).alias("n_capped"),
     )
+    # n_groups == n_capped whenever the caller's budget covers every
+    # group's cap (budget >= sum of caps): every row then takes the
+    # cap branch of `alloc`, but the share expression must not rest on
+    # CaseWhen laziness to dodge the 0 divisor (ADVICE r8) — greatest(1)
+    # makes it well-defined (and unused) in that case.
     share = F.floor(
         (F.col("budget") - F.col("spent")).cast("double")
-        / (F.col("n_groups") - F.col("n_capped")).cast("double")
+        / F.greatest(
+            F.lit(1).cast("long"), F.col("n_groups") - F.col("n_capped")
+        ).cast("double")
     ).cast("long")
     alloc = F.when(F.col("capped_i") == 1, F.col("cap_tokens")).otherwise(share)
     return final.select(
@@ -1133,7 +1140,18 @@ def dsir_lr_table(dist: DataFrame, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
         F.sum("q").over(w_all).alias("qt"),
     ).selectExpr(
         "bucket",
-        f"(p + 1) * 10000 * (qt + {n_buckets}) div ((q + 1) * (pt + {n_buckets})) - 10000 as lr4",
+        # int64-safe guard (ADVICE r8): every factor is bounded by its
+        # total (p <= pt, q <= qt), so both products fit int64 iff
+        # (pt+B)*(qt+B)*10^4 < 2^63; past that, non-ANSI long multiply
+        # would wrap SILENTLY and corrupt the importance table — fail
+        # loudly instead (the caller can rescale or subsample the slice).
+        f"case when (cast(pt as double) + {n_buckets})"
+        f" * (cast(qt as double) + {n_buckets}) < 9.0e14"
+        f" then (p + 1) * 10000 * (qt + {n_buckets})"
+        f" div ((q + 1) * (pt + {n_buckets})) - 10000"
+        " else raise_error('dsir_lr_table: gram totals exceed the"
+        " int64-safe range for the 10^4 lr scale; reduce the corpus"
+        " slice or rescale') end as lr4",
     )
 
 

@@ -115,6 +115,15 @@ class MiniBatchKmeansSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self._last_batch_id():
             return  # replayed batch (crash between swap and commit)
+        if batch_df.isEmpty():
+            # Skip empty batches EXPLICITLY (ADVICE r8): seeding below
+            # keys on store emptiness, so without this an empty batch 0
+            # would silently shift the seeding role to batch 1.  The
+            # contract is deterministic: the FIRST NON-EMPTY batch seeds
+            # (its k smallest vec_ids), regardless of how many empty
+            # triggers precede it.  The ratchet intentionally stays
+            # unrecorded — replaying an empty batch re-skips, idempotent.
+            return
         qb = with_quantized(batch_df, self.vec_col)
         if self._stats().limit(1).count() == 0:
             # first batch: seeds = its k smallest vec_ids

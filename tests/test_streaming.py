@@ -3381,3 +3381,38 @@ class TestMiniBatchKmeansSink:
         assert {tuple(sorted(r.asDict().items())) for r in rows} == {
             tuple(sorted(r.asDict().items())) for r in sink2.model().collect()
         }
+
+    def test_empty_first_batch_does_not_shift_seeding(self, spark, tmp_path):
+        """An EMPTY batch 0 (e.g. an empty input file) is skipped
+        explicitly (ADVICE r8): seeding deterministically lands on the
+        first NON-EMPTY batch, so the model equals a run where the same
+        data arrived as batch 0 — batch numbering does not change the
+        served centroids."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.streaming.kmeans_sink import MiniBatchKmeansSink
+
+        def vecs(ids):
+            return spark.createDataFrame(
+                [Row(vec_id=i, embedding=[float((i * 7 + d * 3) % 11) - 5.0
+                                          for d in range(4)]) for i in ids]
+            )
+
+        empty = vecs([1]).limit(0)
+        a = MiniBatchKmeansSink(spark, str(tmp_path / "a"), n_clusters=2)
+        a(empty, 0)           # skipped — store stays empty, no ratchet
+        a(vecs([0, 2, 4]), 1)  # seeds here
+        a(vecs([1, 3]), 2)
+
+        b = MiniBatchKmeansSink(spark, str(tmp_path / "b"), n_clusters=2)
+        b(vecs([0, 2, 4]), 0)  # same data, no empty prefix
+        b(vecs([1, 3]), 1)
+
+        def snap(s):
+            return {
+                tuple(sorted((k, v) for k, v in r.asDict().items()
+                             if k != "batch_id"))
+                for r in s._stats().collect()
+            }
+
+        assert snap(a) == snap(b)

@@ -1187,6 +1187,26 @@ class TestUnimaxAllocation:
         assert rows["c"]["epochs4"] == 12000  # 1.2 epochs
         assert sum(r["alloc_tokens"] for r in rows.values()) <= 24
 
+    def test_all_groups_capped_when_budget_covers_caps(self, spark):
+        """budget >= sum(caps) caps EVERY group (n_groups == n_capped):
+        the share divisor is explicitly guarded (ADVICE r8) so the plan
+        neither divides by zero nor rests on CaseWhen laziness — every
+        group gets exactly its cap."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions.text import unimax_waterfill
+
+        per = spark.createDataFrame(
+            [Row(grp="a", n_tokens=2), Row(grp="b", n_tokens=4)]
+        )
+        # budget = floor(6 * 10) = 60 >= caps 4 + 8
+        rows = {r["lang"]: r for r in unimax_waterfill(
+            per, budget_num=10, budget_den=1
+        ).collect()}
+        assert all(r["capped"] for r in rows.values())
+        assert rows["a"]["alloc_tokens"] == 4 and rows["b"]["alloc_tokens"] == 8
+        assert all(r["epochs4"] == 20000 for r in rows.values())
+
     def test_no_group_exceeds_cap_on_real_corpus(self, spark):
         from spark_binlog_spark.functions.text import unimax_allocation
 
@@ -1226,6 +1246,29 @@ class TestDsirImportance:
         # target docs never kept (resampling selects from the raw pool)
         assert not rows[0]["keep"]
         assert rows[10]["keep"]  # positive-scoring raw doc
+
+
+    def test_lr_table_overflow_guard(self, spark):
+        """Gram totals past the int64-safe envelope raise loudly instead
+        of wrapping silently under non-ANSI long multiply (ADVICE r8);
+        in-range totals still produce the exact integer lr4."""
+        import pytest
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions.text import dsir_lr_table
+
+        ok = spark.createDataFrame(
+            [Row(bucket=0, p=99, q=0), Row(bucket=1, p=0, q=99)]
+        )
+        rows = {r["bucket"]: r for r in dsir_lr_table(ok, n_buckets=2).collect()}
+        # pt = qt = 99, B = 2; bucket 0:
+        # (100 * 10000 * 101) div (1 * 101) - 10000 = 990000
+        assert rows[0]["lr4"] == 990000
+
+        big = 10**9  # (pt+B)*(qt+B) ~ 10^18 >> the 9e14 safe envelope
+        bad = spark.createDataFrame([Row(bucket=0, p=big, q=big)])
+        with pytest.raises(Exception, match="int64-safe"):
+            dsir_lr_table(bad, n_buckets=1).collect()
 
 
 class TestCcnetBuckets:
