@@ -104,6 +104,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # window shape: q_stream_mv_maintain + monotonic windows), q_offset_gaps
 # (lag-window shape: q_monotonic_dedup), q_dedup_minhash (banded
 # MinHash shape: q_stream_neardup_dedup's oracle recomputes it).
+#
+# Round-9 rotation (same policy): the round-8 marquee enters — the
+# incrementally-maintained-model family graded through its STREAM-SERVED
+# forms, which subsume the batch counterparts (q_stream_dsir and
+# q_stream_ccnet literally share q_dsir_importance's / q_ccnet_buckets'
+# oracle objects; q_stream_unimax / q_stream_cluster_sample recompute
+# the same waterfill / balanced-quota plan against the streamed store):
+# q_ivfadc_trained_topk (kmeans_train + pq_train composed IVFADC),
+# q_stream_unimax, q_stream_dsir, q_stream_ccnet, q_stream_kmeans,
+# q_stream_cluster_sample.  Swapped OUT, each holding r07 AND r08 green
+# rows and shape-covered by a remaining neighbor: q_enriched_changes
+# (multi-join shape: q_ship_priority), q_semdedup (cluster-assignment
+# shape: q_stream_cluster_sample; pair-join shape: q_ngram_jaccard),
+# q_bloom_decontaminate (leakage shape: q_decontaminate_spans),
+# q_sequence_pack (its layout is recomputed by q_pack_efficiency's
+# oracle), q_line_dedup (content-keyed dedup shape: q_dedup_exact +
+# q_stream_incremental_dedup), q_power_projection (iterative-model
+# shape: q_stream_kmeans + q_ivfadc_trained_topk's kmeans_train).
 PRIORITY = [
     # --- tier 1: operator rows -------------------------------------
     "q_stream_change_counts",   # S1 MySQL binlog streaming scan
@@ -130,18 +148,14 @@ PRIORITY = [
     "q_change_counts",          # D5
     "q_snapshot_union",         # D6
     # --- tier 2: §2.C category demos -------------------------------
-    "q_enriched_changes",
     "q_ship_priority",
     "q_schema_evolution",
     "q_stream_mv_maintain",
     "q_dedup_exact",
     "q_stream_simhash_dedup",   # subsumes q_dedup_simhash (r5 late swap)
     "q_ngram_jaccard",
-    "q_semdedup",               # cluster-partitioned semantic dedup (r7 new)
     "q_stream_incremental_dedup",  # exact-dedup ingest sink (r7 swap-in)
-    "q_bloom_decontaminate",    # constant-memory leakage sweep (r7 new)
     "q_pq_topk",                # PQ/ADC ANN — compressed/celled representative
-    "q_power_projection",       # power-iteration eigen projection (r7 swap-in)
     "q_stream_hybrid_search",   # RRF served from both streaming stores
                                 # (r7 swap-in; subsumes q_hybrid_search)
     "q_tfidf_topterms",
@@ -150,8 +164,6 @@ PRIORITY = [
                                 # q_dedup_exact/q_incremental_dedup cover)
     "q_stream_neardup_dedup",   # streaming MinHash admission (r5 swap-in)
     "q_gopher_rules",           # full Gopher rule battery (r7 swap-in)
-    "q_line_dedup",             # corpus line dedup + rebuild (r7 swap-in)
-    "q_sequence_pack",          # training-sequence layout plan (r7 new)
     "q_quality_classifier",     # hashed linear quality scorer (r7 new)
     "q_ivfadc_topk",            # IVFADC: coarse cells + residual PQ (r8 swap-in)
     "q_hard_negatives",         # contrastive hard-negative mining (r8 swap-in)
@@ -160,6 +172,15 @@ PRIORITY = [
     "q_decontaminate_spans",    # span-level leakage facts (r8 swap-in)
     "q_stream_drift",           # streamed stats-store drift read (r8 swap-in)
     "q_pack_efficiency",        # pack fill/straddle dashboard (r8 swap-in)
+    "q_ivfadc_trained_topk",    # trained IVFADC: kmeans_train + pq_train (r9 swap-in)
+    "q_stream_unimax",          # UniMax waterfill off the streamed stats store (r9)
+    "q_stream_dsir",            # DSIR off the incrementally maintained model (r9;
+                                # oracle = q_dsir_importance's, so it subsumes it)
+    "q_stream_ccnet",           # CCNet terciles off the maintained LM (r9;
+                                # oracle = q_ccnet_buckets', so it subsumes it)
+    "q_stream_kmeans",          # mini-batch k-means model off the additive store (r9)
+    "q_stream_cluster_sample",  # balanced sample vs streamed centroids (r9;
+                                # subsumes q_cluster_sample's quota plan)
     "q_corpus_report",
 ]
 
@@ -169,6 +190,12 @@ PRIORITY = [
 # views live in PARITY below, NOT here — the never-graded count that
 # matters is len(TAIL), not len(TAIL) + len(PARITY) (VERDICT r5 ask #6).
 TAIL = [
+    "q_enriched_changes",       # r9 swap-out (green r01-r08 rows; shape: q_ship_priority)
+    "q_semdedup",               # r9 swap-out (green r07+r08 rows; shape: q_stream_cluster_sample + q_ngram_jaccard)
+    "q_bloom_decontaminate",    # r9 swap-out (green r07+r08 rows; shape: q_decontaminate_spans)
+    "q_sequence_pack",          # r9 swap-out (green r07+r08 rows; layout recomputed by q_pack_efficiency oracle)
+    "q_line_dedup",             # r9 swap-out (green r07+r08 rows; shape: q_dedup_exact + q_stream_incremental_dedup)
+    "q_power_projection",       # r9 swap-out (green r07+r08 rows; shape: q_stream_kmeans/q_ivfadc_trained_topk training)
     "q_bootstrap_snapshot",     # r8 swap-out (green r01+ rows; shape: q_snapshot_union + S1 row)
     "q_asof_enrich",            # r8 swap-out (green r01+ rows; shape: q_latest_image windows)
     "q_grid_range_join",        # r8 swap-out (green r01+ rows; shape: banded joins in dedup family)
@@ -211,16 +238,10 @@ TAIL = [
     "q_stream_embedding_search",
     "q_embedding_dedup_multitable",
     "q_sq8_topk",
-    "q_ivfadc_trained_topk",    # r8 new: kmeans_train + pq_train composed IVFADC
     "q_unimax_budget",          # r8 new: UniMax waterfill token-budget allocation
     "q_dsir_importance",        # r8 new: DSIR hashed n-gram importance weighting
     "q_ccnet_buckets",          # r8 new: CCNet head/middle/tail LM terciles
     "q_cluster_sample",         # r8 new: cluster-balanced embedding subsample
-    "q_stream_unimax",          # r8 new: UniMax served off the streamed stats store
-    "q_stream_dsir",            # r8 new: DSIR scored off the incrementally maintained model
-    "q_stream_ccnet",           # r8 new: CCNet terciles off the incrementally maintained LM
-    "q_stream_kmeans",          # r8 new: mini-batch k-means centroids off the additive store
-    "q_stream_cluster_sample",  # r8 new: balanced sampling against the streamed centroids
     "q_repeated_spans",
     "q_lm_familiarity",
     "q_bpe_merges",
