@@ -93,6 +93,8 @@ HEADLINE_V2 = [
     "q_stream_ccnet",     # CCNet terciles off the incrementally maintained LM (r8)
     "q_stream_kmeans",    # mini-batch k-means centroids off the additive store (r8)
     "q_stream_cluster_sample",  # balanced sampling against the streamed centroids (r8)
+    "q_stream_cms",       # count-min point queries off the streamed grid (r9)
+    "q_stream_hll",       # HLL cardinality off the streamed registers (r9)
     "q_pack_efficiency",  # pack fill/straddle dashboard
 ]
 

@@ -1,0 +1,243 @@
+"""Mergeable frequency / cardinality sketches for corpus monitoring.
+
+A 100 TB ingest pipeline cannot afford exact term-frequency or
+distinct-count state: the exact answers need |vocabulary|-sized tables
+that grow with the corpus.  The two classic bounded-state answers are
+
+- COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005, "An improved data
+  stream summary: the count-min sketch and its applications"): a d x w
+  counter grid; every term increments one counter per row (col =
+  hash_r(term) mod w) and a point query reads the MIN over its d
+  counters — an overestimate with error <= 2N/w at probability
+  1 - (1/2)^d.  The grid is PURELY ADDITIVE, so micro-batches merge by
+  summing cells and two corpora merge the same way (the property the
+  streaming sink exploits).
+
+- HYPERLOGLOG (Flajolet et al. 2007, "HyperLogLog: the analysis of a
+  near-optimal cardinality estimation algorithm"): m = 2^p registers,
+  each holding the max leading-zero rank seen among hashes routed to
+  it; cardinality ~= alpha_m * m^2 / sum_j 2^(-M_j).  Registers merge
+  by MAX, so the sketch is a bounded-size distributed-union monoid.
+
+Everything is integer-exact cross-engine: the hash is the repo's
+md5-derived ``h48``; rho comes from ``length(bin(x))`` (no libm); the
+HLL estimate is one HUGEINT/DECIMAL(38) floor division, never a
+floating-point sum of 2^-M (whose summation ORDER differs between
+engines).  The implemented HLL estimator is the RAW one — the
+small-range linear-counting correction needs ln(), which is not
+bit-stable across engines; at the corpus cardinalities the sketch
+targets, the raw estimator is the operative branch, and the serving
+layer can apply corrections to the rendered estimate.
+
+Scale shape: one map-side-combinable term-count aggregation over the
+corpus (the only corpus-sized shuffle), then every sketch relation is
+bounded — d*w cells for CMS, m registers per group for HLL — and every
+join against them broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_binlog_spark.functions.hashing import h48, h48_sql
+from spark_binlog_spark.functions.text import words
+
+# Sketch geometry — shared with the oracles.  w a power of two keeps
+# `mod` cheap; d=4 rows put the union bound at (1/2)^4.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_SEED = 77
+
+HLL_P = 8                      # m = 256 registers
+HLL_M = 1 << HLL_P
+HLL_SUFFIX_BITS = 48 - HLL_P   # h48 bits below the register index
+# alpha_m = 0.7213 / (1 + 1.079/m) for m >= 128, scaled to 7 digits.
+HLL_ALPHA7 = 7182726
+# Numerator of the estimate: alpha7 * m^2 * 2^suffix_bits+1 —
+# precomputed so the in-plan arithmetic is ONE decimal floor division.
+_HLL_NUM = HLL_ALPHA7 * HLL_M * HLL_M * (1 << (HLL_SUFFIX_BITS + 1))
+
+# Small-range (linear counting) correction, Flajolet et al. §4: when
+# the raw estimate is <= 2.5m and empty registers remain, the better
+# estimator is m * ln(m / V_empty).  ln() is NOT bit-stable across
+# engines — but V_empty only takes m integer values, so the whole
+# branch is a PRECOMPUTED integer lookup evaluated once here in
+# Python; both engines then index the same literal table.
+import math as _math
+
+_HLL_LC = [0] + [
+    int(round(HLL_M * _math.log(HLL_M / v))) for v in range(1, HLL_M + 1)
+]
+_HLL_LC_GATE = 5 * HLL_M // 2  # 2.5m
+
+
+def term_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(term, cnt) exact term frequencies — the ONE corpus-sized
+    aggregation every sketch builder shares (map-side combinable; at
+    100 TB this is a standard skew-tolerant hash agg)."""
+    return (
+        df.select(F.explode(words(F.col(text_col))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --------------------------------------------------------------- count-min
+def _cms_col(term: Column, row: Column) -> Column:
+    """Column index of `term` in sketch row `row`: the row-seeded h48
+    (seed rides the hashed string, '<term>#<CMS_SEED + row>') mod w."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(term.cast("string"), F.lit("#"),
+                           (F.lit(CMS_SEED) + row).cast("string"))),
+            1, 12), 16, 10).cast("long")
+    return h % CMS_WIDTH
+
+
+def cms_build(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build the d x w count-min grid over a document corpus:
+    (row, col, cnt), at most CMS_DEPTH * CMS_WIDTH rows.
+
+    Two shuffles: the corpus term agg (unavoidable, combinable) and a
+    <= d * |vocab|-row regroup onto the 4096-cell grid."""
+    tc = term_counts(df, text_col)
+    rows = F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+    return (
+        tc.select("term", "cnt", F.explode(rows).alias("row"))
+        .select("row", _cms_col(F.col("term"), F.col("row")).alias("col"), "cnt")
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_hash_sql(term_expr: str, row_expr: str) -> str:
+    """DuckDB rendering of the per-row CMS column hash."""
+    s = f"(CAST({term_expr} AS VARCHAR) || '#' || CAST(({CMS_SEED} + {row_expr}) AS VARCHAR))"
+    return f"(CAST('0x' || substr(md5({s}), 1, 12) AS BIGINT) % {CMS_WIDTH})"
+
+
+def cms_estimate(sketch: DataFrame, terms: DataFrame) -> DataFrame:
+    """Point-query a (row, col, cnt) grid for a small term relation:
+    (term, est_cnt) with est_cnt = min over the d rows.
+
+    Both relations are bounded (grid <= 4096 cells, terms are the
+    caller's query set), so the join broadcasts the GRID — |terms| * d
+    probe rows, never a corpus shuffle."""
+    probes = terms.select("term", F.explode(
+        F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("row"))
+    probes = probes.select(
+        "term", "row", _cms_col(F.col("term"), F.col("row")).alias("col")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )
+
+
+# --------------------------------------------------------------- hyperloglog
+def _rho(suffix: Column) -> Column:
+    """Leading-zero rank of a HLL_SUFFIX_BITS-wide suffix, in
+    [1, HLL_SUFFIX_BITS + 1]; bin()-based so both engines agree
+    without libm (the corpus_stats len_bin convention)."""
+    bits = F.length(F.conv(suffix.cast("string"), 10, 2))
+    return F.when(suffix == 0, F.lit(HLL_SUFFIX_BITS + 1)).otherwise(
+        F.lit(HLL_SUFFIX_BITS) - bits + 1
+    ).cast("long")
+
+
+def hll_registers(
+    df: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """(by, idx, m_rho): the per-group HLL register table — at most
+    m rows per group, merged by MAX.  Built from the distinct-term
+    relation (the term agg already dedups, so re-ingesting a term is
+    naturally idempotent — exactly the HLL property)."""
+    terms = (
+        df.select(F.col(by), F.explode(words(F.col(text_col))).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    h = h48(F.col("term"))
+    idx = F.shiftright(h, HLL_SUFFIX_BITS)  # top p bits (h48 >= 0)
+    suffix = h.bitwiseAND(F.lit((1 << HLL_SUFFIX_BITS) - 1))
+    return (
+        terms.select(F.col(by), idx.alias("idx"), _rho(suffix).alias("rho"))
+        .groupBy(by, "idx")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, by: str = "source") -> DataFrame:
+    """(by, n_registers, est_distinct) from a register table.
+
+    est = alpha_m * m^2 / (sum over ALL m registers of 2^-M_j), with
+    empty registers contributing 2^0 = 1.  Computed as ONE
+    DECIMAL(38,0) floor division: scaling by 2^(suffix_bits+1) makes
+    every addend integral (max rho = suffix_bits + 1), and the
+    numerator constant absorbs alpha — bit-identical to the DuckDB
+    HUGEINT rendering, no float summation order in sight."""
+    shift = HLL_SUFFIX_BITS + 1
+    per = registers.groupBy(by).agg(
+        F.count("*").alias("v"),
+        F.sum(F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({shift} - m_rho AS INT))"
+        )).alias("denom_present"),
+    )
+    denom = (
+        (F.lit(HLL_M).cast("long") - F.col("v"))
+        * F.lit(1 << shift).cast("long")
+        + F.col("denom_present")
+    )
+    lc = ",".join(str(x) for x in _HLL_LC[1:])
+    return per.select(
+        F.col(by),
+        F.col("v").alias("n_registers"),
+        denom.alias("_denom"),
+    ).selectExpr(
+        by,
+        "n_registers",
+        f"CAST('{_HLL_NUM}' AS DECIMAL(38,0)) div (CAST(_denom AS DECIMAL(38,0)) * 10000000) AS raw_est",
+    ).selectExpr(
+        by,
+        "n_registers",
+        # linear-counting branch: raw <= 2.5m and empty registers left
+        f"CAST(CASE WHEN {HLL_M} - n_registers > 0 AND raw_est <= {_HLL_LC_GATE}"
+        f" THEN element_at(array({lc}), CAST({HLL_M} - n_registers AS INT))"
+        " ELSE raw_est END AS BIGINT) AS est_distinct",
+    )
+
+
+def hll_sql_ctes(by: str = "source") -> str:
+    """DuckDB CTE block recomputing registers + estimate from the
+    ``documents`` view; SELECT from ``hll_est`` downstream."""
+    shift = HLL_SUFFIX_BITS + 1
+    h = h48_sql("term")
+    return f"""
+hll_terms AS (
+  SELECT DISTINCT {by}, unnest(string_split(text, ' ')) AS term FROM documents),
+hll_hashed AS (
+  SELECT {by}, {h} AS h FROM hll_terms WHERE term <> ''),
+hll_rho AS (
+  SELECT {by}, h // {1 << HLL_SUFFIX_BITS} AS idx,
+         CASE WHEN h % {1 << HLL_SUFFIX_BITS} = 0 THEN {HLL_SUFFIX_BITS + 1}
+              ELSE {HLL_SUFFIX_BITS} - length(bin(h % {1 << HLL_SUFFIX_BITS})) + 1
+         END AS rho
+  FROM hll_hashed),
+hll_regs AS (
+  SELECT {by}, idx, max(rho) AS m_rho FROM hll_rho GROUP BY {by}, idx),
+hll_raw AS (
+  SELECT {by}, CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(CAST('{_HLL_NUM}' AS HUGEINT) // (
+           (({HLL_M} - count(*)) * CAST({1 << shift} AS HUGEINT)
+            + sum(CAST(1 AS HUGEINT) * (1 << ({shift} - m_rho))))
+           * 10000000) AS BIGINT) AS raw_est
+  FROM hll_regs GROUP BY {by}),
+hll_est AS (
+  SELECT {by}, n_registers,
+         CAST(CASE WHEN {HLL_M} - n_registers > 0 AND raw_est <= {_HLL_LC_GATE}
+              THEN [{",".join(str(x) for x in _HLL_LC[1:])}][{HLL_M} - n_registers]
+              ELSE raw_est END AS BIGINT) AS est_distinct
+  FROM hll_raw)"""

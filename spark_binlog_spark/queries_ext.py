@@ -3662,3 +3662,187 @@ SELECT vec_id, cluster, CAST(r AS BIGINT) AS r, quota, r <= quota AS keep
 FROM ranked CROSS JOIN qt
 """
 )
+
+
+# ------------------------------------------------------------- CMS sketch
+def q_cms_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency dashboard: build the d x w grid over
+    the corpus (functions/sketch.py cms_build — the constant-memory
+    term-frequency state a 100 TB ingest keeps instead of a
+    |vocabulary| table), point-query it for the exact top-30 terms and
+    report estimate vs truth (overcount >= 0 is the CMS guarantee;
+    the exact side is the verification harness, not the scale path)."""
+    from spark_binlog_spark.functions import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = sketch.term_counts(docs)
+    top = (
+        tc.orderBy(F.desc("cnt"), "term")
+        .limit(30)
+        .select("term", F.col("cnt").alias("exact_cnt"))
+    )
+    est = sketch.cms_estimate(sketch.cms_build(docs), top)
+    return top.join(est, "term").select(
+        "term",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+def _cms_oracle_sql() -> str:
+    from spark_binlog_spark.functions.sketch import CMS_DEPTH, cms_hash_sql
+
+    return f"""
+WITH tc AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY term),
+grid AS (
+  SELECT row, {cms_hash_sql('term', 'row')} AS col, sum(cnt) AS cnt
+  FROM tc CROSS JOIN (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS row)
+  GROUP BY 1, 2),
+topq AS (SELECT term, cnt AS exact_cnt FROM tc ORDER BY cnt DESC, term LIMIT 30),
+probe AS (
+  SELECT q.term, r.row, {cms_hash_sql('q.term', 'r.row')} AS col
+  FROM topq q CROSS JOIN (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS row) r),
+est AS (
+  SELECT p.term, CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS est_cnt
+  FROM probe p LEFT JOIN grid g USING (row, col) GROUP BY p.term)
+SELECT t.term, t.exact_cnt, e.est_cnt, e.est_cnt - t.exact_cnt AS overcount
+FROM topq t JOIN est e USING (term)
+"""
+
+
+ORACLE["q_cms_topterms"] = _cms_oracle_sql()
+
+
+# ------------------------------------------------------------- HLL sketch
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-term counting per source: the m-register
+    mergeable sketch (functions/sketch.py hll_registers/hll_estimate)
+    vs the exact distinct count — the dashboard a pipeline uses to
+    watch vocabulary growth per source at 100 TB without |vocab| state
+    (exact side = verification harness).  err4 = |est - exact| / exact
+    in 1e-4 units; HLL's expected rel-err at m=256 is ~650 (6.5%)."""
+    from spark_binlog_spark.functions import sketch
+    from spark_binlog_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    est = sketch.hll_estimate(sketch.hll_registers(docs))
+    exact = (
+        docs.select(F.col("source"), F.explode(words(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("source")
+        .agg(F.count_distinct("term").alias("exact_distinct"))
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "n_registers",
+        "est_distinct",
+        "exact_distinct",
+        F.floor(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct")).cast("double")
+            * 10000
+            / F.col("exact_distinct").cast("double")
+        ).cast("long").alias("err4"),
+    )
+
+
+def _hll_oracle_sql() -> str:
+    from spark_binlog_spark.functions.sketch import hll_sql_ctes
+
+    return f"""
+WITH {hll_sql_ctes()},
+exact AS (
+  SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY source)
+SELECT h.source, h.n_registers, h.est_distinct, e.exact_distinct,
+       CAST(floor(CAST(abs(h.est_distinct - e.exact_distinct) AS DOUBLE)
+            * 10000 / CAST(e.exact_distinct AS DOUBLE)) AS BIGINT) AS err4
+FROM hll_est h JOIN exact e USING (source)
+"""
+
+
+ORACLE["q_hll_distinct"] = _hll_oracle_sql()
+
+
+# ------------------------------------------------------- stream CMS sketch
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequencies served off the INCREMENTALLY maintained
+    grid: the documents table arrives as two micro-batches through
+    CmsSketchSink (additive cell merge, batch-id replay guard,
+    crash-safe swaps), then the live grid answers the same top-30
+    point queries — must hash-match the one-shot batch q_cms_topterms
+    oracle (streaming/sketch_sink.py)."""
+    import os
+
+    from spark_binlog_spark.functions import sketch
+    from spark_binlog_spark.streaming.sketch_sink import run_cms_sketch
+
+    docs_dir = _parity_batches(sf_dir, "cms_sketch_")
+    d = os.path.dirname(docs_dir)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sink = run_cms_sketch(
+        spark, docs_dir, os.path.join(d, "stats"), os.path.join(d, "ck"), schema
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        sketch.term_counts(docs)
+        .orderBy(F.desc("cnt"), "term")
+        .limit(30)
+        .select("term", F.col("cnt").alias("exact_cnt"))
+    )
+    return top.join(sink.estimate(top), "term").select(
+        "term",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+ORACLE["q_stream_cms"] = ORACLE["q_cms_topterms"]
+
+
+# ------------------------------------------------------- stream HLL sketch
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-term estimates served off the INCREMENTALLY
+    maintained HLL registers: the documents table arrives as two
+    micro-batches through HllSketchSink (register max-merge — a true
+    monoid, so batch boundaries cannot change the state), then the
+    live registers answer the cardinality dashboard — must hash-match
+    the one-shot batch q_hll_distinct oracle
+    (streaming/sketch_sink.py)."""
+    import os
+
+    from spark_binlog_spark.functions.text import words
+    from spark_binlog_spark.streaming.sketch_sink import run_hll_sketch
+
+    docs_dir = _parity_batches(sf_dir, "hll_sketch_")
+    d = os.path.dirname(docs_dir)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sink = run_hll_sketch(
+        spark, docs_dir, os.path.join(d, "stats"), os.path.join(d, "ck"), schema
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        docs.select(F.col("source"), F.explode(words(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("source")
+        .agg(F.count_distinct("term").alias("exact_distinct"))
+    )
+    return sink.distinct_counts().join(exact, "source").select(
+        "source",
+        "n_registers",
+        "est_distinct",
+        "exact_distinct",
+        F.floor(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct")).cast("double")
+            * 10000
+            / F.col("exact_distinct").cast("double")
+        ).cast("long").alias("err4"),
+    )
+
+
+ORACLE["q_stream_hll"] = ORACLE["q_hll_distinct"]

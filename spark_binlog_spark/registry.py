@@ -122,6 +122,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # oracle), q_line_dedup (content-keyed dedup shape: q_dedup_exact +
 # q_stream_incremental_dedup), q_power_projection (iterative-model
 # shape: q_stream_kmeans + q_ivfadc_trained_topk's kmeans_train).
+#
+# Round-9 NEW operators enter the prefix directly (r7 policy), graded
+# through their STREAM-SERVED forms whose oracles are literally the
+# batch forms' oracle objects: q_stream_cms (count-min term-frequency
+# grid maintained additively; subsumes q_cms_topterms) and
+# q_stream_hll (HyperLogLog register max-merge; subsumes
+# q_hll_distinct).  Swapped OUT: q_gopher_rules (r07+r08 green;
+# rule-battery scan shape: q_quality_classifier stays as the
+# scoring-scan representative), q_ngram_jaccard (green since r01;
+# banded pair-join shape: q_stream_neardup_dedup's oracle recomputes
+# MinHash banding end-to-end).
 PRIORITY = [
     # --- tier 1: operator rows -------------------------------------
     "q_stream_change_counts",   # S1 MySQL binlog streaming scan
@@ -153,7 +164,6 @@ PRIORITY = [
     "q_stream_mv_maintain",
     "q_dedup_exact",
     "q_stream_simhash_dedup",   # subsumes q_dedup_simhash (r5 late swap)
-    "q_ngram_jaccard",
     "q_stream_incremental_dedup",  # exact-dedup ingest sink (r7 swap-in)
     "q_pq_topk",                # PQ/ADC ANN — compressed/celled representative
     "q_stream_hybrid_search",   # RRF served from both streaming stores
@@ -163,7 +173,6 @@ PRIORITY = [
                                 # for q_fingerprint, whose fingerprint fn
                                 # q_dedup_exact/q_incremental_dedup cover)
     "q_stream_neardup_dedup",   # streaming MinHash admission (r5 swap-in)
-    "q_gopher_rules",           # full Gopher rule battery (r7 swap-in)
     "q_quality_classifier",     # hashed linear quality scorer (r7 new)
     "q_ivfadc_topk",            # IVFADC: coarse cells + residual PQ (r8 swap-in)
     "q_hard_negatives",         # contrastive hard-negative mining (r8 swap-in)
@@ -181,6 +190,10 @@ PRIORITY = [
     "q_stream_kmeans",          # mini-batch k-means model off the additive store (r9)
     "q_stream_cluster_sample",  # balanced sample vs streamed centroids (r9;
                                 # subsumes q_cluster_sample's quota plan)
+    "q_stream_cms",             # count-min grid sink + live point queries (r9 new;
+                                # oracle = q_cms_topterms', so it subsumes it)
+    "q_stream_hll",             # HLL register sink + live cardinality (r9 new;
+                                # oracle = q_hll_distinct', so it subsumes it)
     "q_corpus_report",
 ]
 
@@ -190,6 +203,10 @@ PRIORITY = [
 # views live in PARITY below, NOT here — the never-graded count that
 # matters is len(TAIL), not len(TAIL) + len(PARITY) (VERDICT r5 ask #6).
 TAIL = [
+    "q_cms_topterms",           # r9 new batch form (oracle shared with q_stream_cms)
+    "q_hll_distinct",           # r9 new batch form (oracle shared with q_stream_hll)
+    "q_gopher_rules",           # r9 swap-out (green r07+r08 rows; shape: q_quality_classifier)
+    "q_ngram_jaccard",          # r9 swap-out (green r01+ rows; shape: q_stream_neardup_dedup banding)
     "q_enriched_changes",       # r9 swap-out (green r01-r08 rows; shape: q_ship_priority)
     "q_semdedup",               # r9 swap-out (green r07+r08 rows; shape: q_stream_cluster_sample + q_ngram_jaccard)
     "q_bloom_decontaminate",    # r9 swap-out (green r07+r08 rows; shape: q_decontaminate_spans)

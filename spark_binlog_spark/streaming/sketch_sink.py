@@ -1,0 +1,231 @@
+"""Streaming sketch maintenance: count-min term frequencies and
+HyperLogLog distinct counts kept live as documents are ingested.
+
+Both sketches are MONOIDS — the count-min grid merges by cell-wise
+SUM, the HLL register table by register-wise MAX — which is exactly
+the shape a continuous-ingest pipeline needs: each micro-batch
+contributes one bounded delta (<= d*w cells / <= |groups|*m
+registers), the store is bounded at that size FOREVER, and the corpus
+is read once, at ingest.  A 100 TB pipeline serves "how often has
+this term appeared so far" and "how many distinct terms per source"
+with zero corpus re-reads.
+
+Exactly-once: foreachBatch is at-least-once under hard crashes.  The
+CMS merge is additive and NOT idempotent, so it carries the
+batch-id ratchet (the same guard as ``CorpusStatsSink``/
+``DsirModelSink``, mirroring the reference's monotonic offset guard,
+OriginalSourceServerInExecutor.scala:164-171).  The HLL max-merge IS
+idempotent — replaying a batch cannot move a max — but the ratchet is
+kept anyway so the two stores expose the same replay contract (and
+skipping a replayed batch is cheaper than re-merging it).
+Crash-safety of the directory swap comes from ``safe_swap``/
+``recover_dir``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from spark_binlog_spark.functions.sketch import (
+    cms_build,
+    cms_estimate,
+    hll_estimate,
+    hll_registers,
+)
+from spark_binlog_spark.streaming.swap import recover_dir, safe_swap
+
+
+class CmsSketchSink:
+    """foreachBatch sink maintaining a count-min term-frequency grid.
+
+    ``grid()`` -> (row, col, cnt); ``estimate(terms)`` -> the same
+    contract as the batch ``cms_estimate`` over ``cms_build``, so a
+    stream ingested to completion answers point queries bit-identically
+    to the one-shot batch sketch."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        stats_dir: str,
+        text_col: str = "text",
+        resume: bool = True,
+    ):
+        self.spark = spark
+        self.stats_dir = stats_dir
+        self.text_col = text_col
+        self._schema = StructType(
+            [
+                StructField("row", LongType()),
+                StructField("col", LongType()),
+                StructField("cnt", LongType()),
+                StructField("batch_id", LongType()),
+            ]
+        )
+        ok = recover_dir(stats_dir)
+        if not (resume and ok):
+            self.spark.createDataFrame([], self._schema).write.mode(
+                "overwrite"
+            ).parquet(stats_dir)
+
+    def _stats(self) -> DataFrame:
+        return self.spark.read.schema(self._schema).parquet(self.stats_dir)
+
+    def _last_batch_id(self) -> int:
+        row = self._stats().agg(F.max("batch_id")).collect()[0]
+        return row[0] if row[0] is not None else -1
+
+    def grid(self) -> DataFrame:
+        return self._stats().select("row", "col", "cnt")
+
+    def estimate(self, terms: DataFrame) -> DataFrame:
+        """Point-query the LIVE grid for a small term relation —
+        (term, est_cnt), zero corpus reads."""
+        return cms_estimate(self.grid(), terms)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self._last_batch_id():
+            return  # replayed batch (crash between swap and commit)
+        delta = cms_build(batch_df, self.text_col)
+        merged = (
+            self._stats()
+            .join(delta.withColumnRenamed("cnt", "dcnt"), ["row", "col"], "full_outer")
+            .select(
+                "row",
+                "col",
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("dcnt"), F.lit(0)))
+                .cast("long")
+                .alias("cnt"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+        )
+        tmp = f"{self.stats_dir}.b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        safe_swap(self.stats_dir, tmp)
+
+
+class HllSketchSink:
+    """foreachBatch sink maintaining per-group HLL register tables.
+
+    ``registers()`` -> (by, idx, m_rho); ``distinct_counts()`` -> the
+    same contract as the batch ``hll_estimate`` over
+    ``hll_registers``, so a stream ingested to completion estimates
+    bit-identically to the one-shot batch sketch."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        stats_dir: str,
+        by: str = "source",
+        text_col: str = "text",
+        resume: bool = True,
+    ):
+        self.spark = spark
+        self.stats_dir = stats_dir
+        self.by = by
+        self.text_col = text_col
+        self._schema = StructType(
+            [
+                StructField(by, StringType()),
+                StructField("idx", LongType()),
+                StructField("m_rho", LongType()),
+                StructField("batch_id", LongType()),
+            ]
+        )
+        ok = recover_dir(stats_dir)
+        if not (resume and ok):
+            self.spark.createDataFrame([], self._schema).write.mode(
+                "overwrite"
+            ).parquet(stats_dir)
+
+    def _stats(self) -> DataFrame:
+        return self.spark.read.schema(self._schema).parquet(self.stats_dir)
+
+    def _last_batch_id(self) -> int:
+        row = self._stats().agg(F.max("batch_id")).collect()[0]
+        return row[0] if row[0] is not None else -1
+
+    def registers(self) -> DataFrame:
+        return self._stats().select(self.by, "idx", "m_rho")
+
+    def distinct_counts(self) -> DataFrame:
+        """(by, n_registers, est_distinct) served off the LIVE
+        registers — zero corpus reads."""
+        return hll_estimate(self.registers(), self.by)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self._last_batch_id():
+            return  # replay: a max-merge is idempotent, skip is cheaper
+        delta = hll_registers(batch_df, self.by, self.text_col)
+        merged = (
+            self._stats()
+            .join(
+                delta.withColumnRenamed("m_rho", "d_rho"),
+                [self.by, "idx"],
+                "full_outer",
+            )
+            .select(
+                self.by,
+                "idx",
+                F.greatest(
+                    F.coalesce(F.col("m_rho"), F.lit(0)),
+                    F.coalesce(F.col("d_rho"), F.lit(0)),
+                ).cast("long").alias("m_rho"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+        )
+        tmp = f"{self.stats_dir}.b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        safe_swap(self.stats_dir, tmp)
+
+
+def _run_stream(spark, docs_dir, checkpoint_dir, schema, sink, max_files=1):
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files))
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink
+
+
+def run_cms_sketch(
+    spark: SparkSession,
+    docs_dir: str,
+    stats_dir: str,
+    checkpoint_dir: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> CmsSketchSink:
+    """Stream a directory of document files through the CMS sink via
+    availableNow; returns the sink whose ``estimate`` serves the live
+    grid."""
+    return _run_stream(
+        spark, docs_dir, checkpoint_dir, schema,
+        CmsSketchSink(spark, stats_dir), max_files_per_trigger,
+    )
+
+
+def run_hll_sketch(
+    spark: SparkSession,
+    docs_dir: str,
+    stats_dir: str,
+    checkpoint_dir: str,
+    schema,
+    by: str = "source",
+    max_files_per_trigger: int = 1,
+) -> HllSketchSink:
+    """Stream a directory of document files through the HLL sink via
+    availableNow; returns the sink whose ``distinct_counts`` serves the
+    live registers."""
+    return _run_stream(
+        spark, docs_dir, checkpoint_dir, schema,
+        HllSketchSink(spark, stats_dir, by=by), max_files_per_trigger,
+    )

@@ -566,3 +566,55 @@ class TestCodegen:
                 continue  # builds a streaming query, not a plain DF plan
             plan = _physical(fn(spark, SF_TEST))
             assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+class TestSketchPlans:
+    def test_cms_probe_broadcasts_grid_no_smj(self, spark):
+        """q_cms_topterms: the <= d*w-cell grid broadcasts into the
+        point-query probe; nothing sort-merges and no cartesian
+        product appears (the probe relation is |query terms| * d)."""
+        from spark_binlog_spark.queries_ext import q_cms_topterms
+
+        plan = _physical(q_cms_topterms(spark, SF_TEST))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+
+    def test_hll_no_corpus_sort_or_smj(self, spark):
+        """q_hll_distinct: registers and estimates are bounded
+        relations; the est-vs-exact join broadcasts, the corpus is
+        never range-partitioned, and the whole plan stays JVM-side."""
+        from spark_binlog_spark.queries_ext import q_hll_distinct
+
+        plan = _physical(q_hll_distinct(spark, SF_TEST))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "Exchange rangepartitioning" not in plan
+        assert "Python" not in plan
+
+    def test_sketch_sink_serving_is_corpus_free(self, spark, tmp_path):
+        """The sketch stores serve with ZERO corpus reads: a CMS point
+        query and an HLL cardinality read touch only the stats parquet
+        (at 100 TB, 'how often has this term appeared' must not re-read
+        the world)."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.streaming.sketch_sink import (
+            CmsSketchSink,
+            HllSketchSink,
+        )
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, source="s", text="a b c a")]
+        )
+        cms = CmsSketchSink(spark, str(tmp_path / "cms"))
+        cms(docs, 0)
+        terms = spark.createDataFrame([Row(term="a")])
+        plan = _physical(cms.estimate(terms))
+        assert "documents.parquet" not in plan
+
+        hll = HllSketchSink(spark, str(tmp_path / "hll"))
+        hll(docs, 0)
+        plan = _physical(hll.distinct_counts())
+        assert "documents.parquet" not in plan

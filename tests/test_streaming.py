@@ -3416,3 +3416,58 @@ class TestMiniBatchKmeansSink:
             }
 
         assert snap(a) == snap(b)
+
+
+class TestSketchSinks:
+    def test_cms_sink_replay_guard_and_batch_equality(self, spark, tmp_path):
+        """Two batches fold into the grid exactly once under replay,
+        and the streamed grid equals the one-shot batch cms_build over
+        the full corpus (the additive-monoid contract)."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import sketch
+        from spark_binlog_spark.streaming.sketch_sink import CmsSketchSink
+
+        def docs(ids):
+            return spark.createDataFrame(
+                [Row(doc_id=i, text=f"t{i % 3} t{i % 5} common") for i in ids]
+            )
+
+        sink = CmsSketchSink(spark, str(tmp_path / "cms"))
+        b0 = docs(range(0, 6))
+        sink(b0, 0)
+        sink(b0, 0)  # replay after a crash between swap and commit
+        sink(docs(range(6, 10)), 1)
+
+        want = sorted(map(tuple, sketch.cms_build(docs(range(10))).collect()))
+        got = sorted(map(tuple, sink.grid().collect()))
+        assert got == want
+
+    def test_hll_sink_replay_and_batch_equality(self, spark, tmp_path):
+        """The streamed registers equal the one-shot batch
+        hll_registers over the full corpus; a replayed batch changes
+        nothing (max-merge idempotence + the ratchet)."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import sketch
+        from spark_binlog_spark.streaming.sketch_sink import HllSketchSink
+
+        def docs(ids):
+            return spark.createDataFrame(
+                [Row(doc_id=i, source=f"s{i % 2}", text=f"w{i} w{i + 1} shared")
+                 for i in ids]
+            )
+
+        sink = HllSketchSink(spark, str(tmp_path / "hll"))
+        sink(docs(range(0, 5)), 0)
+        sink(docs(range(0, 5)), 0)  # replay
+        sink(docs(range(5, 9)), 1)
+
+        want = sorted(map(tuple, sketch.hll_registers(docs(range(9))).collect()))
+        got = sorted(map(tuple, sink.registers().collect()))
+        assert got == want
+        # served estimate matches the batch estimate off the same state
+        want_est = sorted(map(tuple, sketch.hll_estimate(
+            sketch.hll_registers(docs(range(9)))).collect()))
+        got_est = sorted(map(tuple, sink.distinct_counts().collect()))
+        assert got_est == want_est

@@ -1327,3 +1327,90 @@ class TestClusterBalancedSample:
         again = {(r["vec_id"], r["keep"]) for r in
                  cluster_balanced_sample(emb, n_clusters=8).collect()}
         assert again == {(r["vec_id"], r["keep"]) for r in rows}
+
+
+class TestSketches:
+    def test_cms_overestimates_and_is_exact_without_collisions(self, spark):
+        """CMS point queries NEVER undercount; with a vocabulary far
+        below the grid width the min-row estimate is exact for
+        uncollided terms and every estimate >= truth."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import sketch
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(["alpha"] * 5 + ["beta"] * 2 + [f"w{i}"]))
+             for i in range(10)]
+        )
+        grid = sketch.cms_build(docs)
+        terms = spark.createDataFrame(
+            [Row(term="alpha"), Row(term="beta"), Row(term="w3"), Row(term="missing")]
+        )
+        est = {r["term"]: r["est_cnt"] for r in sketch.cms_estimate(grid, terms).collect()}
+        truth = {"alpha": 50, "beta": 20, "w3": 1, "missing": 0}
+        for t, want in truth.items():
+            assert est[t] >= want
+        # d=4 rows, w=1024 cols, 12 distinct terms: at least the two
+        # heavy terms resolve exactly (collision there would need a
+        # 4-fold simultaneous clash)
+        assert est["alpha"] == 50 and est["beta"] == 20
+
+    def test_cms_grid_is_additive(self, spark):
+        """cms_build over a union equals the cell-wise sum of the two
+        halves' grids — the monoid property the streaming sink and any
+        distributed corpus merge rely on."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import sketch
+
+        a = spark.createDataFrame([Row(doc_id=1, text="x y z x")])
+        b = spark.createDataFrame([Row(doc_id=2, text="y q r s t")])
+        full = sketch.cms_build(a.unionByName(b))
+        summed = (
+            sketch.cms_build(a).unionByName(sketch.cms_build(b))
+            .groupBy("row", "col").sum("cnt")
+            .withColumnRenamed("sum(cnt)", "cnt")
+        )
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, summed.collect())
+        )
+
+    def test_hll_register_bounds_and_accuracy(self, spark):
+        """Registers stay within [1, suffix_bits+1] and m per group;
+        the corrected estimate lands within 3 standard errors
+        (3 * 1.04/sqrt(m)) of a 2000-distinct truth."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import sketch
+
+        n = 2000
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, source="s", text=" ".join(f"tok{i}_{j}" for j in range(10)))
+             for i in range(n // 10)]
+        )
+        regs = sketch.hll_registers(docs)
+        rows = regs.collect()
+        assert len(rows) <= sketch.HLL_M
+        assert all(1 <= r["m_rho"] <= sketch.HLL_SUFFIX_BITS + 1 for r in rows)
+        (est,) = sketch.hll_estimate(regs).collect()
+        rel_err = abs(est["est_distinct"] - n) / n
+        assert rel_err < 3 * 1.04 / (sketch.HLL_M ** 0.5)
+
+    def test_hll_registers_max_merge(self, spark):
+        """hll_registers over a union equals the register-wise max of
+        the halves — and re-merging one half changes nothing (the
+        idempotent-monoid property the sink's replay path relies on)."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import sketch
+        from pyspark.sql import functions as F
+
+        a = spark.createDataFrame([Row(doc_id=1, source="s", text="x y z")])
+        b = spark.createDataFrame([Row(doc_id=2, source="s", text="y q r")])
+        full = sorted(map(tuple, sketch.hll_registers(a.unionByName(b)).collect()))
+        merged = (
+            sketch.hll_registers(a).unionByName(sketch.hll_registers(b))
+            .unionByName(sketch.hll_registers(a))  # replay half a
+            .groupBy("source", "idx").agg(F.max("m_rho").alias("m_rho"))
+        )
+        assert sorted(map(tuple, merged.collect())) == full
