@@ -95,6 +95,7 @@ HEADLINE_V2 = [
     "q_stream_cluster_sample",  # balanced sampling against the streamed centroids (r8)
     "q_stream_cms",       # count-min point queries off the streamed grid (r9)
     "q_stream_hll",       # HLL cardinality off the streamed registers (r9)
+    "q_stream_quantiles", # p50/p90/p99 off the streamed log-bin histogram (r9)
     "q_pack_efficiency",  # pack fill/straddle dashboard
 ]
 

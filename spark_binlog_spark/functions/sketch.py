@@ -210,6 +210,131 @@ def hll_estimate(registers: DataFrame, by: str = "source") -> DataFrame:
     )
 
 
+# ----------------------------------------------------- log-bin histogram
+# Quantile sketch: an HDR-histogram-style log-binned counter table
+# (Masson et al. 2019's DDSketch is the float-gamma variant; the
+# base-2 sub-bucket form here is the integer-exact one).  A value v
+# lands in bin_id = shift * 2^(m+1) + (v >> shift) with
+# shift = max(0, bitlen(v) - 1 - m): values below 2^m get EXACT bins,
+# larger values keep their top m+1 bits, so the reported quantile's
+# relative error is <= 2^-m.  Bin counts are PURELY ADDITIVE — the
+# same micro-batch / cross-corpus merge monoid as the CMS grid — and
+# the whole per-group state is <= (bitlen_max - m) * 2^(m+1) ~ 2^11
+# rows.  bitlen comes from length(bin(v)) (both engines agree, no
+# libm); everything downstream is integer windows over a bounded
+# relation.
+HIST_M = 5                     # sub-bucket bits: rel-err <= 1/32 ~ 3%
+_HIST_BASE = 1 << (HIST_M + 1)
+
+# The served quantiles: (name, numerator, denominator).
+HIST_QS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def logbin_id(v: str) -> str:
+    """Spark SQL expr string: log-bin id of integer expression `v`."""
+    s = f"greatest(0, length(bin({v})) - 1 - {HIST_M})"
+    return f"(CAST({s} AS BIGINT) * {_HIST_BASE} + shiftright({v}, CAST({s} AS INT)))"
+
+
+def logbin_lower(b: str) -> str:
+    """Spark SQL expr string: lower edge (representative value) of a
+    bin id — exact for v < 2^m, a <= 2^-m undercount above."""
+    return f"shiftleft({b} % {_HIST_BASE}, CAST({b} DIV {_HIST_BASE} AS INT))"
+
+
+def logbin_id_sql(v: str) -> str:
+    """DuckDB rendering of logbin_id."""
+    s = f"greatest(0, length(bin({v})) - 1 - {HIST_M})"
+    return f"(CAST({s} AS BIGINT) * {_HIST_BASE} + ({v} >> ({s})))"
+
+
+def logbin_lower_sql(b: str) -> str:
+    """DuckDB rendering of logbin_lower."""
+    return f"(({b} % {_HIST_BASE}) << CAST({b} // {_HIST_BASE} AS BIGINT))"
+
+
+def token_count_expr(text_col: str = "text") -> str:
+    """Per-document token count, shared by builder and oracle: split
+    on single spaces, empties dropped (the corpus `words` convention)."""
+    return f"size(filter(split({text_col}, ' '), x -> x != ''))"
+
+
+def token_count_sql(text_col: str = "text") -> str:
+    return f"len(list_filter(string_split({text_col}, ' '), x -> x <> ''))"
+
+
+def hist_build(
+    df: DataFrame, by: str = "source", value_expr: str | None = None
+) -> DataFrame:
+    """(by, bin_id, cnt): the additive log-bin histogram of an integer
+    per-row value (default: token count) per group.  ONE combinable
+    corpus aggregation; the result is bounded at |groups| * ~2^11."""
+    v = value_expr or token_count_expr()
+    return (
+        df.select(F.col(by), F.expr(logbin_id(f"({v})")).alias("bin_id"))
+        .groupBy(by, "bin_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame, by: str = "source", exact: bool = False
+) -> DataFrame:
+    """(by, total, p50, p90, p99) from a (by, bin_id, cnt) histogram.
+
+    The quantile convention (shared with the oracle): the reported
+    value is the LOWER EDGE of the first bin whose cumulative count
+    reaches ceil(q * total) — for an exact histogram (bin_id = value,
+    ``exact=True``) that IS the discrete lower quantile.  Pure integer
+    windows over the bounded histogram; the corpus never reappears."""
+    from pyspark.sql.window import Window
+
+    w_cum = (
+        Window.partitionBy(by)
+        .orderBy("bin_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(by)
+    val = F.col("bin_id") if exact else F.expr(logbin_lower("bin_id"))
+    cur = hist.select(
+        F.col(by),
+        val.alias("val"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    aggs = [F.max("total").alias("total")]
+    for name, num, den in HIST_QS:
+        rank = F.floor((F.col("total") * num + den - 1) / den)
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("val"))).alias(name)
+        )
+    return cur.groupBy(by).agg(*aggs)
+
+
+def hist_quantiles_sql_ctes(
+    by: str = "source", exact: bool = False, prefix: str = "hq"
+) -> str:
+    """DuckDB CTE block: ``{prefix}_hist`` (by, bin_id, cnt) must be
+    defined upstream; exposes ``{prefix}_q`` (by, total, p50, p90,
+    p99) with the hist_quantiles convention."""
+    val = "bin_id" if exact else logbin_lower_sql("bin_id")
+    qcols = ", ".join(
+        f"CAST(min(CASE WHEN cum >= (total * {num} + {den - 1}) // {den}"
+        f" THEN val END) AS BIGINT) AS {name}"
+        for name, num, den in HIST_QS
+    )
+    return f"""
+{prefix}_cum AS (
+  SELECT {by}, {val} AS val,
+         sum(cnt) OVER (PARTITION BY {by} ORDER BY bin_id
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY {by}) AS total
+  FROM {prefix}_hist),
+{prefix}_q AS (
+  SELECT {by}, CAST(max(total) AS BIGINT) AS total, {qcols}
+  FROM {prefix}_cum GROUP BY {by})"""
+
+
 def hll_sql_ctes(by: str = "source") -> str:
     """DuckDB CTE block recomputing registers + estimate from the
     ``documents`` view; SELECT from ``hll_est`` downstream."""

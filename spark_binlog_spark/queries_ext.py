@@ -3846,3 +3846,94 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_stream_hll"] = ORACLE["q_hll_distinct"]
+
+
+# ------------------------------------------------------ quantile sketch
+def _quantile_dashboard(spark, sf_dir: str, sketch_q: DataFrame) -> DataFrame:
+    """Join a (source, total, p50/p90/p99) sketch-quantile relation
+    against the EXACT discrete quantiles (same rank convention, bins =
+    raw values) — the verification harness every sketch query carries;
+    the exact side is the part a 100 TB pipeline drops."""
+    from spark_binlog_spark.functions import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact_hist = (
+        docs.select(
+            "source",
+            F.expr(sketch.token_count_expr()).alias("bin_id"),
+        )
+        .groupBy("source", "bin_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = sketch.hist_quantiles(exact_hist, exact=True).select(
+        "source",
+        F.col("p50").alias("x50"),
+        F.col("p90").alias("x90"),
+        F.col("p99").alias("x99"),
+    )
+    return sketch_q.join(exact, "source").select(
+        "source", "total", "p50", "p90", "p99", "x50", "x90", "x99"
+    )
+
+
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length quantile dashboard per source: the log-bin
+    histogram sketch (functions/sketch.py hist_build/hist_quantiles —
+    the <= 2^11-cells-per-group additive state a 100 TB ingest keeps
+    instead of sorting the corpus) reports p50/p90/p99 of per-document
+    token counts next to the exact discrete quantiles; the sketch's
+    lower-edge convention guarantees p <= x with relative error
+    <= 2^-HIST_M (~3%)."""
+    from spark_binlog_spark.functions import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _quantile_dashboard(
+        spark, sf_dir, sketch.hist_quantiles(sketch.hist_build(docs))
+    )
+
+
+def _quantile_oracle_sql() -> str:
+    from spark_binlog_spark.functions import sketch
+
+    v = sketch.token_count_sql()
+    return f"""
+WITH hq_hist AS (
+  SELECT source, {sketch.logbin_id_sql(f'({v})')} AS bin_id,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2),
+{sketch.hist_quantiles_sql_ctes(prefix='hq')},
+ex_hist AS (
+  SELECT source, CAST({v} AS BIGINT) AS bin_id,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2),
+{sketch.hist_quantiles_sql_ctes(exact=True, prefix='ex')}
+SELECT s.source, s.total, s.p50, s.p90, s.p99,
+       e.p50 AS x50, e.p90 AS x90, e.p99 AS x99
+FROM hq_q s JOIN ex_q e USING (source)
+"""
+
+
+ORACLE["q_token_quantiles"] = _quantile_oracle_sql()
+
+
+def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length quantiles served off the INCREMENTALLY maintained
+    log-bin histogram: the documents table arrives as two
+    micro-batches through HistSketchSink (additive bin merge, batch-id
+    replay guard, crash-safe swaps), then the live store answers the
+    same dashboard — must hash-match the one-shot batch
+    q_token_quantiles oracle (streaming/sketch_sink.py)."""
+    import os
+
+    from spark_binlog_spark.streaming.sketch_sink import run_hist_sketch
+
+    docs_dir = _parity_batches(sf_dir, "hist_sketch_")
+    d = os.path.dirname(docs_dir)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sink = run_hist_sketch(
+        spark, docs_dir, os.path.join(d, "stats"), os.path.join(d, "ck"), schema
+    )
+    return _quantile_dashboard(spark, sf_dir, sink.quantiles())
+
+
+ORACLE["q_stream_quantiles"] = ORACLE["q_token_quantiles"]

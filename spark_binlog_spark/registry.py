@@ -126,13 +126,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Round-9 NEW operators enter the prefix directly (r7 policy), graded
 # through their STREAM-SERVED forms whose oracles are literally the
 # batch forms' oracle objects: q_stream_cms (count-min term-frequency
-# grid maintained additively; subsumes q_cms_topterms) and
-# q_stream_hll (HyperLogLog register max-merge; subsumes
-# q_hll_distinct).  Swapped OUT: q_gopher_rules (r07+r08 green;
+# grid maintained additively; subsumes q_cms_topterms), q_stream_hll
+# (HyperLogLog register max-merge; subsumes q_hll_distinct) and
+# q_stream_quantiles (additive log-bin histogram; subsumes
+# q_token_quantiles).  Swapped OUT: q_gopher_rules (r07+r08 green;
 # rule-battery scan shape: q_quality_classifier stays as the
 # scoring-scan representative), q_ngram_jaccard (green since r01;
 # banded pair-join shape: q_stream_neardup_dedup's oracle recomputes
-# MinHash banding end-to-end).
+# MinHash banding end-to-end), q_dedup_exact (green since r01; the
+# fingerprint fn and exact-dedup shape are graded end-to-end by
+# q_stream_incremental_dedup, whose oracle is the batch form's).
 PRIORITY = [
     # --- tier 1: operator rows -------------------------------------
     "q_stream_change_counts",   # S1 MySQL binlog streaming scan
@@ -162,7 +165,6 @@ PRIORITY = [
     "q_ship_priority",
     "q_schema_evolution",
     "q_stream_mv_maintain",
-    "q_dedup_exact",
     "q_stream_simhash_dedup",   # subsumes q_dedup_simhash (r5 late swap)
     "q_stream_incremental_dedup",  # exact-dedup ingest sink (r7 swap-in)
     "q_pq_topk",                # PQ/ADC ANN — compressed/celled representative
@@ -194,6 +196,8 @@ PRIORITY = [
                                 # oracle = q_cms_topterms', so it subsumes it)
     "q_stream_hll",             # HLL register sink + live cardinality (r9 new;
                                 # oracle = q_hll_distinct', so it subsumes it)
+    "q_stream_quantiles",       # log-bin histogram sink + live p50/p90/p99 (r9 new;
+                                # oracle = q_token_quantiles', so it subsumes it)
     "q_corpus_report",
 ]
 
@@ -205,6 +209,9 @@ PRIORITY = [
 TAIL = [
     "q_cms_topterms",           # r9 new batch form (oracle shared with q_stream_cms)
     "q_hll_distinct",           # r9 new batch form (oracle shared with q_stream_hll)
+    "q_token_quantiles",        # r9 new batch form (oracle shared with q_stream_quantiles)
+    "q_dedup_exact",            # r9 swap-out (green r01-r08 rows; exact-dedup shape +
+                                # fingerprint fn graded via q_stream_incremental_dedup)
     "q_gopher_rules",           # r9 swap-out (green r07+r08 rows; shape: q_quality_classifier)
     "q_ngram_jaccard",          # r9 swap-out (green r01+ rows; shape: q_stream_neardup_dedup banding)
     "q_enriched_changes",       # r9 swap-out (green r01-r08 rows; shape: q_ship_priority)

@@ -31,6 +31,8 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from spark_binlog_spark.functions.sketch import (
     cms_build,
     cms_estimate,
+    hist_build,
+    hist_quantiles,
     hll_estimate,
     hll_registers,
 )
@@ -180,6 +182,80 @@ class HllSketchSink:
         safe_swap(self.stats_dir, tmp)
 
 
+class HistSketchSink:
+    """foreachBatch sink maintaining per-group log-bin value histograms
+    (functions/sketch.py hist_build) — the additive quantile-sketch
+    monoid: each micro-batch contributes <= |groups| * 2^11 bin rows,
+    cells merge by SUM, and ``quantiles()`` serves p50/p90/p99 off the
+    bounded store with zero corpus reads.  Same replay ratchet and
+    crash-safe swap contract as ``CmsSketchSink``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        stats_dir: str,
+        by: str = "source",
+        value_expr: str | None = None,
+        resume: bool = True,
+    ):
+        self.spark = spark
+        self.stats_dir = stats_dir
+        self.by = by
+        self.value_expr = value_expr
+        self._schema = StructType(
+            [
+                StructField(by, StringType()),
+                StructField("bin_id", LongType()),
+                StructField("cnt", LongType()),
+                StructField("batch_id", LongType()),
+            ]
+        )
+        ok = recover_dir(stats_dir)
+        if not (resume and ok):
+            self.spark.createDataFrame([], self._schema).write.mode(
+                "overwrite"
+            ).parquet(stats_dir)
+
+    def _stats(self) -> DataFrame:
+        return self.spark.read.schema(self._schema).parquet(self.stats_dir)
+
+    def _last_batch_id(self) -> int:
+        row = self._stats().agg(F.max("batch_id")).collect()[0]
+        return row[0] if row[0] is not None else -1
+
+    def histogram(self) -> DataFrame:
+        return self._stats().select(self.by, "bin_id", "cnt")
+
+    def quantiles(self) -> DataFrame:
+        """(by, total, p50, p90, p99) served off the LIVE histogram —
+        zero corpus reads."""
+        return hist_quantiles(self.histogram(), self.by)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self._last_batch_id():
+            return  # replayed batch (additive merge is not idempotent)
+        delta = hist_build(batch_df, self.by, self.value_expr)
+        merged = (
+            self._stats()
+            .join(
+                delta.withColumnRenamed("cnt", "dcnt"),
+                [self.by, "bin_id"],
+                "full_outer",
+            )
+            .select(
+                self.by,
+                "bin_id",
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("dcnt"), F.lit(0)))
+                .cast("long")
+                .alias("cnt"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+        )
+        tmp = f"{self.stats_dir}.b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        safe_swap(self.stats_dir, tmp)
+
+
 def _run_stream(spark, docs_dir, checkpoint_dir, schema, sink, max_files=1):
     stream = (
         spark.readStream.schema(schema)
@@ -228,4 +304,22 @@ def run_hll_sketch(
     return _run_stream(
         spark, docs_dir, checkpoint_dir, schema,
         HllSketchSink(spark, stats_dir, by=by), max_files_per_trigger,
+    )
+
+
+def run_hist_sketch(
+    spark: SparkSession,
+    docs_dir: str,
+    stats_dir: str,
+    checkpoint_dir: str,
+    schema,
+    by: str = "source",
+    max_files_per_trigger: int = 1,
+) -> HistSketchSink:
+    """Stream a directory of document files through the histogram sink
+    via availableNow; returns the sink whose ``quantiles`` serves the
+    live log-bin store."""
+    return _run_stream(
+        spark, docs_dir, checkpoint_dir, schema,
+        HistSketchSink(spark, stats_dir, by=by), max_files_per_trigger,
     )

@@ -593,6 +593,18 @@ class TestSketchPlans:
         assert "Exchange rangepartitioning" not in plan
         assert "Python" not in plan
 
+    def test_token_quantiles_no_global_sort(self, spark):
+        """q_token_quantiles: quantiles come from windows over the
+        BOUNDED histogram, never a global sort of the corpus, and the
+        sketch-vs-exact join broadcasts; everything stays JVM-side."""
+        from spark_binlog_spark.queries_ext import q_token_quantiles
+
+        plan = _physical(q_token_quantiles(spark, SF_TEST))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+
     def test_sketch_sink_serving_is_corpus_free(self, spark, tmp_path):
         """The sketch stores serve with ZERO corpus reads: a CMS point
         query and an HLL cardinality read touch only the stats parquet
@@ -602,6 +614,7 @@ class TestSketchPlans:
 
         from spark_binlog_spark.streaming.sketch_sink import (
             CmsSketchSink,
+            HistSketchSink,
             HllSketchSink,
         )
 
@@ -617,4 +630,9 @@ class TestSketchPlans:
         hll = HllSketchSink(spark, str(tmp_path / "hll"))
         hll(docs, 0)
         plan = _physical(hll.distinct_counts())
+        assert "documents.parquet" not in plan
+
+        hist = HistSketchSink(spark, str(tmp_path / "hist"))
+        hist(docs, 0)
+        plan = _physical(hist.quantiles())
         assert "documents.parquet" not in plan

@@ -3443,6 +3443,35 @@ class TestSketchSinks:
         got = sorted(map(tuple, sink.grid().collect()))
         assert got == want
 
+    def test_hist_sink_replay_guard_and_batch_equality(self, spark, tmp_path):
+        """The streamed log-bin histogram equals the one-shot batch
+        hist_build over the full corpus under replay, and the served
+        quantiles match the batch quantiles off the same state."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import sketch
+        from spark_binlog_spark.streaming.sketch_sink import HistSketchSink
+
+        def docs(ids):
+            return spark.createDataFrame(
+                [Row(doc_id=i, source=f"s{i % 2}",
+                     text=" ".join(["w"] * (i * 7 + 1))) for i in ids]
+            )
+
+        sink = HistSketchSink(spark, str(tmp_path / "hist"))
+        b0 = docs(range(0, 12))
+        sink(b0, 0)
+        sink(b0, 0)  # replay after a crash between swap and commit
+        sink(docs(range(12, 20)), 1)
+
+        want = sorted(map(tuple, sketch.hist_build(docs(range(20))).collect()))
+        got = sorted(map(tuple, sink.histogram().collect()))
+        assert got == want
+        want_q = sorted(map(tuple, sketch.hist_quantiles(
+            sketch.hist_build(docs(range(20)))).collect()))
+        got_q = sorted(map(tuple, sink.quantiles().collect()))
+        assert got_q == want_q
+
     def test_hll_sink_replay_and_batch_equality(self, spark, tmp_path):
         """The streamed registers equal the one-shot batch
         hll_registers over the full corpus; a replayed batch changes

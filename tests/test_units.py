@@ -1396,6 +1396,61 @@ class TestSketches:
         rel_err = abs(est["est_distinct"] - n) / n
         assert rel_err < 3 * 1.04 / (sketch.HLL_M ** 0.5)
 
+    def test_logbin_histogram_quantiles_vs_exact(self, spark):
+        """Sketch quantiles sit at or below the exact discrete quantile
+        with relative error <= 2^-HIST_M; small values (< 2^m) are
+        EXACT because their bins are singletons."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import sketch
+
+        # group 'small': every doc has < 32 tokens -> exact quantiles
+        # group 'big': token counts span the log-binned range
+        rows = [Row(doc_id=i, source="small", text=" ".join(["w"] * (1 + i % 20)))
+                for i in range(40)]
+        rows += [Row(doc_id=100 + i, source="big",
+                     text=" ".join(["w"] * ((i + 1) * 37)))
+                 for i in range(60)]
+        docs = spark.createDataFrame(rows)
+        got = {r["source"]: r for r in sketch.hist_quantiles(
+            sketch.hist_build(docs)).collect()}
+        exact_hist = (
+            docs.selectExpr("source", f"{sketch.token_count_expr()} AS bin_id")
+            .groupBy("source", "bin_id").count()
+            .withColumnRenamed("count", "cnt")
+        )
+        want = {r["source"]: r for r in sketch.hist_quantiles(
+            exact_hist, exact=True).collect()}
+        for name, _, _ in sketch.HIST_QS:
+            assert got["small"][name] == want["small"][name]
+            lo, hi = got["big"][name], want["big"][name]
+            assert lo <= hi and (hi - lo) <= hi / (1 << sketch.HIST_M)
+
+    def test_logbin_histogram_is_additive(self, spark):
+        """hist_build over a union equals the bin-wise sum of the two
+        halves' histograms — the monoid the streaming sink relies on."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import sketch
+
+        a = spark.createDataFrame(
+            [Row(doc_id=i, source="s", text=" ".join(["w"] * (i + 1)))
+             for i in range(30)]
+        )
+        b = spark.createDataFrame(
+            [Row(doc_id=100 + i, source="s", text=" ".join(["w"] * (i * 11 + 5)))
+             for i in range(30)]
+        )
+        full = sketch.hist_build(a.unionByName(b))
+        summed = (
+            sketch.hist_build(a).unionByName(sketch.hist_build(b))
+            .groupBy("source", "bin_id").sum("cnt")
+            .withColumnRenamed("sum(cnt)", "cnt")
+        )
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, summed.collect())
+        )
+
     def test_hll_registers_max_merge(self, spark):
         """hll_registers over a union equals the register-wise max of
         the halves — and re-merging one half changes nothing (the
