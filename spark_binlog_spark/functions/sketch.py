@@ -335,6 +335,135 @@ def hist_quantiles_sql_ctes(
   FROM {prefix}_cum GROUP BY {by})"""
 
 
+# --------------------------------------------------------------- KMV bottom-k
+# K-minimum-values sketch (Bar-Yossef et al. 2002; Beyer et al. 2007
+# "On synopses for distinct-value estimation under multiset
+# operations"): per group, keep the k SMALLEST distinct term hashes.
+# Bottom-k sets merge by union-then-retake — an idempotent monoid —
+# and, unlike HLL, support SET operations: the k smallest of A ∪ B
+# are computable from the two sketches alone, and the fraction of
+# them present in both sketches estimates Jaccard(A, B) (the min-wise
+# coherence Broder 1997 uses for resemblance).  Hash values are
+# DISTINCT within a group by construction (the sketch stores the hash
+# set, not the terms), so ranks are tie-free and cross-engine
+# deterministic.
+KMV_K = 256
+KMV_SALTS = 64  # phase-1 fan-out: bounds any one task's sort slice
+
+
+def kmv_sketch(df: DataFrame, by: str = "source", text_col: str = "text") -> DataFrame:
+    """(by, h): the k smallest distinct term hashes per group.
+
+    Two-phase bottom-k so no task ever sorts a whole group's
+    vocabulary: phase 1 ranks within (group, h % SALTS) — uniform
+    hashes make the salt slices even, and WindowGroupLimit keeps only
+    k rows per slice during the sort — phase 2 re-ranks the
+    <= SALTS * k survivors per group.  Any global bottom-k member is
+    bottom-k within its salt slice, so the result is exactly the
+    unsalted bottom-k."""
+    from pyspark.sql.window import Window
+
+    hashes = (
+        df.select(F.col(by), F.explode(words(F.col(text_col))).alias("term"))
+        .where(F.col("term") != "")
+        .select(F.col(by), h48(F.col("term")).alias("h"))
+        .distinct()
+    )
+    w1 = Window.partitionBy(by, F.col("h") % KMV_SALTS).orderBy("h")
+    cand = (
+        hashes.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy(by).orderBy("h")
+    return (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+
+
+def kmv_jaccard(sk: DataFrame, by: str = "source") -> DataFrame:
+    """(src_a, src_b, kk, inter, jacc4) for every unordered group pair:
+    take the kk = min(k, |A ∪ B|) smallest values of the sketch union
+    and count those present in BOTH sketches; jacc4 = floor(1e4 *
+    inter / kk).  Every relation here is sketch-sized (|groups| * k),
+    so the pair fan-out broadcasts — the corpus is long gone."""
+    from pyspark.sql.window import Window
+
+    srcs = sk.select(F.col(by).alias("_s")).distinct()
+    pairs = (
+        srcs.select(F.col("_s").alias("src_a"))
+        .join(F.broadcast(srcs.select(F.col("_s").alias("src_b"))))
+        .where(F.col("src_a") < F.col("src_b"))
+    )
+    a = sk.select(F.col(by).alias("src_a"), "h")
+    b = sk.select(F.col(by).alias("src_b"), "h")
+    both = (
+        pairs.join(F.broadcast(a), "src_a")
+        .select("src_a", "src_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(F.broadcast(b), "src_b").select(
+                "src_a", "src_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy("h")
+    top = both.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= KMV_K)
+    return top.groupBy("src_a", "src_b").agg(
+        F.max("rn").cast("long").alias("kk"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("inter"),
+    ).select(
+        "src_a",
+        "src_b",
+        "kk",
+        "inter",
+        F.floor(F.col("inter") * 10000 / F.col("kk")).cast("long").alias("jacc4"),
+    )
+
+
+def kmv_sql_ctes(by: str = "source") -> str:
+    """DuckDB CTE block recomputing the per-group bottom-k sketch and
+    the pairwise union-rank Jaccard; SELECT from ``kmv_jac``
+    downstream.  The salt phase is physical-only, so the oracle ranks
+    each group directly."""
+    h = h48_sql("term")
+    return f"""
+kmv_hashes AS (
+  SELECT DISTINCT {by}, {h} AS h
+  FROM (SELECT {by}, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''),
+kmv_sk AS (
+  SELECT {by}, h FROM (
+    SELECT {by}, h, row_number() OVER (PARTITION BY {by} ORDER BY h) AS rn
+    FROM kmv_hashes) WHERE rn <= {KMV_K}),
+kmv_pairs AS (
+  SELECT a.{by} AS src_a, b.{by} AS src_b
+  FROM (SELECT DISTINCT {by} FROM kmv_sk) a,
+       (SELECT DISTINCT {by} FROM kmv_sk) b
+  WHERE a.{by} < b.{by}),
+kmv_both AS (
+  SELECT src_a, src_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM kmv_pairs p JOIN kmv_sk s ON s.{by} = p.src_a
+    UNION ALL
+    SELECT p.src_a, p.src_b, s.h, 0, 1
+    FROM kmv_pairs p JOIN kmv_sk s ON s.{by} = p.src_b)
+  GROUP BY 1, 2, 3),
+kmv_top AS (
+  SELECT * FROM (
+    SELECT src_a, src_b, h, in_a, in_b,
+           row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+    FROM kmv_both) WHERE rn <= {KMV_K}),
+kmv_jac AS (
+  SELECT src_a, src_b, CAST(max(rn) AS BIGINT) AS kk,
+         CAST(sum(in_a * in_b) AS BIGINT) AS inter,
+         CAST(floor(sum(in_a * in_b) * 10000.0 / max(rn)) AS BIGINT) AS jacc4
+  FROM kmv_top GROUP BY 1, 2)"""
+
+
 def hll_sql_ctes(by: str = "source") -> str:
     """DuckDB CTE block recomputing registers + estimate from the
     ``documents`` view; SELECT from ``hll_est`` downstream."""

@@ -3937,3 +3937,124 @@ def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_stream_quantiles"] = ORACLE["q_token_quantiles"]
+
+
+# ---------------------------------------------------------- KMV Jaccard
+def _jaccard_dashboard(spark, sf_dir: str, jac: DataFrame) -> DataFrame:
+    """Join a KMV pairwise-Jaccard relation against the EXACT
+    vocabulary Jaccard per source pair — the verification harness; a
+    100 TB pipeline serves the sketch side only (the exact side is a
+    vocabulary self-join the sketch exists to avoid)."""
+    from spark_binlog_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(F.col("source"), F.explode(words(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("n"))
+    inter = (
+        st.select(F.col("source").alias("src_a"), "term")
+        .join(st.select(F.col("source").alias("src_b"), "term"), "term")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("xinter"))
+    )
+    exact = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.floor(
+                F.col("xinter") * 10000 / (F.col("na") + F.col("nb") - F.col("xinter"))
+            ).cast("long").alias("xjacc4"),
+        )
+    )
+    return jac.join(exact, ["src_a", "src_b"], "left").select(
+        "src_a",
+        "src_b",
+        "kk",
+        "inter",
+        "jacc4",
+        F.coalesce(F.col("xjacc4"), F.lit(0)).alias("xjacc4"),
+    )
+
+
+def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap from KMV bottom-k sketches
+    (functions/sketch.py kmv_sketch/kmv_jaccard): the k smallest
+    distinct term hashes per source answer every pairwise Jaccard from
+    |sources| * k state — the sketch a 100 TB pipeline keeps to watch
+    corpus-mixture overlap without vocabulary self-joins.  jacc4 is the
+    union-rank estimate, xjacc4 the exact value it tracks."""
+    from spark_binlog_spark.functions import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _jaccard_dashboard(
+        spark, sf_dir, sketch.kmv_jaccard(sketch.kmv_sketch(docs))
+    )
+
+
+def _jaccard_oracle_sql() -> str:
+    from spark_binlog_spark.functions.sketch import kmv_sql_ctes
+
+    return f"""
+WITH {kmv_sql_ctes()},
+xsizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT DISTINCT source, term FROM (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+    WHERE term <> '') GROUP BY source),
+xst AS (
+  SELECT DISTINCT source, term FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''),
+xinter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS xinter
+  FROM xst a JOIN xst b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2),
+xjac AS (
+  SELECT i.src_a, i.src_b,
+         CAST(floor(i.xinter * 10000.0 / (sa.n + sb.n - i.xinter)) AS BIGINT) AS xjacc4
+  FROM xinter i
+  JOIN xsizes sa ON sa.source = i.src_a
+  JOIN xsizes sb ON sb.source = i.src_b)
+SELECT j.src_a, j.src_b, j.kk, j.inter, j.jacc4,
+       coalesce(x.xjacc4, 0) AS xjacc4
+FROM kmv_jac j LEFT JOIN xjac x USING (src_a, src_b)
+"""
+
+
+ORACLE["q_source_jaccard"] = _jaccard_oracle_sql()
+
+
+def q_stream_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source similarity served off the INCREMENTALLY
+    maintained KMV store: the documents table arrives as two
+    micro-batches through KmvSketchSink (bottom-k union-retake — an
+    idempotent monoid, so batch boundaries cannot change the state),
+    then the live store answers the Jaccard matrix — must hash-match
+    the one-shot batch q_source_jaccard oracle
+    (streaming/sketch_sink.py)."""
+    import os
+
+    from spark_binlog_spark.streaming.sketch_sink import run_kmv_sketch
+
+    docs_dir = _parity_batches(sf_dir, "kmv_sketch_")
+    d = os.path.dirname(docs_dir)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sink = run_kmv_sketch(
+        spark, docs_dir, os.path.join(d, "stats"), os.path.join(d, "ck"), schema
+    )
+    return _jaccard_dashboard(spark, sf_dir, sink.jaccard())
+
+
+ORACLE["q_stream_jaccard"] = ORACLE["q_source_jaccard"]

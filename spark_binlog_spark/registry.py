@@ -170,7 +170,6 @@ PRIORITY = [
     "q_pq_topk",                # PQ/ADC ANN — compressed/celled representative
     "q_stream_hybrid_search",   # RRF served from both streaming stores
                                 # (r7 swap-in; subsumes q_hybrid_search)
-    "q_tfidf_topterms",
     "q_stream_bm25",            # streaming inverted index (r5 late swap
                                 # for q_fingerprint, whose fingerprint fn
                                 # q_dedup_exact/q_incremental_dedup cover)
@@ -198,6 +197,8 @@ PRIORITY = [
                                 # oracle = q_hll_distinct', so it subsumes it)
     "q_stream_quantiles",       # log-bin histogram sink + live p50/p90/p99 (r9 new;
                                 # oracle = q_token_quantiles', so it subsumes it)
+    "q_stream_jaccard",         # KMV bottom-k sink + live pairwise Jaccard (r9 new;
+                                # oracle = q_source_jaccard's, so it subsumes it)
     "q_corpus_report",
 ]
 
@@ -210,8 +211,12 @@ TAIL = [
     "q_cms_topterms",           # r9 new batch form (oracle shared with q_stream_cms)
     "q_hll_distinct",           # r9 new batch form (oracle shared with q_stream_hll)
     "q_token_quantiles",        # r9 new batch form (oracle shared with q_stream_quantiles)
+    "q_source_jaccard",         # r9 new batch form (oracle shared with q_stream_jaccard)
     "q_dedup_exact",            # r9 swap-out (green r01-r08 rows; exact-dedup shape +
                                 # fingerprint fn graded via q_stream_incremental_dedup)
+    "q_tfidf_topterms",         # r9 swap-out (green r01-r08 rows; tf/df scoring shape
+                                # graded via q_stream_bm25, whose oracle recomputes
+                                # document frequencies and term scores end-to-end)
     "q_gopher_rules",           # r9 swap-out (green r07+r08 rows; shape: q_quality_classifier)
     "q_ngram_jaccard",          # r9 swap-out (green r01+ rows; shape: q_stream_neardup_dedup banding)
     "q_enriched_changes",       # r9 swap-out (green r01-r08 rows; shape: q_ship_priority)

@@ -29,12 +29,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from spark_binlog_spark.functions.sketch import (
+    KMV_K,
     cms_build,
     cms_estimate,
     hist_build,
     hist_quantiles,
     hll_estimate,
     hll_registers,
+    kmv_jaccard,
+    kmv_sketch,
 )
 from spark_binlog_spark.streaming.swap import recover_dir, safe_swap
 
@@ -256,6 +259,79 @@ class HistSketchSink:
         safe_swap(self.stats_dir, tmp)
 
 
+class KmvSketchSink:
+    """foreachBatch sink maintaining per-group KMV bottom-k hash sets
+    (functions/sketch.py kmv_sketch) — the set-operation sketch: the
+    store is <= |groups| * k hashes forever, merges by
+    union-then-retake (idempotent, so replay is naturally harmless),
+    and ``jaccard()`` serves the pairwise cross-group similarity
+    matrix off the live store with zero corpus reads.  Same ratchet
+    and crash-safe swap contract as the other sketch sinks."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        stats_dir: str,
+        by: str = "source",
+        text_col: str = "text",
+        resume: bool = True,
+    ):
+        self.spark = spark
+        self.stats_dir = stats_dir
+        self.by = by
+        self.text_col = text_col
+        self._schema = StructType(
+            [
+                StructField(by, StringType()),
+                StructField("h", LongType()),
+                StructField("batch_id", LongType()),
+            ]
+        )
+        ok = recover_dir(stats_dir)
+        if not (resume and ok):
+            self.spark.createDataFrame([], self._schema).write.mode(
+                "overwrite"
+            ).parquet(stats_dir)
+
+    def _stats(self) -> DataFrame:
+        return self.spark.read.schema(self._schema).parquet(self.stats_dir)
+
+    def _last_batch_id(self) -> int:
+        row = self._stats().agg(F.max("batch_id")).collect()[0]
+        return row[0] if row[0] is not None else -1
+
+    def sketch(self) -> DataFrame:
+        return self._stats().select(self.by, "h")
+
+    def jaccard(self) -> DataFrame:
+        """(src_a, src_b, kk, inter, jacc4) served off the LIVE
+        bottom-k store — zero corpus reads."""
+        return kmv_jaccard(self.sketch(), self.by)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        if batch_id <= self._last_batch_id():
+            return  # replay: union-retake is idempotent, skip is cheaper
+        delta = kmv_sketch(batch_df, self.by, self.text_col)
+        w = Window.partitionBy(self.by).orderBy("h")
+        merged = (
+            self.sketch()
+            .unionByName(delta)
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= KMV_K)
+            .select(
+                self.by,
+                "h",
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+        )
+        tmp = f"{self.stats_dir}.b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        safe_swap(self.stats_dir, tmp)
+
+
 def _run_stream(spark, docs_dir, checkpoint_dir, schema, sink, max_files=1):
     stream = (
         spark.readStream.schema(schema)
@@ -322,4 +398,22 @@ def run_hist_sketch(
     return _run_stream(
         spark, docs_dir, checkpoint_dir, schema,
         HistSketchSink(spark, stats_dir, by=by), max_files_per_trigger,
+    )
+
+
+def run_kmv_sketch(
+    spark: SparkSession,
+    docs_dir: str,
+    stats_dir: str,
+    checkpoint_dir: str,
+    schema,
+    by: str = "source",
+    max_files_per_trigger: int = 1,
+) -> KmvSketchSink:
+    """Stream a directory of document files through the KMV sink via
+    availableNow; returns the sink whose ``jaccard`` serves the live
+    bottom-k store."""
+    return _run_stream(
+        spark, docs_dir, checkpoint_dir, schema,
+        KmvSketchSink(spark, stats_dir, by=by), max_files_per_trigger,
     )

@@ -605,6 +605,20 @@ class TestSketchPlans:
         assert "CartesianProduct" not in plan
         assert "Python" not in plan
 
+    def test_source_jaccard_salted_rank_no_cartesian(self, spark):
+        """q_source_jaccard: the pairwise fan-out happens on BOUNDED
+        sketch relations via broadcast; no cartesian product and no
+        Python in the plan, and the bottom-k rank windows carry the
+        WindowGroupLimit pushdown so no task buffers a whole group's
+        vocabulary."""
+        from spark_binlog_spark.queries_ext import q_source_jaccard
+
+        plan = _physical(q_source_jaccard(spark, SF_TEST))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+        assert "WindowGroupLimit" in plan
+
     def test_sketch_sink_serving_is_corpus_free(self, spark, tmp_path):
         """The sketch stores serve with ZERO corpus reads: a CMS point
         query and an HLL cardinality read touch only the stats parquet

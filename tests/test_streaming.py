@@ -3472,6 +3472,37 @@ class TestSketchSinks:
         got_q = sorted(map(tuple, sink.quantiles().collect()))
         assert got_q == want_q
 
+    def test_kmv_sink_replay_and_batch_equality(self, spark, tmp_path):
+        """The streamed bottom-k store equals the one-shot batch
+        kmv_sketch over the full corpus under replay (union-retake
+        monoid + the ratchet), and the served Jaccard matches the
+        batch Jaccard off the same state."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import sketch
+        from spark_binlog_spark.streaming.sketch_sink import KmvSketchSink
+
+        def docs(ids):
+            return spark.createDataFrame(
+                [Row(doc_id=i, source=f"s{i % 2}",
+                     text=" ".join(f"w{(i * 13 + j) % 40}" for j in range(8)))
+                 for i in ids]
+            )
+
+        sink = KmvSketchSink(spark, str(tmp_path / "kmv"))
+        b0 = docs(range(0, 10))
+        sink(b0, 0)
+        sink(b0, 0)  # replay after a crash between swap and commit
+        sink(docs(range(10, 16)), 1)
+
+        want = sorted(map(tuple, sketch.kmv_sketch(docs(range(16))).collect()))
+        got = sorted(map(tuple, sink.sketch().collect()))
+        assert got == want
+        want_j = sorted(map(tuple, sketch.kmv_jaccard(
+            sketch.kmv_sketch(docs(range(16)))).collect()))
+        got_j = sorted(map(tuple, sink.jaccard().collect()))
+        assert got_j == want_j
+
     def test_hll_sink_replay_and_batch_equality(self, spark, tmp_path):
         """The streamed registers equal the one-shot batch
         hll_registers over the full corpus; a replayed batch changes

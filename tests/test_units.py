@@ -1451,6 +1451,56 @@ class TestSketches:
             map(tuple, summed.collect())
         )
 
+    def test_kmv_exact_below_k_and_jaccard(self, spark):
+        """With every vocabulary below k the bottom-k sketch IS the
+        full hash set, so the union-rank Jaccard equals the exact
+        Jaccard in 1e-4 units (floor convention)."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import sketch
+
+        # a: {w0..w59}, b: {w30..w89} -> |inter|=30, |union|=90, J=1/3
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, source="a", text=" ".join(f"w{i}" for i in range(60))),
+             Row(doc_id=2, source="b", text=" ".join(f"w{i}" for i in range(30, 90)))]
+        )
+        sk = sketch.kmv_sketch(docs)
+        assert sk.groupBy("source").count().orderBy("source").collect()[0][1] == 60
+        (row,) = sketch.kmv_jaccard(sk).collect()
+        assert (row["src_a"], row["src_b"]) == ("a", "b")
+        assert row["kk"] == 90 and row["inter"] == 30
+        assert row["jacc4"] == 3333
+
+    def test_kmv_union_retake_monoid(self, spark):
+        """kmv_sketch over a union equals bottom-k of the two halves'
+        sketches unioned — and re-merging one half changes nothing
+        (the idempotent property the sink's replay path relies on)."""
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from spark_binlog_spark.functions import sketch
+
+        a = spark.createDataFrame(
+            [Row(doc_id=i, source="s", text=" ".join(f"a{i}_{j}" for j in range(40)))
+             for i in range(10)]
+        )
+        b = spark.createDataFrame(
+            [Row(doc_id=100 + i, source="s", text=" ".join(f"b{i}_{j}" for j in range(40)))
+             for i in range(10)]
+        )
+        full = sorted(map(tuple, sketch.kmv_sketch(a.unionByName(b)).collect()))
+        w = Window.partitionBy("source").orderBy("h")
+        merged = (
+            sketch.kmv_sketch(a).unionByName(sketch.kmv_sketch(b))
+            .unionByName(sketch.kmv_sketch(a))  # replay half a
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= sketch.KMV_K)
+            .select("source", "h")
+        )
+        assert sorted(map(tuple, merged.collect())) == full
+
     def test_hll_registers_max_merge(self, spark):
         """hll_registers over a union equals the register-wise max of
         the halves — and re-merging one half changes nothing (the
