@@ -97,6 +97,7 @@ HEADLINE_V2 = [
     "q_stream_hll",       # HLL cardinality off the streamed registers (r9)
     "q_stream_quantiles", # p50/p90/p99 off the streamed log-bin histogram (r9)
     "q_stream_jaccard",   # pairwise source Jaccard off the streamed KMV store (r9)
+    "q_bpe_learn",        # iterative BPE tokenizer training on the vocab table (r9)
     "q_pack_efficiency",  # pack fill/straddle dashboard
 ]
 

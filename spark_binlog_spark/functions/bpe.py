@@ -1,0 +1,167 @@
+"""Distributed BPE vocabulary induction (tokenizer training).
+
+Byte-pair encoding (Sennrich, Haddow & Birch 2016, "Neural Machine
+Translation of Rare Words with Subword Units") learns a subword
+vocabulary by repeatedly merging the most frequent adjacent symbol
+pair.  The classic algorithm runs on the WORD-FREQUENCY table, not the
+raw corpus — the exact split a 100 TB pipeline needs: ONE corpus scan
+builds (word, count), and every merge iteration after that touches
+only the vocabulary relation (~1e8 rows at web scale, distributed and
+combinable), never the corpus again.
+
+Per iteration, three bounded steps:
+  1. pair counting — explode each word's current segmentation into
+     adjacent symbol pairs weighted by word count; the shuffle key
+     space is the PAIR vocabulary (|alphabet|^2 + merges so far),
+     tiny and skew-free relative to the corpus;
+  2. argmax — one 1-row collect (count desc, then lexicographic pair
+     for cross-engine determinism): a scalar plan step, the same
+     class as a k-means centroid pull;
+  3. merge application — a JVM-side higher-order fold
+     (``aggregate``): scan each word's symbols left to right, gluing
+     (a, b) -> ab greedily exactly as the reference algorithm's
+     non-overlapping replace does.  No Python touches a row.
+
+The greedy left-fold is replicated verbatim in the DuckDB oracle via
+``list_reduce`` over single-element lists (the fold's initial
+accumulator is the first symbol — equivalent to Spark's empty-array
+start), so the learned merge table is bit-identical cross-engine.
+
+Words are restricted to lowercase-ASCII runs so character splitting
+is unambiguous in both engines (unicode grapheme splitting is not a
+portable operation); each word carries the classic ``</w>``
+end-of-word sentinel so merges cannot cross word boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_binlog_spark.functions.text import words
+
+BPE_STEPS = 6
+EOW = "</w>"
+WORD_RE = "^[a-z]+$"
+
+
+def bpe_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt, syms): the word-frequency table with each word's
+    initial segmentation (characters + the end-of-word sentinel).
+    The ONE corpus-sized aggregation; everything iterative runs on
+    this relation."""
+    return (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .where(F.col("word").rlike(WORD_RE))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "syms",
+            F.expr(
+                f"concat(filter(split(word, ''), x -> x != ''), array('{EOW}'))"
+            ),
+        )
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(a, b, c): adjacent-pair frequencies over the current
+    segmentations, weighted by word count.  Shuffles on the PAIR
+    vocabulary only."""
+    pairs = F.expr(
+        "transform(sequence(1, size(syms) - 1),"
+        " j -> struct(element_at(syms, j) AS a, element_at(syms, j + 1) AS b))"
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("p"), "cnt")
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "cnt")
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def _q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _merge_expr(a: str, b: str) -> str:
+    """The greedy left-fold applying merge (a, b) -> ab to `syms`."""
+    return (
+        "aggregate(syms, CAST(array() AS array<string>), (acc, s) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{_q(a)}'"
+        f" AND s = '{_q(b)}'"
+        f" THEN concat(slice(acc, 1, size(acc) - 1), array('{_q(a + b)}'))"
+        " ELSE concat(acc, array(s)) END)"
+    )
+
+
+def bpe_learn(
+    spark: SparkSession, vocab: DataFrame, steps: int = BPE_STEPS
+) -> DataFrame:
+    """Learn `steps` BPE merges; returns the merge table
+    (step, lhs, rhs, merged, pair_cnt) — the tokenizer-training
+    artifact.  Each iteration persists the re-segmented vocabulary so
+    lineage (and recompute) stays O(1) per step."""
+    cur = vocab.persist()
+    cur.count()
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for step in range(1, steps + 1):
+            top = (
+                _pair_counts(cur)
+                .orderBy(F.desc("c"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+            merges.append((step, a, b, a + b, c))
+            nxt = cur.withColumn("syms", F.expr(_merge_expr(a, b))).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges, "step long, lhs string, rhs string, merged string, pair_cnt long"
+    )
+
+
+def bpe_sql(steps: int = BPE_STEPS, table: str = "documents") -> str:
+    """DuckDB rendering of the whole induction: `steps` chained CTE
+    pairs (pair-count argmax m{i}, re-segmentation v{i}), identical
+    greedy-fold semantics."""
+    ctes = [
+        f"""v0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         list_append(string_split(word, ''), '{EOW}') AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {table})
+  WHERE regexp_matches(word, '{WORD_RE}') GROUP BY word)"""
+    ]
+    for i in range(1, steps + 1):
+        p = i - 1
+        ctes.append(
+            f"""m{i} AS (
+  SELECT a, b, c FROM (
+    SELECT syms[j] AS a, syms[j + 1] AS b, sum(cnt) AS c
+    FROM v{p}, unnest(generate_series(1, len(syms) - 1)) AS t(j)
+    GROUP BY 1, 2)
+  ORDER BY c DESC, a, b LIMIT 1)"""
+        )
+        if i < steps:
+            ctes.append(
+                f"""v{i} AS (
+  SELECT word, cnt,
+         list_reduce(list_transform(syms, s -> [s]),
+           (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+                       THEN list_append(acc[:len(acc) - 1], m.a || m.b)
+                       ELSE list_concat(acc, x) END) AS syms
+  FROM v{p} CROSS JOIN m{i} m)"""
+            )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, a AS lhs, b AS rhs,"
+        f" a || b AS merged, CAST(c AS BIGINT) AS pair_cnt FROM m{i}"
+        for i in range(1, steps + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects

@@ -4058,3 +4058,27 @@ def q_stream_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_stream_jaccard"] = ORACLE["q_source_jaccard"]
+
+
+# ------------------------------------------------------------ BPE induction
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (functions/bpe.py): ONE
+    corpus scan builds the word-frequency table, then BPE_STEPS merge
+    iterations run entirely on the vocabulary relation — pair counting
+    shuffles only the pair vocabulary, the argmax is a 1-row scalar
+    pull, and merge application is a JVM higher-order fold.  Returns
+    the learned merge table (step, lhs, rhs, merged, pair_cnt), the
+    artifact a training pipeline feeds its tokenizer."""
+    from spark_binlog_spark.functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_learn(spark, bpe.bpe_vocab(docs))
+
+
+def _bpe_oracle_sql() -> str:
+    from spark_binlog_spark.functions.bpe import bpe_sql
+
+    return bpe_sql()
+
+
+ORACLE["q_bpe_learn"] = _bpe_oracle_sql()

@@ -167,7 +167,6 @@ PRIORITY = [
     "q_stream_mv_maintain",
     "q_stream_simhash_dedup",   # subsumes q_dedup_simhash (r5 late swap)
     "q_stream_incremental_dedup",  # exact-dedup ingest sink (r7 swap-in)
-    "q_pq_topk",                # PQ/ADC ANN — compressed/celled representative
     "q_stream_hybrid_search",   # RRF served from both streaming stores
                                 # (r7 swap-in; subsumes q_hybrid_search)
     "q_stream_bm25",            # streaming inverted index (r5 late swap
@@ -199,6 +198,9 @@ PRIORITY = [
                                 # oracle = q_token_quantiles', so it subsumes it)
     "q_stream_jaccard",         # KMV bottom-k sink + live pairwise Jaccard (r9 new;
                                 # oracle = q_source_jaccard's, so it subsumes it)
+    "q_bpe_learn",              # distributed BPE tokenizer training (r9 new; the
+                                # iterative learner q_bpe_merges only ranked step-1
+                                # candidates for)
     "q_corpus_report",
 ]
 
@@ -217,6 +219,9 @@ TAIL = [
     "q_tfidf_topterms",         # r9 swap-out (green r01-r08 rows; tf/df scoring shape
                                 # graded via q_stream_bm25, whose oracle recomputes
                                 # document frequencies and term scores end-to-end)
+    "q_pq_topk",                # r9 swap-out (green r05-r08 rows; PQ train/encode/ADC
+                                # shape graded via q_ivfadc_topk + q_ivfadc_trained_topk,
+                                # which compose the same codebook/LUT machinery)
     "q_gopher_rules",           # r9 swap-out (green r07+r08 rows; shape: q_quality_classifier)
     "q_ngram_jaccard",          # r9 swap-out (green r01+ rows; shape: q_stream_neardup_dedup banding)
     "q_enriched_changes",       # r9 swap-out (green r01-r08 rows; shape: q_ship_priority)

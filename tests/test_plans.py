@@ -605,6 +605,23 @@ class TestSketchPlans:
         assert "CartesianProduct" not in plan
         assert "Python" not in plan
 
+    def test_bpe_iteration_stays_jvm_side(self, spark):
+        """Each BPE iteration's two moving parts never leave the JVM:
+        pair counting is a partial-aggregating hash agg over the
+        vocabulary, and merge application is a codegen'd higher-order
+        fold — no Python evaluation anywhere in the loop."""
+        from spark_binlog_spark.functions import bpe
+
+        docs = load_table(spark, SF_TEST, "documents")
+        vocab = bpe.bpe_vocab(docs)
+        pair_plan = _physical(bpe._pair_counts(vocab))
+        assert "Python" not in pair_plan
+        assert "HashAggregate" in pair_plan  # map-side combinable
+        fold_plan = _physical(
+            vocab.selectExpr(bpe._merge_expr("a", "b") + " AS syms")
+        )
+        assert "Python" not in fold_plan
+
     def test_source_jaccard_salted_rank_no_cartesian(self, spark):
         """q_source_jaccard: the pairwise fan-out happens on BOUNDED
         sketch relations via broadcast; no cartesian product and no

@@ -1501,6 +1501,39 @@ class TestSketches:
         )
         assert sorted(map(tuple, merged.collect())) == full
 
+    def test_bpe_learn_hand_trace(self, spark):
+        """Two hand-computed merge steps on a 4-word corpus: ties break
+        lexicographically ('</w>' < 'a' in binary order), and merged
+        symbols participate in later pair counts."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import bpe
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="aa aa aa ab")]
+        )
+        out = bpe.bpe_learn(spark, bpe.bpe_vocab(docs), steps=2).collect()
+        # step 1: (a,a):3, (a,</w>):3, (a,b):1, (b,</w>):1 -> tie on 3,
+        # '</w>' sorts before 'a', so (a, </w>) merges first
+        assert (out[0]["step"], out[0]["lhs"], out[0]["rhs"], out[0]["pair_cnt"]) == (
+            1, "a", "</w>", 3)
+        assert out[0]["merged"] == "a</w>"
+        # step 2: 'aa' is now [a, a</w>] -> (a, a</w>):3 dominates
+        assert (out[1]["step"], out[1]["lhs"], out[1]["rhs"], out[1]["pair_cnt"]) == (
+            2, "a", "a</w>", 3)
+
+    def test_bpe_merge_fold_is_greedy_left_to_right(self, spark):
+        """The fold glues non-overlapping occurrences left to right:
+        'aaa' under merge (a,a) becomes [aa, a], never [a, aa]."""
+        from spark_binlog_spark.functions.bpe import _merge_expr
+
+        df = spark.createDataFrame(
+            [(["a", "a", "a", "</w>"],), (["a", "b", "a", "a", "</w>"],)],
+            "syms: array<string>",
+        )
+        got = [r[0] for r in df.selectExpr(_merge_expr("a", "a")).collect()]
+        assert got == [["aa", "a", "</w>"], ["a", "b", "aa", "</w>"]]
+
     def test_hll_registers_max_merge(self, spark):
         """hll_registers over a union equals the register-wise max of
         the halves — and re-merging one half changes nothing (the
