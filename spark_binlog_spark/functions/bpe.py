@@ -128,10 +128,10 @@ def bpe_learn(
     )
 
 
-def bpe_sql(steps: int = BPE_STEPS, table: str = "documents") -> str:
-    """DuckDB rendering of the whole induction: `steps` chained CTE
-    pairs (pair-count argmax m{i}, re-segmentation v{i}), identical
-    greedy-fold semantics."""
+def _bpe_ctes(steps: int, table: str, final_v: bool) -> list[str]:
+    """The shared chained-CTE body: v0 (initial segmentation), then
+    per iteration the argmax m{i} and — when another iteration or the
+    tokenize path needs it — the re-segmentation v{i}."""
     ctes = [
         f"""v0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS cnt,
@@ -149,7 +149,7 @@ def bpe_sql(steps: int = BPE_STEPS, table: str = "documents") -> str:
     GROUP BY 1, 2)
   ORDER BY c DESC, a, b LIMIT 1)"""
         )
-        if i < steps:
+        if i < steps or final_v:
             ctes.append(
                 f"""v{i} AS (
   SELECT word, cnt,
@@ -159,9 +159,101 @@ def bpe_sql(steps: int = BPE_STEPS, table: str = "documents") -> str:
                        ELSE list_concat(acc, x) END) AS syms
   FROM v{p} CROSS JOIN m{i} m)"""
             )
+    return ctes
+
+
+def bpe_sql(steps: int = BPE_STEPS, table: str = "documents") -> str:
+    """DuckDB rendering of the whole induction: `steps` chained CTE
+    pairs (pair-count argmax m{i}, re-segmentation v{i}), identical
+    greedy-fold semantics."""
     selects = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS step, a AS lhs, b AS rhs,"
         f" a || b AS merged, CAST(c AS BIGINT) AS pair_cnt FROM m{i}"
         for i in range(1, steps + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + selects
+    return "WITH " + ",\n".join(_bpe_ctes(steps, table, False)) + "\n" + selects
+
+
+def bpe_segment(
+    vocab: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a learned merge list to a (word, cnt, syms) vocabulary —
+    the PRODUCTION tokenizer path: chained greedy folds, all JVM-side,
+    no join and no shuffle (the merge list rides in the expressions)."""
+    out = vocab
+    for a, b in merges:
+        out = out.withColumn("syms", F.expr(_merge_expr(a, b)))
+    return out
+
+
+def bpe_tokenize_stats(
+    spark: SparkSession, df: DataFrame, steps: int = BPE_STEPS,
+    text_col: str = "text", by: str = "source",
+) -> DataFrame:
+    """Learn `steps` merges on the corpus vocabulary, then tokenize by
+    group: (by, n_words, n_subwords, subwords_per_word4).
+
+    Scale split: learning runs on the GLOBAL word-frequency table;
+    application runs on the (group, word) frequency table — segment
+    each distinct (group, word) ONCE and weight by its count, instead
+    of folding every occurrence (the vocabulary is ~1000x smaller than
+    the corpus).  Both relations are word-keyed combinable aggregates;
+    the corpus is scanned once per side and never joined."""
+    merge_rows = bpe_learn(spark, bpe_vocab(df, text_col), steps).collect()
+    merges = [(r["lhs"], r["rhs"]) for r in merge_rows]
+    wf = (
+        df.select(F.col(by), F.explode(words(F.col(text_col))).alias("word"))
+        .where(F.col("word").rlike(WORD_RE))
+        .groupBy(by, "word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "syms",
+            F.expr(
+                f"concat(filter(split(word, ''), x -> x != ''), array('{EOW}'))"
+            ),
+        )
+    )
+    seg = bpe_segment(wf, merges)
+    return seg.groupBy(by).agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.col("cnt") * F.size("syms")).alias("n_subwords"),
+    ).select(
+        by,
+        "n_words",
+        "n_subwords",
+        F.floor(F.col("n_subwords") * 10000 / F.col("n_words"))
+        .cast("long")
+        .alias("subwords_per_word4"),
+    )
+
+
+def bpe_tokenize_sql(
+    steps: int = BPE_STEPS, table: str = "documents", by: str = "source"
+) -> str:
+    """DuckDB rendering of learn-then-tokenize: the induction CTEs,
+    then the per-group (group, word) table folded with every learned
+    merge in sequence.  The m{i} rows ride in via CROSS JOIN (DuckDB
+    lambdas reference row columns, not subqueries); each fold's output
+    is re-wrapped to single-element lists for the next fold, so the
+    final len() counts symbols."""
+    fold = "list_transform(string_split(word, ''), s -> [s])"
+    fold = f"list_concat({fold}, [['{EOW}']])"
+    for i in range(1, steps + 1):
+        fold = f"""list_transform(list_reduce({fold},
+           (acc, x) -> CASE WHEN acc[-1] = mm{i}.a AND x[1] = mm{i}.b
+                       THEN list_append(acc[:len(acc) - 1], mm{i}.a || mm{i}.b)
+                       ELSE list_concat(acc, x) END), s -> [s])"""
+    joins = " ".join(f"CROSS JOIN m{i} mm{i}" for i in range(1, steps + 1))
+    ctes = ",\n".join(_bpe_ctes(steps, table, False))
+    return f"""WITH {ctes},
+gwf AS (
+  SELECT {by}, word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT {by}, unnest(string_split(text, ' ')) AS word FROM {table})
+  WHERE regexp_matches(word, '{WORD_RE}') GROUP BY 1, 2),
+gseg AS (
+  SELECT {by}, cnt, len({fold}) AS n_syms FROM gwf {joins})
+SELECT {by}, CAST(sum(cnt) AS BIGINT) AS n_words,
+       CAST(sum(cnt * n_syms) AS BIGINT) AS n_subwords,
+       CAST(floor(sum(cnt * n_syms) * 10000.0 / sum(cnt)) AS BIGINT)
+         AS subwords_per_word4
+FROM gseg GROUP BY {by}"""

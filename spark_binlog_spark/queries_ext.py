@@ -4082,3 +4082,26 @@ def _bpe_oracle_sql() -> str:
 
 
 ORACLE["q_bpe_learn"] = _bpe_oracle_sql()
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn-then-tokenize (functions/bpe.py bpe_tokenize_stats): the
+    merges learned on the global word-frequency table segment each
+    distinct (source, word) ONCE — weighted by its count rather than
+    folding every occurrence, the ~1000x saving that makes corpus-wide
+    tokenization a vocabulary-sized job — and the per-source subword
+    statistics (n_words, n_subwords, subwords_per_word4) report the
+    compression the learned vocabulary achieves on each source."""
+    from spark_binlog_spark.functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_tokenize_stats(spark, docs)
+
+
+def _bpe_tokenize_oracle_sql() -> str:
+    from spark_binlog_spark.functions.bpe import bpe_tokenize_sql
+
+    return bpe_tokenize_sql()
+
+
+ORACLE["q_bpe_tokenize"] = _bpe_tokenize_oracle_sql()

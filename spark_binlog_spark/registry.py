@@ -198,9 +198,11 @@ PRIORITY = [
                                 # oracle = q_token_quantiles', so it subsumes it)
     "q_stream_jaccard",         # KMV bottom-k sink + live pairwise Jaccard (r9 new;
                                 # oracle = q_source_jaccard's, so it subsumes it)
-    "q_bpe_learn",              # distributed BPE tokenizer training (r9 new; the
-                                # iterative learner q_bpe_merges only ranked step-1
-                                # candidates for)
+    "q_bpe_tokenize",           # distributed BPE: learn on the global vocab, then
+                                # tokenize per (source, word) — its oracle embeds the
+                                # full induction CTEs, so it subsumes q_bpe_learn
+                                # (and q_bpe_merges, which only ranked step-1
+                                # candidates)
     "q_corpus_report",
 ]
 
@@ -212,6 +214,8 @@ PRIORITY = [
 TAIL = [
     "q_cms_topterms",           # r9 new batch form (oracle shared with q_stream_cms)
     "q_hll_distinct",           # r9 new batch form (oracle shared with q_stream_hll)
+    "q_bpe_learn",              # r9 new (merge-table form; the graded q_bpe_tokenize
+                                # oracle re-runs the same induction end-to-end)
     "q_token_quantiles",        # r9 new batch form (oracle shared with q_stream_quantiles)
     "q_source_jaccard",         # r9 new batch form (oracle shared with q_stream_jaccard)
     "q_dedup_exact",            # r9 swap-out (green r01-r08 rows; exact-dedup shape +

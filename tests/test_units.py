@@ -1522,6 +1522,24 @@ class TestSketches:
         assert (out[1]["step"], out[1]["lhs"], out[1]["rhs"], out[1]["pair_cnt"]) == (
             2, "a", "a</w>", 3)
 
+    def test_bpe_tokenize_stats_hand_case(self, spark):
+        """After the two hand-traced merges on 'aa aa aa ab', tokenize
+        stats per source: 'aa' segments to [a, a</w>]... then step-2
+        merges it to [aa</w>] (1 subword); 'ab' stays [a, b, </w>]
+        (3 subwords)."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import bpe
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, source="s", text="aa aa aa ab")]
+        )
+        (row,) = bpe.bpe_tokenize_stats(spark, docs, steps=2).collect()
+        # steps: (a,</w>) then (a,a</w>) -> 'aa' = [aa</w>], 'ab' = [a,b,</w>]
+        assert row["n_words"] == 4
+        assert row["n_subwords"] == 3 * 1 + 1 * 3
+        assert row["subwords_per_word4"] == 15000
+
     def test_bpe_merge_fold_is_greedy_left_to_right(self, spark):
         """The fold glues non-overlapping occurrences left to right:
         'aaa' under merge (a,a) becomes [aa, a], never [a, aa]."""
