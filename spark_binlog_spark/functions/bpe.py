@@ -68,9 +68,16 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     """(a, b, c): adjacent-pair frequencies over the current
     segmentations, weighted by word count.  Shuffles on the PAIR
     vocabulary only."""
+    # a fully-merged word has ONE symbol and contributes no pairs; the
+    # guard matters because Spark's sequence(1, 0) is DESCENDING [1, 0]
+    # (DuckDB's generate_series(1, 0) is empty), so the unguarded
+    # transform would index past a 1-element array
     pairs = F.expr(
-        "transform(sequence(1, size(syms) - 1),"
+        "CASE WHEN size(syms) < 2"
+        " THEN CAST(array() AS array<struct<a: string, b: string>>)"
+        " ELSE transform(sequence(1, size(syms) - 1),"
         " j -> struct(element_at(syms, j) AS a, element_at(syms, j + 1) AS b))"
+        " END"
     )
     return (
         vocab.select(F.explode(pairs).alias("p"), "cnt")

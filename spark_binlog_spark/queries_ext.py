@@ -4105,3 +4105,28 @@ def _bpe_tokenize_oracle_sql() -> str:
 
 
 ORACLE["q_bpe_tokenize"] = _bpe_tokenize_oracle_sql()
+
+
+def q_stream_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training off the INCREMENTALLY maintained vocabulary:
+    the documents table arrives as two micro-batches through
+    WordFreqSink (additive word-count merge — the ~1000x-smaller state
+    tokenizer training actually needs), then bpe_learn runs on the
+    LIVE store with zero corpus reads — the merge table must
+    hash-match the one-shot batch q_bpe_learn oracle
+    (streaming/vocab_sink.py)."""
+    import os
+
+    from spark_binlog_spark.functions.bpe import bpe_learn
+    from spark_binlog_spark.streaming.vocab_sink import run_word_freq
+
+    docs_dir = _parity_batches(sf_dir, "wordfreq_")
+    d = os.path.dirname(docs_dir)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sink = run_word_freq(
+        spark, docs_dir, os.path.join(d, "stats"), os.path.join(d, "ck"), schema
+    )
+    return bpe_learn(spark, sink.vocab())
+
+
+ORACLE["q_stream_bpe"] = ORACLE["q_bpe_learn"]

@@ -165,7 +165,6 @@ PRIORITY = [
     "q_ship_priority",
     "q_schema_evolution",
     "q_stream_mv_maintain",
-    "q_stream_simhash_dedup",   # subsumes q_dedup_simhash (r5 late swap)
     "q_stream_incremental_dedup",  # exact-dedup ingest sink (r7 swap-in)
     "q_stream_hybrid_search",   # RRF served from both streaming stores
                                 # (r7 swap-in; subsumes q_hybrid_search)
@@ -198,6 +197,9 @@ PRIORITY = [
                                 # oracle = q_token_quantiles', so it subsumes it)
     "q_stream_jaccard",         # KMV bottom-k sink + live pairwise Jaccard (r9 new;
                                 # oracle = q_source_jaccard's, so it subsumes it)
+    "q_stream_bpe",             # BPE trained off the streamed word-frequency store
+                                # (r9 new; oracle = q_bpe_learn's, so it grades the
+                                # learner AND the incremental vocabulary maintenance)
     "q_bpe_tokenize",           # distributed BPE: learn on the global vocab, then
                                 # tokenize per (source, word) — its oracle embeds the
                                 # full induction CTEs, so it subsumes q_bpe_learn
@@ -215,7 +217,12 @@ TAIL = [
     "q_cms_topterms",           # r9 new batch form (oracle shared with q_stream_cms)
     "q_hll_distinct",           # r9 new batch form (oracle shared with q_stream_hll)
     "q_bpe_learn",              # r9 new (merge-table form; the graded q_bpe_tokenize
-                                # oracle re-runs the same induction end-to-end)
+                                # oracle re-runs the same induction end-to-end, and
+                                # q_stream_bpe grades the same oracle off the store)
+    "q_stream_simhash_dedup",   # r9 swap-out (green r05-r08 rows; banded-admission
+                                # sink shape graded via q_stream_neardup_dedup +
+                                # q_stream_incremental_dedup; hamming-LSH recompute
+                                # stays in local parity every session)
     "q_token_quantiles",        # r9 new batch form (oracle shared with q_stream_quantiles)
     "q_source_jaccard",         # r9 new batch form (oracle shared with q_stream_jaccard)
     "q_dedup_exact",            # r9 swap-out (green r01-r08 rows; exact-dedup shape +

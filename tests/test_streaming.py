@@ -3503,6 +3503,35 @@ class TestSketchSinks:
         got_j = sorted(map(tuple, sink.jaccard().collect()))
         assert got_j == want_j
 
+    def test_word_freq_sink_replay_and_learn_equality(self, spark, tmp_path):
+        """The streamed word-frequency store equals the one-shot batch
+        word counts under replay, and BPE training off the live store
+        produces the identical merge table."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import bpe
+        from spark_binlog_spark.streaming.vocab_sink import WordFreqSink
+
+        def docs(ids):
+            return spark.createDataFrame(
+                [Row(doc_id=i, text=f"aa bb aa cc{i % 3} Xskip9 dd")
+                 for i in ids]
+            )
+
+        sink = WordFreqSink(spark, str(tmp_path / "wf"))
+        b0 = docs(range(0, 6))
+        sink(b0, 0)
+        sink(b0, 0)  # replay after a crash between swap and commit
+        sink(docs(range(6, 10)), 1)
+
+        want_wc = sorted(map(tuple, bpe.bpe_vocab(docs(range(10)))
+                             .select("word", "cnt").collect()))
+        got_wc = sorted(map(tuple, sink.word_counts().collect()))
+        assert got_wc == want_wc
+        want = bpe.bpe_learn(spark, bpe.bpe_vocab(docs(range(10))), steps=3).collect()
+        got = bpe.bpe_learn(spark, sink.vocab(), steps=3).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
     def test_hll_sink_replay_and_batch_equality(self, spark, tmp_path):
         """The streamed registers equal the one-shot batch
         hll_registers over the full corpus; a replayed batch changes
