@@ -351,35 +351,89 @@ KMV_K = 256
 KMV_SALTS = 64  # phase-1 fan-out: bounds any one task's sort slice
 
 
-def kmv_sketch(df: DataFrame, by: str = "source", text_col: str = "text") -> DataFrame:
-    """(by, h): the k smallest distinct term hashes per group.
+def bottom_k(
+    df: DataFrame,
+    by: str,
+    order_cols: list[str],
+    k: int,
+    salt: Column | None = None,
+) -> DataFrame:
+    """Generic salted two-phase bottom-k: the k order-smallest rows
+    per group with no task ever sorting a whole group.
 
-    Two-phase bottom-k so no task ever sorts a whole group's
-    vocabulary: phase 1 ranks within (group, h % SALTS) — uniform
-    hashes make the salt slices even, and WindowGroupLimit keeps only
-    k rows per slice during the sort — phase 2 re-ranks the
-    <= SALTS * k survivors per group.  Any global bottom-k member is
-    bottom-k within its salt slice, so the result is exactly the
-    unsalted bottom-k."""
+    Phase 1 ranks within (group, salt % SALTS) — WindowGroupLimit
+    keeps only k rows per slice during the sort — phase 2 re-ranks the
+    <= SALTS * k survivors per group.  Correct for ANY row->salt
+    assignment (every global bottom-k member is bottom-k within its
+    slice); pass a uniform salt so the slices are even."""
     from pyspark.sql.window import Window
 
+    salt = (F.col(order_cols[0]) if salt is None else salt) % KMV_SALTS
+    w1 = Window.partitionBy(by, salt).orderBy(*order_cols)
+    cand = (
+        df.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy(by).orderBy(*order_cols)
+    return (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_sketch(df: DataFrame, by: str = "source", text_col: str = "text") -> DataFrame:
+    """(by, h): the k smallest distinct term hashes per group, via the
+    salted two-phase ``bottom_k`` (uniform hashes make the salt slices
+    even, so no task sorts a whole group's vocabulary)."""
     hashes = (
         df.select(F.col(by), F.explode(words(F.col(text_col))).alias("term"))
         .where(F.col("term") != "")
         .select(F.col(by), h48(F.col("term")).alias("h"))
         .distinct()
     )
-    w1 = Window.partitionBy(by, F.col("h") % KMV_SALTS).orderBy("h")
-    cand = (
-        hashes.withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") <= KMV_K)
-        .drop("rn")
+    return bottom_k(hashes, by, ["h"], KMV_K)
+
+
+# --------------------------------------------------------- priority sampling
+# Weighted sampling without replacement at corpus scale (Duffield,
+# Lund & Thorup 2007, "Priority sampling"): each row draws priority
+# u/w with u uniform — here the fixed-point integer h48(id) div w, so
+# the draw is deterministic, cross-engine exact, and tie-free after
+# the id tie-break — and the k smallest priorities per group form the
+# sample.  Heavier rows get smaller priorities proportionally, the
+# bottom-k set is the same union-retake monoid as KMV, and the salted
+# two-phase rank keeps every task's sort slice bounded.
+PRIORITY_K = 64
+
+
+def priority_sample(
+    df: DataFrame,
+    by: str = "source",
+    weight: Column | None = None,
+    id_col: str = "doc_id",
+    k: int = PRIORITY_K,
+) -> DataFrame:
+    """(by, id, weight, priority): the k lowest-priority rows per
+    group, priority = h48(id) div max(1, weight).  One corpus scan,
+    two bounded rank windows, no shuffle of anything group-sized."""
+    w = (F.lit(1) if weight is None else weight).cast("long")
+    scored = (
+        df.select(
+            F.col(by),
+            F.col(id_col),
+            F.greatest(F.lit(1), w).alias("weight"),
+            h48(F.col(id_col)).alias("_h"),
+        )
+        # integer div, not float /: a correctly-rounded double quotient
+        # can round UP across an integer boundary and disagree with the
+        # oracle's exact // on ~1-ulp cases
+        .withColumn("priority", F.expr("_h div weight"))
+        .drop("_h")
     )
-    w2 = Window.partitionBy(by).orderBy("h")
-    return (
-        cand.withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") <= KMV_K)
-        .drop("rn")
+    return bottom_k(
+        scored, by, ["priority", id_col], k, salt=h48(F.col(id_col), seed=1)
     )
 
 

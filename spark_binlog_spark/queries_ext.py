@@ -3848,6 +3848,82 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_stream_hll"] = ORACLE["q_hll_distinct"]
 
 
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL's distributed-union superpower: the GLOBAL distinct-term
+    estimate computed purely by max-merging the per-source register
+    tables (functions/sketch.py) — no re-scan of any source's corpus;
+    at 100 TB each shard ships 256 registers and the union is exact
+    sketch algebra.  Exact side = verification harness."""
+    from spark_binlog_spark.functions import sketch
+    from spark_binlog_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    union_regs = (
+        sketch.hll_registers(docs)
+        .groupBy("idx")
+        .agg(F.max("m_rho").alias("m_rho"))
+        .select(F.lit("all").alias("scope"), "idx", "m_rho")
+    )
+    est = sketch.hll_estimate(union_regs, by="scope")
+    exact = (
+        docs.select(F.explode(words(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+        .agg(F.count_distinct("term").alias("exact_distinct"))
+        .select(F.lit("all").alias("scope"), "exact_distinct")
+    )
+    return est.join(exact, "scope").select(
+        "scope",
+        "n_registers",
+        "est_distinct",
+        "exact_distinct",
+        F.floor(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct")).cast("double")
+            * 10000
+            / F.col("exact_distinct").cast("double")
+        ).cast("long").alias("err4"),
+    )
+
+
+def _hll_union_oracle_sql() -> str:
+    from spark_binlog_spark.functions import sketch
+    from spark_binlog_spark.functions.sketch import hll_sql_ctes
+
+    shift = sketch.HLL_SUFFIX_BITS + 1
+    lc = ",".join(str(x) for x in sketch._HLL_LC[1:])
+    num = sketch._HLL_NUM
+    m = sketch.HLL_M
+    gate = sketch._HLL_LC_GATE
+    return f"""
+WITH {hll_sql_ctes()},
+u_regs AS (
+  SELECT 'all' AS scope, idx, max(m_rho) AS m_rho FROM hll_regs GROUP BY 2),
+u_raw AS (
+  SELECT scope, CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(CAST('{num}' AS HUGEINT) // (
+           (({m} - count(*)) * CAST({1 << shift} AS HUGEINT)
+            + sum(CAST(1 AS HUGEINT) * (1 << ({shift} - m_rho))))
+           * 10000000) AS BIGINT) AS raw_est
+  FROM u_regs GROUP BY scope),
+u_est AS (
+  SELECT scope, n_registers,
+         CAST(CASE WHEN {m} - n_registers > 0 AND raw_est <= {gate}
+              THEN [{lc}][{m} - n_registers]
+              ELSE raw_est END AS BIGINT) AS est_distinct
+  FROM u_raw),
+u_exact AS (
+  SELECT 'all' AS scope, CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '')
+SELECT e.scope, e.n_registers, e.est_distinct, x.exact_distinct,
+       CAST(floor(CAST(abs(e.est_distinct - x.exact_distinct) AS DOUBLE)
+            * 10000 / CAST(x.exact_distinct AS DOUBLE)) AS BIGINT) AS err4
+FROM u_est e JOIN u_exact x USING (scope)
+"""
+
+
+ORACLE["q_hll_union"] = _hll_union_oracle_sql()
+
+
 # ------------------------------------------------------ quantile sketch
 def _quantile_dashboard(spark, sf_dir: str, sketch_q: DataFrame) -> DataFrame:
     """Join a (source, total, p50/p90/p99) sketch-quantile relation
@@ -4058,6 +4134,47 @@ def q_stream_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_stream_jaccard"] = ORACLE["q_source_jaccard"]
+
+
+# ------------------------------------------------------- priority sampling
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement at corpus scale
+    (functions/sketch.py priority_sample, Duffield-Lund-Thorup):
+    sample k documents per source with inclusion odds proportional to
+    token count, deterministically — priority = h48(doc_id) div weight,
+    k smallest win.  The salted two-phase bottom-k keeps every task's
+    sort slice bounded, and the sample set is a union-retake monoid,
+    so shards and epochs merge exactly."""
+    from spark_binlog_spark.functions import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sketch.priority_sample(
+        docs, weight=F.expr(sketch.token_count_expr())
+    ).orderBy("source", "priority", "doc_id")
+
+
+def _priority_oracle_sql() -> str:
+    from spark_binlog_spark.functions.hashing import h48_sql
+    from spark_binlog_spark.functions.sketch import PRIORITY_K, token_count_sql
+
+    return f"""
+WITH scored AS (
+  SELECT source, doc_id,
+         greatest(1, CAST({token_count_sql()} AS BIGINT)) AS weight,
+         {h48_sql('doc_id')} // greatest(1, CAST({token_count_sql()} AS BIGINT))
+           AS priority
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY priority, doc_id) AS rn
+  FROM scored)
+SELECT source, doc_id, weight, priority
+FROM ranked WHERE rn <= {PRIORITY_K}
+ORDER BY source, priority, doc_id
+"""
+
+
+ORACLE["q_priority_sample"] = _priority_oracle_sql()
 
 
 # ------------------------------------------------------------ BPE induction

@@ -175,7 +175,6 @@ PRIORITY = [
     "q_quality_classifier",     # hashed linear quality scorer (r7 new)
     "q_ivfadc_topk",            # IVFADC: coarse cells + residual PQ (r8 swap-in)
     "q_hard_negatives",         # contrastive hard-negative mining (r8 swap-in)
-    "q_epoch_shuffle",          # deterministic epoch-shuffle layout (r8 swap-in)
     "q_embedding_standardize",  # per-dim z-score normalization (r8 swap-in)
     "q_decontaminate_spans",    # span-level leakage facts (r8 swap-in)
     "q_stream_drift",           # streamed stats-store drift read (r8 swap-in)
@@ -197,6 +196,9 @@ PRIORITY = [
                                 # oracle = q_token_quantiles', so it subsumes it)
     "q_stream_jaccard",         # KMV bottom-k sink + live pairwise Jaccard (r9 new;
                                 # oracle = q_source_jaccard's, so it subsumes it)
+    "q_priority_sample",        # weighted bottom-k priority sampling (r9 new;
+                                # its hash-rank machinery also covers the
+                                # q_epoch_shuffle layout shape it replaces)
     "q_stream_bpe",             # BPE trained off the streamed word-frequency store
                                 # (r9 new; oracle = q_bpe_learn's, so it grades the
                                 # learner AND the incremental vocabulary maintenance)
@@ -219,6 +221,10 @@ TAIL = [
     "q_bpe_learn",              # r9 new (merge-table form; the graded q_bpe_tokenize
                                 # oracle re-runs the same induction end-to-end, and
                                 # q_stream_bpe grades the same oracle off the store)
+    "q_hll_union",              # r9 new serving variant (union-register estimate;
+                                # the register machinery is graded via q_stream_hll)
+    "q_epoch_shuffle",          # r9 swap-out (green r08 row; deterministic hash-rank
+                                # layout shape graded via q_priority_sample)
     "q_stream_simhash_dedup",   # r9 swap-out (green r05-r08 rows; banded-admission
                                 # sink shape graded via q_stream_neardup_dedup +
                                 # q_stream_incremental_dedup; hamming-LSH recompute

@@ -636,6 +636,17 @@ class TestSketchPlans:
         assert "Python" not in plan
         assert "WindowGroupLimit" in plan
 
+    def test_priority_sample_windowgrouplimit_no_python(self, spark):
+        """q_priority_sample: both rank phases carry the
+        WindowGroupLimit pushdown (no task buffers a whole group) and
+        the whole plan stays JVM-side with no cartesian product."""
+        from spark_binlog_spark.queries_ext import q_priority_sample
+
+        plan = _physical(q_priority_sample(spark, SF_TEST))
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+
     def test_sketch_sink_serving_is_corpus_free(self, spark, tmp_path):
         """The sketch stores serve with ZERO corpus reads: a CMS point
         query and an HLL cardinality read touch only the stats parquet

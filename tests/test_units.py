@@ -1552,6 +1552,42 @@ class TestSketches:
         got = [r[0] for r in df.selectExpr(_merge_expr("a", "a")).collect()]
         assert got == [["aa", "a", "</w>"], ["a", "b", "aa", "</w>"]]
 
+    def test_priority_sample_weight_and_monoid(self, spark):
+        """A row whose weight dwarfs its hash always wins a slot
+        (priority ~ 0); the per-group sample is exactly the k
+        lowest-priority rows; and sampling a union equals re-taking
+        bottom-k over the halves' samples (the shard-merge monoid)."""
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+
+        from spark_binlog_spark.functions import sketch
+
+        rows = [Row(doc_id=i, source="s", w=1) for i in range(500)]
+        rows.append(Row(doc_id=999, source="s", w=1 << 50))
+        df = spark.createDataFrame(rows)
+        got = sketch.priority_sample(df, weight=F.col("w"), k=16).collect()
+        assert len(got) == 16
+        assert any(r["doc_id"] == 999 for r in got)  # heavy row always in
+        # exactness: the sample is the global bottom-16 by (priority, id)
+        import hashlib
+
+        def h48(v):
+            return int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16)
+
+        want_ids = sorted(
+            ((h48(r.doc_id) // r.w, r.doc_id) for r in rows)
+        )[:16]
+        assert sorted((r["priority"], r["doc_id"]) for r in got) == want_ids
+        # monoid: union sample == bottom-k over halves' samples
+        a = spark.createDataFrame(rows[:250])
+        b = spark.createDataFrame(rows[250:])
+        full = sorted(map(tuple, got))
+        halves = sketch.priority_sample(a, weight=F.col("w"), k=16).unionByName(
+            sketch.priority_sample(b, weight=F.col("w"), k=16))
+        retaken = sorted(map(tuple, sketch.bottom_k(
+            halves, "source", ["priority", "doc_id"], 16).collect()))
+        assert retaken == full
+
     def test_hll_registers_max_merge(self, spark):
         """hll_registers over a union equals the register-wise max of
         the halves — and re-merging one half changes nothing (the
