@@ -101,6 +101,7 @@ HEADLINE_V2 = [
     "q_bpe_tokenize",     # learn + corpus-wide tokenization stats (r9)
     "q_stream_bpe",       # BPE trained off the streamed word-frequency store (r9)
     "q_priority_sample",  # weighted bottom-k priority sampling (r9)
+    "q_stream_priority_sample",  # the sample served off the streamed store (r9)
     "q_pack_efficiency",  # pack fill/straddle dashboard
 ]
 

@@ -4177,6 +4177,29 @@ ORDER BY source, priority, doc_id
 ORACLE["q_priority_sample"] = _priority_oracle_sql()
 
 
+def q_stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted sample maintained INCREMENTALLY: the documents
+    table arrives as two micro-batches through PrioritySampleSink
+    (bottom-k union-retake per batch — the same monoid as KMV, so
+    batch boundaries cannot change the sample), then the live store
+    serves the per-source sample — must hash-match the one-shot batch
+    q_priority_sample oracle (streaming/sketch_sink.py)."""
+    import os
+
+    from spark_binlog_spark.streaming.sketch_sink import run_priority_sample
+
+    docs_dir = _parity_batches(sf_dir, "prio_sample_")
+    d = os.path.dirname(docs_dir)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sink = run_priority_sample(
+        spark, docs_dir, os.path.join(d, "stats"), os.path.join(d, "ck"), schema
+    )
+    return sink.sample().orderBy("source", "priority", "doc_id")
+
+
+ORACLE["q_stream_priority_sample"] = ORACLE["q_priority_sample"]
+
+
 # ------------------------------------------------------------ BPE induction
 def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (functions/bpe.py): ONE

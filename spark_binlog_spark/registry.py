@@ -196,9 +196,10 @@ PRIORITY = [
                                 # oracle = q_token_quantiles', so it subsumes it)
     "q_stream_jaccard",         # KMV bottom-k sink + live pairwise Jaccard (r9 new;
                                 # oracle = q_source_jaccard's, so it subsumes it)
-    "q_priority_sample",        # weighted bottom-k priority sampling (r9 new;
-                                # its hash-rank machinery also covers the
-                                # q_epoch_shuffle layout shape it replaces)
+    "q_stream_priority_sample", # weighted sample maintained under ingest (r9 new;
+                                # oracle = q_priority_sample's, so it grades the
+                                # sampler AND the sink; the hash-rank machinery also
+                                # covers the q_epoch_shuffle layout shape it replaces)
     "q_stream_bpe",             # BPE trained off the streamed word-frequency store
                                 # (r9 new; oracle = q_bpe_learn's, so it grades the
                                 # learner AND the incremental vocabulary maintenance)
@@ -221,6 +222,8 @@ TAIL = [
     "q_bpe_learn",              # r9 new (merge-table form; the graded q_bpe_tokenize
                                 # oracle re-runs the same induction end-to-end, and
                                 # q_stream_bpe grades the same oracle off the store)
+    "q_priority_sample",        # r9 new batch form (oracle shared with
+                                # q_stream_priority_sample)
     "q_hll_union",              # r9 new serving variant (union-register estimate;
                                 # the register machinery is graded via q_stream_hll)
     "q_epoch_shuffle",          # r9 swap-out (green r08 row; deterministic hash-rank

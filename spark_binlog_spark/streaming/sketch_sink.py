@@ -332,6 +332,91 @@ class KmvSketchSink:
         safe_swap(self.stats_dir, tmp)
 
 
+class PrioritySampleSink:
+    """foreachBatch sink maintaining per-group weighted priority
+    samples (functions/sketch.py priority_sample): the store is the
+    k lowest-priority rows per group — a union-retake monoid exactly
+    like KMV, so the live sample over all batches equals the one-shot
+    batch sample.  A 100 TB pipeline keeps a statistically-valid
+    weighted sample of everything it ever ingested in |groups| * k
+    rows, with zero corpus re-reads.  Same ratchet and crash-safe swap
+    contract as the other sketch sinks."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        stats_dir: str,
+        by: str = "source",
+        weight_expr: str | None = None,
+        id_col: str = "doc_id",
+        k: int | None = None,
+        resume: bool = True,
+    ):
+        from spark_binlog_spark.functions.sketch import (
+            PRIORITY_K,
+            token_count_expr,
+        )
+
+        self.spark = spark
+        self.stats_dir = stats_dir
+        self.by = by
+        self.weight_expr = weight_expr or token_count_expr()
+        self.id_col = id_col
+        self.k = k or PRIORITY_K
+        self._schema = StructType(
+            [
+                StructField(by, StringType()),
+                StructField(id_col, LongType()),
+                StructField("weight", LongType()),
+                StructField("priority", LongType()),
+                StructField("batch_id", LongType()),
+            ]
+        )
+        ok = recover_dir(stats_dir)
+        if not (resume and ok):
+            self.spark.createDataFrame([], self._schema).write.mode(
+                "overwrite"
+            ).parquet(stats_dir)
+
+    def _stats(self) -> DataFrame:
+        return self.spark.read.schema(self._schema).parquet(self.stats_dir)
+
+    def _last_batch_id(self) -> int:
+        row = self._stats().agg(F.max("batch_id")).collect()[0]
+        return row[0] if row[0] is not None else -1
+
+    def sample(self) -> DataFrame:
+        """The LIVE weighted sample — zero corpus reads."""
+        return self._stats().select(self.by, self.id_col, "weight", "priority")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from spark_binlog_spark.functions.sketch import (
+            bottom_k,
+            priority_sample,
+        )
+
+        if batch_id <= self._last_batch_id():
+            return  # replay: union-retake is idempotent, skip is cheaper
+        delta = priority_sample(
+            batch_df, self.by, F.expr(self.weight_expr), self.id_col, self.k
+        )
+        merged = bottom_k(
+            self.sample().unionByName(delta),
+            self.by,
+            ["priority", self.id_col],
+            self.k,
+        ).select(
+            self.by,
+            self.id_col,
+            "weight",
+            "priority",
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        tmp = f"{self.stats_dir}.b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        safe_swap(self.stats_dir, tmp)
+
+
 def _run_stream(spark, docs_dir, checkpoint_dir, schema, sink, max_files=1):
     stream = (
         spark.readStream.schema(schema)
@@ -416,4 +501,22 @@ def run_kmv_sketch(
     return _run_stream(
         spark, docs_dir, checkpoint_dir, schema,
         KmvSketchSink(spark, stats_dir, by=by), max_files_per_trigger,
+    )
+
+
+def run_priority_sample(
+    spark: SparkSession,
+    docs_dir: str,
+    stats_dir: str,
+    checkpoint_dir: str,
+    schema,
+    by: str = "source",
+    max_files_per_trigger: int = 1,
+) -> PrioritySampleSink:
+    """Stream a directory of document files through the weighted
+    priority-sample sink via availableNow; returns the sink whose
+    ``sample`` serves the live per-group sample."""
+    return _run_stream(
+        spark, docs_dir, checkpoint_dir, schema,
+        PrioritySampleSink(spark, stats_dir, by=by), max_files_per_trigger,
     )

@@ -3532,6 +3532,34 @@ class TestSketchSinks:
         got = bpe.bpe_learn(spark, sink.vocab(), steps=3).collect()
         assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
+    def test_priority_sample_sink_replay_and_batch_equality(self, spark, tmp_path):
+        """The streamed weighted sample equals the one-shot batch
+        priority_sample over the full corpus under replay (bottom-k
+        union-retake monoid + the ratchet)."""
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+
+        from spark_binlog_spark.functions import sketch
+        from spark_binlog_spark.streaming.sketch_sink import PrioritySampleSink
+
+        def docs(ids):
+            return spark.createDataFrame(
+                [Row(doc_id=i, source=f"s{i % 2}",
+                     text=" ".join(["w"] * (i % 7 + 1))) for i in ids]
+            )
+
+        sink = PrioritySampleSink(spark, str(tmp_path / "prio"), k=8)
+        b0 = docs(range(0, 30))
+        sink(b0, 0)
+        sink(b0, 0)  # replay after a crash between swap and commit
+        sink(docs(range(30, 50)), 1)
+
+        want = sorted(map(tuple, sketch.priority_sample(
+            docs(range(50)), weight=F.expr(sketch.token_count_expr()), k=8
+        ).collect()))
+        got = sorted(map(tuple, sink.sample().collect()))
+        assert got == want
+
     def test_hll_sink_replay_and_batch_equality(self, spark, tmp_path):
         """The streamed registers equal the one-shot batch
         hll_registers over the full corpus; a replayed batch changes
