@@ -109,8 +109,13 @@ def bpe_learn(
     (step, lhs, rhs, merged, pair_cnt) — the tokenizer-training
     artifact.  Each iteration persists the re-segmented vocabulary so
     lineage (and recompute) stays O(1) per step."""
+    # ONE job per iteration: the argmax over pair counts doubles as
+    # the materializer of the current segmentation's cache (persist is
+    # lazy), so no separate count() pass runs.  The previous iteration
+    # stays persisted until the argmax has filled the current cache,
+    # then unpersists; the final re-segmentation is never built.
     cur = vocab.persist()
-    cur.count()
+    prev = None
     merges: list[tuple[int, str, str, str, int]] = []
     try:
         for step in range(1, steps + 1):
@@ -120,16 +125,20 @@ def bpe_learn(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break
             a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
             merges.append((step, a, b, a + b, c))
-            nxt = cur.withColumn("syms", F.expr(_merge_expr(a, b))).persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
+            if step < steps:
+                nxt = cur.withColumn("syms", F.expr(_merge_expr(a, b))).persist()
+                prev, cur = cur, nxt
     finally:
         cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return spark.createDataFrame(
         merges, "step long, lhs string, rhs string, merged string, pair_cnt long"
     )
