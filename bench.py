@@ -176,15 +176,17 @@ def main() -> None:
     construction_timed = {"q_bpe_learn", "q_bpe_tokenize", "q_stream_bpe"}
     for name in HEADLINE_V2:
         if name in construction_timed:
-            runs = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                queries[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                runs.append(time.perf_counter() - t0)
-            spread_v2[name] = [round(min(runs), 3), round(max(runs), 3)]
-            timings_v2[name] = round(min(runs), 3)
+            # ONE invocation, not min-of-2: each run re-executes the
+            # full training loop (and for the stream form, the ingest),
+            # and the bench must stay comfortably inside the driver's
+            # capture window — the spread is degenerate by design
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            el = round(time.perf_counter() - t0, 3)
+            spread_v2[name] = [el, el]
+            timings_v2[name] = el
             continue
         timings_v2[name] = timed_min2(
             name, queries[name](spark, sf_dir), spread_map=spread_v2
