@@ -102,6 +102,7 @@ HEADLINE_V2 = [
     "q_stream_bpe",       # BPE trained off the streamed word-frequency store (r9)
     "q_priority_sample",  # weighted bottom-k priority sampling (r9)
     "q_stream_priority_sample",  # the sample served off the streamed store (r9)
+    "q_stream_bloom",     # decontamination off the streamed bloom filter (r9)
     "q_pack_efficiency",  # pack fill/straddle dashboard
 ]
 

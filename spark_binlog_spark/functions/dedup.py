@@ -643,22 +643,59 @@ def bloom_decontaminate(
     Output: one row per FLAGGED doc — (doc_id, n_flagged = distinct
     grams whose K bits all hit, n_grams, flagged4).
     """
-    def h1h2(shingle: Column) -> tuple[Column, Column]:
-        digest = F.md5(shingle.cast("string"))
-        h1 = F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")
-        h2 = F.conv(F.substring(digest, 13, 12), 16, 10).cast("long")
-        return h1, h2
+    bench_bits = bloom_bits(benchmark, text_col, n)
+    return bloom_probe(docs, bench_bits, text_col, n)
 
-    def positions(h1: Column, h2: Column) -> Column:
-        # h1 + i*h2 < 2^48 * (1 + BLOOM_K) — far inside signed-64
-        return F.array(*[((h1 + i * h2) % BLOOM_M) for i in range(BLOOM_K)])
 
-    bsh = doc_shingles(benchmark, text_col, n).select(*h1h2(F.col("shingle")))
-    bench_bits = (
+def _bloom_h1h2(shingle: Column) -> tuple[Column, Column]:
+    digest = F.md5(shingle.cast("string"))
+    h1 = F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 13, 12), 16, 10).cast("long")
+    return h1, h2
+
+
+def _bloom_positions(h1: Column, h2: Column) -> Column:
+    # h1 + i*h2 < 2^48 * (1 + BLOOM_K) — far inside signed-64
+    return F.array(*[((h1 + i * h2) % BLOOM_M) for i in range(BLOOM_K)])
+
+
+def bloom_bits(
+    benchmark: DataFrame, text_col: str = "text", n: int = 4
+) -> DataFrame:
+    """(bit,): the DISTINCT set-bit positions of the benchmark's bloom
+    filter — <= K * |bench grams| ints, independent of benchmark text
+    size, and a UNION monoid (set-bit sets merge idempotently), which
+    is what lets a streaming sink grow the filter as eval suites are
+    added."""
+    bsh = doc_shingles(benchmark, text_col, n).select(
+        *_bloom_h1h2(F.col("shingle"))
+    )
+    return (
         bsh.toDF("h1", "h2")
-        .select(F.explode(positions(F.col("h1"), F.col("h2"))).alias("bit"))
+        .select(
+            F.explode(_bloom_positions(F.col("h1"), F.col("h2"))).alias("bit")
+        )
         .distinct()
     )
+
+
+def bloom_probe(
+    docs: DataFrame,
+    bench_bits: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Probe a corpus against a set-bit relation (``bloom_bits`` or a
+    live sink store): one scan exploding each gram into K position
+    probes, broadcast map-side join, count==K verdict — only the
+    surviving probe hits shuffle, never corpus text."""
+
+    def h1h2(shingle: Column) -> tuple[Column, Column]:
+        return _bloom_h1h2(shingle)
+
+    def positions(h1: Column, h2: Column) -> Column:
+        return _bloom_positions(h1, h2)
+
     dsh = doc_shingles(spread_small_input(docs), text_col, n).select(
         "doc_id", *h1h2(F.col("shingle"))
     )

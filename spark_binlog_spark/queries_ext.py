@@ -4200,6 +4200,32 @@ def q_stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_stream_priority_sample"] = ORACLE["q_priority_sample"]
 
 
+def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against an INCREMENTALLY grown bloom filter:
+    benchmark rows (doc_id % 97 = 0) arrive as two micro-batches
+    through BloomBitsSink — each eval-suite addition is one tiny
+    set-bit delta, union-merged, never a filter rebuild — then the
+    live filter sweeps the training corpus with the identical
+    broadcast probe plan; must hash-match the one-shot batch
+    q_bloom_decontaminate oracle (streaming/sketch_sink.py)."""
+    import os
+
+    from spark_binlog_spark.streaming.sketch_sink import run_bloom_bits
+
+    docs_dir = _parity_batches(sf_dir, "bloom_bits_")
+    d = os.path.dirname(docs_dir)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sink = run_bloom_bits(
+        spark, docs_dir, os.path.join(d, "stats"), os.path.join(d, "ck"),
+        schema, where="doc_id % 97 = 0",
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return sink.probe(docs.filter(F.col("doc_id") % 97 != 0))
+
+
+ORACLE["q_stream_bloom"] = ORACLE["q_bloom_decontaminate"]
+
+
 # ------------------------------------------------------------ BPE induction
 def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (functions/bpe.py): ONE

@@ -176,7 +176,6 @@ PRIORITY = [
     "q_ivfadc_topk",            # IVFADC: coarse cells + residual PQ (r8 swap-in)
     "q_hard_negatives",         # contrastive hard-negative mining (r8 swap-in)
     "q_embedding_standardize",  # per-dim z-score normalization (r8 swap-in)
-    "q_decontaminate_spans",    # span-level leakage facts (r8 swap-in)
     "q_stream_drift",           # streamed stats-store drift read (r8 swap-in)
     "q_pack_efficiency",        # pack fill/straddle dashboard (r8 swap-in)
     "q_ivfadc_trained_topk",    # trained IVFADC: kmeans_train + pq_train (r9 swap-in)
@@ -196,6 +195,9 @@ PRIORITY = [
                                 # oracle = q_token_quantiles', so it subsumes it)
     "q_stream_jaccard",         # KMV bottom-k sink + live pairwise Jaccard (r9 new;
                                 # oracle = q_source_jaccard's, so it subsumes it)
+    "q_stream_bloom",           # bloom filter grown under benchmark ingest (r9 new;
+                                # oracle = q_bloom_decontaminate's, so it grades the
+                                # filter build, the sink merge, AND the probe sweep)
     "q_stream_priority_sample", # weighted sample maintained under ingest (r9 new;
                                 # oracle = q_priority_sample's, so it grades the
                                 # sampler AND the sink; the hash-rank machinery also
@@ -224,6 +226,10 @@ TAIL = [
                                 # q_stream_bpe grades the same oracle off the store)
     "q_priority_sample",        # r9 new batch form (oracle shared with
                                 # q_stream_priority_sample)
+    "q_decontaminate_spans",    # r9 swap-out (green r08 row; decontamination graded
+                                # via q_stream_bloom, whose shared oracle recomputes
+                                # gram leakage end-to-end; the positional span form
+                                # stays in local parity every session)
     "q_hll_union",              # r9 new serving variant (union-register estimate;
                                 # the register machinery is graded via q_stream_hll)
     "q_epoch_shuffle",          # r9 swap-out (green r08 row; deterministic hash-rank

@@ -417,6 +417,79 @@ class PrioritySampleSink:
         safe_swap(self.stats_dir, tmp)
 
 
+class BloomBitsSink:
+    """foreachBatch sink growing a bloom-filter's set-bit relation as
+    benchmark/eval suites arrive (functions/dedup.py bloom_bits): the
+    store is the DISTINCT set-bit positions — bounded by the 2^22-bit
+    filter forever, merged by union (idempotent) — and ``probe(docs)``
+    runs the same broadcast decontamination sweep as the one-shot
+    batch filter.  The operational story at 100 TB: eval suites are
+    ADDED over time, and the filter absorbs each addition as one tiny
+    delta instead of a full rebuild.  An optional ``where`` expression
+    routes only benchmark rows into the filter at ingest."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        stats_dir: str,
+        text_col: str = "text",
+        n: int = 4,
+        where: str | None = None,
+        resume: bool = True,
+    ):
+        self.spark = spark
+        self.stats_dir = stats_dir
+        self.text_col = text_col
+        self.n = n
+        self.where = where
+        self._schema = StructType(
+            [
+                StructField("bit", LongType()),
+                StructField("batch_id", LongType()),
+            ]
+        )
+        ok = recover_dir(stats_dir)
+        if not (resume and ok):
+            self.spark.createDataFrame([], self._schema).write.mode(
+                "overwrite"
+            ).parquet(stats_dir)
+
+    def _stats(self) -> DataFrame:
+        return self.spark.read.schema(self._schema).parquet(self.stats_dir)
+
+    def _last_batch_id(self) -> int:
+        row = self._stats().agg(F.max("batch_id")).collect()[0]
+        return row[0] if row[0] is not None else -1
+
+    def bits(self) -> DataFrame:
+        return self._stats().select("bit")
+
+    def probe(self, docs: DataFrame) -> DataFrame:
+        """Decontaminate a corpus against the LIVE filter — identical
+        plan to the one-shot batch bloom sweep."""
+        from spark_binlog_spark.functions.dedup import bloom_probe
+
+        return bloom_probe(docs, self.bits(), self.text_col, self.n)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from spark_binlog_spark.functions.dedup import bloom_bits
+
+        if batch_id <= self._last_batch_id():
+            return  # replay: a set union is idempotent, skip is cheaper
+        if self.where:
+            batch_df = batch_df.where(self.where)
+        delta = bloom_bits(batch_df, self.text_col, self.n)
+        merged = (
+            self.bits()
+            .unionByName(delta)
+            .distinct()
+            .select("bit", F.lit(batch_id).cast("long").alias("batch_id"))
+        )
+        tmp = f"{self.stats_dir}.b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        safe_swap(self.stats_dir, tmp)
+
+
 def _run_stream(spark, docs_dir, checkpoint_dir, schema, sink, max_files=1):
     stream = (
         spark.readStream.schema(schema)
@@ -519,4 +592,22 @@ def run_priority_sample(
     return _run_stream(
         spark, docs_dir, checkpoint_dir, schema,
         PrioritySampleSink(spark, stats_dir, by=by), max_files_per_trigger,
+    )
+
+
+def run_bloom_bits(
+    spark: SparkSession,
+    docs_dir: str,
+    stats_dir: str,
+    checkpoint_dir: str,
+    schema,
+    where: str | None = None,
+    max_files_per_trigger: int = 1,
+) -> BloomBitsSink:
+    """Stream a directory of benchmark files through the bloom-bits
+    sink via availableNow; returns the sink whose ``probe`` serves the
+    live filter."""
+    return _run_stream(
+        spark, docs_dir, checkpoint_dir, schema,
+        BloomBitsSink(spark, stats_dir, where=where), max_files_per_trigger,
     )

@@ -3560,6 +3560,37 @@ class TestSketchSinks:
         got = sorted(map(tuple, sink.sample().collect()))
         assert got == want
 
+    def test_bloom_bits_sink_replay_and_batch_equality(self, spark, tmp_path):
+        """The streamed set-bit store equals the one-shot batch
+        bloom_bits under replay (union monoid + the ratchet), the
+        ingest `where` routes only benchmark rows into the filter, and
+        the served probe matches the batch bloom_decontaminate."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import dedup
+        from spark_binlog_spark.streaming.sketch_sink import BloomBitsSink
+
+        def docs(ids):
+            return spark.createDataFrame(
+                [Row(doc_id=i, text=" ".join(f"w{(i + j) % 9}" for j in range(6)))
+                 for i in ids]
+            )
+
+        sink = BloomBitsSink(spark, str(tmp_path / "bloom"), where="doc_id % 2 = 0")
+        b0 = docs(range(0, 8))
+        sink(b0, 0)
+        sink(b0, 0)  # replay after a crash between swap and commit
+        sink(docs(range(8, 14)), 1)
+
+        bench = docs(range(14)).where("doc_id % 2 = 0")
+        want = sorted(r["bit"] for r in dedup.bloom_bits(bench).collect())
+        got = sorted(r["bit"] for r in sink.bits().collect())
+        assert got == want
+        corpus = docs(range(14)).where("doc_id % 2 = 1")
+        want_p = sorted(map(tuple, dedup.bloom_decontaminate(corpus, bench).collect()))
+        got_p = sorted(map(tuple, sink.probe(corpus).collect()))
+        assert got_p == want_p
+
     def test_hll_sink_replay_and_batch_equality(self, spark, tmp_path):
         """The streamed registers equal the one-shot batch
         hll_registers over the full corpus; a replayed batch changes
