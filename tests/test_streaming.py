@@ -1306,15 +1306,24 @@ class TestStreamStreamJoin:
                 .trigger(processingTime="200 milliseconds")
                 .start()
             )
-            deadline = time.monotonic() + 90
+            deadline = time.monotonic() + 120
             while time.monotonic() < deadline:
                 if q.exception() is not None or spark.table(name).count() >= 2:
                     break
                 time.sleep(0.3)
             q.stop()
             exc = q.exception()
-            if exc is not None and "makeCopy" in str(exc) and attempt < 2:
-                continue  # the documented planning race — fresh checkpoint
+            incomplete = spark.table(name).count() < 2
+            if attempt < 2 and incomplete and (
+                exc is None or "makeCopy" in str(exc)
+            ):
+                # retry (fresh checkpoint) on the documented planning
+                # race OR a load-starved run that never reached both
+                # pairs before the deadline (a loaded shared host can
+                # stall micro-batches past any fixed wait; r9 full-suite
+                # run with a concurrent oracle sweep hit exactly this).
+                # Any OTHER streaming exception still fails immediately.
+                continue
             q.awaitTermination()
             break
         got = {(r["i_pk"], r["i_off"], r["d_off"]) for r in spark.table(name).collect()}
