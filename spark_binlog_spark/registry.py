@@ -129,7 +129,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # grid maintained additively; subsumes q_cms_topterms), q_stream_hll
 # (HyperLogLog register max-merge; subsumes q_hll_distinct) and
 # q_stream_quantiles (additive log-bin histogram; subsumes
-# q_token_quantiles).  Swapped OUT: q_gopher_rules (r07+r08 green;
+# q_token_quantiles).  The late-round-9 additions follow the same
+# stream-served-subsumes-batch pattern: q_stream_jaccard (KMV bottom-k
+# sink; subsumes q_source_jaccard), q_bpe_tokenize (its oracle embeds
+# the full BPE induction), q_stream_bpe (learn off the streamed
+# word-frequency store; q_bpe_learn's oracle), q_stream_priority_sample
+# (weighted sample sink; q_priority_sample's oracle), q_stream_bloom
+# (bloom filter grown under benchmark ingest; q_bloom_decontaminate's
+# oracle).  Swapped OUT: q_gopher_rules (r07+r08 green;
 # rule-battery scan shape: q_quality_classifier stays as the
 # scoring-scan representative), q_ngram_jaccard (green since r01;
 # banded pair-join shape: q_stream_neardup_dedup's oracle recomputes
