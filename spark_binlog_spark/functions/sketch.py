@@ -442,9 +442,17 @@ def kmv_jaccard(sk: DataFrame, by: str = "source") -> DataFrame:
     take the kk = min(k, |A ∪ B|) smallest values of the sketch union
     and count those present in BOTH sketches; jacc4 = floor(1e4 *
     inter / kk).  Every relation here is sketch-sized (|groups| * k),
-    so the pair fan-out broadcasts — the corpus is long gone."""
+    so the pair fan-out broadcasts — the corpus is long gone.
+
+    The sketch is PERSISTED here: this function references it from
+    four plan branches (group list, A side, B side), and without the
+    cache each branch re-runs the whole corpus-distinct + two-phase
+    rank that built it — a ~6x corpus recompute the plan audit caught
+    at round 9 (a streamed store is a cheap parquet re-read, but the
+    batch form is not)."""
     from pyspark.sql.window import Window
 
+    sk = sk.persist()
     srcs = sk.select(F.col(by).alias("_s")).distinct()
     pairs = (
         srcs.select(F.col("_s").alias("src_a"))
