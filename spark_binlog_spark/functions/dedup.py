@@ -253,9 +253,15 @@ def ngram_jaccard_pairs(
         / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
         * 10000
     ).cast("long")
+    # NO broadcast hints here: `sizes` is corpus-cardinality (one row
+    # per document) — a forced broadcast is a driver/executor OOM at
+    # web scale.  `common` and `sizes` are both doc-keyed, so the hash
+    # join co-partitions naturally; AQE upgrades to broadcast at
+    # runtime when the measured size actually fits (local/test scale),
+    # which is the only safe place for that decision.
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", "n_common", j4.alias("jaccard4"))
         .filter(F.col("jaccard4") >= min_jaccard4)
     )

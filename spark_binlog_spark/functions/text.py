@@ -225,8 +225,13 @@ def boilerplate_ratio(df: DataFrame, min_df: int = 5, text_col: str = "text") ->
     thresholds on before dropping/trimming documents.
 
     Plan: ONE persisted shingle relation feeds the dictionary agg, the
-    per-doc totals, and the boilerplate-hit counts; the dictionary is
-    vocabulary-sized so it broadcasts into the hit join.
+    per-doc totals, and the boilerplate-hit counts.  The dictionary is
+    NOT broadcast: at web scale the >= min_df shingle set is itself
+    corpus-sized (~10^9 rows for a crawl corpus), so the hit join is a
+    plain shuffle join on `shingle` — the same key the dictionary agg
+    already partitioned on, so the exchange is reused and AQE upgrades
+    to broadcast at runtime only when the measured dictionary actually
+    fits.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -241,7 +246,7 @@ def boilerplate_ratio(df: DataFrame, min_df: int = 5, text_col: str = "text") ->
     )
     totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     hits = (
-        sh.join(F.broadcast(dict_), "shingle")
+        sh.join(dict_, "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_boiler"))
     )

@@ -537,6 +537,52 @@ class TestTrainingDataOps:
         assert "Join" not in plan
         assert "Python" not in plan
 
+    def test_ngram_jaccard_never_forces_corpus_broadcast(self, spark):
+        """q_ngram_jaccard: the per-document sizes relation is
+        corpus-cardinality — it must NEVER carry a broadcast hint (a
+        forced broadcast of one-row-per-document is an OOM at web
+        scale).  With the estimate-based planner disabled
+        (autoBroadcastJoinThreshold=-1), any BroadcastExchange left in
+        the static plan can only come from a forced hint — assert there
+        is none; only AQE may upgrade at runtime from measured sizes.
+        Also: no cartesian/single-partition stages anywhere in the
+        candidate pipeline."""
+        from spark_binlog_spark.queries_ext import q_ngram_jaccard
+
+        spark.catalog.clearCache()
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _physical(q_ngram_jaccard(spark, SF_TEST))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "BroadcastExchange" not in plan  # no forced broadcast of any side
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Exchange SinglePartition" not in plan
+
+    def test_boilerplate_never_forces_dictionary_broadcast(self, spark):
+        """q_boilerplate_ratio: the >= min_df shingle dictionary is
+        corpus-derived and unbounded (web-scale crawls have ~10^9
+        shared shingles) — it must NEVER carry a broadcast hint.  The
+        hit join shuffles on `shingle`, the same key the dictionary agg
+        already partitioned on; AQE alone may upgrade at runtime.  Same
+        hint-isolation protocol as the ngram gate: estimate-based
+        broadcasts off, so a surviving BroadcastExchange = a hint."""
+        from spark_binlog_spark.queries_ext import q_boilerplate_ratio
+
+        spark.catalog.clearCache()
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _physical(q_boilerplate_ratio(spark, SF_TEST))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "BroadcastExchange" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Exchange SinglePartition" not in plan
+
 
 class TestCodegen:
     def test_quality_features_jvm_only_columnar_scan(self, spark):
