@@ -147,7 +147,17 @@ def bpe_learn(
 def _bpe_ctes(steps: int, table: str, final_v: bool) -> list[str]:
     """The shared chained-CTE body: v0 (initial segmentation), then
     per iteration the argmax m{i} and — when another iteration or the
-    tokenize path needs it — the re-segmentation v{i}."""
+    tokenize path needs it — the re-segmentation v{i}.
+
+    Every m{i} carries a NULL sentinel row (c = -1) so it is NEVER
+    empty: when the corpus yields fewer than `steps` learnable merges
+    (all words fully merged), the real pair-count subquery goes empty
+    and the sentinel wins the argmax instead.  A NULL-lhs merge is a
+    no-op inside the folds (`acc[-1] = m.a` is NULL → ELSE branch), so
+    v{i} = v{p} — exactly bpe_learn's early-stop freeze — and the
+    downstream CROSS JOINs keep their cardinality instead of
+    annihilating the vocabulary (the silent zero-rows divergence this
+    guards against).  The learn output filters sentinels out."""
     ctes = [
         f"""v0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS cnt,
@@ -162,7 +172,9 @@ def _bpe_ctes(steps: int, table: str, final_v: bool) -> list[str]:
   SELECT a, b, c FROM (
     SELECT syms[j] AS a, syms[j + 1] AS b, sum(cnt) AS c
     FROM v{p}, unnest(generate_series(1, len(syms) - 1)) AS t(j)
-    GROUP BY 1, 2)
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(-1 AS BIGINT))
   ORDER BY c DESC, a, b LIMIT 1)"""
         )
         if i < steps or final_v:
@@ -185,6 +197,7 @@ def bpe_sql(steps: int = BPE_STEPS, table: str = "documents") -> str:
     selects = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS step, a AS lhs, b AS rhs,"
         f" a || b AS merged, CAST(c AS BIGINT) AS pair_cnt FROM m{i}"
+        f" WHERE a IS NOT NULL"  # sentinel = no learnable merge this step
         for i in range(1, steps + 1)
     )
     return "WITH " + ",\n".join(_bpe_ctes(steps, table, False)) + "\n" + selects
@@ -251,7 +264,10 @@ def bpe_tokenize_sql(
     merge in sequence.  The m{i} rows ride in via CROSS JOIN (DuckDB
     lambdas reference row columns, not subqueries); each fold's output
     is re-wrapped to single-element lists for the next fold, so the
-    final len() counts symbols."""
+    final len() counts symbols.  The _bpe_ctes sentinel guarantees
+    every m{i} is exactly one row, so the CROSS JOIN chain preserves
+    gwf's cardinality even when the corpus runs out of learnable
+    merges before `steps` (a NULL merge folds as a no-op)."""
     fold = "list_transform(string_split(word, ''), s -> [s])"
     fold = f"list_concat({fold}, [['{EOW}']])"
     for i in range(1, steps + 1):

@@ -23,11 +23,12 @@ Everything is integer-exact cross-engine: the hash is the repo's
 md5-derived ``h48``; rho comes from ``length(bin(x))`` (no libm); the
 HLL estimate is one HUGEINT/DECIMAL(38) floor division, never a
 floating-point sum of 2^-M (whose summation ORDER differs between
-engines).  The implemented HLL estimator is the RAW one — the
-small-range linear-counting correction needs ln(), which is not
-bit-stable across engines; at the corpus cardinalities the sketch
-targets, the raw estimator is the operative branch, and the serving
-layer can apply corrections to the rendered estimate.
+engines).  The small-range linear-counting correction (raw estimate
+<= 2.5m with empty registers left) IS applied — but through the
+precomputed integer table ``_HLL_LC`` (m*ln(m/v) evaluated once in
+Python per possible empty-register count v, baked into BOTH engines'
+expressions as literals), never a runtime ln(), which would not be
+bit-stable across engines.
 
 Scale shape: one map-side-combinable term-count aggregation over the
 corpus (the only corpus-sized shuffle), then every sketch relation is
@@ -304,7 +305,11 @@ def hist_quantiles(
     )
     aggs = [F.max("total").alias("total")]
     for name, num, den in HIST_QS:
-        rank = F.floor((F.col("total") * num + den - 1) / den)
+        # integer `div`, never floor(double /): a correctly-rounded
+        # double quotient can cross an integer boundary near 2^53/den
+        # and disagree with the oracle's exact `//` (ADVICE r9; same
+        # hazard priority_sample documents)
+        rank = F.expr(f"(total * {num} + {den - 1}) div {den}")
         aggs.append(
             F.min(F.when(F.col("cum") >= rank, F.col("val"))).alias(name)
         )
@@ -444,15 +449,21 @@ def kmv_jaccard(sk: DataFrame, by: str = "source") -> DataFrame:
     inter / kk).  Every relation here is sketch-sized (|groups| * k),
     so the pair fan-out broadcasts — the corpus is long gone.
 
-    The sketch is PERSISTED here: this function references it from
-    four plan branches (group list, A side, B side), and without the
-    cache each branch re-runs the whole corpus-distinct + two-phase
-    rank that built it — a ~6x corpus recompute the plan audit caught
-    at round 9 (a streamed store is a cheap parquet re-read, but the
-    batch form is not)."""
+    The sketch is MATERIALIZED here (one collect into a local
+    relation): this function references it from four plan branches
+    (group list, A side, B side), and without materialization each
+    branch re-runs the whole corpus-distinct + two-phase rank that
+    built it — a ~6x corpus recompute the plan audit caught at round
+    9.  A local table beats persist() for this: the sketch is bounded
+    (|groups| * k rows by construction, the same class as the trained
+    IVFADC codebooks), every branch reads a LocalTableScan, and
+    nothing is left registered in the CacheManager afterwards —
+    persist() entries are never auto-evicted, so repeated invocations
+    (bench re-runs, every sink.jaccard() call) were each leaking a
+    cached DataFrame for the lifetime of the session (ADVICE r9)."""
     from pyspark.sql.window import Window
 
-    sk = sk.persist()
+    sk = sk.sparkSession.createDataFrame(sk.collect(), sk.schema)
     srcs = sk.select(F.col(by).alias("_s")).distinct()
     pairs = (
         srcs.select(F.col("_s").alias("src_a"))

@@ -1323,6 +1323,15 @@ class TestStreamStreamJoin:
                 # stall micro-batches past any fixed wait; r9 full-suite
                 # run with a concurrent oracle sweep hit exactly this).
                 # Any OTHER streaming exception still fails immediately.
+                # Print WHICH reason fired (ADVICE r9): a consistently
+                # incomplete run (product regression stalling batches)
+                # must be distinguishable from host noise in CI output.
+                reason = "makeCopy-race" if exc is not None else "load-starved"
+                print(
+                    f"[ssj retry] attempt {attempt + 1} incomplete "
+                    f"({spark.table(name).count()}/2 rows), reason={reason}",
+                    flush=True,
+                )
                 continue
             q.awaitTermination()
             break

@@ -1540,6 +1540,34 @@ class TestSketches:
         assert row["n_subwords"] == 3 * 1 + 1 * 3
         assert row["subwords_per_word4"] == 15000
 
+    def test_bpe_oracle_survives_fewer_merges_than_steps(self, spark, duck):
+        """ADVICE r9 (medium): when the corpus yields fewer learnable
+        merges than `steps`, an empty m{i} used to annihilate the
+        oracle's CROSS JOIN chain — DuckDB returned zero rows while
+        Spark (early-stop in bpe_learn) returned real stats.  The NULL
+        sentinel keeps every m{i} at exactly one row; assert both
+        engines agree on a corpus that exhausts after 2 merges."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import bpe
+
+        docs = spark.createDataFrame([Row(doc_id=1, source="s", text="a a b")])
+        duck.execute("CREATE OR REPLACE TABLE bpe_tiny AS SELECT 's' AS source, 'a a b' AS text")
+        # learn: merges exhaust at step 2 ((a,</w>) then (b,</w>))
+        got = bpe.bpe_learn(spark, bpe.bpe_vocab(docs), steps=6).collect()
+        want = duck.execute(bpe.bpe_sql(steps=6, table="bpe_tiny")).fetchall()
+        assert [(r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_cnt"]) for r in got] == [
+            (1, "a", "</w>", "a</w>", 2), (2, "b", "</w>", "b</w>", 1)]
+        assert sorted(want) == [(1, "a", "</w>", "a</w>", 2), (2, "b", "</w>", "b</w>", 1)]
+        # tokenize: the old oracle returned ZERO rows here
+        (srow,) = bpe.bpe_tokenize_stats(spark, docs, steps=6).collect()
+        (drow,) = duck.execute(
+            bpe.bpe_tokenize_sql(steps=6, table="bpe_tiny")).fetchall()
+        assert (srow["source"], srow["n_words"], srow["n_subwords"],
+                srow["subwords_per_word4"]) == ("s", 3, 3, 10000)
+        assert drow == ("s", 3, 3, 10000)
+        duck.execute("DROP TABLE bpe_tiny")
+
     def test_bpe_merge_fold_is_greedy_left_to_right(self, spark):
         """The fold glues non-overlapping occurrences left to right:
         'aaa' under merge (a,a) becomes [aa, a], never [a, aa]."""
