@@ -123,6 +123,29 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # q_stream_incremental_dedup), q_power_projection (iterative-model
 # shape: q_stream_kmeans + q_ivfadc_trained_topk's kmeans_train).
 #
+# Round-10 rotation (VERDICT r9 ask #3, exactly its list): the seven
+# never-graded, non-subsumed marquee queries with real user surface swap
+# IN — q_multimodal_meta (binary header probe over image/audio blobs),
+# q_multimodal_frames (Arrow-batched mapInPandas decode + frame stats,
+# the one Python-touching operator family), q_repeated_spans
+# (exact-substring analogue over hashed spans), q_bm25_search (batch
+# BM25 ranking — the tf/idf integer pipeline distinct from the streamed
+# index), q_simhash_near_dups (hamming-LSH banded pairs),
+# q_dup_components (connected-components + canonical survivor driver
+# fixpoint), q_hll_union (union-register cardinality serving variant).
+# Swapped OUT, each green since r1 with 8+ cumulative rows and
+# shape-represented by a remaining neighbor: q_offset_encode (O1
+# packing: q_offset_range keeps the codec under grade via its pushdown
+# bounds), q_latest_offset (O2 footer probe: q_stream_change_counts
+# exercises latestOffset every trigger), q_partition_ranges (O4
+# alignment: q_hbase_cells grades the region-offset map),
+# q_max_offset_per_key (O5: q_monotonic_dedup's window subsumes the
+# max-per-key shape), q_flatten_rows (P3 explode: q_envelope_parse
+# covers the envelope explode), q_update_after_image (P2:
+# q_project_decode + q_cdc_apply cover after-image extraction),
+# q_snapshot_union (D6: q_cdc_apply's merge recomputes the same
+# snapshot+incremental semantics).
+#
 # Round-9 NEW operators enter the prefix directly (r7 policy), graded
 # through their STREAM-SERVED forms whose oracles are literally the
 # batch forms' oracle objects: q_stream_cms (count-min term-frequency
@@ -150,24 +173,19 @@ PRIORITY = [
     "q_table_filter",           # F1
     "q_event_type_filter",      # F2
     "q_project_decode",         # P1
-    "q_update_after_image",     # P2
-    "q_flatten_rows",           # P3
     "q_json_roundtrip",         # P4
     "q_cell_rollup_regional",   # P5 (scale-safe headline form)
-    "q_offset_encode",          # O1
-    "q_latest_offset",          # O2
-    "q_offset_range",           # O3
-    "q_partition_ranges",       # O4
-    "q_max_offset_per_key",     # O5
-    "q_monotonic_dedup",        # O6
+    "q_offset_range",           # O3 (keeps the O1 codec under grade via
+                                # its packed-offset pushdown bounds)
+    "q_monotonic_dedup",        # O6 (subsumes the O5 max-per-key shape)
     "q_envelope_parse",         # D1
     "q_route_by_table",         # D2
     "q_latest_image",           # D3
     "q_stream_scd2",            # D3 generalization: incremental SCD2 sink
                                 # (r7 swap-in; oracle = batch q_scd2_history's)
-    "q_cdc_apply",              # D4
+    "q_cdc_apply",              # D4 (its merge recomputes the D6
+                                # snapshot+incremental semantics)
     "q_change_counts",          # D5
-    "q_snapshot_union",         # D6
     # --- tier 2: §2.C category demos -------------------------------
     "q_ship_priority",
     "q_schema_evolution",
@@ -217,6 +235,19 @@ PRIORITY = [
                                 # full induction CTEs, so it subsumes q_bpe_learn
                                 # (and q_bpe_merges, which only ranked step-1
                                 # candidates)
+    "q_multimodal_meta",        # binary header probe: format/dims/codec from
+                                # magic bytes, no decode (r10 swap-in)
+    "q_multimodal_frames",      # dependency-free decode via Arrow-batched
+                                # mapInPandas + per-frame stats (r10 swap-in)
+    "q_repeated_spans",         # exact-substring analogue: hashed-span
+                                # frequency over the corpus (r10 swap-in)
+    "q_bm25_search",            # batch BM25 ranking — the integer tf/idf
+                                # pipeline behind the streamed index (r10 swap-in)
+    "q_simhash_near_dups",      # hamming-LSH banded near-dup pairs (r10 swap-in)
+    "q_dup_components",         # connected components + canonical survivor
+                                # via localCheckpointed fixpoint (r10 swap-in)
+    "q_hll_union",              # union-register cardinality serving variant
+                                # (r10 swap-in)
     "q_corpus_report",
 ]
 
@@ -226,6 +257,20 @@ PRIORITY = [
 # views live in PARITY below, NOT here — the never-graded count that
 # matters is len(TAIL), not len(TAIL) + len(PARITY) (VERDICT r5 ask #6).
 TAIL = [
+    "q_offset_encode",          # r10 swap-out (green r01-r09 rows; O1 codec graded
+                                # via q_offset_range's packed pushdown bounds)
+    "q_latest_offset",          # r10 swap-out (green r01-r09 rows; O2 probe runs
+                                # inside q_stream_change_counts every trigger)
+    "q_partition_ranges",       # r10 swap-out (green r01-r09 rows; O4 alignment:
+                                # q_hbase_cells grades the region-offset map)
+    "q_max_offset_per_key",     # r10 swap-out (green r01-r09 rows; shape subsumed
+                                # by q_monotonic_dedup's window)
+    "q_flatten_rows",           # r10 swap-out (green r01-r09 rows; explode shape:
+                                # q_envelope_parse)
+    "q_update_after_image",     # r10 swap-out (green r01-r09 rows; after-image
+                                # shape: q_project_decode + q_cdc_apply)
+    "q_snapshot_union",         # r10 swap-out (green r01-r09 rows; D6 semantics
+                                # recomputed by q_cdc_apply's merge)
     "q_cms_topterms",           # r9 new batch form (oracle shared with q_stream_cms)
     "q_hll_distinct",           # r9 new batch form (oracle shared with q_stream_hll)
     "q_bpe_learn",              # r9 new (merge-table form; the graded q_bpe_tokenize
@@ -237,8 +282,6 @@ TAIL = [
                                 # via q_stream_bloom, whose shared oracle recomputes
                                 # gram leakage end-to-end; the positional span form
                                 # stays in local parity every session)
-    "q_hll_union",              # r9 new serving variant (union-register estimate;
-                                # the register machinery is graded via q_stream_hll)
     "q_epoch_shuffle",          # r9 swap-out (green r08 row; deterministic hash-rank
                                 # layout shape graded via q_priority_sample)
     "q_stream_simhash_dedup",   # r9 swap-out (green r05-r08 rows; banded-admission
@@ -309,14 +352,12 @@ TAIL = [
     "q_dsir_importance",        # r8 new: DSIR hashed n-gram importance weighting
     "q_ccnet_buckets",          # r8 new: CCNet head/middle/tail LM terciles
     "q_cluster_sample",         # r8 new: cluster-balanced embedding subsample
-    "q_repeated_spans",
     "q_lm_familiarity",
     "q_bpe_merges",
     "q_source_mix",
     "q_chunk_documents",
     "q_compressibility",
     "q_vocab_coverage",
-    "q_bm25_search",
     "q_fingerprint",            # r5 late swap-out (fn covered by dedup rows)
     "q_source_dup_matrix",
     "q_change_counts_windowed",
@@ -326,13 +367,9 @@ TAIL = [
     "q_token_count",
     "q_boilerplate_ratio",
     "q_boilerplate_shingles",
-    "q_simhash_near_dups",
     "q_lsh_recall",
     "q_ivf_multiprobe",
     "q_ivf_trained_topk",
-    "q_dup_components",
-    "q_multimodal_meta",
-    "q_multimodal_frames",
     "q_mv_segment_balance",
     "q_stream_enriched_counts",
     "q_range_band",
