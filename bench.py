@@ -321,11 +321,15 @@ def main() -> None:
         "insurance_fired": insurance_fired,
     }
     print(json.dumps(detail))
-    try:
-        with open(os.path.join(REPO_ROOT, "bench_detail.json"), "w") as f:
-            json.dump({**detail, "sf": float(sf), "legacy_total": total}, f, indent=1)
-    except OSError:
-        pass  # read-only checkout: stdout detail line above still has it
+    # only full-scale (sf0.1 default) runs overwrite the committed
+    # artifact — sf0.01 verify sweeps were silently clobbering the
+    # round's quiet-run record (caught round 10)
+    if float(sf) >= 0.1:
+        try:
+            with open(os.path.join(REPO_ROOT, "bench_detail.json"), "w") as f:
+                json.dump({**detail, "sf": float(sf), "legacy_total": total}, f, indent=1)
+        except OSError:
+            pass  # read-only checkout: stdout detail line above still has it
     print(
         json.dumps(
             {
