@@ -1,0 +1,177 @@
+"""Live-connector seam tests (VERDICT r9 ask #6): a FAKE
+python-mysql-replication-style client pumps scripted events through
+LiveBinlogIngestor, and the UNCHANGED binlog_fixture DataSource serves
+them to Spark — proving the offset protocol and envelope wire contract
+hold end-to-end without a live MySQL server.  Reference behaviors
+modeled: BinLogSocketServerInExecutor.scala:277-302 (client loop feeds
+the store), MLSQLBinLogDataSource.scala:76-98 (connect-time rotate
+announcement of the active binlog file).
+"""
+
+import json
+
+import pytest
+
+from spark_binlog_spark.sources.live_client import (
+    LiveBinlogIngestor,
+    _file_seq,
+    pump,
+)
+
+
+class _Rotate:
+    def __init__(self, name):
+        self.next_binlog = name
+
+
+class _Rows:
+    """Duck-typed python-mysql-replication rows event."""
+
+    def __init__(self, op, timestamp, rows):
+        self.op = op
+        self.timestamp = timestamp
+        self.rows = rows
+
+
+def _ins(uid, value=1.0, props=None):
+    return {"values": {"id": uid, "value": value, "props": props}}
+
+
+T0 = 1_700_000_000  # epoch seconds
+
+
+class TestIngestor:
+    def test_scripted_client_builds_contiguous_segments(self, tmp_path):
+        from spark_binlog_spark.sources.binlog_fixture import _segment_index
+
+        store = str(tmp_path / "store")
+        ing = LiveBinlogIngestor(store)
+        script = [
+            _Rotate("mysql-bin.000001"),  # connect-time announcement
+            _Rows("insert", T0, [_ins(1), _ins(2)]),
+            _Rows("update", T0 + 1, [{"after_values": {"id": 1, "value": 2.5}}]),
+            _Rotate("mysql-bin.000002"),
+            _Rows("delete", T0 + 2, [{"values": {"id": 2}}]),
+            _Rows("insert", T0 + 3, [_ins(3, props=json.dumps({"k": 7}))]),
+        ]
+        assert pump(iter(script), ing) == 5
+        index = _segment_index(store)  # raises on any event-id gap
+        assert [s["fid"] for s in index] == [1, 2]
+        assert [(s["min"], s["max"]) for s in index] == [(0, 2), (3, 4)]
+
+    def test_resume_continues_sequence_and_active_file(self, tmp_path):
+        from spark_binlog_spark.sources.binlog_fixture import _segment_index
+
+        store = str(tmp_path / "store")
+        ing = LiveBinlogIngestor(store)
+        pump(iter([_Rows("insert", T0, [_ins(1), _ins(2)])]), ing)
+        # a NEW ingestor (process restart) must continue ids in the
+        # same active file, not restart at 0 or open file 2
+        ing2 = LiveBinlogIngestor(store)
+        pump(iter([_Rows("insert", T0 + 1, [_ins(3)])]), ing2)
+        (seg,) = _segment_index(store)
+        assert (seg["fid"], seg["min"], seg["max"]) == (1, 0, 2)
+
+    def test_non_monotone_rotate_failfasts(self, tmp_path):
+        ing = LiveBinlogIngestor(str(tmp_path / "store"))
+        pump(iter([_Rotate("mysql-bin.000005"),
+                   _Rows("insert", T0, [_ins(1)])]), ing)
+        with pytest.raises(ValueError, match="non-monotone"):
+            ing.on_rotate("mysql-bin.000004")
+
+    def test_file_seq_rejects_foreign_names(self):
+        assert _file_seq("mysql-bin.000042") == 42
+        with pytest.raises(ValueError):
+            _file_seq("relay-log.bin")
+
+    def test_unknown_op_failfasts(self, tmp_path):
+        ing = LiveBinlogIngestor(str(tmp_path / "store"))
+        with pytest.raises(ValueError, match="unknown row op"):
+            ing.on_row_event("truncate", T0, 1)
+
+
+class TestSparkContract:
+    def test_offsets_and_envelopes_served_by_fixture_source(self, spark, tmp_path):
+        """The full seam: fake client -> ingestor -> store -> the
+        registered DataSource.  Offsets must pack as fid*10^13+pos and
+        the envelopes must carry the op/pk/value the client sent."""
+        from spark_binlog_spark.sources.binlog_fixture import register
+
+        register(spark)
+        store = str(tmp_path / "store")
+        ing = LiveBinlogIngestor(store)
+        script = [
+            _Rotate("mysql-bin.000001"),
+            _Rows("insert", T0, [_ins(10, 1.5), _ins(11, 2.5)]),
+            _Rotate("mysql-bin.000002"),
+            _Rows("delete", T0 + 5, [{"values": {"id": 10}}]),
+        ]
+        pump(iter(script), ing)
+        rows = (
+            spark.read.format("binlog_fixture").option("path", store).load()
+            .selectExpr("CAST(value AS STRING) AS line").collect()
+        )
+        envs = [json.loads(r["line"]) for r in rows]
+        assert len(envs) == 3
+        by_off = sorted(envs, key=lambda e: int(e["rows"][0]["cdc_offset"]))
+        assert [e["rows"][0]["op"] for e in by_off] == ["insert", "insert", "delete"]
+        assert [e["rows"][0]["pk"] for e in by_off] == [10, 11, 10]
+        assert by_off[0]["rows"][0]["value"] == 1.5
+
+    def test_live_rotation_pickup_under_checkpoint(self, spark, tmp_path):
+        """Tail the store with a checkpointed stream, then pump MORE
+        events (including a rotation) and resume: the second run must
+        deliver exactly the new events — no loss, no replay (the
+        exactly-once contract a live client inherits from the store)."""
+        from spark_binlog_spark.sources.binlog_fixture import register
+
+        register(spark)
+        store = str(tmp_path / "store")
+        ck = str(tmp_path / "ck")
+        ing = LiveBinlogIngestor(store)
+        pump(iter([_Rotate("mysql-bin.000001"),
+                   _Rows("insert", T0, [_ins(i) for i in range(4)])]), ing)
+
+        def run_once(name):
+            got = []
+
+            def sink(bdf, bid):
+                got.extend(
+                    json.loads(r["line"])["rows"][0]["cdc_offset"]
+                    for r in bdf.collect()
+                )
+
+            q = (
+                spark.readStream.format("binlog_fixture").option("path", store)
+                .load()
+                .selectExpr("CAST(value AS STRING) AS line")
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return got
+
+        first = run_once("live_seam_a")
+        assert sorted(int(o) for o in first) == [0, 1, 2, 3]
+        # live tail continues: grow the active file AND rotate
+        pump(iter([_Rows("insert", T0 + 1, [_ins(4)]),
+                   _Rotate("mysql-bin.000002"),
+                   _Rows("update", T0 + 2,
+                         [{"after_values": {"id": 4, "value": 9.0}}])]), ing)
+        second = run_once("live_seam_b")
+        assert sorted(int(o) for o in second) == [4, 5]
+
+    def test_connect_live_is_import_gated(self, tmp_path):
+        pytest.importorskip  # (doc: gate below mirrors delta_sink's)
+        try:
+            import pymysqlreplication  # noqa: F401
+
+            pytest.skip("pymysqlreplication present: gate not exercisable")
+        except ImportError:
+            pass
+        from spark_binlog_spark.sources.live_client import connect_live
+
+        with pytest.raises(ImportError, match="pymysqlreplication"):
+            connect_live(str(tmp_path / "s"), host="h", user="u", password="p")
