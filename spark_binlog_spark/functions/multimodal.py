@@ -18,8 +18,9 @@ features for images; JPEG property-tested against a spec-correct
 encoder with bounded rounding tolerance; G.711 pinned to the spec
 anchor values; FLAC round-tripped bit-exactly against a spec-correct
 writer; PNG covers depths 8 AND 16 plus Adam7 interlace since
-round 8).  Only exotic image variants (progressive JPEG) and
-perceptual audio (OGG/MP3) still run
+round 8; JPEG covers baseline AND progressive — spectral
+selection, successive approximation, EOB runs — since round 10).
+Only perceptual audio (OGG/MP3) still runs
 behind executor-side import-tries
 (PIL / soundfile — neither ships here): with the libs installed
 ``extract_features(fake=False)`` produces real features from the
@@ -435,17 +436,227 @@ _JPEG_ZIGZAG = [
 ]
 
 
+def _jpeg_next_marker(data: bytes, pos: int) -> int:
+    """First byte index >= pos of a REAL marker (0xFF followed by
+    neither 0x00 stuffing nor an RSTn) — how a multi-scan decoder finds
+    the segment after an entropy-coded scan (T.81 B.1.1.2: within
+    entropy data every 0xFF is stuffed or a restart)."""
+    n = len(data)
+    i = pos
+    while i + 1 < n:
+        if data[i] == 0xFF and data[i + 1] != 0x00 and not (0xD0 <= data[i + 1] <= 0xD7):
+            # fill bytes (FF FF ... marker) resolve to the first FF
+            return i
+        i += 1
+    return n
+
+
+def _jpeg_progressive_scan(
+    data, pos, scomps, Ss, Se, Ah, Al, restart_interval, mcux, mcuy, ncomps
+):
+    """Decode ONE progressive scan (T.81 G.2) into the per-component
+    coefficient arrays (zigzag order, successive-approximation ints).
+
+    scomps: [(ci, comp_dict)] in scan order; comp_dict carries the
+    padded block grid ("coef": int array (by_pad, bx_pad, 64)), the
+    true block grid ("bw"/"bh"), sampling factors and — for scans that
+    need them — "dc"/"ac" Huffman tables.  Four scan kinds:
+      DC first (Ss=0, Ah=0): Huffman diffs, coef[0] = pred << Al;
+      DC refine (Ss=0, Ah>0): one raw bit per block, OR into bit Al
+        (arithmetic-shift/OR pairing is exact for negatives in two's
+        complement — and in Python ints);
+      AC first (Ss>0, Ah=0): single component, EOB-run coded;
+      AC refine (Ss>0, Ah>0): correction bits for already-nonzero
+        coefficients + ±1<<Al insertions, run/EOB semantics over
+        ZERO-HISTORY positions only.
+    Returns the byte position of the next marker, or None on corrupt
+    input.  Restart markers reset predictors and the EOB run."""
+    reader = _JpegBitReader(data, pos)
+    p1, m1 = 1 << Al, -1 << Al
+    eobrun = 0
+    pred = [0] * ncomps
+    n_rst = 0
+
+    def refine_nonzero(block, k):
+        b = reader.read_bit()
+        if b is None:
+            return False
+        if b and (block[k] & p1) == 0:
+            block[k] += p1 if block[k] >= 0 else m1
+        return True
+
+    if Ss == 0:  # DC scan: interleaved MCU order (ns>1) or block order
+        if Se != 0:
+            return None
+        units = []
+        if len(scomps) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, c in scomps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                units.append((ci, c, my * c["v"] + by, mx * c["h"] + bx))
+            per_rst = sum(c["v"] * c["h"] for _, c in scomps)
+        else:
+            ci, c = scomps[0]
+            units = [(ci, c, by, bx) for by in range(c["bh"]) for bx in range(c["bw"])]
+            per_rst = 1
+        for u, (ci, c, by, bx) in enumerate(units):
+            if restart_interval and u and u % (restart_interval * per_rst) == 0:
+                if not reader.sync_restart(n_rst):
+                    return None
+                n_rst = (n_rst + 1) & 7
+                pred = [0] * ncomps
+            blk = c["coef"][by, bx]
+            if Ah == 0:
+                t = _jpeg_decode_huff(reader, c["dc"])
+                if t is None or t > 11:
+                    return None
+                diff = reader.read_bits(t) if t else 0
+                if diff is None:
+                    return None
+                pred[ci] += _jpeg_extend(diff, t)
+                blk[0] = pred[ci] << Al
+            else:
+                b = reader.read_bit()
+                if b is None:
+                    return None
+                if b:
+                    blk[0] |= p1
+        return _jpeg_next_marker(data, reader.pos)
+
+    # AC scans: exactly one component, raster over its TRUE block grid
+    if len(scomps) != 1:
+        return None
+    ci, c = scomps[0]
+    for u in range(c["bh"] * c["bw"]):
+        if restart_interval and u and u % restart_interval == 0:
+            if not reader.sync_restart(n_rst):
+                return None
+            n_rst = (n_rst + 1) & 7
+            eobrun = 0
+        blk = c["coef"][u // c["bw"], u % c["bw"]]
+        if Ah == 0:  # AC first scan
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = Ss
+            while k <= Se:
+                rs = _jpeg_decode_huff(reader, c["ac"])
+                if rs is None:
+                    return None
+                run, size = rs >> 4, rs & 15
+                if size == 0:
+                    if run != 15:
+                        eobrun = (1 << run) - 1
+                        if run:
+                            ext = reader.read_bits(run)
+                            if ext is None:
+                                return None
+                            eobrun += ext
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > Se:
+                    return None
+                v = reader.read_bits(size)
+                if v is None:
+                    return None
+                blk[k] = _jpeg_extend(v, size) << Al
+                k += 1
+            continue
+        # AC refinement scan
+        k = Ss
+        if eobrun == 0:
+            while k <= Se:
+                rs = _jpeg_decode_huff(reader, c["ac"])
+                if rs is None:
+                    return None
+                run, size = rs >> 4, rs & 15
+                newval = 0
+                if size:
+                    if size != 1:
+                        return None  # refinement codes only ±1
+                    b = reader.read_bit()
+                    if b is None:
+                        return None
+                    newval = p1 if b else m1
+                elif run != 15:
+                    eobrun = 1 << run
+                    if run:
+                        ext = reader.read_bits(run)
+                        if ext is None:
+                            return None
+                        eobrun += ext
+                    break
+                # advance over `run` ZERO-HISTORY positions, emitting a
+                # correction bit for every nonzero coefficient passed
+                while k <= Se:
+                    if blk[k] != 0:
+                        if not refine_nonzero(blk, k):
+                            return None
+                    else:
+                        if run == 0:
+                            if newval:
+                                blk[k] = newval
+                            k += 1
+                            break
+                        run -= 1
+                    k += 1
+                else:
+                    # ran past Se mid-advance: only legal for ZRL tails
+                    if newval:
+                        return None
+        if eobrun > 0:
+            while k <= Se:
+                if blk[k] != 0 and not refine_nonzero(blk, k):
+                    return None
+                k += 1
+            eobrun -= 1
+    return _jpeg_next_marker(data, reader.pos)
+
+
+def _jpeg_render_progressive(w, h, comps, qt, hmax, vmax):
+    """Final reconstruction once every scan is in: dequantize the
+    accumulated coefficient arrays (zigzag -> natural), batched inverse
+    DCT over all blocks per component, then the shared assemble tail."""
+    import numpy as np
+
+    global _DCT_M
+    if _DCT_M is None:
+        _DCT_M = _jpeg_dct_matrix()
+    zz = _JPEG_ZIGZAG
+    planes = []
+    for c in comps:
+        if c["tq"] not in qt:
+            return None
+        q = np.array(qt[c["tq"]], dtype=np.float64)
+        coef = c["coef"].astype(np.float64)  # (by, bx, 64) zigzag order
+        nat = np.zeros_like(coef)
+        nat[:, :, zz] = coef * q
+        blocks = nat.reshape(coef.shape[0], coef.shape[1], 8, 8)
+        spat = _DCT_M.T @ blocks @ _DCT_M + 128.0
+        planes.append(
+            spat.transpose(0, 2, 1, 3).reshape(coef.shape[0] * 8, coef.shape[1] * 8)
+        )
+    return _jpeg_assemble(planes, comps, w, h, hmax, vmax)
+
+
 def _jpeg_pixels(data: bytes):
-    """Dependency-free BASELINE JPEG decode per ITU-T T.81 (the public
-    JPEG spec): marker walk, DQT/DHT/SOF0-SOF1/DRI/SOS, canonical
-    Huffman entropy decode with byte-stuffing and restart-marker
-    resync, dequantize + dezigzag, orthonormal inverse DCT (numpy),
-    chroma upsampling by sample replication (JFIF), YCbCr->RGB.
-    Supports 8-bit precision, 1 (grayscale) or 3 (YCbCr) components,
-    sampling factors 1-2, sequential single-scan files.  Progressive
-    (SOF2), arithmetic coding, 12-bit, and multi-scan files return
-    None (the PIL import-try can still claim them); so does any
-    malformed blob — untrusted input never raises."""
+    """Dependency-free JPEG decode per ITU-T T.81 (the public JPEG
+    spec): marker walk, DQT/DHT/SOF0-SOF2/DRI/SOS, canonical Huffman
+    entropy decode with byte-stuffing and restart-marker resync,
+    dequantize + dezigzag, orthonormal inverse DCT (numpy), chroma
+    upsampling by sample replication (JFIF), YCbCr->RGB.  Supports
+    8-bit precision, 1 (grayscale) or 3 (YCbCr) components, sampling
+    factors 1-2, sequential single-scan files AND progressive (SOF2)
+    multi-scan files — spectral selection, successive approximation
+    (DC/AC first + refinement scans, EOB runs) per T.81 G.2, the
+    encoding most web-scraped JPEGs actually use.  Arithmetic coding,
+    12-bit, and hierarchical files return None (the PIL import-try can
+    still claim them); so does any malformed blob — untrusted input
+    never raises."""
     import struct
 
     import numpy as np
@@ -457,9 +668,12 @@ def _jpeg_pixels(data: bytes):
         huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
         frame = None
         restart_interval = 0
+        progressive = False
+        geom = None  # (comps-with-coef-arrays, hmax, vmax, mcux, mcuy)
+        n_scans = 0
         i = 2
         n = len(data)
-        while i + 4 <= n:
+        while i + 2 <= n:
             if data[i] != 0xFF:
                 return None
             while i + 1 < n and data[i + 1] == 0xFF:
@@ -468,8 +682,14 @@ def _jpeg_pixels(data: bytes):
             if marker == 0x01 or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
-            if marker == 0xD9:  # EOI before any scan
-                return None
+            if marker == 0xD9:  # EOI: render what the scans accumulated
+                if progressive and geom is not None and n_scans:
+                    w, h, comps = frame
+                    hmax, vmax = geom[1], geom[2]
+                    return _jpeg_render_progressive(w, h, comps, qt, hmax, vmax)
+                return None  # sequential EOI-before-scan: nothing decoded
+            if i + 4 > n:
+                return None  # truncated before the segment length
             (seg_len,) = struct.unpack_from(">H", data, i + 2)
             seg = data[i + 4 : i + 2 + seg_len]
             if marker == 0xDB:  # DQT
@@ -501,7 +721,8 @@ def _jpeg_pixels(data: bytes):
                         return None
                     huff[(tc, th)] = tbl
                     j += 17 + nsym
-            elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline sequential
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+                progressive = marker == 0xC2
                 prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
                     return None
@@ -520,33 +741,82 @@ def _jpeg_pixels(data: bytes):
                         return None
                     comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
                 frame = (w, h, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive/arithmetic/hierarchical
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # lossless/arithmetic/hierarchical
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack_from(">H", seg, 0)
-            elif marker == 0xDA:  # SOS — the single scan we decode
+            elif marker == 0xDA:  # SOS
                 if frame is None:
                     return None
                 w, h, comps = frame
                 ns = seg[0]
-                if ns != len(comps):
-                    return None  # multi-scan files unsupported
-                sel = {}
+                if not progressive:
+                    if ns != len(comps):
+                        return None  # sequential multi-scan unsupported
+                    sel = {}
+                    for s in range(ns):
+                        cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                        sel[cs] = (tt >> 4, tt & 15)
+                    for c in comps:
+                        if c["id"] not in sel or c["tq"] not in qt:
+                            return None
+                        td, ta = sel[c["id"]]
+                        if (0, td) not in huff or (1, ta) not in huff:
+                            return None
+                        c["dc"] = huff[(0, td)]
+                        c["ac"] = huff[(1, ta)]
+                        c["q"] = np.array(qt[c["tq"]], dtype=np.float64)
+                    return _jpeg_scan(
+                        data, i + 2 + seg_len, w, h, comps, restart_interval
+                    )
+                # progressive: lazily build the coefficient geometry,
+                # then accumulate this scan and continue the walk
+                if geom is None:
+                    hmax = max(c["h"] for c in comps)
+                    vmax = max(c["v"] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    for c in comps:
+                        cw = -(-(w * c["h"]) // hmax)
+                        ch_ = -(-(h * c["v"]) // vmax)
+                        c["bw"], c["bh"] = -(-cw // 8), -(-ch_ // 8)
+                        c["coef"] = np.zeros(
+                            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
+                        )
+                    geom = (comps, hmax, vmax, mcux, mcuy)
+                _, _, _, mcux, mcuy = geom
+                if ns < 1 or ns > len(comps) or len(seg) < 1 + 2 * ns + 3:
+                    return None
+                Ss, Se, AhAl = struct.unpack_from(">BBB", seg, 1 + 2 * ns)
+                Ah, Al = AhAl >> 4, AhAl & 15
+                if not (Ss <= Se <= 63) or Al > 13:
+                    return None
+                by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+                scomps = []
                 for s in range(ns):
                     cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
-                    sel[cs] = (tt >> 4, tt & 15)
-                for c in comps:
-                    if c["id"] not in sel or c["tq"] not in qt:
+                    if cs not in by_id:
                         return None
-                    td, ta = sel[c["id"]]
-                    if (0, td) not in huff or (1, ta) not in huff:
-                        return None
-                    c["dc"] = huff[(0, td)]
-                    c["ac"] = huff[(1, ta)]
-                    c["q"] = np.array(qt[c["tq"]], dtype=np.float64)
-                return _jpeg_scan(
-                    data, i + 2 + seg_len, w, h, comps, restart_interval
+                    ci, c = by_id[cs]
+                    td, ta = tt >> 4, tt & 15
+                    if Ss == 0 and Ah == 0:  # DC first needs a DC table
+                        if (0, td) not in huff:
+                            return None
+                        c["dc"] = huff[(0, td)]
+                    if Ss > 0:  # AC scans need an AC table
+                        if (1, ta) not in huff:
+                            return None
+                        c["ac"] = huff[(1, ta)]
+                    scomps.append((ci, c))
+                nxt = _jpeg_progressive_scan(
+                    data, i + 2 + seg_len, scomps, Ss, Se, Ah, Al,
+                    restart_interval, mcux, mcuy, len(comps),
                 )
+                if nxt is None:
+                    return None
+                n_scans += 1
+                i = nxt
+                continue
             i += 2 + seg_len
         return None
     except (IndexError, ValueError, struct.error):
@@ -637,7 +907,15 @@ def _jpeg_scan(data, pos, w, h, comps, restart_interval):
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spat
-    # upsample to full resolution by sample replication, crop to (h, w)
+    return _jpeg_assemble(planes, comps, w, h, hmax, vmax)
+
+
+def _jpeg_assemble(planes, comps, w, h, hmax, vmax):
+    """Shared tail of both JPEG paths: upsample each component plane to
+    full resolution by sample replication (JFIF), crop to (h, w),
+    YCbCr->RGB (or replicate grayscale)."""
+    import numpy as np
+
     full = []
     for ci, c in enumerate(comps):
         sy, sx = vmax // c["v"], hmax // c["h"]
@@ -849,8 +1127,9 @@ def _image_features_stdlib(content: bytes) -> list[float] | None:
     since round 6 — integer-luma grayscale ((299r + 587g + 114b) //
     1000), 4×4 box-average downsample with integer means — fully
     deterministic, so tests pin exact features (JPEG within the
-    codec's rounding tolerance).  Only progressive JPEG still goes
-    through the PIL import-try.
+    codec's rounding tolerance; progressive JPEG decodes real since
+    round 10 — byte-identical to the sequential decode of the same
+    coefficients).
     """
     decoded = (
         _bmp_pixels(content)
@@ -1335,7 +1614,7 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
                         raise NotImplementedError(
                             f"no encoder available for media_type={mtype!r} "
                             "(PIL/soundfile not installed, or unsupported "
-                            "exotic format; BMP/PNM/PNG/GIF/baseline-JPEG images and "
+                            "exotic format; BMP/PNM/PNG/GIF/JPEG (baseline+progressive) images and "
                             "PCM WAV decode real without any lib); "
                             "use fake=True for the deterministic test encoder"
                         )
