@@ -449,21 +449,21 @@ def kmv_jaccard(sk: DataFrame, by: str = "source") -> DataFrame:
     inter / kk).  Every relation here is sketch-sized (|groups| * k),
     so the pair fan-out broadcasts — the corpus is long gone.
 
-    The sketch is MATERIALIZED here (one collect into a local
-    relation): this function references it from four plan branches
-    (group list, A side, B side), and without materialization each
-    branch re-runs the whole corpus-distinct + two-phase rank that
-    built it — a ~6x corpus recompute the plan audit caught at round
-    9.  A local table beats persist() for this: the sketch is bounded
-    (|groups| * k rows by construction, the same class as the trained
-    IVFADC codebooks), every branch reads a LocalTableScan, and
-    nothing is left registered in the CacheManager afterwards —
-    persist() entries are never auto-evicted, so repeated invocations
-    (bench re-runs, every sink.jaccard() call) were each leaking a
-    cached DataFrame for the lifetime of the session (ADVICE r9)."""
+    The sketch is persisted only WITHIN this call: four plan branches
+    reference it (group list, A side, B side), and without a cache
+    each branch re-runs the whole corpus-distinct + two-phase rank
+    that built it — a ~6x corpus recompute the plan audit caught at
+    round 9.  The bounded result (one row per group pair) is then
+    eagerly localCheckpointed and the sketch cache RELEASED before
+    returning: persist() entries are never auto-evicted from the
+    CacheManager, so the previous leave-it-cached form leaked one
+    entry per invocation for the session lifetime (ADVICE r9) —
+    checkpoint blocks, by contrast, are ContextCleaner-collected with
+    the DataFrame, and re-executions read the materialized pairs
+    instead of replaying the corpus scan."""
     from pyspark.sql.window import Window
 
-    sk = sk.sparkSession.createDataFrame(sk.collect(), sk.schema)
+    sk = sk.persist()
     srcs = sk.select(F.col(by).alias("_s")).distinct()
     pairs = (
         srcs.select(F.col("_s").alias("src_a"))
@@ -485,7 +485,7 @@ def kmv_jaccard(sk: DataFrame, by: str = "source") -> DataFrame:
     )
     w = Window.partitionBy("src_a", "src_b").orderBy("h")
     top = both.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= KMV_K)
-    return top.groupBy("src_a", "src_b").agg(
+    out = top.groupBy("src_a", "src_b").agg(
         F.max("rn").cast("long").alias("kk"),
         F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("inter"),
     ).select(
@@ -495,6 +495,9 @@ def kmv_jaccard(sk: DataFrame, by: str = "source") -> DataFrame:
         "inter",
         F.floor(F.col("inter") * 10000 / F.col("kk")).cast("long").alias("jacc4"),
     )
+    out = out.localCheckpoint(eager=True)
+    sk.unpersist()
+    return out
 
 
 def kmv_sql_ctes(by: str = "source") -> str:
