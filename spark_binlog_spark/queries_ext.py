@@ -526,14 +526,17 @@ FROM documents GROUP BY lang
 
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: connected components over the MinHash
-    candidate-pair graph, min-label propagation looped from the driver
-    TO A FIXPOINT (dedup.min_label_components — the kmeans_train
-    driver-loop pattern).  Exact for ANY component diameter, unlike the
-    earlier unrolled-3-rounds form; the oracle is exact too via a
-    recursive transitive-closure CTE."""
+    candidate-pair graph via ALTERNATING large-star/small-star
+    (dedup.star_components, Kiveris et al. 2014) — O(log^2 n) rounds
+    regardless of component diameter, vs rounds = diameter for the
+    min-label form (which q_dedup_canonical still exercises; both are
+    property-tested equal to a union-find oracle).  A web-scale dup
+    graph has chain families hundreds of hops deep, so round count is
+    the scale axis here.  The SQL oracle is exact via a recursive
+    transitive-closure CTE."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_candidate_pairs(docs, min_agree=2).select("doc_a", "doc_b")
-    return dedup.min_label_components(pairs)
+    return dedup.star_components(pairs)
 
 
 # the recursive CTE materializes each vertex's full reachable set and

@@ -523,6 +523,115 @@ class TestMinLabelComponents:
             200: 200, 201: 200, 202: 200,
         }
 
+    @staticmethod
+    def _union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # canonicalize to min-of-component
+        return {x: find(x) for x in list(parent)}
+
+    def test_star_components_matches_union_find_and_min_label(self, spark):
+        """star_components (Kiveris two-phase) must produce the exact
+        (vertex, min-of-component) map a union-find oracle computes —
+        and agree with min_label_components — on a graph mixing a deep
+        chain, a star, a cycle, bridges and an isolated pair."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions.dedup import (
+            min_label_components,
+            star_components,
+        )
+
+        edges = (
+            [(i + 1, i) for i in range(10, 30)]          # 21-node chain
+            + [(500, v) for v in range(40, 50)]           # star
+            + [(60, 61), (61, 62), (62, 63), (63, 60)]    # cycle
+            + [(30, 40)]                                  # bridge chain<->star... (30 in chain? 30 is chain end)
+            + [(900, 901)]                                # isolated pair
+        )
+        want = self._union_find(edges)
+        pairs = spark.createDataFrame([Row(doc_a=u, doc_b=v) for u, v in edges])
+        got = {r["doc_id"]: r["component"] for r in star_components(pairs).collect()}
+        assert got == want
+        got_ml = {
+            r["doc_id"]: r["component"]
+            for r in min_label_components(pairs).collect()
+        }
+        assert got_ml == want
+
+    def test_star_components_random_graphs_match_oracle(self, spark):
+        """Randomized battery: star_components == union-find on 5
+        seeded random graphs (the determinism contract is per-graph
+        exactness, not luck)."""
+        import random
+
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions.dedup import star_components
+
+        for seed in range(5):
+            rng = random.Random(seed)
+            n = 60
+            edges = sorted(
+                {
+                    (max(u, v), min(u, v))
+                    for u, v in (
+                        (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+                    )
+                    if u != v
+                }
+            )
+            want = self._union_find(edges)
+            pairs = spark.createDataFrame([Row(doc_a=u, doc_b=v) for u, v in edges])
+            got = {
+                r["doc_id"]: r["component"]
+                for r in star_components(pairs).collect()
+            }
+            assert got == want, f"seed {seed}"
+
+    def test_star_components_deep_path_converges_in_log_rounds(self, spark):
+        """The scale claim itself: a 128-node path (diameter 127) must
+        converge in O(log^2 n) alternations — min-label would need 127
+        full-edge shuffles here; the star form must finish in far fewer
+        (asserted <= 12 by instrumenting the checkpoint count)."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import dedup
+
+        rounds = 0
+        orig = dedup.DataFrame.localCheckpoint
+
+        def counting(self, eager=True):
+            nonlocal rounds
+            rounds += 1
+            return orig(self, eager=eager)
+
+        pairs = spark.createDataFrame(
+            [Row(doc_a=i + 1, doc_b=i) for i in range(127)]
+        )
+        dedup.DataFrame.localCheckpoint = counting
+        try:
+            got = {
+                r["doc_id"]: r["component"]
+                for r in dedup.star_components(pairs).collect()
+            }
+        finally:
+            dedup.DataFrame.localCheckpoint = orig
+        assert got == {v: 0 for v in range(128)}
+        # one checkpoint per round + the initial canon checkpoint
+        assert rounds <= 12, f"took {rounds} checkpoints for diameter 127"
+
 
 class TestDecodeBalance:
     def test_skewed_media_spreads_across_partitions(self, spark):
