@@ -184,6 +184,131 @@ class LiveBinlogIngestor:
         return final
 
 
+class RegionWalIngestor:
+    """Region-mode (HBase rolled-WAL, S2) analogue of
+    ``LiveBinlogIngestor``: routes each row event to its owning region
+    (``user_id % n_regions`` — the source's region-ownership rule) and
+    publishes ``dest/region=K/<prefix>.%06d``, the exact layout the
+    region-mode stream reader tails.  Mirrors a live WAL reader's
+    semantics:
+
+    - ONE global event-id sequence shared across regions (region
+      offsets index the shared sequence — binlog_fixture's region
+      offset rule);
+    - ``on_roll`` rolls EVERY region at once (time-triggered WAL rolls
+      hit all regionservers at about the same log point), publishing
+      an EMPTY file for a quiet region — the reader's file-id
+      contiguity check counts empty rolls as present;
+    - resume recovers the sequence, the active file id, and each
+      region's active rows from the store itself.
+    """
+
+    def __init__(self, dest_dir: str, n_regions: int, prefix: str = "wal"):
+        self.dest_dir = dest_dir
+        self.n_regions = n_regions
+        self.prefix = prefix
+        self._fid = 1
+        self._next_eid = 0
+        self._buf: dict[int, list] = {r: [] for r in range(n_regions)}
+        for r in range(n_regions):
+            os.makedirs(os.path.join(dest_dir, f"region={r}"), exist_ok=True)
+        self._resume()
+
+    def _region_dir(self, r: int) -> str:
+        return os.path.join(self.dest_dir, f"region={r}")
+
+    def _resume(self) -> None:
+        import pyarrow.parquet as pq
+
+        last_fid, max_eid = 0, -1
+        for r in range(self.n_regions):
+            for name in os.listdir(self._region_dir(r)):
+                m = re.match(re.escape(self.prefix) + r"\.(\d{6})$", name)
+                if m:
+                    last_fid = max(last_fid, int(m.group(1)))
+        if last_fid == 0:
+            return
+        self._fid = last_fid
+        for r in range(self.n_regions):
+            fp = os.path.join(self._region_dir(r), f"{self.prefix}.{last_fid:06d}")
+            if not os.path.exists(fp):
+                continue
+            tbl = pq.read_table(fp)
+            rows = list(
+                zip(
+                    tbl.column("event_id").to_pylist(),
+                    tbl.column("ts").cast("int64").to_pylist(),
+                    tbl.column("user_id").to_pylist(),
+                    tbl.column("event_type").to_pylist(),
+                    tbl.column("value").to_pylist(),
+                    tbl.column("props").to_pylist(),
+                )
+            )
+            self._buf[r] = rows
+            if rows:
+                max_eid = max(max_eid, max(x[0] for x in rows))
+        # rolled (non-active) files also bound the sequence
+        from spark_binlog_spark.sources.binlog_fixture import _region_segment_index
+
+        for r in range(self.n_regions):
+            try:
+                for seg in _region_segment_index(self._region_dir(r)):
+                    max_eid = max(max_eid, seg["max"])
+            except ValueError:
+                pass  # region with only empty files: no spans
+        self._next_eid = max_eid + 1
+
+    def on_row_event(
+        self,
+        op: str,
+        timestamp: int,
+        user_id: int,
+        value: float | None = None,
+        props: str | None = None,
+    ) -> int:
+        et = _OP_TO_EVENT_TYPE.get(op)
+        if et is None:
+            raise ValueError(f"unknown row op {op!r} (insert/update/delete)")
+        eid = self._next_eid
+        self._next_eid += 1
+        self._buf[int(user_id) % self.n_regions].append(
+            (eid, int(timestamp) * 1_000_000_000, int(user_id), et,
+             float(value) if value is not None else None, props)
+        )
+        return eid
+
+    def flush(self) -> None:
+        """Publish every region's active segment (atomic rename).
+        Quiet regions publish EMPTY files: presence is load-bearing for
+        the reader's file-id contiguity failfast."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for r in range(self.n_regions):
+            rows = self._buf[r]
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([x[0] for x in rows], pa.int64()),
+                    "ts": pa.array([x[1] for x in rows], pa.timestamp("ns")),
+                    "user_id": pa.array([x[2] for x in rows], pa.int64()),
+                    "event_type": pa.array([x[3] for x in rows], pa.string()),
+                    "value": pa.array([x[4] for x in rows], pa.float64()),
+                    "props": pa.array([x[5] for x in rows], pa.string()),
+                }
+            )
+            final = os.path.join(self._region_dir(r), f"{self.prefix}.{self._fid:06d}")
+            tmp = final + ".inprogress"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, final)
+
+    def on_roll(self) -> None:
+        """Time-triggered roll: publish all active segments, open the
+        next file id in every region."""
+        self.flush()
+        self._fid += 1
+        self._buf = {r: [] for r in range(self.n_regions)}
+
+
 def pump(stream, ingestor: LiveBinlogIngestor, max_events: int | None = None) -> int:
     """Drain a python-mysql-replication-style event iterator into the
     store.  Duck-typed on the public package's event classes:

@@ -163,6 +163,67 @@ class TestSparkContract:
         second = run_once("live_seam_b")
         assert sorted(int(o) for o in second) == [4, 5]
 
+    def test_region_wal_seam_serves_region_mode_stream(self, spark, tmp_path):
+        """S2 seam: a scripted WAL-reader drives RegionWalIngestor —
+        rows route to region = user_id % n, rolls hit every region
+        (publishing EMPTY files for quiet regions), and the UNCHANGED
+        region-mode stream reader serves the result with its
+        {region: seq} map offsets: exactly-once across a
+        roll-under-checkpoint, quiet regions included."""
+        import json as _json
+
+        from spark_binlog_spark.sources.binlog_fixture import register
+        from spark_binlog_spark.sources.live_client import RegionWalIngestor
+
+        register(spark)
+        store = str(tmp_path / "walstore")
+        ck = str(tmp_path / "ck")
+        n_regions = 4
+        ing = RegionWalIngestor(store, n_regions)
+        # uids 0..5: regions 0..3 active, rows 6,7 land in 2,3 — region
+        # coverage is uneven by design (quiet regions must still roll)
+        for i in range(6):
+            ing.on_row_event("insert", T0 + i, uid := i, value=float(i))
+        ing.on_roll()  # wal.000001 published in ALL regions
+        ing.on_row_event("update", T0 + 9, 2, value=9.0)
+        # flush publishes the active wal.000002 in EVERY region — one
+        # row in region 2, empty-but-present files in the quiet ones
+        ing.flush()
+
+        def run_once(name):
+            got = []
+
+            def sink(bdf, bid):
+                got.extend(
+                    (e["rows"][0]["pk"], e["rows"][0]["cdc_offset"])
+                    for e in (_json.loads(r["line"]) for r in bdf.collect())
+                )
+
+            q = (
+                spark.readStream.format("binlog_fixture").option("path", store)
+                .option("regions", str(n_regions)).load()
+                .selectExpr("CAST(value AS STRING) AS line")
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return got
+
+        first = run_once("region_seam_a")
+        assert sorted(o for _, o in first) == list(range(7))
+        assert sorted(first) == sorted(
+            [(i, i) for i in range(6)] + [(2, 6)]
+        )
+        # roll again while the stream is down; a RESUMED ingestor must
+        # recover the sequence and active file id from the store
+        ing2 = RegionWalIngestor(store, n_regions)
+        ing2.on_row_event("delete", T0 + 20, 5)
+        ing2.on_roll()
+        second = run_once("region_seam_b")
+        assert sorted(o for _, o in second) == [7]
+
     def test_connect_live_is_import_gated(self, tmp_path):
         pytest.importorskip  # (doc: gate below mirrors delta_sink's)
         try:
