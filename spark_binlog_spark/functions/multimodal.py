@@ -485,6 +485,61 @@ def _jpeg_progressive_scan(
             block[k] += p1 if block[k] >= 0 else m1
         return True
 
+    if Ss == 0 and Se == 63:
+        # FULL sequential scan routed through the accumulator (a
+        # multi-scan SOF0 file: each scan carries complete DC+AC for a
+        # component subset, e.g. a Y scan then chroma scans)
+        if Ah or Al:
+            return None
+        units = []
+        if len(scomps) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, c in scomps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                units.append((ci, c, my * c["v"] + by, mx * c["h"] + bx))
+            per_rst = sum(c["v"] * c["h"] for _, c in scomps)
+        else:
+            ci, c = scomps[0]
+            units = [(ci, c, by, bx) for by in range(c["bh"]) for bx in range(c["bw"])]
+            per_rst = 1
+        for u, (ci, c, by, bx) in enumerate(units):
+            if restart_interval and u and u % (restart_interval * per_rst) == 0:
+                if not reader.sync_restart(n_rst):
+                    return None
+                n_rst = (n_rst + 1) & 7
+                pred = [0] * ncomps
+            blk = c["coef"][by, bx]
+            t = _jpeg_decode_huff(reader, c["dc"])
+            if t is None or t > 11:
+                return None
+            diff = reader.read_bits(t) if t else 0
+            if diff is None:
+                return None
+            pred[ci] += _jpeg_extend(diff, t)
+            blk[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = _jpeg_decode_huff(reader, c["ac"])
+                if rs is None:
+                    return None
+                run, size = rs >> 4, rs & 15
+                if size == 0:
+                    if run == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    return None
+                v = reader.read_bits(size)
+                if v is None:
+                    return None
+                blk[k] = _jpeg_extend(v, size)
+                k += 1
+        return _jpeg_next_marker(data, reader.pos)
+
     if Ss == 0:  # DC scan: interleaved MCU order (ns>1) or block order
         if Se != 0:
             return None
@@ -650,11 +705,12 @@ def _jpeg_pixels(data: bytes):
     dequantize + dezigzag, orthonormal inverse DCT (numpy), chroma
     upsampling by sample replication (JFIF), YCbCr->RGB.  Supports
     8-bit precision, 1 (grayscale) or 3 (YCbCr) components, sampling
-    factors 1-2, sequential single-scan files AND progressive (SOF2)
-    multi-scan files — spectral selection, successive approximation
-    (DC/AC first + refinement scans, EOB runs) per T.81 G.2, the
-    encoding most web-scraped JPEGs actually use.  Arithmetic coding,
-    12-bit, and hierarchical files return None (the PIL import-try can
+    factors 1-2, sequential files (single-scan interleaved AND the
+    multi-scan one-component-per-scan layout) plus progressive (SOF2)
+    files — spectral selection, successive approximation (DC/AC first
+    + refinement scans, EOB runs) per T.81 G.2, the encoding most
+    web-scraped JPEGs actually use.  Arithmetic coding, 12-bit, and
+    hierarchical files return None (the PIL import-try can
     still claim them); so does any malformed blob — untrusted input
     never raises."""
     import struct
@@ -683,11 +739,11 @@ def _jpeg_pixels(data: bytes):
                 i += 2
                 continue
             if marker == 0xD9:  # EOI: render what the scans accumulated
-                if progressive and geom is not None and n_scans:
+                if geom is not None and n_scans:
                     w, h, comps = frame
                     hmax, vmax = geom[1], geom[2]
                     return _jpeg_render_progressive(w, h, comps, qt, hmax, vmax)
-                return None  # sequential EOI-before-scan: nothing decoded
+                return None  # EOI before any decodable scan
             if i + 4 > n:
                 return None  # truncated before the segment length
             (seg_len,) = struct.unpack_from(">H", data, i + 2)
@@ -750,9 +806,9 @@ def _jpeg_pixels(data: bytes):
                     return None
                 w, h, comps = frame
                 ns = seg[0]
-                if not progressive:
-                    if ns != len(comps):
-                        return None  # sequential multi-scan unsupported
+                if not progressive and ns == len(comps) and geom is None:
+                    # single-scan sequential fast path (decode + IDCT
+                    # per block in one pass, no coefficient arrays)
                     sel = {}
                     for s in range(ns):
                         cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
@@ -769,7 +825,8 @@ def _jpeg_pixels(data: bytes):
                     return _jpeg_scan(
                         data, i + 2 + seg_len, w, h, comps, restart_interval
                     )
-                # progressive: lazily build the coefficient geometry,
+                # multi-scan (progressive OR sequential-with-component-
+                # subset scans): lazily build the coefficient geometry,
                 # then accumulate this scan and continue the walk
                 if geom is None:
                     hmax = max(c["h"] for c in comps)
@@ -799,11 +856,11 @@ def _jpeg_pixels(data: bytes):
                         return None
                     ci, c = by_id[cs]
                     td, ta = tt >> 4, tt & 15
-                    if Ss == 0 and Ah == 0:  # DC first needs a DC table
+                    if Ss == 0 and Ah == 0:  # DC-carrying scans need a DC table
                         if (0, td) not in huff:
                             return None
                         c["dc"] = huff[(0, td)]
-                    if Ss > 0:  # AC scans need an AC table
+                    if Se > 0:  # AC-carrying scans (incl. full sequential)
                         if (1, ta) not in huff:
                             return None
                         c["ac"] = huff[(1, ta)]

@@ -632,7 +632,8 @@ def _jpeg_encode(img, subsample=False, restart_interval=0):
     return out
 
 
-def _jpeg_encode_progressive(img, subsample=False, restart_interval=0):
+def _jpeg_encode_progressive(img, subsample=False, restart_interval=0,
+                             sequential_multiscan=False):
     """Spec-correct PROGRESSIVE JPEG writer (ITU-T T.81 Annex G) for
     the tests: the same color/forward-DCT/all-ones-quant front end as
     ``_jpeg_encode``, then a ten-scan script exercising every
@@ -643,7 +644,10 @@ def _jpeg_encode_progressive(img, subsample=False, restart_interval=0):
     ±1 insertions, EOB runs carrying buffered bits).  Because the
     quantized coefficients are IDENTICAL to the sequential encoder's,
     a correct decoder must produce byte-identical pixels for both
-    files.  ``restart_interval`` plants RSTn markers in every scan."""
+    files.  ``restart_interval`` plants RSTn markers in every scan.
+    ``sequential_multiscan=True`` instead writes a SOF0 file with one
+    COMPLETE (DC+AC) scan per component — the non-interleaved
+    sequential layout some real encoders emit."""
     import math
     import struct
 
@@ -935,6 +939,47 @@ def _jpeg_encode_progressive(img, subsample=False, restart_interval=0):
         entropy += flush_bytes()
         return bytes(entropy)
 
+    def full_scan(ci):
+        """Complete sequential DC+AC coding of one component (the
+        per-component multi-scan SOF0 layout some encoders emit)."""
+        entropy = bytearray()
+        c = comps[ci]
+        pred = 0
+        n_rst = 0
+        for u in range(c["bh"] * c["bw"]):
+            if restart_interval and u and u % restart_interval == 0:
+                entropy += flush_bytes() + bytes([0xFF, 0xD0 + n_rst])
+                n_rst = (n_rst + 1) & 7
+                pred = 0
+            blk = c["coef"][u // c["bw"], u % c["bw"]]
+            diff = int(blk[0]) - pred
+            pred = int(blk[0])
+            t = abs(diff).bit_length()
+            ln, code = dc_code[t]
+            put(ln, code)
+            put(t, sig_bits(diff, t))
+            last_nz = max((k for k in range(1, 64) if int(blk[k])), default=0)
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_code[0xF0]
+                    put(ln, code)
+                    run -= 16
+                s = abs(v).bit_length()
+                ln, code = ac_code[(run << 4) | s]
+                put(ln, code)
+                put(s, sig_bits(v, s))
+                run = 0
+            if last_nz < 63:
+                ln, code = ac_code[0x00]
+                put(ln, code)
+        entropy += flush_bytes()
+        return bytes(entropy)
+
     # ---- container ----------------------------------------------------
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -946,7 +991,7 @@ def _jpeg_encode_progressive(img, subsample=False, restart_interval=0):
     sof = struct.pack(">BHHB", 8, h, w, 3)
     for cid, c in zip((1, 2, 3), comps):
         sof += bytes([cid, (c["h"] << 4) | c["v"], 0])
-    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC0 if sequential_multiscan else 0xC2, sof)
     out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(range(12)))
     out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(range(256)))
     if restart_interval:
@@ -958,6 +1003,11 @@ def _jpeg_encode_progressive(img, subsample=False, restart_interval=0):
             body += bytes([ci + 1, 0x00])
         body += bytes([Ss, Se, (Ah << 4) | Al])
         return seg(0xDA, body) + entropy
+
+    if sequential_multiscan:
+        for ci in range(3):
+            out += sos([ci], 0, 63, 0, 0, full_scan(ci))
+        return out + b"\xff\xd9"
 
     out += sos([0, 1, 2], 0, 0, 0, 1, dc_first([0, 1, 2], 1))
     out += sos([0], 1, 5, 0, 1, ac_first(0, 1, 5, 1))
@@ -1038,6 +1088,61 @@ class TestProgressiveJpegProperties:
             for c in range(w):
                 for ch in range(3):
                     assert abs(got[2][r][c][ch] - img[r][c][ch]) <= TestJpegDecoderProperties.TOL
+
+    @given(
+        pos=st.integers(0, 10_000),
+        val=st.integers(0, 255),
+        seed=st.integers(0, 2**31),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_progressive_mutation_fuzz_never_raises(self, pos, val, seed):
+        """Structured fuzz: corrupt ONE byte of a valid progressive
+        file (marker bytes, scan headers, entropy data — wherever
+        `pos` lands) — the decoder must return pixels or None, never
+        raise.  Random-bytes fuzz almost never reaches the multi-scan
+        machinery; byte-flipping a valid file exercises every branch
+        with adversarial inputs."""
+        from spark_binlog_spark.functions.multimodal import _jpeg_pixels
+
+        rng = [(seed * (i + 13) * 2654435761) % 256 for i in range(10 * 9 * 3)]
+        img = [
+            [tuple(rng[(r * 10 + c) * 3 : (r * 10 + c) * 3 + 3]) for c in range(10)]
+            for r in range(9)
+        ]
+        blob = bytearray(_jpeg_encode_progressive(img))
+        blob[pos % len(blob)] = val
+        out = _jpeg_pixels(bytes(blob))
+        assert out is None or (len(out) == 3 and out[0] > 0 and out[1] > 0)
+
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        seed=st.integers(0, 2**31),
+        sub=st.booleans(),
+        restart=st.sampled_from([0, 2]),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_sequential_multiscan_equals_interleaved(self, w, h, seed, sub, restart):
+        """SOF0 with one complete scan per component (the
+        non-interleaved sequential layout) must decode byte-identical
+        to the interleaved single-scan file of the same coefficients —
+        the multi-scan accumulator handling a SEQUENTIAL frame."""
+        from spark_binlog_spark.functions.multimodal import _jpeg_pixels
+
+        rng = [(seed * (i + 17) * 2654435761) % 256 for i in range(w * h * 3)]
+        img = [
+            [tuple(rng[(r * w + c) * 3 : (r * w + c) * 3 + 3]) for c in range(w)]
+            for r in range(h)
+        ]
+        seq = _jpeg_pixels(_jpeg_encode(img, subsample=sub, restart_interval=restart))
+        multi = _jpeg_pixels(
+            _jpeg_encode_progressive(
+                img, subsample=sub, restart_interval=restart,
+                sequential_multiscan=True,
+            )
+        )
+        assert multi is not None
+        assert multi == seq
 
     def test_progressive_probe_and_truncation(self):
         """The header probe reports SOF2 dims, and a progressive file
