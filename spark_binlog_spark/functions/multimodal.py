@@ -997,6 +997,11 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int):
     LSB-first, CLEAR resets the table, EOI ends the stream, code width
     grows when the next entry would not fit (capped at 12 bits).
     Returns the index stream (list of palette indices) or None."""
+    if not (1 <= min_code_size <= 8):
+        # untrusted byte from the wire: the spec caps the LZW minimum
+        # code size at 8 (256-entry root table); larger values would
+        # build byte values >= 256 (mutation-fuzz finding, round 10)
+        return None
     clear = 1 << min_code_size
     eoi = clear + 1
     out: list[int] = []

@@ -1864,3 +1864,70 @@ class TestBm25ScoreProperties:
             assert v < 2**63
         # asymptote: tf/(10 tf T + ...) -> 1/(10 T) ⇒ score ≤ n*22*10^4/(10 df)
         assert s2 <= (n * 22 * 10000) // (10 * df) + 1
+
+
+class TestDecoderMutationFuzz:
+    """Single-byte corruption of VALID media files — the adversarial
+    form of the untrusted-bytes contract.  Arbitrary-bytes fuzz almost
+    never survives the magic/header checks, so it exercises little of
+    the entropy/inflate machinery; flipping one byte of a well-formed
+    file lands adversarial values in every later decode stage.  The
+    contract everywhere: a value or None, never a raise."""
+
+    @staticmethod
+    def _img(w, h, seed):
+        rng = [(seed * (i + 19) * 2654435761) % 256 for i in range(w * h * 3)]
+        return [
+            [tuple(rng[(r * w + c) * 3 : (r * w + c) * 3 + 3]) for c in range(w)]
+            for r in range(h)
+        ]
+
+    @given(pos=st.integers(0, 10_000), val=st.integers(0, 255), seed=st.integers(0, 2**31))
+    @settings(max_examples=150, deadline=None)
+    def test_png_mutation(self, pos, val, seed):
+        from spark_binlog_spark.functions.multimodal import _png_pixels
+
+        blob = bytearray(_png_encode(self._img(9, 7, seed), 2, [0, 1, 2, 3, 4]))
+        blob[pos % len(blob)] = val
+        out = _png_pixels(bytes(blob))
+        assert out is None or (len(out) == 3 and out[0] > 0 and out[1] > 0)
+
+    @given(pos=st.integers(0, 10_000), val=st.integers(0, 255), seed=st.integers(0, 2**31))
+    @settings(max_examples=150, deadline=None)
+    def test_gif_mutation(self, pos, val, seed):
+        from spark_binlog_spark.functions.multimodal import _gif_pixels
+
+        w, h = 9, 7
+        idx = [((seed >> 3) + r * w + c) % 4 for r in range(h) for c in range(w)]
+        palette = [(i * 60 % 256, i * 90 % 256, i * 30 % 256) for i in range(4)]
+        blob = bytearray(_gif_encode(w, h, idx, palette))
+        blob[pos % len(blob)] = val
+        out = _gif_pixels(bytes(blob))
+        assert out is None or (len(out) == 3 and out[0] > 0 and out[1] > 0)
+
+    @given(pos=st.integers(0, 10_000), val=st.integers(0, 255), seed=st.integers(0, 2**31))
+    @settings(max_examples=150, deadline=None)
+    def test_flac_mutation(self, pos, val, seed):
+        from spark_binlog_spark.functions.multimodal import _flac_features_stdlib
+
+        n = 24
+        samples = [((seed * (i + 7) * 2654435761) % 65536) - 32768 for i in range(n)]
+        blob = bytearray(
+            _flac_bytes(lambda w: w.subframe_verbatim(samples, 16), n, 16, ch_code=0)
+        )
+        blob[pos % len(blob)] = val
+        out = _flac_features_stdlib(bytes(blob))
+        assert out is None or len(out) == 16
+
+    @given(pos=st.integers(0, 10_000), val=st.integers(0, 255), seed=st.integers(0, 2**31))
+    @settings(max_examples=150, deadline=None)
+    def test_wav_adpcm_mutation(self, pos, val, seed):
+        from spark_binlog_spark.functions.multimodal import (
+            _compressed_wav_features_stdlib,
+        )
+
+        data = bytes((seed * (i + 3) * 2654435761) % 256 for i in range(64))
+        blob = bytearray(_wav_bytes(0x11, 1, 8000, 4, 32, data))  # IMA ADPCM
+        blob[pos % len(blob)] = val
+        out = _compressed_wav_features_stdlib(bytes(blob))
+        assert out is None or len(out) == 16
