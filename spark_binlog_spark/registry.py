@@ -166,6 +166,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # MinHash banding end-to-end), q_dedup_exact (green since r01; the
 # fingerprint fn and exact-dedup shape are graded end-to-end by
 # q_stream_incremental_dedup, whose oracle is the batch form's).
+# Round-11 rotation candidates (the never-graded, non-subsumed
+# remainder after the r10 swap): q_lm_familiarity (trigram LM scoring
+# — partially subsumed by q_stream_ccnet's shared LM machinery),
+# q_stream_schema_epochs (mid-stream ALTER TABLE parse — the one
+# streaming-source behavior without a driver row), q_exact_sample
+# (exact-N reservoir analogue).  Swap-out candidates: any r10 newcomer
+# holding a green row whose shape a neighbor covers.
 PRIORITY = [
     # --- tier 1: operator rows -------------------------------------
     "q_stream_change_counts",   # S1 MySQL binlog streaming scan
