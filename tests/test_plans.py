@@ -669,18 +669,28 @@ class TestSketchPlans:
         assert "Python" not in fold_plan
 
     def test_source_jaccard_salted_rank_no_cartesian(self, spark):
-        """q_source_jaccard: the pairwise fan-out happens on BOUNDED
-        sketch relations via broadcast; no cartesian product and no
-        Python in the plan, and the bottom-k rank windows carry the
+        """q_source_jaccard: the bottom-k rank windows carry the
         WindowGroupLimit pushdown so no task buffers a whole group's
-        vocabulary."""
+        vocabulary — asserted on the kmv_sketch subtree, which since
+        the r10 cache-leak fix executes at CONSTRUCTION (kmv_jaccard
+        localCheckpoints its bounded pair matrix, so the RETURNED plan
+        reads it back as an RDD scan).  The returned dashboard plan
+        must still be cartesian-free and Python-free, with the exact
+        side joined by broadcast."""
+        from spark_binlog_spark.cdc import load_table
+        from spark_binlog_spark.functions import sketch
         from spark_binlog_spark.queries_ext import q_source_jaccard
+
+        docs = load_table(spark, SF_TEST, "documents")
+        sk_plan = _physical(sketch.kmv_sketch(docs))
+        assert "WindowGroupLimit" in sk_plan
 
         plan = _physical(q_source_jaccard(spark, SF_TEST))
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "Python" not in plan
-        assert "WindowGroupLimit" in plan
+        # the checkpointed pair matrix rides in as a materialized scan
+        assert "ExistingRDD" in plan or "LocalTableScan" in plan
 
     def test_priority_sample_windowgrouplimit_no_python(self, spark):
         """q_priority_sample: both rank phases carry the
