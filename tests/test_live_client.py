@@ -79,6 +79,43 @@ class TestIngestor:
         with pytest.raises(ValueError, match="non-monotone"):
             ing.on_rotate("mysql-bin.000004")
 
+    def test_pump_derives_op_from_connector_class_names(self, tmp_path):
+        """python-mysql-replication delivers WriteRowsEvent /
+        UpdateRowsEvent / DeleteRowsEvent objects with no `op`
+        attribute — pump must derive the op from the class name and
+        map update rows through after_values."""
+        from spark_binlog_spark.sources.binlog_fixture import _segment_index
+
+        class WriteRowsEvent:
+            timestamp = T0
+            rows = [{"values": {"id": 1, "value": 1.0}}]
+
+        class UpdateRowsEvent:
+            timestamp = T0 + 1
+            rows = [{"before_values": {"id": 1, "value": 1.0},
+                     "after_values": {"id": 1, "value": 2.0}}]
+
+        class DeleteRowsEvent:
+            timestamp = T0 + 2
+            rows = [{"values": {"id": 1}}]
+
+        class XidEvent:  # no rows attribute: must be skipped
+            timestamp = T0 + 3
+
+        store = str(tmp_path / "store")
+        ing = LiveBinlogIngestor(store)
+        n = pump(iter([WriteRowsEvent(), XidEvent(), UpdateRowsEvent(),
+                       DeleteRowsEvent()]), ing)
+        assert n == 3
+        import pyarrow.parquet as pq
+
+        (seg,) = _segment_index(store)
+        tbl = pq.read_table(seg["path"])
+        # event_type round-trips through OP_MAP: insert->signup,
+        # update->update, delete->error
+        assert tbl.column("event_type").to_pylist() == ["signup", "update", "error"]
+        assert tbl.column("value").to_pylist()[1] == 2.0  # after-image
+
     def test_file_seq_rejects_foreign_names(self):
         assert _file_seq("mysql-bin.000042") == 42
         with pytest.raises(ValueError):
