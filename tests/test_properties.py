@@ -939,44 +939,61 @@ def _jpeg_encode_progressive(img, subsample=False, restart_interval=0,
         entropy += flush_bytes()
         return bytes(entropy)
 
-    def full_scan(ci):
-        """Complete sequential DC+AC coding of one component (the
-        per-component multi-scan SOF0 layout some encoders emit)."""
+    def _full_block(blk, pred):
+        diff = int(blk[0]) - pred
+        t = abs(diff).bit_length()
+        ln, code = dc_code[t]
+        put(ln, code)
+        put(t, sig_bits(diff, t))
+        last_nz = max((k for k in range(1, 64) if int(blk[k])), default=0)
+        run = 0
+        for k in range(1, last_nz + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_code[0xF0]
+                put(ln, code)
+                run -= 16
+            s = abs(v).bit_length()
+            ln, code = ac_code[(run << 4) | s]
+            put(ln, code)
+            put(s, sig_bits(v, s))
+            run = 0
+        if last_nz < 63:
+            ln, code = ac_code[0x00]
+            put(ln, code)
+        return int(blk[0])
+
+    def full_scan(scan_cis):
+        """Complete sequential DC+AC coding of a COMPONENT SUBSET —
+        raster over the true grid for one component, MCU-interleaved
+        for several (the two multi-scan SOF0 layouts)."""
         entropy = bytearray()
-        c = comps[ci]
-        pred = 0
         n_rst = 0
-        for u in range(c["bh"] * c["bw"]):
-            if restart_interval and u and u % restart_interval == 0:
+        pred = {ci: 0 for ci in scan_cis}
+        if len(scan_cis) > 1:
+            units = [
+                (ci, by, bx)
+                for my in range(mcuy)
+                for mx in range(mcux)
+                for ci in scan_cis
+                for by in range(comps[ci]["v"] * my, comps[ci]["v"] * my + comps[ci]["v"])
+                for bx in range(comps[ci]["h"] * mx, comps[ci]["h"] * mx + comps[ci]["h"])
+            ]
+            per = sum(comps[ci]["v"] * comps[ci]["h"] for ci in scan_cis)
+        else:
+            ci = scan_cis[0]
+            units = [(ci, by, bx) for by in range(comps[ci]["bh"])
+                     for bx in range(comps[ci]["bw"])]
+            per = 1
+        for u, (ci, by, bx) in enumerate(units):
+            if restart_interval and u and u % (restart_interval * per) == 0:
                 entropy += flush_bytes() + bytes([0xFF, 0xD0 + n_rst])
                 n_rst = (n_rst + 1) & 7
-                pred = 0
-            blk = c["coef"][u // c["bw"], u % c["bw"]]
-            diff = int(blk[0]) - pred
-            pred = int(blk[0])
-            t = abs(diff).bit_length()
-            ln, code = dc_code[t]
-            put(ln, code)
-            put(t, sig_bits(diff, t))
-            last_nz = max((k for k in range(1, 64) if int(blk[k])), default=0)
-            run = 0
-            for k in range(1, last_nz + 1):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ln, code = ac_code[0xF0]
-                    put(ln, code)
-                    run -= 16
-                s = abs(v).bit_length()
-                ln, code = ac_code[(run << 4) | s]
-                put(ln, code)
-                put(s, sig_bits(v, s))
-                run = 0
-            if last_nz < 63:
-                ln, code = ac_code[0x00]
-                put(ln, code)
+                pred = {c_: 0 for c_ in scan_cis}
+            pred[ci] = _full_block(comps[ci]["coef"][by, bx], pred[ci])
         entropy += flush_bytes()
         return bytes(entropy)
 
@@ -1004,9 +1021,14 @@ def _jpeg_encode_progressive(img, subsample=False, restart_interval=0,
         body += bytes([Ss, Se, (Ah << 4) | Al])
         return seg(0xDA, body) + entropy
 
+    if sequential_multiscan == "interleaved_subset":
+        # two scans: (Y, Cb) MCU-interleaved, then Cr alone
+        out += sos([0, 1], 0, 63, 0, 0, full_scan([0, 1]))
+        out += sos([2], 0, 63, 0, 0, full_scan([2]))
+        return out + b"\xff\xd9"
     if sequential_multiscan:
         for ci in range(3):
-            out += sos([ci], 0, 63, 0, 0, full_scan(ci))
+            out += sos([ci], 0, 63, 0, 0, full_scan([ci]))
         return out + b"\xff\xd9"
 
     out += sos([0, 1, 2], 0, 0, 0, 1, dc_first([0, 1, 2], 1))
@@ -1143,6 +1165,15 @@ class TestProgressiveJpegProperties:
         )
         assert multi is not None
         assert multi == seq
+        # two-scan variant: (Y, Cb) MCU-interleaved, Cr alone — the
+        # subset-interleaved geometry of the full-scan accumulator
+        mixed = _jpeg_pixels(
+            _jpeg_encode_progressive(
+                img, subsample=sub, restart_interval=restart,
+                sequential_multiscan="interleaved_subset",
+            )
+        )
+        assert mixed == seq
 
     def test_progressive_probe_and_truncation(self):
         """The header probe reports SOF2 dims, and a progressive file
