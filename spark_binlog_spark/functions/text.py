@@ -188,8 +188,14 @@ def term_salience_topk(df: DataFrame, k: int = 3, text_col: str = "text") -> Dat
 
     Plan shape: explode words -> ONE (doc, term) count shuffle; document
     frequency is a second agg over that relation (persisted — it feeds
-    both the df agg and the scoring join); df table is vocabulary-sized,
-    so it broadcasts.  Top-k via per-doc rank window.
+    both the df agg and the scoring join).  The df table is NOT
+    broadcast-hinted: it is vocabulary-sized, and a web-scale corpus
+    has ~10^8-10^9 distinct terms — the same unbounded-build-side class
+    as the r10 ngram/boilerplate findings.  The scoring join shuffles
+    on `term`, the key the df agg already partitioned on, and AQE
+    upgrades to broadcast at runtime when the measured vocabulary
+    actually fits.  Only the 1-row n_docs scalar keeps its hint.
+    Top-k via per-doc rank window.
     """
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
@@ -201,7 +207,7 @@ def term_salience_topk(df: DataFrame, k: int = 3, text_col: str = "text") -> Dat
     dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -420,8 +426,12 @@ def token_shards(
         F.coalesce(F.sum("tot").over(w_b), F.lit(0)).cast("long").alias("prefix"),
     )
     start = (F.col("prefix") + F.col("cum_in") - F.col("n_tokens")).alias("token_start")
+    # no broadcast hint: the prefix table is |docs|/bucket_size rows —
+    # corpus-scaling (merely divided by a constant), so the hint is the
+    # same unbounded-build-side hazard as the r10 findings; the join
+    # co-keys on `bucket` and AQE broadcasts at runtime when it fits
     return (
-        with_cum.join(F.broadcast(prefix), "bucket")
+        with_cum.join(prefix, "bucket")
         .select("doc_id", "n_tokens", start)
         .select(
             "doc_id",

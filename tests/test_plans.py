@@ -583,6 +583,42 @@ class TestTrainingDataOps:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Exchange SinglePartition" not in plan
 
+    def test_tfidf_never_forces_vocabulary_broadcast(self, spark):
+        """q_tfidf_topterms: the document-frequency table is
+        vocabulary-sized (~10^9 terms at web scale) — its scoring join
+        must carry NO broadcast hint.  Hint-isolation protocol: with
+        estimates off, the only broadcast left is the 1-row n_docs
+        scalar (a BroadcastNestedLoopJoin) — a BroadcastHashJoin would
+        mean the keyed dfreq join is hint-forced."""
+        from spark_binlog_spark.queries_ext import q_tfidf_topterms
+
+        spark.catalog.clearCache()
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _physical(q_tfidf_topterms(spark, SF_TEST))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "BroadcastHashJoin" not in plan  # no forced keyed broadcast
+        assert plan.count("BroadcastExchange") == 1  # the n_docs scalar only
+        assert "CartesianProduct" not in plan
+
+    def test_token_shards_never_forces_prefix_broadcast(self, spark):
+        """q_token_shards: the bucket-prefix table is |docs|/bucket_size
+        rows — corpus-scaling — so its join must carry no hint; only
+        AQE may broadcast from measured size."""
+        from spark_binlog_spark.queries_ext import q_token_shards
+
+        spark.catalog.clearCache()
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _physical(q_token_shards(spark, SF_TEST))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "BroadcastExchange" not in plan
+        assert "CartesianProduct" not in plan
+
 
 class TestCodegen:
     def test_quality_features_jvm_only_columnar_scan(self, spark):
