@@ -740,8 +740,13 @@ def _jpeg_pixels(data: bytes):
                 continue
             if marker == 0xD9:  # EOI: render what the scans accumulated
                 if geom is not None and n_scans:
-                    w, h, comps = frame
-                    hmax, vmax = geom[1], geom[2]
+                    w, h, _ = frame
+                    # render from geom's comps (the ones carrying the
+                    # accumulated 'coef' arrays), never from frame's —
+                    # a hostile second SOF is rejected below, but if one
+                    # ever slipped through, frame's comps would lack
+                    # 'coef' and the render would KeyError
+                    comps, hmax, vmax = geom[0], geom[1], geom[2]
                     return _jpeg_render_progressive(w, h, comps, qt, hmax, vmax)
                 return None  # EOI before any decodable scan
             if i + 4 > n:
@@ -778,6 +783,11 @@ def _jpeg_pixels(data: bytes):
                     huff[(tc, th)] = tbl
                     j += 17 + nsym
             elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+                if frame is not None:
+                    # T.81 allows exactly one frame per image; a second
+                    # SOF in an adversarial blob would orphan geom's
+                    # coefficient arrays and poison the EOI render
+                    return None
                 progressive = marker == 0xC2
                 prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
@@ -876,7 +886,7 @@ def _jpeg_pixels(data: bytes):
                 continue
             i += 2 + seg_len
         return None
-    except (IndexError, ValueError, struct.error):
+    except (IndexError, KeyError, ValueError, struct.error):
         return None  # untrusted bytes: malformed is None, never a raise
 
 

@@ -80,6 +80,13 @@ class LiveBinlogIngestor:
         self._buf: list[tuple[int, int, int, str, float, str | None]] = []
         self._fid = 1
         self._next_eid = 0
+        # True iff _buf holds rows NOT yet durably published (fresh
+        # on_row_event rows since the last flush).  Rows reloaded by
+        # _resume came FROM a published segment, so they don't count —
+        # this is what lets the connector's connect-time RotateEvent
+        # (which names the CURRENT binlog on every connect) pass as a
+        # no-op after a restart (ADVICE r10).
+        self._unpublished = False
         self._resume()
 
     # -- store recovery ------------------------------------------------
@@ -117,20 +124,30 @@ class LiveBinlogIngestor:
         The new file id comes from the server's next-binlog NAME (never
         a local counter) so the store's rotation family matches the
         server's — a resumed client mid-family lands on the right id."""
-        self.flush()
         nxt = _file_seq(next_binlog)
-        # a published segment at the current id pins the floor: the next
-        # file must strictly advance; with an empty active segment a
-        # rotate TO the current id is the connector's connect-time
-        # announcement of the active file (python-mysql-replication
-        # emits RotateEvent first on every connect) — a no-op here
-        if nxt < self._fid or (self._buf and nxt <= self._fid):
+        if nxt == self._fid and not self._unpublished:
+            # the connector's connect-time announcement of the ACTIVE
+            # file (python-mysql-replication emits RotateEvent first on
+            # every connect, naming the current binlog).  Everything
+            # buffered is already durably published — either reloaded
+            # by _resume from the published active segment, or written
+            # by a prior flush — so this is a no-op; the buffer is KEPT
+            # so the next re-publish of the growing segment carries its
+            # rows forward (ADVICE r10: resume + reconnect contract).
+            return
+        self.flush()
+        # a published segment at the current id pins the floor: the
+        # next file must strictly advance.  nxt == fid with FRESH rows
+        # buffered means the server re-announced a file we already
+        # appended new events to — non-monotone, same as nxt < fid.
+        if nxt <= self._fid:
             raise ValueError(
                 f"rotate to file {nxt} behind active file {self._fid} "
                 "— a non-monotone rotation would corrupt the offset index"
             )
         self._fid = nxt
         self._buf = []
+        self._unpublished = False
 
     def on_row_event(
         self,
@@ -152,6 +169,7 @@ class LiveBinlogIngestor:
             (eid, int(timestamp) * 1_000_000_000, int(user_id), et,
              float(value) if value is not None else None, props)
         )
+        self._unpublished = True
         return eid
 
     # -- publish --------------------------------------------------------
@@ -181,6 +199,7 @@ class LiveBinlogIngestor:
         tmp = final + ".inprogress"
         pq.write_table(tbl, tmp)
         os.replace(tmp, final)
+        self._unpublished = False  # everything buffered is now durable
         return final
 
 

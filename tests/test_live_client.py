@@ -79,6 +79,48 @@ class TestIngestor:
         with pytest.raises(ValueError, match="non-monotone"):
             ing.on_rotate("mysql-bin.000004")
 
+    def test_rotate_to_current_with_fresh_rows_failfasts(self, tmp_path):
+        """Mid-stream rotate re-announcing the file we already appended
+        NEW (unflushed) events to is non-monotone — MySQL never reuses
+        a binlog name — and must still failfast after the ADVICE r10
+        no-op-announcement fix."""
+        ing = LiveBinlogIngestor(str(tmp_path / "store"))
+        ing.on_rotate("mysql-bin.000003")
+        ing.on_row_event("insert", T0, 1)
+        with pytest.raises(ValueError, match="non-monotone"):
+            ing.on_rotate("mysql-bin.000003")
+
+    def test_resume_then_reconnect_rotate_announcement(self, tmp_path):
+        """ADVICE r10 (medium): python-mysql-replication emits a
+        RotateEvent naming the CURRENT binlog on EVERY connect.  After
+        a process restart, _resume reloads the active segment's
+        (already-published) rows into the buffer — the connect-time
+        rotate-to-current must be a no-op announcement, not a
+        non-monotone failfast, and the kept buffer must carry the old
+        rows forward into the next re-publish."""
+        from spark_binlog_spark.sources.binlog_fixture import _segment_index
+
+        store = str(tmp_path / "store")
+        ing = LiveBinlogIngestor(store)
+        pump(iter([_Rotate("mysql-bin.000001"),
+                   _Rows("insert", T0, [_ins(1), _ins(2)])]), ing)
+        # restart: new ingestor resumes, then the connector announces
+        # the current binlog at connect before delivering fresh rows
+        ing2 = LiveBinlogIngestor(store)
+        n = pump(iter([_Rotate("mysql-bin.000001"),  # connect-time announce
+                       _Rows("insert", T0 + 1, [_ins(3)]),
+                       _Rotate("mysql-bin.000002"),
+                       _Rows("insert", T0 + 2, [_ins(4)])]), ing2)
+        assert n == 2
+        index = _segment_index(store)
+        assert [s["fid"] for s in index] == [1, 2]
+        # segment 1 carries the pre-restart rows AND the post-restart one
+        assert [(s["min"], s["max"]) for s in index] == [(0, 2), (3, 3)]
+        # and a rotate BELOW the resumed active file still failfasts
+        ing3 = LiveBinlogIngestor(store)
+        with pytest.raises(ValueError, match="non-monotone"):
+            ing3.on_rotate("mysql-bin.000001")
+
     def test_pump_derives_op_from_connector_class_names(self, tmp_path):
         """python-mysql-replication delivers WriteRowsEvent /
         UpdateRowsEvent / DeleteRowsEvent objects with no `op`
@@ -261,6 +303,181 @@ class TestSparkContract:
         second = run_once("region_seam_b")
         assert sorted(o for _, o in second) == [7]
 
+class TestWalBinaryFormat:
+    """Dependency-free ProtobufLogWriter WAL file reader (VERDICT r10
+    ask #7): property-tested against the module's spec-correct writer
+    the same way the JPEG/FLAC decoders were, then fed through
+    RegionWalIngestor so the binary format drives the real seam.
+    Reference parity: WALFactory.createReader consumption + the cell
+    run-grouping of HBaseWALClient.scala:157-203."""
+
+    @staticmethod
+    def _mk_entries(seed, n_entries, max_cells):
+        from spark_binlog_spark.sources.hbase_wal_format import (
+            TYPE_DELETE,
+            TYPE_DELETE_FAMILY,
+            TYPE_PUT,
+            WalCell,
+            WalEntry,
+        )
+
+        rng = [(seed * (i + 7) * 2654435761) % (1 << 31) for i in range(4096)]
+        k = iter(rng)
+        entries = []
+        for e in range(n_entries):
+            cells = []
+            for c in range(1 + next(k) % max_cells):
+                t = [TYPE_PUT, TYPE_PUT, TYPE_DELETE, TYPE_DELETE_FAMILY][next(k) % 4]
+                cells.append(
+                    WalCell(
+                        row=str(next(k) % 50).encode(),
+                        family=b"cf" + bytes([65 + next(k) % 3]),
+                        qualifier=b"q" + bytes([97 + next(k) % 5]),
+                        ts=1_700_000_000_000 + next(k) % 10_000,
+                        type_byte=t,
+                        value=b"" if t != 4 else str(next(k) % 1000).encode(),
+                    )
+                )
+            entries.append(
+                WalEntry(
+                    region=b"region-%d" % (next(k) % 4),
+                    table=b"ns:demo",
+                    seqnum=100 + e,
+                    write_time=1_700_000_000_000 + e,
+                    cells=tuple(cells),
+                )
+            )
+        return entries
+
+    def test_roundtrip_with_and_without_trailer(self):
+        from spark_binlog_spark.sources.hbase_wal_format import (
+            read_wal_file,
+            write_wal_file,
+        )
+
+        for seed in range(12):
+            entries = self._mk_entries(seed, n_entries=1 + seed % 5, max_cells=6)
+            for trailer in (True, False):  # active WALs have no trailer
+                blob = write_wal_file(entries, with_trailer=trailer)
+                assert read_wal_file(blob) == entries
+
+    def test_truncation_yields_complete_prefix_never_raises(self):
+        """Live-tail contract: cut a valid file at EVERY byte offset —
+        the reader returns some complete-entry prefix, never raises,
+        never emits a mangled entry (EOFException-as-done,
+        HBaseWALClient.scala:139)."""
+        from spark_binlog_spark.sources.hbase_wal_format import (
+            read_wal_file,
+            write_wal_file,
+        )
+
+        entries = self._mk_entries(3, n_entries=4, max_cells=4)
+        blob = write_wal_file(entries, with_trailer=False)
+        hdr_end = 4 + 1 + blob[4]  # magic + 1-byte varint + header
+        for cut in range(hdr_end, len(blob)):
+            got = read_wal_file(blob[:cut])
+            assert got == entries[: len(got)]  # a strict prefix, intact
+        assert read_wal_file(blob) == entries
+
+    def test_bad_magic_and_compression_refused(self):
+        import pytest as _pytest
+
+        from spark_binlog_spark.sources.hbase_wal_format import (
+            _delimited,
+            _pb_field,
+            read_wal_file,
+            write_wal_file,
+        )
+
+        with _pytest.raises(ValueError, match="magic"):
+            read_wal_file(b"WALP" + b"\x00" * 16)
+        # compressed header: refuse rather than mis-parse cells
+        blob = b"PWAL" + _delimited(_pb_field(1, 0, 1))
+        with _pytest.raises(ValueError, match="compress"):
+            read_wal_file(blob)
+        # sanity: the writer's own header parses
+        assert read_wal_file(write_wal_file([])) == []
+
+    def test_run_grouping_and_metafamily_skip(self):
+        """Cell runs split on row OR kind change; METAFAMILY cells are
+        invisible — the exact map() loop of HBaseWALClient.scala."""
+        from spark_binlog_spark.sources.hbase_wal_format import (
+            METAFAMILY,
+            TYPE_DELETE,
+            TYPE_PUT,
+            WalCell,
+            WalEntry,
+            entries_to_events,
+        )
+
+        def cell(row, t, fam=b"cf"):
+            return WalCell(row, fam, b"q", 1, t, b"7" if t == TYPE_PUT else b"")
+
+        e = WalEntry(
+            region=b"r0", table=b"ns:demo", seqnum=5, write_time=1000,
+            cells=(
+                cell(b"a", TYPE_PUT), cell(b"a", TYPE_PUT),   # one put run
+                cell(b"a", TYPE_DELETE),                       # kind break
+                cell(b"b", TYPE_DELETE),                       # row break
+                WalCell(b"b", METAFAMILY, b"HBASE::REGION_EVENT", 1, TYPE_PUT, b""),
+                cell(b"b", TYPE_PUT),                          # kind break
+            ),
+        )
+        evs = entries_to_events([e])
+        assert [(ev["op"], ev["row"], len(ev["cells"])) for ev in evs] == [
+            ("put", b"a", 2), ("delete", b"a", 1),
+            ("delete", b"b", 1), ("put", b"b", 1),
+        ]
+        assert all(ev["seqnum"] == 5 and ev["region"] == b"r0" for ev in evs)
+
+    def test_wal_binaries_feed_region_ingestor_store(self, tmp_path):
+        """End-to-end: spec-correct WAL binaries -> parse -> pump into
+        RegionWalIngestor -> the store's segment index holds exactly
+        the put/delete events with the right pks and values."""
+        import pyarrow.parquet as pq
+
+        from spark_binlog_spark.sources.hbase_wal_format import (
+            TYPE_DELETE,
+            TYPE_PUT,
+            WalCell,
+            WalEntry,
+            pump_wal_files,
+            write_wal_file,
+        )
+        from spark_binlog_spark.sources.live_client import RegionWalIngestor
+
+        def put(row, val, seq):
+            return WalEntry(
+                b"r", b"ns:demo", seq, 1_700_000_000_000 + seq,
+                (WalCell(str(row).encode(), b"cf", b"value", 1, TYPE_PUT,
+                         str(val).encode()),),
+            )
+
+        def dele(row, seq):
+            return WalEntry(
+                b"r", b"ns:demo", seq, 1_700_000_000_000 + seq,
+                (WalCell(str(row).encode(), b"cf", b"q", 1, TYPE_DELETE, b""),),
+            )
+
+        blob1 = write_wal_file([put(0, 1.5, 1), put(1, 2.5, 2)])
+        blob2 = write_wal_file([dele(0, 3), put(2, 4.5, 4)], with_trailer=False)
+        store = str(tmp_path / "walstore")
+        ing = RegionWalIngestor(store, n_regions=2)
+        assert pump_wal_files([blob1, blob2], ing) == 4
+        rows = []
+        for r in range(2):
+            t = pq.read_table(f"{store}/region={r}/wal.000001")
+            rows += list(zip(t.column("user_id").to_pylist(),
+                             t.column("event_type").to_pylist(),
+                             t.column("value").to_pylist()))
+        # OP_MAP round-trip: insert->signup, delete->error
+        assert sorted(rows) == [
+            (0, "error", None), (0, "signup", 1.5),
+            (1, "signup", 2.5), (2, "signup", 4.5),
+        ]
+
+
+class TestConnectGates:
     def test_connect_live_is_import_gated(self, tmp_path):
         pytest.importorskip  # (doc: gate below mirrors delta_sink's)
         try:

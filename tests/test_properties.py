@@ -1190,6 +1190,34 @@ class TestProgressiveJpegProperties:
         # scans present but EOI missing: render never happens
         assert _jpeg_pixels(blob[:-2]) is None
 
+    def test_second_sof_spliced_before_eoi_returns_none(self):
+        """ADVICE r10 (high): a valid progressive file with a second
+        SOF0 segment spliced in before EOI used to replace `frame`
+        with comps lacking 'coef' arrays, so the EOI render raised
+        KeyError('coef') — escaping the (IndexError, ValueError,
+        struct.error) tuple and crashing the mapInPandas job on one
+        adversarial blob.  T.81 allows one frame per image: the
+        decoder must return None, never raise."""
+        import struct
+
+        from spark_binlog_spark.functions.multimodal import _jpeg_pixels
+
+        img = [[(r * 20 + c * 3 % 256, c, r) for c in range(9)] for r in range(7)]
+        blob = _jpeg_encode_progressive(img)
+        assert _jpeg_pixels(blob) is not None  # baseline: valid file decodes
+        # hand-build a minimal second SOF0: 1 grayscale component 9x7
+        sof2 = (
+            b"\xff\xc0"
+            + struct.pack(">H", 2 + 6 + 3)
+            + struct.pack(">BHHB", 8, 7, 9, 1)
+            + struct.pack(">BBB", 1, 0x11, 0)
+        )
+        spliced = blob[:-2] + sof2 + blob[-2:]  # before EOI
+        assert _jpeg_pixels(spliced) is None  # rejected, no raise
+        # and splicing a second progressive SOF2 is equally rejected
+        sof_prog = b"\xff\xc2" + sof2[2:]
+        assert _jpeg_pixels(blob[:-2] + sof_prog + blob[-2:]) is None
+
 
 class TestPngGifDecoderProperties:
     @given(data=st.binary(max_size=300))
