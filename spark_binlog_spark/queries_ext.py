@@ -2030,6 +2030,118 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED end-to-end curation pipeline (VERDICT r10 ask #8 —
+    the north-star user story): structural clean -> exact dedup ->
+    MinHash near-dedup -> benchmark decontamination -> per-language
+    quality prune -> sequence packing, each stage consuming the
+    previous stage's survivor relation, with ONE chained oracle so the
+    driver grades the composition, not just the stages.
+
+    Plan shape at 100 TB: stage gates are either per-row projections
+    (clean), one digest-keyed shuffle (exact), banded self-joins whose
+    shuffle volume is O(near-dup pairs) (minhash), a broadcast
+    semi-join against the tiny benchmark gram set (decontaminate), a
+    5-row threshold broadcast (prune), or the two-level bucketed
+    running sum (pack) — the corpus is never collected, never
+    cartesian-joined, and passes through at most one hash shuffle per
+    stage.  Near-dup policy: any doc appearing as the LARGER id of a
+    candidate pair (>= 2/8 bands agree) is dropped — the greedy
+    keep-smallest survivor rule, deterministic and SQL-expressible
+    (full transitive clustering is graded separately via
+    q_dup_components)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    # 1. structural clean (same floor as q_corpus_clean's gate)
+    clean = docs.filter((F.length(t) >= 100) & (F.size(F.split(t, " ")) >= 20))
+    # 2. exact dedup: keep each content hash's smallest doc_id
+    keep_exact = dedup.exact_dedup(clean).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    s2 = clean.join(keep_exact, "doc_id")
+    # 3. near-dedup: drop the larger side of every banded MinHash pair
+    near_drop = (
+        dedup.minhash_candidate_pairs(s2, min_agree=2)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(near_drop, "doc_id", "left_anti")
+    # 4. decontaminate vs the held-out benchmark slice (doc_id % 97 == 0
+    # of the ORIGINAL table — the eval suite exists independently of
+    # what curation kept); benchmark members themselves leave the corpus
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = s3.filter(F.col("doc_id") % 97 != 0)
+    contaminated = dedup.decontaminate(corpus, bench, n=4).select("doc_id")
+    s4 = corpus.join(contaminated, "doc_id", "left_anti")
+    # 5. per-language quality prune: drop the bottom length quartile
+    # (thresholds recomputed over the SURVIVING corpus, not the raw one)
+    th = s4.groupBy("lang").agg(F.expr("percentile(n_chars, 0.25)").alias("p25"))
+    s5 = (
+        s4.join(F.broadcast(th), "lang")
+        .filter(F.col("n_chars").cast("double") >= F.col("p25"))
+        .select("doc_id", "text", "lang", "source")
+    )
+    # 6. pack the curated corpus into fixed 4096-token training shards
+    packed = text.token_shards(s5.select("doc_id", "text"), budget=4096)
+    return packed.join(s5.select("doc_id", "lang", "source"), "doc_id").select(
+        "doc_id", "lang", "source", "n_tokens", "token_start", "shard_id"
+    )
+
+
+ORACLE["q_curation_e2e"] = f"""
+WITH clean AS (
+  SELECT * FROM documents
+  WHERE length(text) >= 100 AND len(string_split(text, ' ')) >= 20
+),
+keep_exact AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+s2 AS (SELECT c.* FROM clean c JOIN keep_exact k ON c.doc_id = k.doc_id),
+sh AS ({{_ngram3}}),
+hashed AS ({_HASHED_SQL}),
+sig AS (
+{_minhash_sig_sql()}
+),
+near_drop AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM sig a JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+),
+s3 AS (SELECT * FROM s2 WHERE NOT EXISTS (SELECT 1 FROM near_drop nd WHERE nd.doc_id = s2.doc_id)),
+bsh AS (
+  SELECT DISTINCT {{_h48}} AS sh_h
+  FROM ({{_bench4}})
+),
+corpus AS (SELECT * FROM s3 WHERE doc_id % 97 != 0),
+dsh AS (SELECT doc_id, {{_h48}} AS sh_h FROM ({{_corpus4}})),
+contaminated AS (SELECT DISTINCT d.doc_id FROM dsh d JOIN bsh b ON d.sh_h = b.sh_h),
+s4 AS (SELECT * FROM corpus WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = corpus.doc_id)),
+th AS (SELECT lang, quantile_cont(n_chars, 0.25) AS p25 FROM s4 GROUP BY lang),
+s5 AS (
+  SELECT s4.doc_id, s4.text, s4.lang, s4.source
+  FROM s4 JOIN th ON s4.lang = th.lang WHERE s4.n_chars >= th.p25
+),
+toks AS (
+  SELECT doc_id, lang, source,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM s5
+),
+cum AS (
+  SELECT doc_id, lang, source, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS token_start
+  FROM toks
+)
+SELECT doc_id, lang, source, n_tokens, token_start, token_start // 4096 AS shard_id
+FROM cum
+"""
+# the gram CTEs parameterize over pipeline-stage relations, not the raw
+# table — filled here to keep the f-string above readable
+ORACLE["q_curation_e2e"] = ORACLE["q_curation_e2e"].format(
+    _ngram3=_ngram_sql(3, "s2"),
+    _bench4=_ngram_sql(4, "(SELECT * FROM documents WHERE doc_id % 97 = 0)"),
+    _corpus4=_ngram_sql(4, "corpus"),
+    _h48=h48_sql("shingle"),
+)
+
+
 # ---------------------------------------------------------------- multimodal
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media metadata: byte length, content digest, frame count.

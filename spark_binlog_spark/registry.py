@@ -166,33 +166,57 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # MinHash banding end-to-end), q_dedup_exact (green since r01; the
 # fingerprint fn and exact-dedup shape are graded end-to-end by
 # q_stream_incremental_dedup, whose oracle is the batch form's).
-# Round-11 rotation candidates (the never-graded, non-subsumed
-# remainder after the r10 swap): q_lm_familiarity (trigram LM scoring
-# — partially subsumed by q_stream_ccnet's shared LM machinery),
-# q_stream_schema_epochs (mid-stream ALTER TABLE parse — the one
-# streaming-source behavior without a driver row), q_exact_sample
-# (exact-N reservoir analogue).  Swap-out candidates: any r10 newcomer
-# holding a green row whose shape a neighbor covers.
+# Round-11 rotation (VERDICT r10 ask #1, exactly its ten-slot list,
+# plus the new q_curation_e2e from ask #8): the never-graded,
+# non-subsumed marquee swaps IN — q_lm_familiarity (trigram LM
+# scoring), q_stream_schema_epochs (mid-stream ALTER TABLE parse — the
+# one streaming-source behavior without a driver row), q_exact_sample
+# (exact-N deterministic sample), q_sq8_topk (scalar-quantized ANN),
+# q_stream_embedding_search (ANN served from the streamed store),
+# q_vocab_coverage (OOV sweep), q_source_dup_matrix (cross-source dup
+# matrix), q_lsh_recall (LSH-vs-brute recall audit), q_stream_sessions
+# (stateful sessionization), q_token_count (benched every round yet
+# never graded), and q_curation_e2e (the chained clean->dedup->
+# decontaminate->prune->pack composition with one chained oracle).
+# Swapped OUT, each ≥8 cumulative green rows, shape-covered by a
+# remaining neighbor: q_table_filter + q_event_type_filter (ingest
+# pattern filters run inside q_stream_change_counts' source scan every
+# trigger), q_offset_range (O3 pushdown: the packed codec stays graded
+# via q_stream_change_counts' offset protocol), q_route_by_table (D2
+# fan-out: q_stream_scd2 + sinks exercise partitioned write-back),
+# q_envelope_parse (D1: q_json_roundtrip's exact-field-order encode is
+# the inverse — and q_json_roundtrip itself rotates out with the parse
+# graded via q_stream_change_counts' envelope wire format),
+# q_project_decode (P1 decode: q_cdc_apply consumes decoded images),
+# q_change_counts (D5: q_stream_change_counts grades the same rollup
+# streamed), q_monotonic_dedup (O6: q_stream_incremental_dedup grades
+# watermarked dedup), q_hbase_cells (S2 scan: q_cell_rollup_regional
+# reads the same region store), q_latest_image (D3: q_stream_scd2
+# generalizes latest-image to full history).
 PRIORITY = [
     # --- tier 1: operator rows -------------------------------------
     "q_stream_change_counts",   # S1 MySQL binlog streaming scan
-    "q_hbase_cells",            # S2 HBase WAL scan
-    "q_table_filter",           # F1
-    "q_event_type_filter",      # F2
-    "q_project_decode",         # P1
-    "q_json_roundtrip",         # P4
-    "q_cell_rollup_regional",   # P5 (scale-safe headline form)
-    "q_offset_range",           # O3 (keeps the O1 codec under grade via
-                                # its packed-offset pushdown bounds)
-    "q_monotonic_dedup",        # O6 (subsumes the O5 max-per-key shape)
-    "q_envelope_parse",         # D1
-    "q_route_by_table",         # D2
-    "q_latest_image",           # D3
+    "q_cell_rollup_regional",   # P5 (scale-safe headline form; reads the
+                                # S2 region-WAL store q_hbase_cells scanned)
     "q_stream_scd2",            # D3 generalization: incremental SCD2 sink
                                 # (r7 swap-in; oracle = batch q_scd2_history's)
     "q_cdc_apply",              # D4 (its merge recomputes the D6
                                 # snapshot+incremental semantics)
-    "q_change_counts",          # D5
+    "q_curation_e2e",           # the composed curation pipeline (r11 new:
+                                # clean -> exact dedup -> minhash near-dedup
+                                # -> decontaminate -> prune -> pack, ONE
+                                # chained oracle — VERDICT r10 ask #8)
+    "q_lm_familiarity",         # trigram-LM familiarity scoring (r11 swap-in)
+    "q_stream_schema_epochs",   # mid-stream ALTER TABLE epoch parse (r11 swap-in)
+    "q_exact_sample",           # exact-N deterministic sample (r11 swap-in)
+    "q_sq8_topk",               # scalar-quantized int8 ANN (r11 swap-in)
+    "q_stream_embedding_search",  # ANN off the streamed embedding store (r11 swap-in)
+    "q_vocab_coverage",         # tokenizer OOV coverage sweep (r11 swap-in)
+    "q_source_dup_matrix",      # cross-source duplication matrix (r11 swap-in)
+    "q_lsh_recall",             # LSH-vs-brute-force recall audit (r11 swap-in)
+    "q_stream_sessions",        # stateful streaming sessionization (r11 swap-in)
+    "q_token_count",            # whitespace+BPE-ish token counting (r11 swap-in;
+                                # benched every round, never graded before)
     # --- tier 2: §2.C category demos -------------------------------
     "q_ship_priority",
     "q_schema_evolution",
@@ -264,6 +288,27 @@ PRIORITY = [
 # views live in PARITY below, NOT here — the never-graded count that
 # matters is len(TAIL), not len(TAIL) + len(PARITY) (VERDICT r5 ask #6).
 TAIL = [
+    "q_table_filter",           # r11 swap-out (green r01-r10 rows; F1 pattern filters
+                                # run inside q_stream_change_counts' scan every trigger)
+    "q_event_type_filter",      # r11 swap-out (green r01-r10 rows; F2 same coverage)
+    "q_offset_range",           # r11 swap-out (green r01-r10 rows; O3 packed-codec
+                                # bounds graded via q_stream_change_counts' offsets)
+    "q_route_by_table",         # r11 swap-out (green r01-r10 rows; D2 fan-out shape:
+                                # q_stream_scd2 + routing sinks)
+    "q_envelope_parse",         # r11 swap-out (green r01-r10 rows; D1 parse graded via
+                                # q_stream_change_counts' envelope wire format)
+    "q_project_decode",         # r11 swap-out (green r01-r10 rows; P1 decode consumed
+                                # by q_cdc_apply's images)
+    "q_json_roundtrip",         # r11 swap-out (green r01-r10 rows; P4 exact-field-order
+                                # encode feeds the streamed envelope checks)
+    "q_change_counts",          # r11 swap-out (green r01-r10 rows; D5 rollup graded
+                                # streamed via q_stream_change_counts)
+    "q_monotonic_dedup",        # r11 swap-out (green r01-r10 rows; O6 graded via
+                                # q_stream_incremental_dedup's watermarked form)
+    "q_hbase_cells",            # r11 swap-out (green r01-r10 rows; S2 region store read
+                                # by q_cell_rollup_regional which stays graded)
+    "q_latest_image",           # r11 swap-out (green r01-r10 rows; D3 generalized by
+                                # q_stream_scd2's full-history sink)
     "q_offset_encode",          # r10 swap-out (green r01-r09 rows; O1 codec graded
                                 # via q_offset_range's packed pushdown bounds)
     "q_latest_offset",          # r10 swap-out (green r01-r09 rows; O2 probe runs
@@ -336,7 +381,6 @@ TAIL = [
     "q_incremental_dedup",      # r6 swap-out (green r05 row; shape: q_dedup_exact)
     "q_rp_topk",                # r6 swap-out (green r05 row; shape: q_pq_topk)
     "q_ivf_topk",               # r6 swap-out (green r05 row; shape: q_pq_topk)
-    "q_stream_schema_epochs",
     "q_churned_keys",           # r5 swap-out (shape: q_retained_keys)
     "q_datetime_normalize",     # r5 swap-out (shape: q_project_decode)
     "q_pii_redact",             # r5 swap-out (shape: q_text_quality)
@@ -344,37 +388,28 @@ TAIL = [
     "q_lang_id",                # r5 swap-out (shape: q_fingerprint)
     "q_decontaminate",
     "q_stratified_sample",
-    "q_exact_sample",
     "q_quality_prune",
     "q_token_shards",
     "q_stream_source_mix",
-    "q_stream_sessions",
     "q_stream_length_histogram",
     "q_dedup_simhash",          # r5 late swap-out (subsumed by stream form)
     "q_similarity_lsh",         # r5 late swap-out (shape: q_ivf_topk family)
-    "q_stream_embedding_search",
     "q_embedding_dedup_multitable",
-    "q_sq8_topk",
     "q_unimax_budget",          # r8 new: UniMax waterfill token-budget allocation
     "q_dsir_importance",        # r8 new: DSIR hashed n-gram importance weighting
     "q_ccnet_buckets",          # r8 new: CCNet head/middle/tail LM terciles
     "q_cluster_sample",         # r8 new: cluster-balanced embedding subsample
-    "q_lm_familiarity",
     "q_bpe_merges",
     "q_source_mix",
     "q_chunk_documents",
     "q_compressibility",
-    "q_vocab_coverage",
     "q_fingerprint",            # r5 late swap-out (fn covered by dedup rows)
-    "q_source_dup_matrix",
     "q_change_counts_windowed",
     "q_repetition",
     "q_corpus_clean",
     "q_text_quality",
-    "q_token_count",
     "q_boilerplate_ratio",
     "q_boilerplate_shingles",
-    "q_lsh_recall",
     "q_ivf_multiprobe",
     "q_ivf_trained_topk",
     "q_mv_segment_balance",
