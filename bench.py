@@ -120,6 +120,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # host load before/after (VERDICT r10 ask #5): loaded-host vs quiet-host
+    # adjudication (r10's 7.378 vs 5.765 split) becomes mechanical when the
+    # artifact itself records 1/5/15-min load averages around the run
+    load_before = [round(x, 2) for x in os.getloadavg()]
 
     from pyspark.sql import SparkSession
 
@@ -327,6 +331,8 @@ def main() -> None:
     stream_rps = round(n_events / stream_sec, 1) if stream_sec else None
     detail = {
         "metric": "bench_detail",
+        "loadavg_before": load_before,
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "spread": spread,
         "queries_v2": timings_v2,
         "spread_v2": spread_v2,
@@ -354,6 +360,7 @@ def main() -> None:
                 "v2_total": detail["v2_total"],
                 "sf": float(sf),
                 "stream_rows_per_sec": stream_rps,
+                "loadavg": [load_before, detail["loadavg_after"]],
             }
         )
     )

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Generate the sf1 (10x sf0.1) documents/embeddings fixtures for the
+scale ladder (VERDICT r10 ask #3).
+
+/root/testdata is read-only, so the driver's generator cannot be rerun
+at 10x; this reproduces the same distributional shape measured off
+sf0.1 (31-word tech vocab, 10-100 words/doc, 5 langs at the observed
+proportions, 20 sources, ~0.16% exact-dup rate, ~4.7% near-dup rewrite
+rate, unit-norm 64-dim embeddings in 10 clusters) at 50,000 docs /
+20,000 vectors.  Deterministic (seed 4242).  Output is gitignored —
+regenerate on demand:
+
+    python scripts/gen_scale_fixtures.py [out_dir]  # default scale_fixtures/sf1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "the", "spark", "fast", "customer", "batch", "data", "sort", "value",
+    "hash", "filter", "big", "dup", "part", "scan", "slow", "agg", "key",
+    "window", "table", "merge", "join", "column", "order", "a", "vector",
+    "line", "small", "group", "query", "row", "stream",
+]
+LANGS = ["en", "zh", "es", "fr", "de"]
+LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
+N_DOCS = 50_000
+N_VECS = 20_000
+DIM = 64
+N_CLUSTERS = 10
+EXACT_DUP_RATE = 0.0016
+NEAR_DUP_RATE = 0.047
+
+
+def gen_documents(rng: np.random.Generator) -> pa.Table:
+    texts: list[str] = []
+    for i in range(N_DOCS):
+        r = rng.random()
+        if i > 10 and r < EXACT_DUP_RATE:
+            texts.append(texts[int(rng.integers(0, i))])
+            continue
+        if i > 10 and r < EXACT_DUP_RATE + NEAR_DUP_RATE:
+            # light rewrite of an earlier doc: mutate ~8% of word slots
+            words = texts[int(rng.integers(0, i))].split(" ")
+            n_mut = max(1, int(len(words) * 0.08))
+            for pos in rng.integers(0, len(words), n_mut):
+                words[int(pos)] = VOCAB[int(rng.integers(0, len(VOCAB)))]
+            texts.append(" ".join(words))
+            continue
+        n_words = int(rng.integers(10, 101))
+        texts.append(" ".join(VOCAB[int(w)] for w in rng.integers(0, len(VOCAB), n_words)))
+    langs = rng.choice(LANGS, size=N_DOCS, p=LANG_P)
+    sources = [f"src{int(s)}" for s in rng.integers(0, 20, N_DOCS)]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(N_DOCS), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs.tolist(), pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(rng: np.random.Generator) -> pa.Table:
+    centers = rng.normal(0, 1, (N_CLUSTERS, DIM))
+    labels = rng.integers(0, N_CLUSTERS, N_VECS)
+    pts = centers[labels] * 0.35 + rng.normal(0, 1, (N_VECS, DIM))
+    pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in pts], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scale_fixtures", "sf1",
+    )
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(4242)
+    pq.write_table(gen_documents(rng), os.path.join(out, "documents.parquet"))
+    pq.write_table(gen_embeddings(rng), os.path.join(out, "embeddings.parquet"))
+    print(f"wrote {out}/documents.parquet ({N_DOCS} docs) and embeddings.parquet ({N_VECS} vecs)")
+
+
+if __name__ == "__main__":
+    main()

@@ -71,6 +71,13 @@ class BucketedDeltaStore:
         # leaves empty dirs — sweep them on resume
         self.prune_empty_dirs()
 
+    def all_files(self) -> list[str]:
+        """Every live parquet fragment — the compaction-effectiveness
+        observable (soak batteries assert this stays bounded)."""
+        return glob.glob(
+            os.path.join(self.store_dir, "d_*", "bucket=*", "*.parquet")
+        )
+
     def read_all(self) -> DataFrame:
         """Every signature row across all published deltas."""
         return (

@@ -22,6 +22,12 @@ TABLES = [
 ]
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running soak/scale batteries (run in the full suite)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from pyspark.sql import SparkSession
