@@ -20,9 +20,14 @@ anchor values; FLAC round-tripped bit-exactly against a spec-correct
 writer; PNG covers depths 8 AND 16 plus Adam7 interlace since
 round 8; JPEG covers baseline AND progressive — spectral
 selection, successive approximation, EOB runs — since round 10).
-Only perceptual audio (OGG/MP3) still runs
-behind executor-side import-tries
-(PIL / soundfile — neither ships here): with the libs installed
+For perceptual audio (OGG/MP3) the CONTAINER layer decodes real and
+dependency-free since round 11 (audio_containers.py: MPEG frame walk
+with ID3/Xing handling, Ogg page walk with RFC 3533 CRC and
+Vorbis/Opus id headers — duration, rate, channels, frame segmentation,
+i.e. everything a curation pipeline filters and repartitions on); only
+the perceptual PCM transform itself (Huffman + IMDCT + synthesis)
+still runs behind executor-side import-tries (PIL / soundfile —
+neither ships here): with the libs installed
 ``extract_features(fake=False)`` produces real features from the
 identical plan; without them those formats raise the clearly-marked
 NotImplementedError stub, and ``fake=True`` produces a deterministic
@@ -1819,6 +1824,25 @@ def _probe_header(data: bytes):
                 return "wav", None, None, rate, channels
             i += 8 + clen + (clen & 1)  # chunks are word-aligned
         return "wav", None, None, None, None
+    if data[:4] == b"fLaC" and len(data) >= 22:
+        # STREAMINFO is the mandatory first metadata block: 4-byte
+        # block header, then 10 bytes to the packed rate/channels word
+        # (20-bit sample rate, 3-bit channels-1)
+        packed = struct.unpack(">I", data[18:22])[0]
+        return "flac", None, None, packed >> 12, ((packed >> 9) & 7) + 1
+    if (
+        data[:4] == b"OggS"
+        or data[:3] == b"ID3"
+        or (len(data) >= 2 and data[0] == 0xFF and data[1] & 0xE0 == 0xE0)
+    ):
+        # perceptual-audio containers: REAL frame/page-level parse
+        # (audio_containers.py) — only attempted behind a cheap magic /
+        # sync gate so unknown blobs keep the O(1) fall-through
+        from spark_binlog_spark.functions.audio_containers import probe as _aprobe
+
+        m = _aprobe(data)
+        if m is not None:
+            return m["format"], None, None, m.get("sample_rate"), m.get("channels")
     return "unknown", None, None, None, None
 
 

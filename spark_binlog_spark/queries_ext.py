@@ -2235,6 +2235,67 @@ FROM f
 """
 
 
+def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL dependency-free perceptual-audio container probe
+    (audio_containers.py): each doc_id deterministically synthesizes a
+    header-true MPEG-1 Layer III stream (frame count / bitrate index /
+    sample-rate index / channel mode derived from doc_id), and the
+    Arrow-batched frame-walk probe must recover rate, channels, frame
+    count, duration and mean bitrate from the BYTES alone.  The oracle
+    recomputes the expectations from the same doc_id arithmetic with
+    the ISO 11172-3 tables inlined — so the parse itself is graded,
+    not just the plumbing."""
+    from spark_binlog_spark.functions import audio_containers
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "content": audio_containers.build_mpeg_stream(
+                            1 + d % 6, 1 + d % 14, d % 3, mono=(d % 2 == 0)
+                        ),
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(gen, "media_id long, content binary")
+    return audio_containers.audio_container_probe(media)
+
+
+_V1L3_KBPS_CASE = " ".join(
+    f"WHEN {i + 1} THEN {k}"
+    for i, k in enumerate([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320])
+)
+
+ORACLE["q_audio_probe"] = f"""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         1 + doc_id % 6 AS n_frames,
+         CASE 1 + doc_id % 14 {_V1L3_KBPS_CASE} END AS kbps,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch
+  FROM documents
+)
+SELECT media_id,
+       'mp3' AS format,
+       'mpeg1-layer3' AS codec,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(ch AS INTEGER) AS channels,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_frames * 1152 * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(kbps AS INTEGER) AS bitrate_kbps
+FROM p
+"""
+
+
 # ---------------------------------------------------------------- PII scrub
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (pre-training cleaning pass): the synthetic corpus

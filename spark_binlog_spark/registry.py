@@ -193,6 +193,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # watermarked dedup), q_hbase_cells (S2 scan: q_cell_rollup_regional
 # reads the same region store), q_latest_image (D3: q_stream_scd2
 # generalizes latest-image to full history).
+#
+# Round-11 late swap (shrinks COVERAGE.md's non-subsumed pending list
+# to three): q_text_quality IN (benched in the legacy headline every
+# round since r1, never driver-graded) for q_corpus_report OUT (green
+# r01-r10; per-(source,lang) rate dashboard — the store-served
+# q_stream_drift / q_stream_unimax rows keep the corpus-statistics
+# shape graded).
 PRIORITY = [
     # --- tier 1: operator rows -------------------------------------
     "q_stream_change_counts",   # S1 MySQL binlog streaming scan
@@ -279,7 +286,10 @@ PRIORITY = [
                                 # via localCheckpointed fixpoint (r10 swap-in)
     "q_hll_union",              # union-register cardinality serving variant
                                 # (r10 swap-in)
-    "q_corpus_report",
+    "q_text_quality",           # r11 late swap-in: benched in the legacy
+                                # headline every round since r1 yet never
+                                # driver-graded (COVERAGE.md pending list) —
+                                # heuristic quality-score battery
 ]
 
 # Value-ranked tail: REAL queries that simply don't fit the 50-slot
@@ -323,6 +333,9 @@ TAIL = [
                                 # shape: q_project_decode + q_cdc_apply)
     "q_snapshot_union",         # r10 swap-out (green r01-r09 rows; D6 semantics
                                 # recomputed by q_cdc_apply's merge)
+    "q_audio_probe",            # r11 new: REAL MPEG container probe over
+                                # synthesized header-true streams — the parse
+                                # is graded (oracle inlines the ISO tables)
     "q_simhash60_near_dups",    # r11 new: wide-signature (60-bit/15-bit-band)
                                 # scale-correct form of the graded
                                 # q_simhash_near_dups — at 16 bits true-pair
@@ -411,7 +424,9 @@ TAIL = [
     "q_change_counts_windowed",
     "q_repetition",
     "q_corpus_clean",
-    "q_text_quality",
+    "q_corpus_report",          # r11 swap-out (green r01-r10 rows; per-(source,
+                                # lang) dashboard: rate/fingerprint shapes held
+                                # by q_stream_drift + q_stream_unimax store reads)
     "q_boilerplate_ratio",
     "q_boilerplate_shingles",
     "q_ivf_multiprobe",
