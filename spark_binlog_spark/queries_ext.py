@@ -2296,6 +2296,69 @@ FROM p
 """
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL dependency-free WARC ingest (functions/warc.py): each
+    doc_id synthesizes a spec-layout WARC file holding one HTTP
+    response record wrapping an HTML page (member-per-record GZIPPED
+    for odd doc_ids — both storage forms the ISO 28500 ecosystem
+    ships), and the record walk + HTTP split + HTML->text extraction
+    must recover URI, status, title and the EXACT original text from
+    the bytes alone.  The oracle recomputes the expectations straight
+    from documents — so the full parse chain is graded."""
+    from spark_binlog_spark.functions import warc as warc_mod
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import gzip as _gzip
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                html = (
+                    f"<html><head><title>doc {d}</title></head>"
+                    f"<body><p>{txt}</p></body></html>"
+                ).encode()
+                http = (
+                    f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+                    f"Content-Length: {len(html)}\r\n\r\n"
+                ).encode() + html
+                rec = (
+                    f"WARC/1.0\r\nWARC-Type: response\r\n"
+                    f"WARC-Target-URI: http://corpus.local/{d}\r\n"
+                    f"WARC-Record-ID: <urn:doc:{d}>\r\n"
+                    f"Content-Length: {len(http)}\r\n\r\n"
+                ).encode() + http + b"\r\n\r\n"
+                blob = _gzip.compress(rec) if d % 2 else rec
+                rows.append({"file_id": d, "content": blob})
+            yield _pd.DataFrame(rows, columns=["file_id", "content"])
+
+    files = docs.mapInPandas(gen, "file_id long, content binary")
+    out = warc_mod.warc_extract(files)
+    return out.select(
+        "file_id",
+        "warc_type",
+        "target_uri",
+        "http_status",
+        "title",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+ORACLE["q_warc_extract"] = """
+SELECT doc_id AS file_id,
+       'response' AS warc_type,
+       'http://corpus.local/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       CAST(200 AS INTEGER) AS http_status,
+       'doc ' || CAST(doc_id AS VARCHAR) AS title,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------- PII scrub
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (pre-training cleaning pass): the synthetic corpus

@@ -333,6 +333,10 @@ TAIL = [
                                 # shape: q_project_decode + q_cdc_apply)
     "q_snapshot_union",         # r10 swap-out (green r01-r09 rows; D6 semantics
                                 # recomputed by q_cdc_apply's merge)
+    "q_warc_extract",           # r11 new: REAL WARC ingest (ISO 28500 record
+                                # walk + HTTP split + HTML->text) over
+                                # synthesized plain AND gzipped files — the
+                                # Common Crawl entry format; oracle-graded
     "q_audio_probe",            # r11 new: REAL MPEG container probe over
                                 # synthesized header-true streams — the parse
                                 # is graded (oracle inlines the ISO tables)
