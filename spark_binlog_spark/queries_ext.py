@@ -2296,6 +2296,70 @@ FROM p
 """
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/url_ops.py): each doc_id
+    synthesizes a MESSY url (upper-cased scheme/host, default and
+    non-default explicit ports, unsorted + tracking query params, a
+    fragment) and the canonicalizer must produce the normalized parts
+    and dedup key — all Catalyst expressions, zero Python.  The oracle
+    derives the expected fields INDEPENDENTLY from doc_id/source
+    arithmetic (it never parses the URL), so the rule set itself is
+    graded: lowercase scheme/host, fragment gone, http:80 dropped but
+    https:80 and :8080 kept, params tracking-stripped and byte-sorted,
+    path case preserved."""
+    from spark_binlog_spark.functions import url_ops
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    d = F.col("doc_id")
+    messy = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(d % 3 == 0, F.lit(":80"))
+        .when(d % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        F.floor(d / 4).cast("string"),
+        F.when(d % 5 == 4, F.lit("")).otherwise(
+            F.concat(
+                F.lit("?b=2&utm_source=spark&a="),
+                (d % 5).cast("string"),
+                F.lit("&fbclid=zz"),
+            )
+        ),
+        F.lit("#sec"),
+        d.cast("string"),
+    )
+    out = url_ops.canonicalize_urls(docs.withColumn("url", messy))
+    return out.select(
+        "doc_id", "scheme", "host", "port_norm", "path_norm", "query_norm", "canonical"
+    )
+
+
+ORACLE["q_url_normalize"] = """
+WITH e AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+         'www.' || source || '.example.com' AS host,
+         CASE WHEN doc_id % 3 = 1 THEN '8080'
+              WHEN doc_id % 3 = 0 AND doc_id % 2 = 1 THEN '80'
+              ELSE '' END AS port_norm,
+         '/Docs/' || CAST(doc_id // 4 AS VARCHAR) AS path_norm,
+         CASE WHEN doc_id % 5 = 4 THEN ''
+              ELSE 'a=' || CAST(doc_id % 5 AS VARCHAR) || '&b=2' END AS query_norm
+  FROM documents
+)
+SELECT doc_id, scheme, host, port_norm, path_norm, query_norm,
+       scheme || '://' || host
+         || CASE WHEN port_norm = '' THEN '' ELSE ':' || port_norm END
+         || path_norm
+         || CASE WHEN query_norm = '' THEN '' ELSE '?' || query_norm END
+       AS canonical
+FROM e
+"""
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL dependency-free WARC ingest (functions/warc.py): each
     doc_id synthesizes a spec-layout WARC file holding one HTTP

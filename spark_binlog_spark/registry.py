@@ -333,6 +333,9 @@ TAIL = [
                                 # shape: q_project_decode + q_cdc_apply)
     "q_snapshot_union",         # r10 swap-out (green r01-r09 rows; D6 semantics
                                 # recomputed by q_cdc_apply's merge)
+    "q_url_normalize",          # r11 new: URL canonicalization (the web
+                                # pipeline's dedup key) — oracle derives the
+                                # expected fields independently, zero Python
     "q_warc_extract",           # r11 new: REAL WARC ingest (ISO 28500 record
                                 # walk + HTTP split + HTML->text) over
                                 # synthesized plain AND gzipped files — the
