@@ -112,6 +112,9 @@ HEADLINE_V2 = [
     "q_bm25_search",      # batch BM25 ranking (r10)
     "q_simhash_near_dups",  # hamming-LSH banded near-dup pairs (r10)
     "q_simhash60_near_dups",  # wide-signature scale-correct form (r11 new)
+    "q_warc_extract",     # WARC record walk + HTTP split + HTML->text (r11 new)
+    "q_audio_probe",      # MPEG container frame-walk probe (r11 new)
+    "q_url_normalize",    # URL canonicalization, pure Catalyst (r11 new)
     "q_dup_components",   # connected components + canonical survivor (r10)
     "q_hll_union",        # union-register cardinality serving variant (r10)
 ]
