@@ -2296,6 +2296,58 @@ FROM p
 """
 
 
+_TS_PATTERN = [500, 1000, 500, 1000, 500, 1000, 500, 1000]  # oscillation motif
+
+
+def q_ts_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence pattern search (functions/timeseries.py):
+    top-10 per-user sliding windows of the events value series nearest
+    a quantized oscillation motif, by integer squared-Euclidean
+    distance, with the shift-invariant centered distance carried
+    alongside.  Plan: keyed row_number -> explode into member windows
+    -> one keyed partial agg rebuilds vectors -> zip_with/aggregate
+    distances against the broadcast literal -> TakeOrdered.  Zero
+    Python; the oracle rebuilds windows via an rn-range self-join and
+    list comprehensions."""
+    from spark_binlog_spark.functions import timeseries
+
+    events = load_table(spark, sf_dir, "events")
+    out = timeseries.pattern_topk(events, _TS_PATTERN, k=10)
+    return out.select(
+        F.col("key").alias("user_id"), "win_start", "dist", "cdist"
+    )
+
+
+_TS_P_SQL = "[" + ",".join(str(p) for p in _TS_PATTERN) + "]"
+_TS_PSUM = sum(_TS_PATTERN)
+
+ORACLE["q_ts_pattern_topk"] = f"""
+WITH s AS (
+  SELECT user_id AS key,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         CAST(floor(value * 100) AS BIGINT) AS qv
+  FROM events
+),
+w AS (
+  SELECT a.key, a.rn AS win_start, list(b.qv ORDER BY b.rn) AS vec
+  FROM s a JOIN s b ON b.key = a.key AND b.rn >= a.rn AND b.rn < a.rn + 8
+  GROUP BY a.key, a.rn
+  HAVING count(*) = 8
+),
+d AS (
+  SELECT key, win_start,
+         CAST(list_sum([(vec[i] - P[i]) * (vec[i] - P[i])
+                        for i in generate_series(1, 8)]) AS BIGINT) AS dist,
+         CAST(list_sum([((vec[i] * 8 - list_sum(vec)) - (P[i] * 8 - {_TS_PSUM}))
+                        * ((vec[i] * 8 - list_sum(vec)) - (P[i] * 8 - {_TS_PSUM}))
+                        for i in generate_series(1, 8)]) AS BIGINT) AS cdist
+  FROM w, (SELECT {_TS_P_SQL} AS P)
+)
+SELECT key AS user_id, CAST(win_start AS BIGINT) AS win_start, dist, cdist
+FROM d ORDER BY dist, key, win_start LIMIT 10
+"""
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions/url_ops.py): each doc_id
     synthesizes a MESSY url (upper-cased scheme/host, default and

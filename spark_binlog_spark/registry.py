@@ -333,6 +333,9 @@ TAIL = [
                                 # shape: q_project_decode + q_cdc_apply)
     "q_snapshot_union",         # r10 swap-out (green r01-r09 rows; D6 semantics
                                 # recomputed by q_cdc_apply's merge)
+    "q_ts_pattern_topk",        # r11 new: time-series subsequence motif
+                                # search over the events stream (keyed
+                                # windows, integer distances, zero Python)
     "q_url_normalize",          # r11 new: URL canonicalization (the web
                                 # pipeline's dedup key) — oracle derives the
                                 # expected fields independently, zero Python
