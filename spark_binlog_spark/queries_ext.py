@@ -565,17 +565,25 @@ FROM documents GROUP BY lang
 
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: connected components over the MinHash
-    candidate-pair graph via ALTERNATING large-star/small-star
+    candidate-pair graph — ADAPTIVE (dedup.adaptive_components): a
+    bounded small-graph gate solves <=200k-edge graphs with one
+    collect + driver union-find (pure round latency otherwise), and
+    larger graphs take ALTERNATING large-star/small-star
     (dedup.star_components, Kiveris et al. 2014) — O(log^2 n) rounds
     regardless of component diameter, vs rounds = diameter for the
-    min-label form (which q_dedup_canonical still exercises; both are
-    property-tested equal to a union-find oracle).  A web-scale dup
-    graph has chain families hundreds of hops deep, so round count is
-    the scale axis here.  The SQL oracle is exact via a recursive
-    transitive-closure CTE."""
+    min-label form (which q_dedup_canonical still exercises; all
+    forms are property-tested equal to a union-find oracle).  A
+    web-scale dup graph has chain families hundreds of hops deep, so
+    round count is the scale axis there.  The SQL oracle is exact via
+    a recursive transitive-closure CTE."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_candidate_pairs(docs, min_agree=2).select("doc_a", "doc_b")
-    return dedup.star_components(pairs)
+    # adaptive small-graph gate (r11): under 200k canonical edges the
+    # component solve is one bounded collect + driver union-find (the
+    # broadcast-threshold idea applied to the fixpoint — at sf0.1 the
+    # dup graph is ~3k edges and the distributed rounds were pure
+    # latency); larger graphs take star_components unchanged
+    return dedup.adaptive_components(pairs)
 
 
 # the recursive CTE materializes each vertex's full reachable set and

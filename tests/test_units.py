@@ -570,6 +570,39 @@ class TestMinLabelComponents:
         }
         assert got_ml == want
 
+    def test_adaptive_components_both_branches_match_oracle(self, spark):
+        """adaptive_components (r11): the driver union-find branch and
+        the forced star branch (gate=0) must both equal the union-find
+        oracle on the same mixed-topology graph — the gate is invisible
+        to correctness.  Also: empty input yields an empty typed
+        relation on the driver path."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions.dedup import adaptive_components
+
+        edges = (
+            [(i + 1, i) for i in range(10, 30)]
+            + [(500, v) for v in range(40, 50)]
+            + [(60, 61), (61, 62), (62, 63), (63, 60)]
+            + [(900, 901), (900, 901), (901, 900)]  # dups + reversed: canon absorbs
+        )
+        want = self._union_find(edges)
+        pairs = spark.createDataFrame([Row(doc_a=u, doc_b=v) for u, v in edges])
+        got_driver = {
+            r["doc_id"]: r["component"] for r in adaptive_components(pairs).collect()
+        }
+        assert got_driver == want
+        got_star = {
+            r["doc_id"]: r["component"]
+            for r in adaptive_components(pairs, driver_max_edges=0).collect()
+        }
+        assert got_star == want
+
+        empty = spark.createDataFrame([], "doc_a long, doc_b long")
+        out = adaptive_components(empty)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["doc_id", "component"]
+
     def test_star_components_random_graphs_match_oracle(self, spark):
         """Randomized battery: star_components == union-find on 5
         seeded random graphs (the determinism contract is per-graph
