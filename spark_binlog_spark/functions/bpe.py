@@ -102,19 +102,77 @@ def _merge_expr(a: str, b: str) -> str:
     )
 
 
+BPE_DRIVER_MAX_WORDS = 200_000  # bounded collect gate, like a broadcast side
+
+
+def _bpe_learn_driver(spark: SparkSession, rows, steps: int) -> DataFrame:
+    """Driver-side merge loop over a BOUNDED collected vocabulary —
+    semantics identical to the distributed loop: pair counts weighted
+    by word count, argmax by (count desc, lhs asc, rhs asc), greedy
+    left-fold application (the already-merged accumulator tail is what
+    the next pair matches against).  String tie-breaks are ASCII-safe
+    here because WORD_RE restricts symbols to [a-z] + the EOW
+    sentinel, so Python code-point order == the JVM's UTF-16 order."""
+    words = [(int(r["cnt"]), list(r["syms"])) for r in rows]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, steps + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for cnt, syms in words:
+            for ab in zip(syms, syms[1:]):
+                counts[ab] = counts.get(ab, 0) + cnt
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, a + b, c))
+        if step < steps:
+            for i, (cnt, syms) in enumerate(words):
+                acc: list[str] = []
+                for s in syms:
+                    if acc and acc[-1] == a and s == b:
+                        acc[-1] = a + b
+                    else:
+                        acc.append(s)
+                words[i] = (cnt, acc)
+    return spark.createDataFrame(
+        merges, "step long, lhs string, rhs string, merged string, pair_cnt long"
+    )
+
+
 def bpe_learn(
-    spark: SparkSession, vocab: DataFrame, steps: int = BPE_STEPS
+    spark: SparkSession,
+    vocab: DataFrame,
+    steps: int = BPE_STEPS,
+    driver_max_words: int | None = None,
 ) -> DataFrame:
     """Learn `steps` BPE merges; returns the merge table
     (step, lhs, rhs, merged, pair_cnt) — the tokenizer-training
-    artifact.  Each iteration persists the re-segmented vocabulary so
-    lineage (and recompute) stays O(1) per step."""
-    # ONE job per iteration: the argmax over pair counts doubles as
-    # the materializer of the current segmentation's cache (persist is
-    # lazy), so no separate count() pass runs.  The previous iteration
-    # stays persisted until the argmax has filled the current cache,
-    # then unpersists; the final re-segmentation is never built.
+    artifact.
+
+    ADAPTIVE (r11): the merge loop runs on the VOCABULARY relation,
+    which is bounded by distinct-word count, not corpus size — when it
+    is under ``driver_max_words`` (default 200k rows, a bounded
+    collect like a broadcast build side) the whole loop runs on the
+    driver in one job + createDataFrame instead of paying
+    several Spark jobs of pure scheduling latency per merge step.
+    Larger vocabularies take the distributed loop unchanged, where
+    each iteration persists the re-segmented vocabulary so lineage
+    (and recompute) stays O(1) per step.  Both branches are
+    property-tested equal."""
+    gate = BPE_DRIVER_MAX_WORDS if driver_max_words is None else driver_max_words
     cur = vocab.persist()
+    n_words = cur.count()
+    if n_words <= gate:
+        try:
+            rows = cur.select("cnt", "syms").collect()  # bounded by the gate
+        finally:
+            cur.unpersist()
+        return _bpe_learn_driver(spark, rows, steps)
+    # distributed path: ONE job per iteration — the argmax over pair
+    # counts doubles as the materializer of the current segmentation's
+    # cache (persist is lazy), so no separate count() pass runs.  The
+    # previous iteration stays persisted until the argmax has filled
+    # the current cache, then unpersists; the final re-segmentation is
+    # never built.
     prev = None
     merges: list[tuple[int, str, str, str, int]] = []
     try:

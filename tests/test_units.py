@@ -1664,6 +1664,26 @@ class TestSketches:
         assert (out[1]["step"], out[1]["lhs"], out[1]["rhs"], out[1]["pair_cnt"]) == (
             2, "a", "a</w>", 3)
 
+    def test_bpe_learn_adaptive_branches_agree(self, spark):
+        """The r11 driver-gate branch and the distributed loop (forced
+        via driver_max_words=0) must emit the IDENTICAL merge table —
+        same pairs, same order, same counts — on a corpus with ties,
+        multi-step merge interactions and an early-stop tail."""
+        from tests.conftest import SF_TEST
+
+        from spark_binlog_spark.functions import bpe
+
+        docs = spark.read.parquet(f"{SF_TEST}/documents.parquet").limit(120)
+        vocab = bpe.bpe_vocab(docs)
+        drv = [tuple(r) for r in bpe.bpe_learn(spark, vocab, steps=6).collect()]
+        dist = [
+            tuple(r)
+            for r in bpe.bpe_learn(
+                spark, vocab, steps=6, driver_max_words=0
+            ).collect()
+        ]
+        assert drv == dist and len(drv) >= 1
+
     def test_bpe_tokenize_stats_hand_case(self, spark):
         """After the two hand-traced merges on 'aa aa aa ab', tokenize
         stats per source: 'aa' segments to [a, a</w>]... then step-2
