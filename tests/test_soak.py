@@ -228,6 +228,71 @@ class TestSinkSoak:
         for b_ in batches:
             b_.unpersist()
 
+    def test_embedding_neardup_soak(self, spark, tmp_path):
+        """The vector-admission sibling (EmbeddingNearDupIngestSink)
+        under the same 24-batch contract: flat pruned scans, bounded
+        store, and final index == batch-recomputed signatures of the
+        survivors, with no surviving near-pair (banded candidates at
+        >= min_cosine4) left in the index."""
+        from spark_binlog_spark.streaming.embedding_sink import (
+            SIG_COLS,
+            EmbeddingNearDupIngestSink,
+        )
+
+        emb = spark.read.parquet(f"{SOAK_SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        n_rows = emb.count()
+        ranked = emb.withColumn(
+            "b", F.ntile(N_BATCHES).over(Window.orderBy("vec_id"))
+        )
+        batches = [
+            ranked.filter(F.col("b") == i + 1).drop("b").localCheckpoint()
+            for i in range(N_BATCHES)
+        ]
+        sink = EmbeddingNearDupIngestSink(
+            spark, str(tmp_path / "store"), n_buckets=16, compact_threshold=8
+        )
+        per_batch = _drive(sink, batches)
+        _assert_flat_and_bounded(
+            "embedding_neardup", sink, per_batch, len(sink.store.all_files()), n_rows
+        )
+        # 3a. store integrity: recomputed signatures of the survivors
+        admitted = emb.join(sink.accepted(), "vec_id", "semi")
+        expected = sink._signatures(admitted).select(*SIG_COLS)
+        _sets_equal(
+            sink.index().dropDuplicates(), expected, "embedding_neardup index"
+        )
+        # 3b. greedy-admission invariant: no banded survivor pair at or
+        # above the admission threshold
+        idx = sink.index().dropDuplicates()
+        a, b = idx.alias("a"), idx.alias("b")
+        viol = (
+            a.join(
+                b,
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.sbucket") == F.col("b.sbucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("va"),
+                F.col("b.vec_id").alias("vb"),
+                F.col("a.q").alias("qa"),
+                F.col("a.norm").alias("na"),
+                F.col("b.q").alias("qb"),
+                F.col("b.norm").alias("nb"),
+            )
+            .dropDuplicates(["va", "vb"])
+            .filter(
+                sink._cos4(F.col("qa"), F.col("na"), F.col("qb"), F.col("nb"))
+                >= sink.min_cosine4
+            )
+            .count()
+        )
+        assert viol == 0, f"{viol} surviving near-pairs in the final index"
+        for b_ in batches:
+            b_.unpersist()
+
     def test_inverted_index_soak(self, spark, tmp_path):
         from spark_binlog_spark.functions.text import words
         from spark_binlog_spark.streaming.inverted_index import InvertedIndexSink
