@@ -529,6 +529,61 @@ def star_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Dat
     )
 
 
+def hamming_near_dup_pairs(
+    sig: DataFrame,
+    id_col: str = "media_id",
+    sig_col: str = "dhash",
+    bits: int = 63,
+    bands: int = 9,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs over a PRECOMPUTED hamming-space signature column
+    (e.g. a perceptual image dHash) — the generic form of the banded
+    hamming-LSH self-join simhash_near_dup_pairs builds for text: any
+    pair within hamming < ``bands`` shares at least one exact band
+    (pigeonhole), popcount verifies, and the verify runs BEFORE the
+    pair-dedup shuffle so candidates never materialize (the r11
+    ladder lesson).  Signatures must be non-negative (<= 63 bits)."""
+    assert max_hamming < bands and bits % bands == 0
+    width = bits // bands
+    mask = (1 << width) - 1
+    base = sig.select(F.col(id_col).alias("sid"), F.col(sig_col).alias("sg"))
+    banded = base.select(
+        "sid",
+        "sg",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("sg"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("sid", "sg", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.sg").bitwiseXOR(F.col("b.sg"))).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(
+            F.col("a.sid").alias("id_a"),
+            F.col("b.sid").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 DRIVER_CC_MAX_EDGES = 200_000  # ~a few MB of (long, long) pairs
 
 

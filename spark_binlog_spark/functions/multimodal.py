@@ -1236,6 +1236,113 @@ def _image_features_stdlib(content: bytes) -> list[float] | None:
     return feats[:FEATURE_DIM]
 
 
+def image_dhash63(content: bytes) -> int | None:
+    """REAL dependency-free perceptual image hash (difference hash):
+    decode (any of the real decoders below), integer-luma grayscale,
+    box-average to a 9-column x 8-row grid, then one bit per
+    horizontal gradient — bit (y*8 + x) set iff cell[y][x] <
+    cell[y][x+1], with the final (y=7, x=7) comparison DROPPED so the
+    63-bit value folds inside a signed 64-bit long in BOTH engines
+    (the same width rationale as the 60-bit simhash).  dHash is
+    invariant under global brightness shifts and under the encoding
+    FORMAT (the same pixels as BMP or PNG hash identically), which is
+    exactly what image near-dup detection needs.  All-integer:
+    deterministic across platforms."""
+    decoded = (
+        _bmp_pixels(content)
+        or _pnm_pixels(content)
+        or _png_pixels(content)
+        or _gif_pixels(content)
+        or _jpeg_pixels(content)
+    )
+    if decoded is None:
+        return None
+    width, height, rows = decoded
+    cols, grows = 9, 8
+    grid = []
+    for gy in range(grows):
+        y0 = gy * height // grows
+        y1 = max((gy + 1) * height // grows, y0 + 1)
+        y1 = min(y1, height)
+        line = []
+        for gx in range(cols):
+            x0 = gx * width // cols
+            x1 = max((gx + 1) * width // cols, x0 + 1)
+            x1 = min(x1, width)
+            total = cnt = 0
+            for y in range(y0, y1):
+                for x in range(x0, x1):
+                    r, g, b = rows[y][x]
+                    total += (299 * r + 587 * g + 114 * b) // 1000
+                    cnt += 1
+            line.append(total // cnt if cnt else 0)
+        grid.append(line)
+    h = 0
+    for y in range(grows):
+        for x in range(cols - 1):
+            if y == 7 and x == 7:
+                continue  # keep the fold under 2^63
+            if grid[y][x] < grid[y][x + 1]:
+                h |= 1 << (y * 8 + x)
+    return h
+
+
+def build_gray_bmp(width: int, height: int, vals: list[int]) -> bytes:
+    """Minimal spec-layout 24-bit top-down BMP with r=g=b=val — the
+    deterministic image-fixture builder (integer luma of (v,v,v) is
+    exactly v, so oracle SQL can recompute the dHash from the same
+    value formula without decoding anything).  The decoder batteries
+    verify _bmp_pixels against INDEPENDENT writers in the test suite;
+    this builder only feeds fixtures/queries."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    pix = bytearray()
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            v = vals[y * width + x] & 0xFF
+            row += bytes((v, v, v))
+        row += b"\x00" * (stride - len(row))
+        pix += row
+    # file header, then BITMAPINFOHEADER: biSize, width, NEGATIVE
+    # height (top-down), planes, bpp, compression(0), image size,
+    # ppm x/y, colors used/important
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, -height, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+        )
+    )
+    return bytes(header) + bytes(pix)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def image_dhash_signatures(df: DataFrame) -> DataFrame:
+    """Arrow-batched dHash over (media_id, content); undecodable blobs
+    are dropped (a near-dup pass has nothing to say about them — the
+    header probe reports them separately)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                h = image_dhash63(bytes(content))
+                if h is not None:
+                    rows.append({"media_id": int(media_id), "dhash": h})
+            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+    return df.select("media_id", "content").mapInPandas(run, DHASH_SCHEMA)
+
+
 def _wav_features_stdlib(content: bytes) -> list[float] | None:
     """Dependency-free REAL audio decode: stdlib ``wave`` parses
     PCM WAV (8/16-bit), normalizing the first channel's first

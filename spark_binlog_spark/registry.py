@@ -333,6 +333,10 @@ TAIL = [
                                 # shape: q_project_decode + q_cdc_apply)
     "q_snapshot_union",         # r10 swap-out (green r01-r09 rows; D6 semantics
                                 # recomputed by q_cdc_apply's merge)
+    "q_image_near_dups",        # r11 new: perceptual image dedup — real BMP
+                                # decode -> 63-bit dHash -> banded hamming
+                                # join; oracle recomputes hashes from the
+                                # fixture's value formula
     "q_ts_pattern_topk",        # r11 new: time-series subsequence motif
                                 # search over the events stream (keyed
                                 # windows, integer distances, zero Python)

@@ -1,0 +1,94 @@
+"""Perceptual image dedup batteries: image_dhash63 (decode -> luma ->
+9x8 grid -> gradient hash) + the generic banded hamming pair join.
+Uses the INDEPENDENT PNG writer from test_properties for the
+cross-format invariance proof."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_binlog_spark.functions.multimodal import (
+    build_gray_bmp,
+    image_dhash63,
+)
+from tests.test_properties import _png_encode
+
+
+def _vals(base: int, shift: int = 0, invert: bool = False) -> list[int]:
+    out = []
+    for y in range(8):
+        for x in range(9):
+            core = (base * 37 + y * 29 + x * 13 + ((x * y + base) % 7) * 23) % 191
+            out.append((191 - core) if invert else core + shift)
+    return out
+
+
+class TestImageDhash:
+    def test_brightness_shift_invariance(self):
+        a = image_dhash63(build_gray_bmp(9, 8, _vals(5)))
+        b = image_dhash63(build_gray_bmp(9, 8, _vals(5, shift=9)))
+        assert a is not None and a == b
+
+    def test_cross_format_invariance_bmp_vs_png(self):
+        """The same pixels as BMP and as grayscale PNG (independent
+        writer) must hash identically — format-independent dedup."""
+        vals = _vals(11)
+        bmp_h = image_dhash63(build_gray_bmp(9, 8, vals))
+        img = [[vals[y * 9 + x] for x in range(9)] for y in range(8)]
+        png = _png_encode(img, color_type=0, filters=[0] * 8)
+        assert image_dhash63(png) == bmp_h
+
+    def test_local_edit_small_hamming_inversion_large(self):
+        a = image_dhash63(build_gray_bmp(9, 8, _vals(3)))
+        # a non-crossing edit (cell +50 stays between its neighbors)
+        # is absorbed ENTIRELY — gradient hashing's robustness
+        soft = list(_vals(3))
+        soft[2 * 9 + 4] += 50
+        assert image_dhash63(build_gray_bmp(9, 8, soft)) == a
+        # a crossing edit (cell blown to 255) flips only the local bits
+        edited = list(_vals(3))
+        edited[2 * 9 + 4] = 255
+        e = image_dhash63(build_gray_bmp(9, 8, edited))
+        inv = image_dhash63(build_gray_bmp(9, 8, _vals(3, invert=True)))
+        assert 1 <= bin(a ^ e).count("1") <= 4
+        assert bin(a ^ inv).count("1") > 20
+
+    def test_downsample_path_larger_image(self):
+        """A 36x16 image whose 9x8 box means reproduce the base grid
+        must hash like the grid itself (each cell replicated 4x2)."""
+        vals = _vals(7)
+        big = []
+        for y in range(16):
+            for x in range(36):
+                big.append(vals[(y // 2) * 9 + (x // 4)])
+        assert image_dhash63(build_gray_bmp(36, 16, big)) == image_dhash63(
+            build_gray_bmp(9, 8, vals)
+        )
+
+    def test_undecodable_returns_none(self):
+        assert image_dhash63(b"not an image") is None
+        assert image_dhash63(b"") is None
+
+    def test_hash_stays_below_2_63(self):
+        # all-ascending rows set every used bit; bit 63 must stay clear
+        asc = [x * 20 for y in range(8) for x in range(9)]
+        h = image_dhash63(build_gray_bmp(9, 8, asc))
+        assert 0 < h < (1 << 63)
+
+
+class TestHammingPairJoin:
+    def test_banded_join_finds_exactly_the_near_pairs(self, spark):
+        from spark_binlog_spark.functions.dedup import hamming_near_dup_pairs
+
+        rows = [
+            (1, 0b1010101),          # base
+            (2, 0b1010101),          # exact dup -> hamming 0
+            (3, 0b1010100),          # hamming 1
+            (4, (1 << 50) - 1),      # far away
+        ]
+        sig = spark.createDataFrame(rows, "media_id long, dhash long")
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in hamming_near_dup_pairs(sig, max_hamming=6).collect()
+        }
+        assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
