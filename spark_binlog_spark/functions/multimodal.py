@@ -1343,6 +1343,96 @@ def image_dhash_signatures(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(run, DHASH_SCHEMA)
 
 
+def _wav_samples_int(content: bytes) -> list[int] | None:
+    """All first-channel PCM samples as INTEGERS (16-bit signed as-is,
+    8-bit unsigned centered) — the raw-sample sibling of the
+    normalized feature path below, for integer-exact fingerprints."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    if width == 2:
+        n = len(raw) // 2
+        return list(struct.unpack(f"<{n}h", raw[: n * 2]))[::nch]
+    if width == 1:
+        return [b - 128 for b in raw[::nch]]
+    return None
+
+
+def audio_envelope_hash63(content: bytes, windows: int = 64) -> int | None:
+    """REAL dependency-free perceptual AUDIO fingerprint — the audio
+    sibling of image_dhash63: decode PCM (stdlib wave), split the
+    first channel into ``windows`` equal spans, take each span's
+    integer ENERGY (sum of squared samples), and set one bit per
+    energy gradient — bit k iff env[k] < env[k+1], k in 0..62, so the
+    63-bit value folds inside signed long in both engines.  GAIN-
+    invariant by construction (a constant amplitude factor scales
+    every window's energy by the same g², preserving all gradients) —
+    the loudness-normalization dedup case; all-integer, so
+    deterministic across platforms and SQL-recomputable."""
+    samples = _wav_samples_int(content)
+    if samples is None or len(samples) < windows:
+        return None
+    n = len(samples)
+    env = []
+    for k in range(windows):
+        span = samples[k * n // windows : (k + 1) * n // windows]
+        env.append(sum(v * v for v in span))
+    h = 0
+    for k in range(min(windows - 1, 63)):
+        if env[k] < env[k + 1]:
+            h |= 1 << k
+    return h
+
+
+def build_pcm16_wav(rate: int, samples: list[int]) -> bytes:
+    """Minimal mono PCM16 WAV via the stdlib writer — the audio
+    fixture builder (decode batteries verify the reader against
+    independent writers elsewhere; this only feeds fixtures/queries)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def audio_envelope_signatures(df: DataFrame) -> DataFrame:
+    """Arrow-batched envelope hash over (media_id, content);
+    undecodable / too-short blobs are dropped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                h = audio_envelope_hash63(bytes(content))
+                if h is not None:
+                    rows.append({"media_id": int(media_id), "ahash": h})
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return df.select("media_id", "content").mapInPandas(run, AHASH_SCHEMA)
+
+
 def _wav_features_stdlib(content: bytes) -> list[float] | None:
     """Dependency-free REAL audio decode: stdlib ``wave`` parses
     PCM WAV (8/16-bit), normalizing the first channel's first

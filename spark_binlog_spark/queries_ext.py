@@ -2387,6 +2387,90 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
 """
 
 
+def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio near-duplicate detection — the audio sibling of
+    q_image_near_dups: each doc_id synthesizes a 256-sample PCM16 WAV
+    from doc_id arithmetic (four docs share a base waveform; variant 3
+    is a 2x GAIN — envelope-hash-identical by construction since every
+    window's energy scales by the same factor — variant 1 blows out
+    one window, variant 2 is different content), the blobs are decoded
+    back by the real stdlib WAV reader, energy-envelope hashed
+    (multimodal.audio_envelope_hash63: 64 windows, 63 gradient bits)
+    and banded-hamming joined.  The oracle recomputes every hash from
+    the same sample formula — decode, fingerprint and pair join all
+    graded."""
+    from spark_binlog_spark.functions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base, m = d // 4, d % 4
+                samples = []
+                for i in range(256):
+                    if m == 2:
+                        s = ((base * 131 + i * 23 + ((i * i * 3 + base) % 13) * 41) % 997) - 498
+                    else:
+                        s = ((base * 131 + i * 17 + ((i * i + base) % 11) * 37) % 997) - 498
+                        if m == 3:
+                            s *= 2
+                        if m == 1 and 80 <= i < 84:
+                            s = 498
+                    samples.append(s)
+                rows.append(
+                    {"media_id": d, "content": multimodal.build_pcm16_wav(8000, samples)}
+                )
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(gen, "media_id long, content binary")
+    sig = multimodal.audio_envelope_signatures(media)
+    pairs = dedup.hamming_near_dup_pairs(
+        sig, id_col="media_id", sig_col="ahash", bits=63, bands=9, max_hamming=6
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
+
+
+ORACLE["q_audio_near_dups"] = """
+WITH s AS (
+  SELECT d.doc_id, t.i, d.doc_id // 4 AS base, d.doc_id % 4 AS m
+  FROM documents d, (SELECT unnest(range(0, 256)) AS i) t
+),
+smp AS (
+  SELECT doc_id, i, i // 4 AS k,
+         CASE WHEN m = 2
+              THEN ((base * 131 + i * 23 + ((i * i * 3 + base) % 13) * 41) % 997) - 498
+              WHEN m = 1 AND i >= 80 AND i < 84 THEN 498
+              WHEN m = 3
+              THEN (((base * 131 + i * 17 + ((i * i + base) % 11) * 37) % 997) - 498) * 2
+              ELSE ((base * 131 + i * 17 + ((i * i + base) % 11) * 37) % 997) - 498
+         END AS v
+  FROM s
+),
+env AS (
+  SELECT doc_id, k, CAST(sum(v * v) AS BIGINT) AS e FROM smp GROUP BY doc_id, k
+),
+h AS (
+  SELECT a.doc_id,
+         CAST(coalesce(sum(CASE WHEN a.e < b.e
+                       THEN CAST(1 AS BIGINT) << a.k ELSE 0 END), 0) AS BIGINT) AS ahash
+  FROM env a JOIN env b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+  WHERE a.k < 63
+  GROUP BY a.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+"""
+
+
 _TS_PATTERN = [500, 1000, 500, 1000, 500, 1000, 500, 1000]  # oscillation motif
 
 

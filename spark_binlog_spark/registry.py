@@ -333,6 +333,9 @@ TAIL = [
                                 # shape: q_project_decode + q_cdc_apply)
     "q_snapshot_union",         # r10 swap-out (green r01-r09 rows; D6 semantics
                                 # recomputed by q_cdc_apply's merge)
+    "q_audio_near_dups",        # r11 new: perceptual audio dedup — real WAV
+                                # decode -> 63-bit energy-envelope hash
+                                # (gain-invariant) -> banded hamming join
     "q_image_near_dups",        # r11 new: perceptual image dedup — real BMP
                                 # decode -> 63-bit dHash -> banded hamming
                                 # join; oracle recomputes hashes from the

@@ -92,3 +92,47 @@ class TestHammingPairJoin:
             for r in hamming_near_dup_pairs(sig, max_hamming=6).collect()
         }
         assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+
+
+class TestAudioEnvelopeHash:
+    @staticmethod
+    def _samples(base: int, gain: int = 1, blow_window: int | None = None):
+        out = []
+        for i in range(256):
+            s = ((base * 131 + i * 17 + ((i * i + base) % 11) * 37) % 997) - 498
+            s *= gain
+            if blow_window is not None and blow_window * 4 <= i < blow_window * 4 + 4:
+                s = 498
+            out.append(s)
+        return out
+
+    def test_gain_invariance(self):
+        from spark_binlog_spark.functions.multimodal import (
+            audio_envelope_hash63,
+            build_pcm16_wav,
+        )
+
+        a = audio_envelope_hash63(build_pcm16_wav(8000, self._samples(9)))
+        g = audio_envelope_hash63(build_pcm16_wav(8000, self._samples(9, gain=2)))
+        assert a is not None and a == g and 0 < a < (1 << 63)
+
+    def test_local_blowout_small_hamming(self):
+        from spark_binlog_spark.functions.multimodal import (
+            audio_envelope_hash63,
+            build_pcm16_wav,
+        )
+
+        a = audio_envelope_hash63(build_pcm16_wav(8000, self._samples(9)))
+        e = audio_envelope_hash63(
+            build_pcm16_wav(8000, self._samples(9, blow_window=20))
+        )
+        assert 1 <= bin(a ^ e).count("1") <= 3  # only bits 19/20 can move
+
+    def test_short_or_garbage_returns_none(self):
+        from spark_binlog_spark.functions.multimodal import (
+            audio_envelope_hash63,
+            build_pcm16_wav,
+        )
+
+        assert audio_envelope_hash63(b"junk") is None
+        assert audio_envelope_hash63(build_pcm16_wav(8000, [1] * 10)) is None
