@@ -1378,6 +1378,11 @@ def audio_envelope_hash63(content: bytes, windows: int = 64) -> int | None:
     the loudness-normalization dedup case; all-integer, so
     deterministic across platforms and SQL-recomputable."""
     samples = _wav_samples_int(content)
+    if samples is None:
+        flac = _flac_first_frame_samples(content)
+        if flac is not None:
+            samples = flac[0]  # lossless integers: WAV==FLAC of the
+            # same PCM hash identically (cross-format audio dedup)
     if samples is None or len(samples) < windows:
         return None
     n = len(samples)
@@ -1726,15 +1731,15 @@ _FLAC_BLOCKSIZES = [
 ]
 
 
-def _flac_features_stdlib(content: bytes) -> list[float] | None:
+def _flac_first_frame_samples(content: bytes) -> tuple[list[int], int] | None:
     """Dependency-free FLAC decode per the public format spec
     (xiph.org): STREAMINFO walk, frame-header parse, constant /
     verbatim / fixed / LPC subframes with rice-coded residuals, and
     left-side / right-side / mid-side stereo decorrelation — FLAC is
     lossless integer arithmetic end to end, so decode is bit-exact.
-    First FEATURE_DIM channel-0 samples normalized by 2^(bps-1).
-    CRCs are consumed, not verified (features, not archival).  Only
-    the first frame is read (FEATURE_DIM << any real blocksize)."""
+    Returns (channel-0 INTEGER samples of the first frame, bps); the
+    feature wrapper below normalizes, the audio fingerprint uses the
+    integers directly.  CRCs are consumed, not verified."""
     if content[:4] != b"fLaC":
         return None
     try:
@@ -1817,11 +1822,22 @@ def _flac_features_stdlib(content: bytes) -> list[float] | None:
             ch0 = [(((m << 1) | (s & 1)) + s) >> 1 for m, s in zip(mid, side)]
         else:
             return None
-        scale = float(1 << (bps - 1))
-        flat = [s / scale for s in ch0[:FEATURE_DIM]]
-        return (flat + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+        return ch0, bps
     except (IndexError, ValueError):
         return None  # untrusted bytes: malformed is None, never a raise
+
+
+def _flac_features_stdlib(content: bytes) -> list[float] | None:
+    """First FEATURE_DIM channel-0 FLAC samples normalized by
+    2^(bps-1) (only the first frame is read — FEATURE_DIM << any real
+    blocksize); see _flac_first_frame_samples for the decode itself."""
+    decoded = _flac_first_frame_samples(content)
+    if decoded is None:
+        return None
+    ch0, bps = decoded
+    scale = float(1 << (bps - 1))
+    flat = [s / scale for s in ch0[:FEATURE_DIM]]
+    return (flat + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
 
 
 def _real_audio_features(content: bytes) -> list[float] | None:

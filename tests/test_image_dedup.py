@@ -136,3 +136,28 @@ class TestAudioEnvelopeHash:
 
         assert audio_envelope_hash63(b"junk") is None
         assert audio_envelope_hash63(build_pcm16_wav(8000, [1] * 10)) is None
+
+    def test_cross_format_invariance_wav_vs_flac(self):
+        """The same 256 PCM16 samples as WAV and as a FLAC verbatim
+        frame (independent test writer) must fingerprint identically —
+        lossless cross-format audio dedup."""
+        from spark_binlog_spark.functions.multimodal import (
+            audio_envelope_hash63,
+            build_pcm16_wav,
+        )
+        from tests.test_properties import _FlacWriter, _flac_bytes  # noqa: F401
+
+        samples = self._samples(13)
+
+        def body(w):
+            # subframe header: pad(1)=0, type(6)=0b000001 (verbatim),
+            # wasted(1)=0; then blocksize x 16-bit raw samples
+            w.put(1, 0)
+            w.put(6, 1)
+            w.put(1, 0)
+            for v in samples:
+                w.put(16, v & 0xFFFF)
+
+        flac = _flac_bytes(body, blocksize=256, bps=16, ch_code=0)
+        wav_h = audio_envelope_hash63(build_pcm16_wav(8000, samples))
+        assert audio_envelope_hash63(flac) == wav_h and wav_h is not None
