@@ -1379,10 +1379,10 @@ def audio_envelope_hash63(content: bytes, windows: int = 64) -> int | None:
     deterministic across platforms and SQL-recomputable."""
     samples = _wav_samples_int(content)
     if samples is None:
-        flac = _flac_first_frame_samples(content)
-        if flac is not None:
-            samples = flac[0]  # lossless integers: WAV==FLAC of the
-            # same PCM hash identically (cross-format audio dedup)
+        # lossless integers across EVERY frame: WAV==FLAC of the same
+        # PCM hash identically (cross-format audio dedup) — multi-frame
+        # decode per ADVICE r11, not just the first frame
+        samples = _flac_all_samples(content)
     if samples is None or len(samples) < windows:
         return None
     n = len(samples)
@@ -1731,21 +1731,15 @@ _FLAC_BLOCKSIZES = [
 ]
 
 
-def _flac_first_frame_samples(content: bytes) -> tuple[list[int], int] | None:
-    """Dependency-free FLAC decode per the public format spec
-    (xiph.org): STREAMINFO walk, frame-header parse, constant /
-    verbatim / fixed / LPC subframes with rice-coded residuals, and
-    left-side / right-side / mid-side stereo decorrelation — FLAC is
-    lossless integer arithmetic end to end, so decode is bit-exact.
-    Returns (channel-0 INTEGER samples of the first frame, bps); the
-    feature wrapper below normalizes, the audio fingerprint uses the
-    integers directly.  CRCs are consumed, not verified."""
+def _flac_metadata(content: bytes) -> tuple[int, int | None, int] | None:
+    """STREAMINFO walk: (first-frame byte offset, streaminfo bps or
+    None, total samples — 0 when the encoder left it unknown)."""
     if content[:4] != b"fLaC":
         return None
+    i = 4
+    si_bps: int | None = None
+    total = 0
     try:
-        # ---- metadata blocks: need STREAMINFO's bps fallback
-        i = 4
-        si_bps = None
         while True:
             if i + 4 > len(content):
                 return None
@@ -1758,73 +1752,136 @@ def _flac_first_frame_samples(content: bytes) -> tuple[list[int], int] | None:
                 # | 5 bits bps-1 | 36 bits total samples — bps-1 spans
                 # byte 12's low bit and byte 13's high nibble
                 si_bps = (((body[12] & 0x01) << 4) | (body[13] >> 4)) + 1
+                total = ((body[13] & 0x0F) << 32) | int.from_bytes(
+                    body[14:18], "big"
+                )
             i += 4 + blen
             if last:
                 break
-        bits = _FlacBits(content, i)
-        # ---- frame header
-        if bits.read(14) != 0x3FFE:
-            return None
-        bits.read(1)  # reserved
-        bits.read(1)  # blocking strategy
-        bs_code = bits.read(4)
-        sr_code = bits.read(4)
-        ch_code = bits.read(4)
-        ss_code = bits.read(3)
-        bits.read(1)  # reserved
-        # UTF-8-coded frame/sample number: first byte tells the length
-        first = bits.read(8)
-        extra = 0
-        if first >= 0xC0:
-            b = first
-            while b & 0x40:
-                extra += 1
-                b <<= 1
-        for _ in range(extra):
-            bits.read(8)
-        if bs_code == 0:
-            return None
-        blocksize = _FLAC_BLOCKSIZES[bs_code]
-        if blocksize == -1:
-            blocksize = bits.read(8) + 1
-        elif blocksize == -2:
-            blocksize = bits.read(16) + 1
-        if sr_code == 12:
-            bits.read(8)
-        elif sr_code in (13, 14):
-            bits.read(16)
-        elif sr_code == 15:
-            return None
-        bps_map = {0: si_bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
-        bps = bps_map.get(ss_code)
-        if bps is None:
-            return None
-        bits.read(8)  # header CRC-8 (consumed, not verified)
-        # ---- subframes + stereo decorrelation
-        if ch_code <= 7:
-            nch = ch_code + 1
-            chans = []
-            for _c in range(nch):
-                chans.append(_flac_subframe(bits, blocksize, bps))
-            ch0 = chans[0]
-        elif ch_code == 8:  # left-side: ch0 = left
-            left = _flac_subframe(bits, blocksize, bps)
-            _side = _flac_subframe(bits, blocksize, bps + 1)
-            ch0 = left
-        elif ch_code == 9:  # right-side: ch0 = right + side
-            side = _flac_subframe(bits, blocksize, bps + 1)
-            right = _flac_subframe(bits, blocksize, bps)
-            ch0 = [r + s for r, s in zip(right, side)]
-        elif ch_code == 10:  # mid-side: mid = (L+R)>>1 (side LSB lost),
-            # side = L-R; reconstruct L = ((mid<<1 | side&1) + side) >> 1
-            mid = _flac_subframe(bits, blocksize, bps)
-            side = _flac_subframe(bits, blocksize, bps + 1)
-            ch0 = [(((m << 1) | (s & 1)) + s) >> 1 for m, s in zip(mid, side)]
-        else:
-            return None
-        return ch0, bps
+    except IndexError:
+        return None  # declared-but-truncated block on untrusted bytes
+    return i, si_bps, total
+
+
+def _flac_frame_ch0(bits: _FlacBits, si_bps: int | None) -> tuple[list[int], int]:
+    """ONE frame at the reader's current position: header parse,
+    subframes, stereo decorrelation.  Returns (channel-0 samples,
+    bps); raises ValueError/IndexError on malformed bits — the public
+    wrappers turn that into None.  The frame footer CRC-16 is NOT
+    consumed here (the multi-frame walk owns inter-frame alignment)."""
+    # ---- frame header
+    if bits.read(14) != 0x3FFE:
+        raise ValueError("flac: bad frame sync")
+    bits.read(1)  # reserved
+    bits.read(1)  # blocking strategy
+    bs_code = bits.read(4)
+    sr_code = bits.read(4)
+    ch_code = bits.read(4)
+    ss_code = bits.read(3)
+    bits.read(1)  # reserved
+    # UTF-8-coded frame/sample number: first byte tells the length
+    first = bits.read(8)
+    extra = 0
+    if first >= 0xC0:
+        b = first
+        while b & 0x40:
+            extra += 1
+            b <<= 1
+    for _ in range(extra):
+        bits.read(8)
+    if bs_code == 0:
+        raise ValueError("flac: reserved blocksize code")
+    blocksize = _FLAC_BLOCKSIZES[bs_code]
+    if blocksize == -1:
+        blocksize = bits.read(8) + 1
+    elif blocksize == -2:
+        blocksize = bits.read(16) + 1
+    if sr_code == 12:
+        bits.read(8)
+    elif sr_code in (13, 14):
+        bits.read(16)
+    elif sr_code == 15:
+        raise ValueError("flac: invalid sample-rate code")
+    bps_map = {0: si_bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+    bps = bps_map.get(ss_code)
+    if bps is None:
+        raise ValueError("flac: reserved sample-size code")
+    bits.read(8)  # header CRC-8 (consumed, not verified)
+    # ---- subframes + stereo decorrelation
+    if ch_code <= 7:
+        nch = ch_code + 1
+        chans = []
+        for _c in range(nch):
+            chans.append(_flac_subframe(bits, blocksize, bps))
+        ch0 = chans[0]
+    elif ch_code == 8:  # left-side: ch0 = left
+        left = _flac_subframe(bits, blocksize, bps)
+        _side = _flac_subframe(bits, blocksize, bps + 1)
+        ch0 = left
+    elif ch_code == 9:  # right-side: ch0 = right + side
+        side = _flac_subframe(bits, blocksize, bps + 1)
+        right = _flac_subframe(bits, blocksize, bps)
+        ch0 = [r + s for r, s in zip(right, side)]
+    elif ch_code == 10:  # mid-side: mid = (L+R)>>1 (side LSB lost),
+        # side = L-R; reconstruct L = ((mid<<1 | side&1) + side) >> 1
+        mid = _flac_subframe(bits, blocksize, bps)
+        side = _flac_subframe(bits, blocksize, bps + 1)
+        ch0 = [(((m << 1) | (s & 1)) + s) >> 1 for m, s in zip(mid, side)]
+    else:
+        raise ValueError("flac: reserved channel assignment")
+    return ch0, bps
+
+
+def _flac_first_frame_samples(content: bytes) -> tuple[list[int], int] | None:
+    """Dependency-free FLAC decode per the public format spec
+    (xiph.org): STREAMINFO walk, frame-header parse, constant /
+    verbatim / fixed / LPC subframes with rice-coded residuals, and
+    left-side / right-side / mid-side stereo decorrelation — FLAC is
+    lossless integer arithmetic end to end, so decode is bit-exact.
+    Returns (channel-0 INTEGER samples of the first frame, bps); the
+    feature wrapper below normalizes, the audio fingerprint decodes
+    EVERY frame via _flac_all_samples.  CRCs are consumed, not
+    verified."""
+    meta = _flac_metadata(content)
+    if meta is None:
+        return None
+    start, si_bps, _total = meta
+    try:
+        return _flac_frame_ch0(_FlacBits(content, start), si_bps)
     except (IndexError, ValueError):
         return None  # untrusted bytes: malformed is None, never a raise
+
+
+def _flac_all_samples(content: bytes) -> list[int] | None:
+    """Channel-0 samples of EVERY frame, concatenated (ADVICE r11:
+    the fingerprint's WAV==FLAC cross-format invariance must hold for
+    multi-frame FLACs, not just single-frame ones).  Frames are
+    byte-aligned and separated by a 16-bit footer CRC (consumed, not
+    verified); the walk stops at STREAMINFO's total-samples count
+    when the encoder recorded one, else at end of data.  A malformed
+    frame ANYWHERE returns None — a partial-stream hash would
+    silently mis-dedup, so untrusted bytes are flagged, not guessed."""
+    meta = _flac_metadata(content)
+    if meta is None:
+        return None
+    start, si_bps, total = meta
+    bits = _FlacBits(content, start)
+    out: list[int] = []
+    try:
+        ch0, _bps = _flac_frame_ch0(bits, si_bps)
+        out.extend(ch0)
+        while not (total and len(out) >= total):
+            bits.align()
+            # after the LAST frame at most a final CRC-16 remains; a
+            # next frame needs CRC (2B) + sync/header (>=2B more)
+            if len(content) - (bits.bitpos >> 3) < 4:
+                break
+            bits.read(16)  # previous frame's footer CRC-16
+            ch0, _bps = _flac_frame_ch0(bits, si_bps)
+            out.extend(ch0)
+    except (IndexError, ValueError):
+        return None  # untrusted bytes: malformed is None, never a raise
+    return out[:total] if total else out
 
 
 def _flac_features_stdlib(content: bytes) -> list[float] | None:

@@ -30,7 +30,10 @@ _SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)"
 _PORT_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]*:([0-9]+)"
 _PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([/][^?#]*)"
-_QUERY_RE = "[?]([^#]*)"
+# query anchored to the PRE-fragment prefix (ADVICE r11): a '?' that
+# first appears after '#' (SPA route URLs like http://h/#/r?k=1) is
+# fragment content and must NOT leak into query_norm/canonical
+_QUERY_RE = "^[^#?]*[?]([^#]*)"
 TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid)="
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 

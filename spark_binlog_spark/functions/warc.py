@@ -47,22 +47,40 @@ from pyspark.sql.types import (
 )
 
 _MAX_HEADER_BLOCK = 1 << 20  # defensive bound on a single header block
+# per-member decompressed-size ceiling (ADVICE r11): WARC bytes are
+# explicitly untrusted, and a whole-file single-member .warc.gz (legal
+# per ISO 28500) or a crafted gzip bomb would otherwise inflate the
+# entire stream in one decompress() call.  64 MiB comfortably holds any
+# real record-per-member archive while bounding executor peak memory.
+_MAX_MEMBER_BYTES = 64 << 20
 
 
 def _gunzip_members(data: bytes) -> Iterator[bytes]:
     """Yield each gzip member's decompressed bytes (multi-member =
     record-per-member .warc.gz).  Truncated/corrupt members end the
-    walk with what decoded so far."""
+    walk with what decoded so far.  Each member is inflated
+    incrementally (``max_length``) and truncated at _MAX_MEMBER_BYTES;
+    an oversized member yields its capped prefix and ENDS the walk
+    (the next member boundary is unreachable without decompressing
+    through the bomb), so peak memory stays bounded per record."""
     rest = data
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
+        out = bytearray()
         try:
-            out = d.decompress(rest)
+            out += d.decompress(rest, _MAX_MEMBER_BYTES)
+            while (
+                not d.eof and d.unconsumed_tail and len(out) < _MAX_MEMBER_BYTES
+            ):
+                out += d.decompress(
+                    d.unconsumed_tail, _MAX_MEMBER_BYTES - len(out)
+                )
         except zlib.error:
             return
-        yield out + (d.flush() if d.eof else b"")
         if not d.eof:
-            return  # truncated member
+            yield bytes(out)  # truncated member OR capped bomb prefix
+            return
+        yield bytes(out + d.flush())
         rest = d.unused_data
 
 

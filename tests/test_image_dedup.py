@@ -161,3 +161,52 @@ class TestAudioEnvelopeHash:
         flac = _flac_bytes(body, blocksize=256, bps=16, ch_code=0)
         wav_h = audio_envelope_hash63(build_pcm16_wav(8000, samples))
         assert audio_envelope_hash63(flac) == wav_h and wav_h is not None
+
+    def test_cross_format_invariance_multiframe_flac(self):
+        """ADVICE r11: the WAV==FLAC invariance must hold for
+        MULTI-FRAME FLACs too — the fingerprint decodes every frame
+        (_flac_all_samples), not just the first.  512 PCM16 samples as
+        one WAV vs two 256-sample verbatim FLAC frames (byte-aligned,
+        16-bit footer CRC between frames, STREAMINFO total=512) must
+        hash identically; the first-frame-only hash must NOT."""
+        import struct
+
+        from spark_binlog_spark.functions.multimodal import (
+            _flac_all_samples,
+            audio_envelope_hash63,
+            build_pcm16_wav,
+        )
+        from tests.test_properties import _FlacWriter
+
+        samples = self._samples(13) + self._samples(14)  # 512 samples
+        bs, total = 256, len(samples)
+        si = struct.pack(">HH", bs, bs) + b"\x00" * 6
+        packed = (8000 << 44) | ((16 - 1) << 36) | total
+        si += packed.to_bytes(8, "big") + b"\x00" * 16
+        blob = bytearray(b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si)
+        for fno in range(2):
+            w = _FlacWriter()
+            w.put(14, 0x3FFE)
+            w.put(1, 0)
+            w.put(1, 0)  # fixed-blocksize strategy: number = frame index
+            w.put(4, 6)  # blocksize: 8-bit value at end
+            w.put(4, 4)  # sample-rate code (decoder skips)
+            w.put(4, 0)  # mono
+            w.put(3, 4)  # 16-bit samples
+            w.put(1, 0)
+            w.put(8, fno)  # UTF-8 frame number
+            w.put(8, bs - 1)
+            w.put(8, 0)  # header CRC-8 (consumed, not verified)
+            w.put(1, 0)
+            w.put(6, 1)  # verbatim subframe
+            w.put(1, 0)
+            for v in samples[fno * bs : (fno + 1) * bs]:
+                w.put(16, v & 0xFFFF)
+            blob += w.bytes_()  # frames are byte-aligned
+            blob += b"\x00\x00"  # footer CRC-16 (consumed, not verified)
+        flac = bytes(blob)
+        assert _flac_all_samples(flac) == samples
+        wav_h = audio_envelope_hash63(build_pcm16_wav(8000, samples))
+        assert audio_envelope_hash63(flac) == wav_h and wav_h is not None
+        first_only = audio_envelope_hash63(build_pcm16_wav(8000, samples[:bs]))
+        assert first_only != wav_h  # the r11 bug would have produced this

@@ -1338,9 +1338,24 @@ class TestStreamStreamJoin:
             # is already in the sink and correct, so the race is not a
             # failure here (r11 full-suite run: both pairs committed at
             # offset 6, the race fired planning offset 7-8, and the
-            # unconditional awaitTermination re-raised it).  Any OTHER
-            # exception still propagates.
-            if exc is None or "makeCopy" not in str(exc):
+            # unconditional awaitTermination re-raised it).  Tightened
+            # r12 (ADVICE r11): suppress ONLY the documented benign
+            # race — it must surface as a StreamingQueryException (not
+            # an arbitrary error that mentions makeCopy), AND the sink
+            # must provably hold the exact expected pairs BEFORE we
+            # suppress.  Any other terminal exception propagates.
+            from pyspark.errors import StreamingQueryException
+
+            committed = {
+                (r["i_pk"], r["i_off"], r["d_off"])
+                for r in spark.table(name).collect()
+            }
+            benign_race = (
+                isinstance(exc, StreamingQueryException)
+                and "makeCopy" in str(exc)
+                and committed == {(1, 0, 3), (3, 4, 5)}
+            )
+            if exc is None or not benign_race:
                 q.awaitTermination()
             else:
                 print("[ssj] makeCopy race after completion - result kept", flush=True)

@@ -79,3 +79,20 @@ class TestCanonicalize:
         assert got["a.io"]["n_canonical"] == 2
         assert got["a.io"]["url_dups"] == 1
         assert got["b.io"]["url_dups"] == 0
+
+
+    def test_fragment_query_does_not_leak(self, spark):
+        """ADVICE r11: a '?' whose first appearance is AFTER '#' is
+        fragment content (SPA route URLs) and must not leak into
+        query_norm/canonical — the module's own drop-the-fragment rule."""
+        got = _canon(
+            spark,
+            [
+                "http://h.io/#/route?utm_source=a&k=1",  # '?' inside fragment
+                "http://h.io/p?k=1#frag?x=2",  # real query, '?' also in fragment
+                "http://h.io/#frag",
+            ],
+        )
+        assert got[0]["query_norm"] == "" and got[0]["canonical"] == "http://h.io/"
+        assert got[1]["query_norm"] == "k=1" and got[1]["canonical"] == "http://h.io/p?k=1"
+        assert got[2]["canonical"] == "http://h.io/"

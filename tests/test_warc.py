@@ -136,3 +136,34 @@ class TestWarcSparkOps:
         # non-response records carry metadata, empty text
         reqs = [r for r in out if r["warc_type"] == "request"]
         assert len(reqs) == 3 and all(r["text"] == "" for r in reqs)
+
+
+class TestGzipMemberCap:
+    def test_oversized_member_truncated_at_cap(self, monkeypatch):
+        """ADVICE r11: a single gzip member must never inflate
+        unboundedly (whole-file single-member .warc.gz / gzip bomb).
+        With the cap patched small, an oversized member yields its
+        capped prefix and ENDS the walk; peak memory stays one cap."""
+        from spark_binlog_spark.functions import warc as warc_mod
+
+        monkeypatch.setattr(warc_mod, "_MAX_MEMBER_BYTES", 1 << 16)
+        bomb = gzip.compress(b"\x00" * (1 << 22))  # 4 MiB member, 64 KiB cap
+        tail = gzip.compress(warc_record("warcinfo", b"x: y\r\n"))
+        members = list(warc_mod._gunzip_members(bomb + tail))
+        assert len(members) == 1  # walk ends at the capped member
+        assert len(members[0]) == 1 << 16
+
+    def test_normal_members_unaffected_by_cap(self):
+        """Record-per-member files far under the cap round-trip whole."""
+        from spark_binlog_spark.functions import warc as warc_mod
+
+        recs = [warc_record("warcinfo", b"a: 1\r\n"), warc_record("warcinfo", b"b: 2\r\n")]
+        blob = b"".join(gzip.compress(r) for r in recs)
+        assert list(warc_mod._gunzip_members(blob)) == recs
+
+    def test_bomb_never_raises_through_parse(self, monkeypatch):
+        from spark_binlog_spark.functions import warc as warc_mod
+
+        monkeypatch.setattr(warc_mod, "_MAX_MEMBER_BYTES", 1 << 12)
+        bomb = gzip.compress(b"A" * (1 << 20))
+        assert parse_warc(bomb) == []  # capped prefix parses to no records
