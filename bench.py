@@ -120,6 +120,13 @@ HEADLINE_V2 = [
     "q_audio_near_dups",  # perceptual audio dedup: PCM envelope hash (r11 new)
     "q_dup_components",   # connected components + canonical survivor (r10)
     "q_hll_union",        # union-register cardinality serving variant (r10)
+    # round-12 rotation newcomers (first driver rows r12): timed so the
+    # graded prefix carries measured numbers, not guesses
+    "q_wal_binary_rollup",  # binary WAL synth -> parse -> regional rollup (r12 new)
+    "q_mv_segment_balance",  # MV segment-balance read (r12 swap-in, ask #8)
+    "q_compressibility",  # gzip-ratio analogue statistic (r12 swap-in)
+    "q_chunk_documents",  # overlapping-window chunk layout (r12 swap-in)
+    "q_embedding_dedup_multitable",  # multi-table vector admission (r12 swap-in)
 ]
 
 
@@ -130,6 +137,29 @@ def main() -> None:
     # host load before/after (VERDICT r10 ask #5): loaded-host vs quiet-host
     # adjudication (r10's 7.378 vs 5.765 split) becomes mechanical when the
     # artifact itself records 1/5/15-min load averages around the run
+    #
+    # load GATE (VERDICT r11 ask #3): r10 AND r11's official artifacts were
+    # both captured under neighbor load (r11: loadavg 7.5->9.3, four
+    # insurance retries) — two rounds of forensic adjudication is a process
+    # bug.  If the 1-min loadavg exceeds the gate, sleep and re-sample up
+    # to N times BEFORE starting the session; the full decision trail lands
+    # in bench_detail.json + the headline line, so the artifact is either
+    # quiet-at-start or carries the proof that the host never went quiet.
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    gate_retries = int(os.environ.get("SPARK_GRAFT_LOAD_RETRIES", "6"))
+    gate_sleep = float(os.environ.get("SPARK_GRAFT_LOAD_SLEEP", "60"))
+    load_gate_trail = [round(os.getloadavg()[0], 2)]
+    gate_waited = 0.0
+    while load_gate_trail[-1] > gate and len(load_gate_trail) <= gate_retries:
+        time.sleep(gate_sleep)
+        gate_waited += gate_sleep
+        load_gate_trail.append(round(os.getloadavg()[0], 2))
+    load_gate = {
+        "threshold": gate,
+        "trail": load_gate_trail,
+        "waited_sec": round(gate_waited, 1),
+        "quiet_at_start": load_gate_trail[-1] <= gate,
+    }
     load_before = [round(x, 2) for x in os.getloadavg()]
 
     from pyspark.sql import SparkSession
@@ -338,6 +368,7 @@ def main() -> None:
     stream_rps = round(n_events / stream_sec, 1) if stream_sec else None
     detail = {
         "metric": "bench_detail",
+        "load_gate": load_gate,
         "loadavg_before": load_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "spread": spread,
@@ -368,6 +399,7 @@ def main() -> None:
                 "sf": float(sf),
                 "stream_rows_per_sec": stream_rps,
                 "loadavg": [load_before, detail["loadavg_after"]],
+                "load_gate": load_gate,
             }
         )
     )

@@ -549,6 +549,137 @@ FROM runs GROUP BY region, run_id
 """
 
 
+# ------------------------------------------------------- S2 binary WAL e2e
+def q_wal_binary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 end-to-end over REAL ProtobufLogWriter WAL BYTES (VERDICT r11
+    ask #5): stage 1 synthesizes spec-correct binary WAL files from the
+    events table with the in-repo writer (sources/hbase_wal_format.py
+    write_wal_file — magic, delimited WALHeader/WALKey protobufs,
+    KeyValue cells); stage 2 parses them back with read_wal_file +
+    entries_to_events (the reference's WAL.Entry -> row-event mapping,
+    HBaseWALClient.scala:157-203: consecutive same-row same-kind cell
+    runs fold into one event, METAFAMILY cells skipped); stage 3 rolls
+    the recovered events up per (region, op) in pure Catalyst.  Each
+    entry plants one META cell (must be skipped) and two data cells —
+    same kind for error/other rows (ONE event, n_cells=2), put+delete
+    for purchase rows (TWO events, the run-break case) — so the oracle,
+    which recomputes the expectation straight from events arithmetic,
+    grades the binary parse AND the run grouping, not just the agg.
+    Both mapInPandas stages are file-granular Arrow passes: at corpus
+    scale each WAL blob decodes independently, exactly like the WARC
+    and image decode paths."""
+    _pin(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+
+    def synth(batches):
+        import pandas as _pd
+
+        from spark_binlog_spark.sources.hbase_wal_format import (
+            METAFAMILY,
+            TYPE_DELETE,
+            TYPE_PUT,
+            WalCell,
+            WalEntry,
+            write_wal_file,
+        )
+
+        for pdf in batches:
+            entries = []
+            for eid, uid, etype in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"]
+            ):
+                eid, uid = int(eid), int(uid)
+                row = str(uid).encode()
+                v1 = str(uid * 7 + eid).encode()
+                v2 = str(eid % 97).encode()
+                t1 = TYPE_DELETE if etype == "error" else TYPE_PUT
+                t2 = TYPE_PUT if etype not in ("error", "purchase") else TYPE_DELETE
+                cells = (
+                    WalCell(row, METAFAMILY, b"meta", eid, TYPE_PUT, b"skip-me"),
+                    WalCell(row, b"cf", b"a", eid, t1, v1),
+                    WalCell(row, b"cf", b"b", eid, t2, v2),
+                )
+                entries.append(
+                    WalEntry(
+                        region=b"r_%d" % (uid % 4),
+                        table=b"demo",
+                        seqnum=eid,
+                        write_time=eid * 1000 + 7,
+                        cells=cells,
+                    )
+                )
+            yield _pd.DataFrame(
+                {"content": [write_wal_file(entries)]}, columns=["content"]
+            )
+
+    def parse(batches):
+        import pandas as _pd
+
+        from spark_binlog_spark.sources.hbase_wal_format import (
+            entries_to_events,
+            read_wal_file,
+        )
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for e in entries_to_events(read_wal_file(bytes(blob))):
+                    rows.append(
+                        {
+                            "region": e["region"].decode(),
+                            "seqnum": e["seqnum"],
+                            "op": e["op"],
+                            "rowkey": int(e["row"]),
+                            "n_cells": len(e["cells"]),
+                            "val_sum": sum(int(c.value) for c in e["cells"]),
+                        }
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=["region", "seqnum", "op", "rowkey", "n_cells", "val_sum"],
+            )
+
+    blobs = ev.mapInPandas(synth, "content binary")
+    events = blobs.mapInPandas(
+        parse,
+        "region string, seqnum long, op string, rowkey long, "
+        "n_cells long, val_sum long",
+    )
+    return events.groupBy("region", "op").agg(
+        F.count("*").alias("n_events"),
+        F.sum("n_cells").alias("total_cells"),
+        F.sum("val_sum").alias("total_val"),
+        F.max("seqnum").alias("max_seq"),
+    )
+
+
+ORACLE["q_wal_binary_rollup"] = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         'r_' || CAST(user_id % 4 AS VARCHAR) AS region,
+         user_id * 7 + event_id AS v1,
+         event_id % 97 AS v2
+  FROM events
+),
+ev AS (  -- one row per ROW EVENT, mirroring entries_to_events' run folds
+  SELECT region, event_id AS seqnum,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS n_cells,
+         CASE WHEN event_type = 'purchase' THEN v1 ELSE v1 + v2 END AS val_sum
+  FROM e
+  UNION ALL  -- purchase entries break into a second (delete) run
+  SELECT region, event_id, 'delete', 1, v2 FROM e WHERE event_type = 'purchase'
+)
+SELECT region, op, count(*) AS n_events,
+       CAST(sum(n_cells) AS BIGINT) AS total_cells,
+       CAST(sum(val_sum) AS BIGINT) AS total_val,
+       max(seqnum) AS max_seq
+FROM ev GROUP BY region, op
+"""
+
+
 # ---------------------------------------------------------------- D1
 _ENV_ROW_SCHEMA = StructType(
     [StructField("pk", LongType()), StructField("value", DoubleType())]

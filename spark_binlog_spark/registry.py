@@ -200,6 +200,34 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r01-r10; per-(source,lang) rate dashboard — the store-served
 # q_stream_drift / q_stream_unimax rows keep the corpus-statistics
 # shape graded).
+#
+# Round-12 rotation (VERDICT r11 asks #1/#5/#8 — exactly its lists):
+# the complete never-graded pending list swaps IN, zeroing COVERAGE.md's
+# rotation debt for the first time — q_image_near_dups,
+# q_audio_near_dups, q_warc_extract, q_audio_probe, q_url_normalize,
+# q_ts_pattern_topk, q_simhash60_near_dups, q_compressibility,
+# q_chunk_documents, q_embedding_dedup_multitable — plus the r12-new
+# q_wal_binary_rollup (ask #5: binary WAL bytes -> entries_to_events ->
+# rollup under one oracle) and q_mv_segment_balance (ask #8: the ONLY
+# never-pass row in eleven rounds, r01; rotated in once to retire it —
+# its oracle has graded green via q_stream_mv_maintain r8-r11).
+# Swapped OUT, the verdict's ten candidates plus two triple-green sketch
+# sinks, every one ≥3 cumulative green rows and shape-covered:
+# q_ship_priority (multi-join shape: q_cdc_apply + q_curation_e2e
+# chains), q_schema_evolution (epoch shape: q_stream_schema_epochs),
+# q_stream_mv_maintain (MV maintenance graded via q_mv_segment_balance's
+# shared-plan oracle THIS round), q_stream_hybrid_search (RRF: both
+# feeding stores stay graded via q_stream_embedding_search +
+# q_bm25_search), q_stream_bm25 (index store read: q_bm25_search keeps
+# the tf/idf pipeline graded), q_quality_classifier (scoring-scan shape:
+# q_text_quality + q_lm_familiarity), q_hard_negatives (pair-scoring
+# shape: q_lsh_recall's brute/LSH compare), q_embedding_standardize
+# (per-dim z-score folded into every ANN pipeline's preprocessing),
+# q_pack_efficiency (pack layout recomputed inside q_curation_e2e's
+# stage-6 CTEs), q_stream_drift (stats-store read: q_stream_unimax +
+# q_stream_ccnet keep the store graded), q_stream_hll (register shape:
+# q_hll_union stays), q_stream_cms (additive-grid shape:
+# q_stream_quantiles stays).
 PRIORITY = [
     # --- tier 1: operator rows -------------------------------------
     "q_stream_change_counts",   # S1 MySQL binlog streaming scan
@@ -224,23 +252,18 @@ PRIORITY = [
     "q_stream_sessions",        # stateful streaming sessionization (r11 swap-in)
     "q_token_count",            # whitespace+BPE-ish token counting (r11 swap-in;
                                 # benched every round, never graded before)
+    "q_wal_binary_rollup",      # r12 NEW (VERDICT r11 ask #5): spec-correct
+                                # binary WAL files -> read_wal_file ->
+                                # entries_to_events run folds -> regional
+                                # rollup, the full S2 chain under ONE oracle
+    "q_mv_segment_balance",     # r12 swap-in (VERDICT r11 ask #8): the only
+                                # never-pass row in 11 rounds (r01); its oracle
+                                # graded green via q_stream_mv_maintain r8-r11 —
+                                # rotated in once to retire the red row
     # --- tier 2: §2.C category demos -------------------------------
-    "q_ship_priority",
-    "q_schema_evolution",
-    "q_stream_mv_maintain",
     "q_stream_incremental_dedup",  # exact-dedup ingest sink (r7 swap-in)
-    "q_stream_hybrid_search",   # RRF served from both streaming stores
-                                # (r7 swap-in; subsumes q_hybrid_search)
-    "q_stream_bm25",            # streaming inverted index (r5 late swap
-                                # for q_fingerprint, whose fingerprint fn
-                                # q_dedup_exact/q_incremental_dedup cover)
     "q_stream_neardup_dedup",   # streaming MinHash admission (r5 swap-in)
-    "q_quality_classifier",     # hashed linear quality scorer (r7 new)
     "q_ivfadc_topk",            # IVFADC: coarse cells + residual PQ (r8 swap-in)
-    "q_hard_negatives",         # contrastive hard-negative mining (r8 swap-in)
-    "q_embedding_standardize",  # per-dim z-score normalization (r8 swap-in)
-    "q_stream_drift",           # streamed stats-store drift read (r8 swap-in)
-    "q_pack_efficiency",        # pack fill/straddle dashboard (r8 swap-in)
     "q_ivfadc_trained_topk",    # trained IVFADC: kmeans_train + pq_train (r9 swap-in)
     "q_stream_unimax",          # UniMax waterfill off the streamed stats store (r9)
     "q_stream_dsir",            # DSIR off the incrementally maintained model (r9;
@@ -250,10 +273,6 @@ PRIORITY = [
     "q_stream_kmeans",          # mini-batch k-means model off the additive store (r9)
     "q_stream_cluster_sample",  # balanced sample vs streamed centroids (r9;
                                 # subsumes q_cluster_sample's quota plan)
-    "q_stream_cms",             # count-min grid sink + live point queries (r9 new;
-                                # oracle = q_cms_topterms', so it subsumes it)
-    "q_stream_hll",             # HLL register sink + live cardinality (r9 new;
-                                # oracle = q_hll_distinct', so it subsumes it)
     "q_stream_quantiles",       # log-bin histogram sink + live p50/p90/p99 (r9 new;
                                 # oracle = q_token_quantiles', so it subsumes it)
     "q_stream_jaccard",         # KMV bottom-k sink + live pairwise Jaccard (r9 new;
@@ -290,6 +309,27 @@ PRIORITY = [
                                 # headline every round since r1 yet never
                                 # driver-graded (COVERAGE.md pending list) —
                                 # heuristic quality-score battery
+    # --- r12 rotation: the complete never-graded pending list -------
+    "q_image_near_dups",        # perceptual image dedup: real BMP decode ->
+                                # 63-bit dHash -> banded hamming join
+    "q_audio_near_dups",        # perceptual audio dedup: real WAV/FLAC decode
+                                # -> gain-invariant envelope hash -> banded join
+    "q_warc_extract",           # REAL WARC ingest: record walk (plain+gzip),
+                                # HTTP split, HTML->text — Common Crawl entry
+    "q_audio_probe",            # REAL MPEG container probe; oracle inlines the
+                                # ISO 11172-3 tables so the frame walk is graded
+    "q_url_normalize",          # URL canonicalization (web dedup key), pure
+                                # Catalyst; oracle derives fields independently
+    "q_ts_pattern_topk",        # time-series motif search: keyed windows,
+                                # integer distances, TakeOrdered — zero Python
+    "q_simhash60_near_dups",    # wide-signature (60-bit/15-bit-band) simhash —
+                                # the scale-correct form the sf1 ladder forced
+    "q_compressibility",        # gzip-ratio analogue statistic; no other
+                                # graded oracle recomputes it
+    "q_chunk_documents",        # overlapping-window chunk layout (RAG chunking)
+    "q_embedding_dedup_multitable",  # vector admission across MULTIPLE source
+                                # tables — the multi-table variant of the
+                                # single-table q_stream_neardup_dedup row
 ]
 
 # Value-ranked tail: REAL queries that simply don't fit the 50-slot
@@ -333,30 +373,31 @@ TAIL = [
                                 # shape: q_project_decode + q_cdc_apply)
     "q_snapshot_union",         # r10 swap-out (green r01-r09 rows; D6 semantics
                                 # recomputed by q_cdc_apply's merge)
-    "q_audio_near_dups",        # r11 new: perceptual audio dedup — real WAV
-                                # decode -> 63-bit energy-envelope hash
-                                # (gain-invariant) -> banded hamming join
-    "q_image_near_dups",        # r11 new: perceptual image dedup — real BMP
-                                # decode -> 63-bit dHash -> banded hamming
-                                # join; oracle recomputes hashes from the
-                                # fixture's value formula
-    "q_ts_pattern_topk",        # r11 new: time-series subsequence motif
-                                # search over the events stream (keyed
-                                # windows, integer distances, zero Python)
-    "q_url_normalize",          # r11 new: URL canonicalization (the web
-                                # pipeline's dedup key) — oracle derives the
-                                # expected fields independently, zero Python
-    "q_warc_extract",           # r11 new: REAL WARC ingest (ISO 28500 record
-                                # walk + HTTP split + HTML->text) over
-                                # synthesized plain AND gzipped files — the
-                                # Common Crawl entry format; oracle-graded
-    "q_audio_probe",            # r11 new: REAL MPEG container probe over
-                                # synthesized header-true streams — the parse
-                                # is graded (oracle inlines the ISO tables)
-    "q_simhash60_near_dups",    # r11 new: wide-signature (60-bit/15-bit-band)
-                                # scale-correct form of the graded
-                                # q_simhash_near_dups — at 16 bits true-pair
-                                # count grows ~n² (measured on the sf1 ladder)
+    "q_ship_priority",          # r12 swap-out (green r01-r11; multi-join shape:
+                                # q_cdc_apply + the curation chain)
+    "q_schema_evolution",       # r12 swap-out (green rows thru r11; epoch shape:
+                                # q_stream_schema_epochs stays graded)
+    "q_stream_mv_maintain",     # r12 swap-out (green r08-r11; its oracle is
+                                # graded via q_mv_segment_balance this round)
+    "q_stream_hybrid_search",   # r12 swap-out (green r07-r11; RRF feeding stores
+                                # stay graded via q_stream_embedding_search +
+                                # q_bm25_search)
+    "q_stream_bm25",            # r12 swap-out (green r05-r11; tf/idf pipeline
+                                # stays graded via q_bm25_search)
+    "q_quality_classifier",     # r12 swap-out (green r07-r11; scoring-scan
+                                # shape: q_text_quality + q_lm_familiarity)
+    "q_hard_negatives",         # r12 swap-out (green r08-r11; pair-scoring
+                                # shape: q_lsh_recall)
+    "q_embedding_standardize",  # r12 swap-out (green r08-r11; z-score folded
+                                # into every ANN pipeline's preprocessing)
+    "q_pack_efficiency",        # r12 swap-out (green r08-r11; layout recomputed
+                                # by q_curation_e2e's stage-6 CTEs)
+    "q_stream_drift",           # r12 swap-out (green r08-r11; stats-store read:
+                                # q_stream_unimax/q_stream_ccnet stay)
+    "q_stream_hll",             # r12 swap-out (green r09-r11; register shape:
+                                # q_hll_union stays graded)
+    "q_stream_cms",             # r12 swap-out (green r09-r11; additive-grid
+                                # shape: q_stream_quantiles stays graded)
     "q_cms_topterms",           # r9 new batch form (oracle shared with q_stream_cms)
     "q_hll_distinct",           # r9 new batch form (oracle shared with q_stream_hll)
     "q_bpe_learn",              # r9 new (merge-table form; the graded q_bpe_tokenize
@@ -428,15 +469,12 @@ TAIL = [
     "q_stream_length_histogram",
     "q_dedup_simhash",          # r5 late swap-out (subsumed by stream form)
     "q_similarity_lsh",         # r5 late swap-out (shape: q_ivf_topk family)
-    "q_embedding_dedup_multitable",
     "q_unimax_budget",          # r8 new: UniMax waterfill token-budget allocation
     "q_dsir_importance",        # r8 new: DSIR hashed n-gram importance weighting
     "q_ccnet_buckets",          # r8 new: CCNet head/middle/tail LM terciles
     "q_cluster_sample",         # r8 new: cluster-balanced embedding subsample
     "q_bpe_merges",
     "q_source_mix",
-    "q_chunk_documents",
-    "q_compressibility",
     "q_fingerprint",            # r5 late swap-out (fn covered by dedup rows)
     "q_change_counts_windowed",
     "q_repetition",
@@ -448,7 +486,6 @@ TAIL = [
     "q_boilerplate_shingles",
     "q_ivf_multiprobe",
     "q_ivf_trained_topk",
-    "q_mv_segment_balance",
     "q_stream_enriched_counts",
     "q_range_band",
     "q_interval_overlap",
