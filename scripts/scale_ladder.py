@@ -27,6 +27,11 @@ QUERIES = [
     "q_ngram_jaccard",
     "q_dup_components",
     "q_ivfadc_topk",
+    # r12: the perceptual dedup paths added after the r11 ladder ran
+    # (VERDICT r11 ask #4) — real BMP/WAV decode in mapInPandas, then
+    # the 9x7-bit banded hamming self-join
+    "q_image_near_dups",
+    "q_audio_near_dups",
 ]
 # construction-timed (driver fixpoint or training loop runs while the
 # result DataFrame is built) — same convention as bench.py

@@ -286,59 +286,34 @@ def simhash_near_dup_pairs(
     The classic hamming-LSH argument (Charikar-style dedup): split the
     ``bits``-bit signature into ``bands`` equal bands — any pair within
     hamming distance < ``bands`` agrees EXACTLY on at least one band
-    (pigeonhole), so a self-join keyed on (band_idx, band_value) finds
-    every such pair without an n² compare; popcount(xor) then verifies
-    the true distance.  Shuffle volume is O(docs·bands + matching
-    pairs), the same content-keyed-join shape as the MinHash path.
+    (pigeonhole), so a band-keyed join finds every such pair without an
+    n² compare; popcount(xor) then verifies the true distance.
+
+    Delegates to hamming_near_dup_pairs; the join strategy follows the
+    signature family's entropy (see that docstring).  Narrow
+    signatures (<= 16 bits, the graded legacy form) use the
+    distinct-value plan — there are at most 65,536 distinct signatures
+    at ANY corpus size, so the banded join is constant-cost forever
+    and the only n-proportional work is the signature aggregation and
+    the (true-output-sized) expansion.  Wide signatures are md5-prefix
+    derived (uniform by construction, distinct ~ n) and use the direct
+    id-level join, where band buckets stay at n/2^width + true-dup
+    cluster sizes.
     """
     from pyspark.storagelevel import StorageLevel
 
-    assert max_hamming < bands, "pigeonhole completeness needs max_hamming < bands"
-    width = bits // bands
-    mask = (1 << width) - 1
+    assert bits % bands == 0, "bands must divide bits"
     sig = simhash(df, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
-    banded = sig.select(
-        "doc_id",
-        "simhash16",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftright(F.col("simhash16"), i * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "simhash16", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val"))
-    a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash16").bitwiseXOR(F.col("b.simhash16"))
-    ).cast("long")
-    # hamming-verify BEFORE the pair dedup: candidates stay inside the
-    # join stage's codegen (a popcount per row, no materialization) and
-    # only TRUE pairs reach the dropDuplicates shuffle.  With narrow
-    # band values (16-bit/4-band = 16 values per band) candidates are
-    # O(n² / band_space) — at the 10x scale rung the old order shuffled
-    # ~300M candidate rows to dedup them first (127 s); filtering first
-    # shuffles only the output pairs (sf0.1->sf1 ladder, round 11).
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["doc_a", "doc_b"])  # a pair can share several bands
+    return hamming_near_dup_pairs(
+        sig,
+        id_col="doc_id",
+        sig_col="simhash16",
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+        strategy="distinct" if bits <= 16 else "direct",
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
     )
 
 
@@ -547,20 +522,85 @@ def hamming_near_dup_pairs(
     bits: int = 63,
     bands: int = 9,
     max_hamming: int = 6,
+    strategy: str = "distinct",
 ) -> DataFrame:
     """Near-dup pairs over a PRECOMPUTED hamming-space signature column
-    (e.g. a perceptual image dHash) — the generic form of the banded
-    hamming-LSH self-join simhash_near_dup_pairs builds for text: any
-    pair within hamming < ``bands`` shares at least one exact band
-    (pigeonhole), popcount verifies, and the verify runs BEFORE the
-    pair-dedup shuffle so candidates never materialize (the r11
-    ladder lesson).  Signatures must be non-negative (<= 63 bits)."""
+    (e.g. a perceptual image dHash): any pair within hamming < ``bands``
+    shares at least one exact band (pigeonhole), so a banded join finds
+    every pair without an n² compare.  Signatures must be non-negative
+    (<= 63 bits).
+
+    ``strategy`` picks the join shape by the hash family's entropy — a
+    data property the caller knows and the planner can't:
+
+    * ``"distinct"`` (default — perceptual hashes, bounded spaces):
+      the banded self-join runs on DISTINCT signature VALUES, not on
+      ids (the r12 ladder lesson).  A perceptual hash has at most
+      2^bits — and, on self-similar corpora, far fewer — distinct
+      values, so an id-level band join degenerates into bucket²
+      candidate explosion the moment signatures collide at scale.
+      Measured at the sf1 rung (50k synthetic images, 616 distinct
+      dHashes): the id-level join generates 1.49 BILLION candidate
+      rows; the value-level join generates 189k sig-pair candidates,
+      verifies popcount on those, and only then expands the ~5.6k
+      surviving signature pairs (plus the identical-signature
+      diagonal) back to id pairs — shuffle volume is
+      O(distinct·bands + true output).  Equal-signature groups can be
+      single-key-skewed by construction, which is exactly the shape
+      AQE's OptimizeSkewedJoin splits — keep AQE on.
+
+    * ``"direct"`` (uniform wide hashes, e.g. md5-derived simhash60):
+      the classic id-level banded self-join with the popcount verify
+      inside the join stage (the r11 lesson).  When distinct ≈ n the
+      distinct plan's extra distinct + two expansion joins are pure
+      overhead (measured 0.41 s -> 6.2 s at the sf1 rung for 60-bit
+      simhash); direct is the right shape because uniform band values
+      keep buckets at n/2^width + true-dup cluster sizes, so
+      candidates stay output-proportional."""
     assert max_hamming < bands and bits % bands == 0
+    assert strategy in ("distinct", "direct")
     width = bits // bands
     mask = (1 << width) - 1
-    base = sig.select(F.col(id_col).alias("sid"), F.col(sig_col).alias("sg"))
-    banded = base.select(
-        "sid",
+    members = sig.select(F.col(id_col).alias("sid"), F.col(sig_col).alias("sg"))
+    if strategy == "direct":
+        banded = members.select(
+            "sid",
+            "sg",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.shiftright(F.col("sg"), i * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_val"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select(
+            "sid", "sg", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        hamming = F.bit_count(F.col("a.sg").bitwiseXOR(F.col("b.sg"))).cast("long")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.sid") < F.col("b.sid")),
+            )
+            .select(
+                F.col("a.sid").alias("id_a"),
+                F.col("b.sid").alias("id_b"),
+                hamming.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_a", "id_b"])  # a pair can share several bands
+        )
+    distinct = members.select("sg").distinct()
+    banded = distinct.select(
         "sg",
         F.explode(
             F.array(
@@ -575,23 +615,48 @@ def hamming_near_dup_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("sid", "sg", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val"))
+    ).select("sg", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val"))
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.sg").bitwiseXOR(F.col("b.sg"))).cast("long")
-    return (
+    # near signature pairs (sg_a < sg_b), verified inside the join
+    # stage's codegen, deduped across bands on the VALUE relation —
+    # plus the diagonal (sg, sg, 0) carrying equal-signature groups
+    sig_pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.sid") < F.col("b.sid")),
+            & (F.col("a.sg") < F.col("b.sg")),
         )
         .select(
-            F.col("a.sid").alias("id_a"),
-            F.col("b.sid").alias("id_b"),
+            F.col("a.sg").alias("sg_a"),
+            F.col("b.sg").alias("sg_b"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["sg_a", "sg_b"])
+        .unionByName(
+            distinct.select(
+                F.col("sg").alias("sg_a"),
+                F.col("sg").alias("sg_b"),
+                F.lit(0).cast("long").alias("hamming"),
+            )
+        )
+    )
+    # expand back to id pairs: each doc pair has exactly ONE signature
+    # pair, so no pair-level dedup is needed.  Off-diagonal cross pairs
+    # appear once (ordered by least/greatest); diagonal pairs appear
+    # twice and the sid filter keeps one.
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    return (
+        sig_pairs.join(m1, F.col("m1.sg") == F.col("sg_a"))
+        .join(m2, F.col("m2.sg") == F.col("sg_b"))
+        .filter((F.col("sg_a") != F.col("sg_b")) | (F.col("m1.sid") < F.col("m2.sid")))
+        .select(
+            F.least("m1.sid", "m2.sid").alias("id_a"),
+            F.greatest("m1.sid", "m2.sid").alias("id_b"),
+            "hamming",
+        )
     )
 
 

@@ -93,6 +93,44 @@ class TestHammingPairJoin:
         }
         assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
 
+    def test_strategies_agree(self, spark):
+        """The distinct-value plan and the direct id-level plan are two
+        physical shapes of ONE operator — on a corpus mixing heavy
+        signature collisions (the distinct plan's reason to exist),
+        near misses, and unique values they must produce the identical
+        pair relation, so the strategy choice is invisible to
+        correctness."""
+        import random
+
+        from spark_binlog_spark.functions.dedup import hamming_near_dup_pairs
+
+        rng = random.Random(99)
+        rows = []
+        # 12 collision clusters of 1-8 members + near-miss variants
+        for cid in range(12):
+            base = rng.getrandbits(62)
+            for m in range(rng.randint(1, 8)):
+                rows.append((len(rows), base))
+            for _ in range(rng.randint(0, 3)):
+                flipped = base
+                for bit in rng.sample(range(63), rng.randint(1, 8)):
+                    flipped ^= 1 << bit
+                rows.append((len(rows), flipped))
+        for _ in range(40):  # plus uniform noise
+            rows.append((len(rows), rng.getrandbits(62)))
+        sig = spark.createDataFrame(rows, "media_id long, dhash long")
+
+        def run(strategy):
+            return sorted(
+                tuple(r)
+                for r in hamming_near_dup_pairs(
+                    sig, max_hamming=6, strategy=strategy
+                ).collect()
+            )
+
+        a, b = run("distinct"), run("direct")
+        assert a == b and len(a) > 10
+
 
 class TestAudioEnvelopeHash:
     @staticmethod
