@@ -56,11 +56,20 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     for one LARGE splittable file, so the worst case is one extra
     repartition of a table small enough to ship as a handful of files
     — exactly the population this mitigation targets; a real many-file
-    100 TB table never pays it.  Non-file relations (in-memory
-    fixtures) report zero files and pass through untouched."""
+    100 TB table never pays it.
+
+    Non-file relations (streaming micro-batches, localCheckpointed
+    batches, createDataFrame fixtures) report ZERO files, and for them
+    the probe falls back to the RDD partition count — a DELIBERATE
+    ``.rdd`` touch: the relation is already analyzed/materialized so
+    the barrier is one metadata lookup, and the r12 sink ladder
+    measured the cost of passing through unprobed instead (sink
+    admission batches arrive checkpointed with scan-inherited
+    partitioning; at the sf1 rung the minhash sink read 14+ s/batch
+    in 1-2 tasks vs ~4 s properly spread)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    n_files = len(df.inputFiles())
-    if 0 < n_files < max(2, target // 2):
+    n_parts = len(df.inputFiles()) or df.rdd.getNumPartitions()
+    if n_parts < max(2, target // 2):
         return df.repartition(target)
     return df
 
