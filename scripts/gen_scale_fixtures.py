@@ -38,9 +38,9 @@ EXACT_DUP_RATE = 0.0016
 NEAR_DUP_RATE = 0.047
 
 
-def gen_documents(rng: np.random.Generator) -> pa.Table:
+def gen_documents(rng: np.random.Generator, n_docs: int = N_DOCS) -> pa.Table:
     texts: list[str] = []
-    for i in range(N_DOCS):
+    for i in range(n_docs):
         r = rng.random()
         if i > 10 and r < EXACT_DUP_RATE:
             texts.append(texts[int(rng.integers(0, i))])
@@ -55,11 +55,11 @@ def gen_documents(rng: np.random.Generator) -> pa.Table:
             continue
         n_words = int(rng.integers(10, 101))
         texts.append(" ".join(VOCAB[int(w)] for w in rng.integers(0, len(VOCAB), n_words)))
-    langs = rng.choice(LANGS, size=N_DOCS, p=LANG_P)
-    sources = [f"src{int(s)}" for s in rng.integers(0, 20, N_DOCS)]
+    langs = rng.choice(LANGS, size=n_docs, p=LANG_P)
+    sources = [f"src{int(s)}" for s in rng.integers(0, 20, n_docs)]
     return pa.table(
         {
-            "doc_id": pa.array(range(N_DOCS), pa.int64()),
+            "doc_id": pa.array(range(n_docs), pa.int64()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(langs.tolist(), pa.string()),
             "source": pa.array(sources, pa.string()),
@@ -68,14 +68,14 @@ def gen_documents(rng: np.random.Generator) -> pa.Table:
     )
 
 
-def gen_embeddings(rng: np.random.Generator) -> pa.Table:
+def gen_embeddings(rng: np.random.Generator, n_vecs: int = N_VECS) -> pa.Table:
     centers = rng.normal(0, 1, (N_CLUSTERS, DIM))
-    labels = rng.integers(0, N_CLUSTERS, N_VECS)
-    pts = centers[labels] * 0.35 + rng.normal(0, 1, (N_VECS, DIM))
+    labels = rng.integers(0, N_CLUSTERS, n_vecs)
+    pts = centers[labels] * 0.35 + rng.normal(0, 1, (n_vecs, DIM))
     pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
     return pa.table(
         {
-            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
             "embedding": pa.array(
                 [row.astype(np.float32) for row in pts], pa.list_(pa.float32())
             ),
@@ -89,11 +89,15 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "scale_fixtures", "sf1",
     )
+    # optional 2nd arg: multiplier on the sf1 sizes (10 -> sf10:
+    # 500k docs / 200k vecs, two decades above the sf0.1 rung)
+    scale = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    n_docs, n_vecs = N_DOCS * scale, N_VECS * scale
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(4242)
-    pq.write_table(gen_documents(rng), os.path.join(out, "documents.parquet"))
-    pq.write_table(gen_embeddings(rng), os.path.join(out, "embeddings.parquet"))
-    print(f"wrote {out}/documents.parquet ({N_DOCS} docs) and embeddings.parquet ({N_VECS} vecs)")
+    pq.write_table(gen_documents(rng, n_docs), os.path.join(out, "documents.parquet"))
+    pq.write_table(gen_embeddings(rng, n_vecs), os.path.join(out, "embeddings.parquet"))
+    print(f"wrote {out}/documents.parquet ({n_docs} docs) and embeddings.parquet ({n_vecs} vecs)")
 
 
 if __name__ == "__main__":

@@ -701,11 +701,32 @@ def vocab_coverage(df: DataFrame, vocab_size: int = 100, text_col: str = "text")
 def bm25_term_score():
     """The integer BM25 per-term score (see ``bm25_topk``'s derivation)
     over columns tf, dl, dfreq, total_words, n_docs — THE one scoring
-    definition, shared by the batch query and the streaming
-    inverted-index sink so both rank identically."""
+    definition, shared by the batch query, the streaming inverted-index
+    sink, and every DuckDB oracle so all rank identically.
+
+    Two-stage fixed point (r12): the single-fraction form multiplied
+    ``n_docs * tf * 22 * total_words * 10000`` in one numerator, which
+    exceeds int64 the moment n_docs*total_words passes ~4*10^13 — the
+    sf10 scale rung (500k docs, 25M words) hit ARITHMETIC_OVERFLOW in
+    ANSI mode, i.e. the operator simply could not run at scale.  The
+    idf factor and the tf-saturation factor are now computed as
+    SEPARATE x10^4 fixed-point integers and recombined, so every
+    intermediate is bounded by its own small envelope:
+
+        idf4 = n_docs*10^4 div dfreq                (<= 10^4 * n_docs)
+        dlr2 = 900*dl*n_docs div total_words        (9*dl/avgdl x100;
+                                                     needs dl*n_docs
+                                                     <= ~10^16)
+        sat4 = 22*10^6*tf div (1000*tf + 300 + dlr2)   (<= 22000)
+        score = idf4 * sat4 div 10^4                (<= 2.2*10^4*n_docs)
+
+    safe to ~10^10 docs x 10^6-word docs — a quadrillion-token corpus
+    — where the old form died at 5*10^5 docs.  All operands positive,
+    so Spark's ``div`` and DuckDB's ``//`` agree bit-for-bit."""
     return F.expr(
-        "n_docs * tf * 22 * total_words * 10000 div "
-        "(dfreq * (10*tf*total_words + 3*total_words + 9*dl*n_docs))"
+        "(((n_docs * 10000) div dfreq) * "
+        "((22000000 * tf) div (1000*tf + 300 + (900 * dl * n_docs) div total_words)))"
+        " div 10000"
     )
 
 
@@ -729,23 +750,18 @@ def bm25_topk(
 
         idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
 
-    with avgdl = total_words/n_docs gives the all-integer per-term
-    score (scaled x10000)
-
-        n_docs * tf * 22 * total_words * 10000
-        div (dfreq * (10*tf*total_words + 3*total_words + 9*dl*n_docs))
-
-    (magnitudes stay under 2^63 for corpora to ~10^5 total words per
-    10^4 docs per long-range headroom note below).  A document's score
-    is the exact integer sum over the query terms it contains.
+    with avgdl = total_words/n_docs gives the per-term score; it is
+    evaluated as the two-stage x10^4 fixed-point integer form of
+    ``bm25_term_score`` (idf4 and the tf-saturation factor computed
+    separately and recombined), whose intermediates stay inside int64
+    to ~10^10 docs x 10^6-word docs — the single-fraction form
+    overflowed ANSI int64 at the 500k-doc scale rung.  A document's
+    score is the exact integer sum over the query terms it contains.
 
     Plan shape: one (doc, term) count shuffle (shared with tf-idf's
     shape); the query-term table, df table, and 1-row totals broadcast;
     scoring touches only docs containing a query term; per-query top-k
-    via rank window (WindowGroupLimit pushes the cut map-side).  At
-    100 TB the scaled numerator needs the same care as any fixed-point
-    scheme: n_docs * tf * 22 * total_words * 10^4 must stay inside
-    int64 — shard the corpus or drop the x10^4 scale when it cannot.
+    via rank window (WindowGroupLimit pushes the cut map-side).
     """
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel

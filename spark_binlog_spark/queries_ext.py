@@ -967,8 +967,11 @@ dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
 tot AS (SELECT CAST(sum(dl) AS BIGINT) AS total_words, CAST(count(*) AS BIGINT) AS n_docs FROM dl),
 scored AS (
   SELECT qt.query_id, tf.doc_id,
-         (n_docs * tf * 22 * total_words * 10000) //
-         (dfreq * (10 * tf * total_words + 3 * total_words + 9 * dl * n_docs)) AS term_score
+         -- two-stage x10^4 fixed point, identical to text.bm25_term_score
+         -- (the one-fraction form overflows int64 past ~4*10^13 doc-words)
+         (((n_docs * 10000) // dfreq) *
+          ((22000000 * tf) // (1000 * tf + 300 + (900 * dl * n_docs) // total_words)))
+         // 10000 AS term_score
   FROM tf JOIN qt ON tf.term = qt.term
   JOIN dl ON tf.doc_id = dl.doc_id
   JOIN dfreq ON tf.term = dfreq.term

@@ -3,7 +3,7 @@ reference's purely-manual test strategy (SURVEY §5)."""
 
 import json
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from spark_binlog_spark import POW13
@@ -1895,34 +1895,48 @@ class TestFlacDecoderProperties:
 class TestBm25ScoreProperties:
     @staticmethod
     def _score(n, tf, T, df, dl):
-        # the exact integer formula of text.bm25_term_score
-        num = n * tf * 22 * T * 10000
-        den = df * (10 * tf * T + 3 * T + 9 * dl * n)
-        return num // den, num, den
+        # the exact two-stage integer formula of text.bm25_term_score
+        # (r12 overflow-safe form); returns the score plus every
+        # intermediate product whose int64 bound the engines rely on
+        idf4 = (n * 10000) // df
+        dlr2_num = 900 * dl * n
+        dlr2 = dlr2_num // T
+        sat4_num = 22000000 * tf
+        sat4 = sat4_num // (1000 * tf + 300 + dlr2)
+        return (idf4 * sat4) // 10000, (n * 10000, dlr2_num, sat4_num, idf4 * sat4)
 
     @given(
-        n=st.integers(1, 10_000),
-        T=st.integers(1, 1_000_000),
-        df=st.integers(1, 10_000),
-        dl=st.integers(1, 1_000),
-        tf1=st.integers(1, 999),
+        n=st.integers(1, 10_000_000_000),
+        t_seed=st.integers(0, 10**15),
+        df_seed=st.integers(0, 10**15),
+        dl_seed=st.integers(1, 10**6),
+        tf_seed=st.integers(0, 10**15),
         dtf=st.integers(1, 100),
     )
     @settings(max_examples=300, deadline=None)
-    def test_monotone_in_tf_and_int64_safe(self, n, T, df, dl, tf1, dtf):
-        """Within the documented envelope (corpora to ~10^6 words /
-        10^4 docs) the per-term score is non-negative, non-strictly
-        MONOTONE in tf (the BM25 saturation property survives the
-        integer floor), bounded by its tf→∞ asymptote, and every
-        intermediate stays inside int64 — the invariant both engines'
-        BIGINT arithmetic depends on."""
-        s1, num, den = self._score(n, tf1, T, df, dl)
-        s2, num2, den2 = self._score(n, tf1 + dtf, T, df, dl)
+    def test_monotone_in_tf_and_int64_safe(self, n, t_seed, df_seed, dl_seed, tf_seed, dtf):
+        """Within the r12 envelope (to 10^10 docs of 10^6 words — the
+        sf10 rung overflowed the old one-fraction form at 5*10^5 docs)
+        the per-term score is non-negative, non-strictly MONOTONE in tf
+        (the BM25 saturation property survives the integer floors),
+        bounded by its tf→∞ asymptote, and EVERY intermediate product
+        stays inside int64 — the invariant both engines' BIGINT
+        arithmetic depends on.  Operands are CONSTRUCTED inside the
+        corpus-consistency envelope (df <= n, tf < dl <= min(10^6,
+        10^16/n), dl <= T) rather than filtered."""
+        df = 1 + df_seed % n                      # dfreq counts docs
+        dl = 1 + dl_seed % min(1_000_000, 10**16 // n)  # dlr2 envelope
+        T = dl + t_seed % (10**15)                # doc can't exceed corpus
+        tf1 = 1 + tf_seed % dl
+        tf2 = min(dl, tf1 + dtf)
+        assume(tf2 > tf1)                         # only when tf1 == dl
+        s1, mids1 = self._score(n, tf1, T, df, dl)
+        s2, mids2 = self._score(n, tf2, T, df, dl)
         assert 0 <= s1 <= s2
-        for v in (num, den, num2, den2):
+        for v in mids1 + mids2:
             assert v < 2**63
-        # asymptote: tf/(10 tf T + ...) -> 1/(10 T) ⇒ score ≤ n*22*10^4/(10 df)
-        assert s2 <= (n * 22 * 10000) // (10 * df) + 1
+        # asymptote: sat4 -> 22000 as tf -> inf ⇒ score ≤ idf4*22000/10^4
+        assert s2 <= ((n * 10000) // df * 22000) // 10000 + 1
 
 
 class TestDecoderMutationFuzz:
