@@ -19,12 +19,19 @@ from spark_binlog_spark.functions.hashing import h16, h48
 N_MINHASH = 8  # seeds 0..7; each seed is a 1-row LSH band
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (deduplicated).
+def shingles_of_words(w: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (deduplicated), over a
+    MATERIALIZED words-array column.
 
-    transform over sequence keeps this a single codegen'd projection.
-    """
-    w = F.split(text, " ")
+    ``w`` must be a real column (aliased in its own projection), never
+    an inline ``F.split(text)``: Catalyst does not common-subexpression
+    -eliminate inside higher-order-function lambdas, so an inline split
+    captured by the transform lambda is re-evaluated once PER ELEMENT —
+    O(words²) string work per document.  The sf10 rung measured the
+    difference at 350 s vs 31 s for one shingle-count shuffle over 500k
+    docs (PERF.md r12); the two-projection form is safe because
+    CollapseProject refuses to inline a non-cheap alias used more than
+    once."""
     # guard: F.sequence(1, 0) would produce a DESCENDING [1, 0] — emit an
     # empty shingle set for docs shorter than n words instead.
     idx = F.when(
@@ -37,6 +44,16 @@ def shingles(text: Column, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(grams)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Expression-position convenience form of ``shingles_of_words``.
+
+    CARRIES THE QUADRATIC HAZARD that function documents: the inline
+    split is re-evaluated per element inside the lambda.  Only for
+    oracle-parity micro-uses on tiny relations; every corpus-scale call
+    path goes through a materialized words column instead."""
+    return shingles_of_words(F.split(text, " "), n)
 
 
 def spread_small_input(df: DataFrame) -> DataFrame:
@@ -85,9 +102,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle) exploded pairs — the base relation for
-    Jaccard and MinHash. Column-pruned scan: only doc_id + text read."""
+    Jaccard and MinHash. Column-pruned scan: only doc_id + text read;
+    the words array is materialized in its own projection (see
+    ``shingles_of_words`` — an inline split would re-split per shingle)."""
     return df.select(
-        F.col("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+        F.col("doc_id"), F.split(F.col(text_col), " ").alias("__w")
+    ).select(
+        F.col("doc_id"),
+        F.explode(shingles_of_words(F.col("__w"), n)).alias("shingle"),
     )
 
 
@@ -367,7 +389,10 @@ def decontaminate(
     # one-file local table ran this projection in ONE task: 4.5 of the
     # 5.9 s total at sf0.1; a no-op on well-split input)
     sizes = spread_small_input(docs).select(
-        F.col("doc_id"), F.size(shingles(F.col(text_col), n)).cast("long").alias("n_grams")
+        F.col("doc_id"), F.split(F.col(text_col), " ").alias("__w")
+    ).select(
+        F.col("doc_id"),
+        F.size(shingles_of_words(F.col("__w"), n)).cast("long").alias("n_grams"),
     )
     c4 = (
         F.floor(F.col("n_hits").cast("double") / F.col("n_grams").cast("double") * 10000)
@@ -1031,8 +1056,10 @@ def bloom_probe(
     # same small-input spread as decontaminate's sizes branch — the gram
     # rebuild is the expensive part, not the bloom probes
     sizes = spread_small_input(docs).select(
+        F.col("doc_id"), F.split(F.col(text_col), " ").alias("__w")
+    ).select(
         F.col("doc_id"),
-        F.size(shingles(F.col(text_col), n)).cast("long").alias("n_grams"),
+        F.size(shingles_of_words(F.col("__w"), n)).cast("long").alias("n_grams"),
     )
     f4 = (
         F.floor(F.col("n_flagged").cast("double") / F.col("n_grams").cast("double") * 10000)
@@ -1045,8 +1072,10 @@ def bloom_probe(
 def positional_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, pos, shingle) with 0-based word positions — the
     POSITIONAL variant of ``doc_shingles`` (which dedupes): span-level
-    reporting needs every occurrence and where it starts."""
-    w = F.split(F.col(text_col), " ")
+    reporting needs every occurrence and where it starts.  Words array
+    materialized first (see ``shingles_of_words``)."""
+    base = df.select(F.col("doc_id"), F.split(F.col(text_col), " ").alias("__w"))
+    w = F.col("__w")
     idx = F.when(
         F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -1054,7 +1083,7 @@ def positional_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> Da
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
     )
-    return df.select(
+    return base.select(
         F.col("doc_id"), F.posexplode(grams).alias("pos", "shingle")
     )
 

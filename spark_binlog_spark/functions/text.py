@@ -327,15 +327,20 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     per-doc max — two partial-aggregated shuffles keyed by doc, the
     standard scalable shape (no per-doc collect, no Python).
     """
-    w = F.split(F.col(text_col), " ")
+    # words array materialized in its own projection — an inline split
+    # captured by the bigram transform lambda below would be re-split
+    # once per element (no CSE inside HOF lambdas; see
+    # dedup.shingles_of_words, measured at the sf10 rung)
+    base = df.select("doc_id", F.split(F.col(text_col), " ").alias("__w"))
+    w = F.col("__w")
     # word counts (NOT distinct — frequency is the point)
-    words_df = df.select("doc_id", F.explode(w).alias("term"))
+    words_df = base.select("doc_id", F.explode(w).alias("term"))
     # bigram counts, non-distinct: i in 1..len-1, join adjacent words
     idx = F.when(F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)).otherwise(
         F.array().cast("array<int>")
     )
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)))
-    bigrams_df = df.select("doc_id", F.explode(grams).alias("term"))
+    bigrams_df = base.select("doc_id", F.explode(grams).alias("term"))
 
     def top_frac(exploded, out_col):
         per_term = exploded.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
@@ -616,7 +621,11 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
-    w = F.split(F.col(text_col), " ")
+    # words array materialized first — F.slice(w, ...) inside the
+    # transform lambda would re-split the text once per chunk (no CSE
+    # inside HOF lambdas; see dedup.shingles_of_words)
+    base = df.select(F.col("doc_id"), F.split(F.col(text_col), " ").alias("__w"))
+    w = F.col("__w")
     n = F.size(w)
     starts = F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
         F.array().cast("array<int>")
@@ -628,7 +637,7 @@ def chunk_documents(
         ),
     )
     return (
-        df.select(F.col("doc_id"), F.explode(chunks).alias("c"))
+        base.select(F.col("doc_id"), F.explode(chunks).alias("c"))
         .select(
             "doc_id",
             F.col("c.chunk_id").cast("long").alias("chunk_id"),
@@ -1135,7 +1144,15 @@ def dsir_gram_buckets(
     from spark_binlog_spark.functions.hashing import h48
 
     df = spread_small_input(df)
-    w = words(F.col(text_col))
+    # words array materialized first — element_at(w, ...) inside the
+    # bigram lambda would re-split per element otherwise (no CSE inside
+    # HOF lambdas; see dedup.shingles_of_words)
+    base = df.select(
+        F.col("doc_id"),
+        (F.col(target_col) == target_value).alias("is_target"),
+        words(F.col(text_col)).alias("__w"),
+    )
+    w = F.col("__w")
     grams = F.concat(
         w,
         F.when(
@@ -1146,9 +1163,9 @@ def dsir_gram_buckets(
             ),
         ).otherwise(F.array()),
     )
-    return df.select(
+    return base.select(
         F.col("doc_id"),
-        (F.col(target_col) == target_value).alias("is_target"),
+        F.col("is_target"),
         F.explode(grams).alias("gram"),
     ).select(
         "doc_id", "is_target", (h48(F.col("gram"), seed=DSIR_SEED) % n_buckets).alias("bucket")
