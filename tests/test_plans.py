@@ -770,3 +770,64 @@ class TestSketchPlans:
         hist(docs, 0)
         plan = _physical(hist.quantiles())
         assert "documents.parquet" not in plan
+
+
+class TestLambdaCaptureHygiene:
+    """r12: Catalyst does not CSE inside higher-order-function lambdas,
+    so an inline split(text) captured by a transform lambda re-splits
+    once PER ELEMENT (O(words²)/doc — 350 s vs 31 s for one shingle
+    count at the 500k-doc rung).  These gates pin the two-projection
+    form: exactly ONE split(...) in the optimized plan of every
+    shingle/bigram/chunk path, so a refactor that re-inlines the split
+    fails here, not at scale."""
+
+    @staticmethod
+    def _assert_no_split_in_lambda(df):
+        # a split captured by a HOF lambda prints inside the
+        # lambdafunction(...) expression on the same plan line; a
+        # materialized __w column prints as a bound attribute instead.
+        # (Pushed-down generator FILTERS may legitimately repeat split
+        # per-row — constant work, not per-element — so the gate is
+        # scoped to lambda bodies, not a global count.)
+        for line in _optimized(df).splitlines():
+            if "lambdafunction" in line:
+                assert "split(" not in line, line.strip()[:300]
+
+    def test_doc_shingles(self, spark):
+        from spark_binlog_spark.functions.dedup import doc_shingles
+
+        docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        self._assert_no_split_in_lambda(doc_shingles(docs))
+
+    def test_positional_shingles(self, spark):
+        from spark_binlog_spark.functions.dedup import positional_shingles
+
+        docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        self._assert_no_split_in_lambda(positional_shingles(docs))
+
+    def test_repetition_bigrams(self, spark):
+        from spark_binlog_spark.functions.text import repetition_signals
+
+        docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+        self._assert_no_split_in_lambda(repetition_signals(docs))
+
+    def test_chunk_documents(self, spark):
+        from spark_binlog_spark.functions.text import chunk_documents
+
+        docs = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+        self._assert_no_split_in_lambda(chunk_documents(docs, chunk_tokens=4, overlap=1))
+
+    def test_dsir_gram_buckets(self, spark):
+        from spark_binlog_spark.functions.text import dsir_gram_buckets
+
+        docs = spark.createDataFrame(
+            [(1, "en", "a b c")], "doc_id long, lang string, text string"
+        )
+        self._assert_no_split_in_lambda(dsir_gram_buckets(docs))
+
+    def test_decontaminate_sizes_branch(self, spark):
+        from spark_binlog_spark.functions.dedup import decontaminate
+
+        docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+        bench = spark.createDataFrame([(1, "x y z w v u")], "doc_id long, text string")
+        self._assert_no_split_in_lambda(decontaminate(docs, bench))
