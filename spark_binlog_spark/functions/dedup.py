@@ -123,14 +123,15 @@ MINHASH_A = [1223, 2741, 3571, 4391, 5279, 6101, 7001, 7919]
 MINHASH_B = [7, 101, 211, 307, 401, 503, 601, 701]
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text", n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, seed, minhash) — min over shingles of the i-th permuted hash.
+def minhash_signatures_wide(
+    df: DataFrame, text_col: str = "text", n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}) — the one-row-per-doc wide signature.
 
-    Plan shape: scan -> generate(shingles) -> ONE hash-aggregate keyed on
-    doc_id computing all n_hashes mins as separate agg columns (map-side
-    partial min), then an unpivot projection.  No seed explosion: the
-    shuffle carries one row per doc, n_hashes columns wide.
-    """
+    Plan shape: scan -> generate(shingles) -> ONE hash-aggregate keyed
+    on doc_id computing all n_hashes mins as separate agg columns
+    (map-side partial min).  No seed explosion: the shuffle carries one
+    row per doc, n_hashes columns wide."""
     sh = doc_shingles(spread_small_input(df), text_col)
     hp = (
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10).cast("long") % MINHASH_P
@@ -140,7 +141,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n_hashes: int = N_
         F.min((F.col("hp") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    wide = hashed.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, seed, minhash) — the unpivoted form of
+    ``minhash_signatures_wide`` (one row per doc×seed)."""
+    wide = minhash_signatures_wide(df, text_col, n_hashes)
     stack = ", ".join(f"{i}, mh{i}" for i in range(n_hashes))
     return wide.select(
         "doc_id",
@@ -151,33 +158,74 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n_hashes: int = N_
 def minhash_candidate_pairs(
     df: DataFrame, text_col: str = "text", min_agree: int = 4, n_hashes: int = N_MINHASH
 ) -> DataFrame:
-    """LSH candidate pairs: docs agreeing on >= min_agree of n_hashes bands.
+    """LSH candidate pairs: docs agreeing on >= min_agree of n_hashes
+    seeds.  est_jaccard4 = floor(10000 * agree / n_hashes).
 
-    Self-join keyed on (seed, minhash): only docs sharing a band bucket
-    ever meet — the shuffle volume is O(near-dup pairs), not O(n²).
-    est_jaccard4 = floor(10000 * agree / n_hashes).
+    Banding is r=2 (all C(n_hashes, 2) seed-PAIR combinations), not the
+    r=1 single-seed join (r12 fix): with one seed per band, bucket
+    population is driven by the MARGINAL distribution of each minhash —
+    and min-statistics concentrate hard when the shingle space is small
+    relative to docs-per-shingle-draw (the sf10 rung measured 8,763
+    distinct seed-0 values over 500k docs = 97.7M bucket pairs per
+    seed, ~780M candidate rows, a 70 GB shuffle spill that exhausted
+    the disk).  A pair agreeing on >= 2 seeds shares at least one full
+    seed-pair combination (pigeonhole over C(k,2) >= 1 for k >= 2), so
+    the combination join finds EXACTLY the same pairs for any
+    min_agree >= 2 while bucket keys live in the (value x value) space
+    — candidates scale with true near-dup pairs (amplified at most
+    C(k,2) <= C(n,2) for a k-seed match), never with marginal value
+    concentration.  The full signature vector rides the banded rows,
+    so n_agree is computed INSIDE the join stage and pairs below
+    min_agree are dropped before the pair-dedup shuffle (the r11
+    verify-before-dedup lesson).
     """
-    sig = minhash_signatures(df, text_col, n_hashes)
-    # the signature relation feeds both sides of the self-join; persist
-    # so the shingle+md5 pipeline runs once, not twice
+    assert 2 <= min_agree <= n_hashes, "combination banding needs min_agree >= 2"
     from pyspark.storagelevel import StorageLevel
 
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    a, b = sig.alias("a"), sig.alias("b")
+    cols = [f"mh{i}" for i in range(n_hashes)]
+    wide = minhash_signatures_wide(df, text_col, n_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    combos = [(i, j) for i in range(n_hashes) for j in range(i + 1, n_hashes)]
+    banded = wide.select(
+        "doc_id",
+        *cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("cid"),
+                        F.col(cols[i]).alias("u"),
+                        F.col(cols[j]).alias("v"),
+                    )
+                    for k, (i, j) in enumerate(combos)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", *cols, F.col("b.cid").alias("cid"), F.col("b.u").alias("u"), F.col("b.v").alias("v"))
+    a, b = banded.alias("a"), banded.alias("b")
+    n_agree = sum(
+        (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int") for c in cols
+    ).alias("n_agree")
     return (
         a.join(
             b,
-            (F.col("a.seed") == F.col("b.seed"))
-            & (F.col("a.minhash") == F.col("b.minhash"))
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.u") == F.col("b.u"))
+            & (F.col("a.v") == F.col("b.v"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_agree"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            n_agree,
+        )
         .filter(F.col("n_agree") >= min_agree)
+        .dropDuplicates(["doc_a", "doc_b"])  # a pair matches C(k,2) combos
         .select(
             "doc_a",
             "doc_b",
-            "n_agree",
+            F.col("n_agree").cast("long").alias("n_agree"),
             F.floor(F.col("n_agree").cast("double") / F.lit(float(n_hashes)) * 10000)
             .cast("long")
             .alias("est_jaccard4"),
