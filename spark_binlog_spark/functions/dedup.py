@@ -46,14 +46,13 @@ def shingles_of_words(w: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Expression-position convenience form of ``shingles_of_words``.
-
-    CARRIES THE QUADRATIC HAZARD that function documents: the inline
-    split is re-evaluated per element inside the lambda.  Only for
-    oracle-parity micro-uses on tiny relations; every corpus-scale call
-    path goes through a materialized words column instead."""
-    return shingles_of_words(F.split(text, " "), n)
+# NOTE: there is deliberately NO expression-position convenience form
+# taking a raw text column (``shingles(text)``): an inline split
+# captured by the transform lambda re-evaluates once PER ELEMENT
+# (O(words²) per doc — the r12 sf10 lesson above), and a convenience
+# wrapper is exactly how that hazard re-enters a scale path (ADVICE
+# r12).  Materialize the words array in its own projection and call
+# ``shingles_of_words``.
 
 
 def spread_small_input(df: DataFrame) -> DataFrame:
@@ -85,7 +84,15 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     partitioning; at the sf1 rung the minhash sink read 14+ s/batch
     in 1-2 tasks vs ~4 s properly spread)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    n_parts = len(df.inputFiles()) or df.rdd.getNumPartitions()
+    n_files = len(df.inputFiles())
+    # n_files == 0 is ambiguous: a non-file relation (streaming batch,
+    # fixture) — or a ZERO-file file relation, which also falls through
+    # to the .rdd probe and a repartition of nothing (ADVICE r12).
+    # Accepted: a Spark-written parquet table always carries >= 1 part
+    # file even when empty (inputFiles() > 0 takes the fast path), so
+    # the only population paying the forced-planning .rdd touch is an
+    # empty bare directory read — a fixture shape, never a scale path.
+    n_parts = n_files if n_files > 0 else df.rdd.getNumPartitions()
     if n_parts < max(2, target // 2):
         return df.repartition(target)
     return df
@@ -175,11 +182,33 @@ def minhash_candidate_pairs(
     — candidates scale with true near-dup pairs (amplified at most
     C(k,2) <= C(n,2) for a k-seed match), never with marginal value
     concentration.  The full signature vector rides the banded rows,
-    so n_agree is computed INSIDE the join stage and pairs below
-    min_agree are dropped before the pair-dedup shuffle (the r11
+    so n_agree is computed INSIDE the join stage (the r11
     verify-before-dedup lesson).
+
+    r13: the pair-dedup EXCHANGE is gone.  A pair agreeing on k seeds
+    matches C(k,2) combinations, so the join emits it C(k,2) times; the
+    old plan deduped those through a dropDuplicates shuffle of the full
+    (output x C(k,2)) relation — the dominant cost once output is tens
+    of millions of pairs (sf10: 28.4M pairs, 16.5 s, most of it the
+    dedup exchange).  Because both FULL signatures ride every banded
+    row, each row can decide locally whether ITS combination is the
+    pair's canonical one — the lexicographically first agreeing seed
+    pair: build the agreement bitmask, and keep the row only when the
+    mask's two lowest set bits are exactly this combo's (i, j), i.e.
+    ``mask & ((1 << j) - 1) == (1 << i)``.  Every surviving pair is
+    emitted exactly once, row-locally, no exchange; output and values
+    are identical to the dropDuplicates plan (property-tested against
+    a brute-force signature model).
     """
-    assert 2 <= min_agree <= n_hashes, "combination banding needs min_agree >= 2"
+    # argument contract, not an internal invariant: under ``python -O``
+    # an assert strips and min_agree=1 would silently return an
+    # INCOMPLETE pair set (1-seed agreements never share a combination)
+    if not 2 <= min_agree <= n_hashes:
+        raise ValueError(
+            f"combination banding needs 2 <= min_agree <= n_hashes "
+            f"(got min_agree={min_agree}, n_hashes={n_hashes}); pairs "
+            "agreeing on exactly one seed never share a seed-pair band"
+        )
     from pyspark.storagelevel import StorageLevel
 
     cols = [f"mh{i}" for i in range(n_hashes)]
@@ -204,28 +233,39 @@ def minhash_candidate_pairs(
         ).alias("b"),
     ).select("doc_id", *cols, F.col("b.cid").alias("cid"), F.col("b.u").alias("u"), F.col("b.v").alias("v"))
     a, b = banded.alias("a"), banded.alias("b")
-    n_agree = sum(
-        (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int") for c in cols
-    ).alias("n_agree")
+    # per-seed agreement bitmask: bit c set <=> the pair agrees on seed c
+    mask = sum(
+        (F.col(f"a.{cols[c]}") == F.col(f"b.{cols[c]}")).cast("long") * F.lit(1 << c)
+        for c in range(len(cols))
+    ).alias("mask")
+    # canonical-combo constants, indexed by cid (1-based for element_at):
+    # the row whose combo (i, j) equals the mask's two lowest set bits
+    # is the pair's single emitter
+    ival = F.array(*[F.lit(1 << i).cast("long") for (i, _j) in combos])
+    jmask = F.array(*[F.lit((1 << j) - 1).cast("long") for (_i, j) in combos])
+    joined = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.u") == F.col("b.u"))
+        & (F.col("a.v") == F.col("b.v"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.cid").alias("cid"),
+        mask,
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.u") == F.col("b.u"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        joined.filter(
+            F.col("mask").bitwiseAND(F.element_at(jmask, F.col("cid") + 1))
+            == F.element_at(ival, F.col("cid") + 1)
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            n_agree,
-        )
+        .select("doc_a", "doc_b", F.bit_count(F.col("mask")).cast("long").alias("n_agree"))
         .filter(F.col("n_agree") >= min_agree)
-        .dropDuplicates(["doc_a", "doc_b"])  # a pair matches C(k,2) combos
         .select(
             "doc_a",
             "doc_b",
-            F.col("n_agree").cast("long").alias("n_agree"),
+            "n_agree",
             F.floor(F.col("n_agree").cast("double") / F.lit(float(n_hashes)) * 10000)
             .cast("long")
             .alias("est_jaccard4"),
@@ -381,7 +421,8 @@ def simhash_near_dup_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
-    assert bits % bands == 0, "bands must divide bits"
+    if bits % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide bits ({bits})")
     sig = simhash(df, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
     return hamming_near_dup_pairs(
         sig,
@@ -639,8 +680,16 @@ def hamming_near_dup_pairs(
       simhash); direct is the right shape because uniform band values
       keep buckets at n/2^width + true-dup cluster sizes, so
       candidates stay output-proportional."""
-    assert max_hamming < bands and bits % bands == 0
-    assert strategy in ("distinct", "direct")
+    # argument contracts (ValueError, not assert: -O must not strip the
+    # pigeonhole-completeness precondition — ADVICE r12)
+    if not (max_hamming < bands and bits % bands == 0):
+        raise ValueError(
+            f"need max_hamming < bands and bands | bits (got max_hamming="
+            f"{max_hamming}, bands={bands}, bits={bits}): banded LSH is only "
+            "complete for hamming < bands over equal-width bands"
+        )
+    if strategy not in ("distinct", "direct"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     width = bits // bands
     mask = (1 << width) - 1
     members = sig.select(F.col(id_col).alias("sid"), F.col(sig_col).alias("sg"))
@@ -682,7 +731,45 @@ def hamming_near_dup_pairs(
             .dropDuplicates(["id_a", "id_b"])  # a pair can share several bands
         )
     distinct = members.select("sg").distinct()
-    banded = distinct.select(
+    # near signature pairs (sg_a < sg_b) on the VALUE relation, plus
+    # the diagonal (sg, sg, 0) carrying equal-signature groups
+    sig_pairs = near_signature_pairs(distinct, bits, bands, max_hamming).unionByName(
+        distinct.select(
+            F.col("sg").alias("sg_a"),
+            F.col("sg").alias("sg_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    # expand back to id pairs: each doc pair has exactly ONE signature
+    # pair, so no pair-level dedup is needed.  Off-diagonal cross pairs
+    # appear once (ordered by least/greatest); diagonal pairs appear
+    # twice and the sid filter keeps one.
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    return (
+        sig_pairs.join(m1, F.col("m1.sg") == F.col("sg_a"))
+        .join(m2, F.col("m2.sg") == F.col("sg_b"))
+        .filter((F.col("sg_a") != F.col("sg_b")) | (F.col("m1.sid") < F.col("m2.sid")))
+        .select(
+            F.least("m1.sid", "m2.sid").alias("id_a"),
+            F.greatest("m1.sid", "m2.sid").alias("id_b"),
+            "hamming",
+        )
+    )
+
+
+def near_signature_pairs(
+    distinct_sigs: DataFrame, bits: int, bands: int, max_hamming: int
+) -> DataFrame:
+    """(sg_a, sg_b, hamming) with sg_a < sg_b over a DISTINCT-signature
+    relation (column ``sg``): the banded hamming-LSH self-join at the
+    VALUE level — complete for hamming < bands by pigeonhole, verified
+    by popcount inside the join stage's codegen, deduped across bands
+    on the value relation (O(distinct·bands) shuffle, never O(n·bands)).
+    The shared core of ``hamming_near_dup_pairs``'s distinct strategy
+    and ``simhash_dedup_summary``'s bounded canonicalization."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = distinct_sigs.select(
         "sg",
         F.explode(
             F.array(
@@ -700,10 +787,7 @@ def hamming_near_dup_pairs(
     ).select("sg", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val"))
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.sg").bitwiseXOR(F.col("b.sg"))).cast("long")
-    # near signature pairs (sg_a < sg_b), verified inside the join
-    # stage's codegen, deduped across bands on the VALUE relation —
-    # plus the diagonal (sg, sg, 0) carrying equal-signature groups
-    sig_pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -717,28 +801,68 @@ def hamming_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["sg_a", "sg_b"])
+    )
+
+
+def simhash_dedup_summary(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 2, bits: int = 16, bands: int = 4
+) -> DataFrame:
+    """Bounded-output SimHash near-dedup: per-document canonical
+    survivor + neighborhood size instead of the pair listing.
+
+    Output (one row per document — O(n) at ANY corpus size):
+      doc_id, canon_id (min doc_id over all documents whose signature
+      is within ``max_hamming`` of this one's, itself included),
+      n_near (count of those documents, itself included).
+
+    Why this shape (r13, VERDICT r12 ask #2): a pair-listing query over
+    a SATURATING signature space is output-quadratic by definition —
+    at 16 bits any corpus beyond a few thousand docs piles C(k,2) pairs
+    per equal-signature clique (measured 539k pairs at 5k docs → 53M at
+    50k on the scale ladder), so no plan can save the query.  The
+    canonical-survivor form is what a dedup pipeline consumes anyway
+    (keep doc_id == canon_id, or weight by n_near), and its cost is the
+    VALUE-level banded join of ``near_signature_pairs`` — O(distinct ·
+    bands + n) shuffle rows, distinct ≤ 2^bits forever.  One-hop
+    neighborhood semantics (not transitive closure): exact,
+    order-independent, and SQL-recomputable in the oracle; the
+    transitive form is ``adaptive_components`` over the pair relation.
+
+    Reference behavior re-expressed: the near-dup admission flow of
+    spark-binlog's downstream dedup consumers (SURVEY §2 LLM-pipeline
+    rows); the wide-signature pair listing lives on as
+    ``q_simhash60_near_dups`` where pairs are genuinely sparse.
+    """
+    if not (max_hamming < bands and bits % bands == 0):
+        raise ValueError(
+            f"need max_hamming < bands and bands | bits (got max_hamming="
+            f"{max_hamming}, bands={bands}, bits={bits})"
+        )
+    sig = simhash(df, text_col, bits)
+    per = sig.groupBy("simhash16").agg(
+        F.min("doc_id").alias("m"), F.count("*").cast("long").alias("c")
+    )
+    pairs = near_signature_pairs(
+        per.select(F.col("simhash16").alias("sg")), bits, bands, max_hamming
+    )
+    # symmetrize + diagonal: for each signature, every near signature
+    # (including itself) exactly once
+    sym = (
+        pairs.select(F.col("sg_a").alias("sg"), F.col("sg_b").alias("nb"))
+        .unionByName(pairs.select(F.col("sg_b").alias("sg"), F.col("sg_a").alias("nb")))
         .unionByName(
-            distinct.select(
-                F.col("sg").alias("sg_a"),
-                F.col("sg").alias("sg_b"),
-                F.lit(0).cast("long").alias("hamming"),
-            )
+            per.select(F.col("simhash16").alias("sg"), F.col("simhash16").alias("nb"))
         )
     )
-    # expand back to id pairs: each doc pair has exactly ONE signature
-    # pair, so no pair-level dedup is needed.  Off-diagonal cross pairs
-    # appear once (ordered by least/greatest); diagonal pairs appear
-    # twice and the sid filter keeps one.
-    m1, m2 = members.alias("m1"), members.alias("m2")
-    return (
-        sig_pairs.join(m1, F.col("m1.sg") == F.col("sg_a"))
-        .join(m2, F.col("m2.sg") == F.col("sg_b"))
-        .filter((F.col("sg_a") != F.col("sg_b")) | (F.col("m1.sid") < F.col("m2.sid")))
-        .select(
-            F.least("m1.sid", "m2.sid").alias("id_a"),
-            F.greatest("m1.sid", "m2.sid").alias("id_b"),
-            "hamming",
+    nbstats = (
+        sym.join(
+            per.select(F.col("simhash16").alias("nb"), "m", "c"), "nb"
         )
+        .groupBy("sg")
+        .agg(F.min("m").alias("canon_id"), F.sum("c").cast("long").alias("n_near"))
+    )
+    return sig.join(nbstats, sig["simhash16"] == nbstats["sg"]).select(
+        "doc_id", "canon_id", "n_near"
     )
 
 

@@ -476,6 +476,62 @@ def embedding_near_dup_pairs(
     ).filter(F.col("cosine4") >= min_cosine4)
 
 
+def embedding_lsh_audit(
+    df: DataFrame,
+    min_cosine4: int = 5000,
+    planes: int = 12,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pre-flight audit of a multi-table sign-LSH setting + the pairs
+    it finds: one row per hash table with the bucket statistics that
+    decide whether the banded join is runnable at the target scale —
+    ``n_buckets`` (occupied), ``max_bucket`` (population of the largest
+    bucket), ``cand_pairs`` (sum of C(bucket, 2) — the EXACT candidate
+    row count the same-bucket self-join will generate) — plus
+    ``found_pairs``, the verified near-dup pair count the full
+    ``embedding_near_dup_pairs`` run at this setting produces.
+
+    This is the r12 lesson operationalized as a first-class query: a
+    banded join must be audited by candidate volume, not output volume,
+    BEFORE running it at scale (the r=1 minhash banding generated 780M
+    candidates from 500k docs; a 10-line offline count predicted it).
+    At the production knob ``planes ~= log2(n / target_bucket)`` the
+    audit is what proves candidates track the corpus, not the bucket
+    count; the sf10-measured points are in PERF.md (planes=4 killed at
+    200k vectors; planes=12 -> 8.9 s, candidates ~n).
+
+    Cost: one corpus scan + one (tbl, bucket) aggregation for the audit
+    — the same keyed shuffle the candidate join itself would use — and
+    the pair pipeline for ``found_pairs``.
+    """
+    dim = _vec_dim(df, vec_col)
+    if planes * n_tables > dim:
+        raise ValueError(
+            f"planes ({planes}) * n_tables ({n_tables}) exceed dim ({dim})"
+        )
+    base = with_quantized(df, vec_col)
+    tables = F.array(
+        *[sign_bucket(F.col("q"), planes, offset=t * planes) for t in range(n_tables)]
+    )
+    occupancy = (
+        base.select(F.posexplode(tables).alias("tbl", "bucket"))
+        .groupBy("tbl", "bucket")
+        .agg(F.count("*").alias("sz"))
+    )
+    audit = occupancy.groupBy("tbl").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("long").alias("cand_pairs"),
+    )
+    found = embedding_near_dup_pairs(
+        df, min_cosine4=min_cosine4, planes=planes, n_tables=n_tables, vec_col=vec_col
+    ).agg(F.count("*").cast("long").alias("found_pairs"))
+    return audit.select(F.col("tbl").cast("long").alias("tbl"), "n_buckets", "max_bucket", "cand_pairs").crossJoin(
+        F.broadcast(found)
+    )
+
+
 # ------------------------------------------------------------------
 # Random-projection compression (Johnson–Lindenstrauss / Achlioptas
 # sign matrix): the embedding-compression stage of a training-data

@@ -170,12 +170,17 @@ FROM sums GROUP BY doc_id
 
 # ---------------------------------------------------------------- dedup: simhash pairs
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidate pairs: hamming <= 2 over 16-bit
-    signatures, found via 4-band hamming-LSH self-join (pigeonhole:
-    hamming < bands => at least one exact-matching band), verified by
-    popcount(xor)."""
+    """SimHash near-dedup over 16-bit signatures in the BOUNDED
+    canonical-survivor form (r13 reshape, VERDICT r12 ask #2): one row
+    per document — (doc_id, canon_id, n_near) over the hamming <= 2
+    one-hop neighborhood — instead of the pair listing, whose output is
+    inherently quadratic once a 16-bit space saturates (53M pairs at
+    sf1 on the scale ladder).  Plan: value-level 4-band hamming-LSH
+    join over DISTINCT signatures (<= 65,536 forever), then one keyed
+    neighbor aggregation + one map-back join.  The pair-listing shape
+    stays graded where pairs are sparse: q_simhash60_near_dups."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_dup_pairs(docs, max_hamming=2)
+    return dedup.simhash_dedup_summary(docs, max_hamming=2)
 
 
 _SIMHASH_SQL = """
@@ -193,11 +198,15 @@ _SIMHASH_SQL = """
 """
 
 ORACLE["q_simhash_near_dups"] = f"""
-WITH sig AS ({_SIMHASH_SQL})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT) AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
+WITH sig AS ({_SIMHASH_SQL}),
+per AS (SELECT simhash16 AS sg, min(doc_id) AS m, count(*) AS c FROM sig GROUP BY simhash16),
+nb AS (
+  SELECT a.sg AS sg, min(b.m) AS canon_id, CAST(sum(b.c) AS BIGINT) AS n_near
+  FROM per a JOIN per b ON bit_count(xor(a.sg, b.sg)) <= 2
+  GROUP BY a.sg
+)
+SELECT s.doc_id, nb.canon_id, nb.n_near
+FROM sig s JOIN nb ON nb.sg = s.simhash16
 """
 
 
@@ -422,6 +431,61 @@ WHERE CAST(floor(
          CAST(CAST(list_sum([a.q[i] * b.q[i] for i in generate_series(1, len(a.q))]) AS BIGINT) AS DOUBLE)
          / sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) * 10000) AS BIGINT) >= 5000
 """
+
+
+def q_embedding_dedup_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dedup at the PRODUCTION knob (planes=12, 4 tables on
+    disjoint dims) — the scale setting PERF.md measured (planes=4 was
+    watchdog-killed at 200k vectors; planes=12 ran in 8.9 s), graded
+    through the pre-flight audit the r12 banding lesson prescribes:
+    per-table bucket occupancy, the largest bucket, and the EXACT
+    candidate-pair volume (sum C(bucket,2)) the banded self-join will
+    generate, plus the verified near-dup pair count the full pipeline
+    finds at this setting.  Candidate volume is the number that decides
+    100 TB runnability; output volume alone can hide a broken plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_lsh_audit(
+        emb, min_cosine4=5000, planes=12, n_tables=4
+    )
+
+
+def _emb_scale_oracle(planes: int = 12, n_tables: int = 4) -> str:
+    bcols = ", ".join(_table_bucket_sql(t, planes) for t in range(n_tables))
+    exp = " UNION ALL ".join(
+        f"SELECT {t} AS tbl, b{t} AS bucket FROM base" for t in range(n_tables)
+    )
+    ors = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    return f"""
+WITH quant AS ({_QUANT_SQL}),
+base0 AS ({_NORM_SQL}),
+base AS (SELECT *, {bcols} FROM base0),
+occ AS (
+  SELECT tbl, bucket, count(*) AS sz FROM ({exp}) GROUP BY tbl, bucket
+),
+audit AS (
+  SELECT tbl, count(*) AS n_buckets, max(sz) AS max_bucket,
+         CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+  FROM occ GROUP BY tbl
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM base a JOIN base b ON a.vec_id < b.vec_id AND ({ors})
+),
+found AS (
+  SELECT count(*) AS found_pairs
+  FROM cand c JOIN base a ON a.vec_id = c.va JOIN base b ON b.vec_id = c.vb
+  WHERE CAST(floor(
+          CAST(CAST(list_sum([a.q[i] * b.q[i] for i in generate_series(1, len(a.q))]) AS BIGINT) AS DOUBLE)
+          / sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) * 10000) AS BIGINT) >= 5000
+)
+SELECT CAST(tbl AS BIGINT) AS tbl, CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(max_bucket AS BIGINT) AS max_bucket, cand_pairs,
+       CAST(found_pairs AS BIGINT) AS found_pairs
+FROM audit CROSS JOIN found
+"""
+
+
+ORACLE["q_embedding_dedup_scale"] = _emb_scale_oracle()
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

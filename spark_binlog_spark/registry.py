@@ -228,15 +228,44 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # q_stream_ccnet keep the store graded), q_stream_hll (register shape:
 # q_hll_union stays), q_stream_cms (additive-grid shape:
 # q_stream_quantiles stays).
+#
+# Round-13 rotation (VERDICT r12 asks #1/#4 — exactly its lists): the
+# LAST thirteen never-graded, non-shared-oracle TAIL queries swap IN,
+# zeroing the cumulative rotation ledger — q_decontaminate,
+# q_stratified_sample, q_quality_prune, q_token_shards,
+# q_stream_source_mix, q_stream_length_histogram, q_unimax_budget,
+# q_cluster_sample, q_bpe_merges, q_source_mix, q_repetition,
+# q_ivf_multiprobe, q_ivf_trained_topk — plus the r13-new
+# q_embedding_dedup_scale (ask #4: the planes=12 production knob graded
+# through the candidate-volume audit + verified pair count).  Swapped
+# OUT, every one holding >=4 cumulative green rows (three hold 12) and
+# shape-covered by a remaining neighbor: q_stream_change_counts (S1
+# scan/envelope/offset protocol runs inside q_stream_schema_epochs'
+# grade every trigger, plus two REAL-stream rows come IN),
+# q_cell_rollup_regional (P5 run-rollup graded via q_wal_binary_rollup's
+# entries_to_events folds on real WAL bytes), q_cdc_apply (D4 merge
+# shape: q_stream_scd2's incremental history + q_mv_segment_balance),
+# q_stream_incremental_dedup (exact-dedup admission: q_curation_e2e
+# stage-2 embeds exact dedup; q_stream_neardup_dedup keeps the
+# admission-sink family graded), q_ivfadc_topk + q_ivfadc_trained_topk
+# (celled/trained ANN: incoming q_ivf_multiprobe + q_ivf_trained_topk
+# grade the same cell assignment and kmeans/PQ training machinery),
+# q_stream_unimax (incoming q_unimax_budget shares the waterfill plan),
+# q_stream_cluster_sample (incoming q_cluster_sample shares the quota
+# plan), q_stream_dsir (model-store read: q_stream_ccnet stays),
+# q_stream_priority_sample (sample shape: incoming q_stratified_sample
+# + q_exact_sample stays), q_stream_bloom (gram-leakage probe: incoming
+# q_decontaminate grades the same sweep), q_stream_kmeans (training
+# shape: incoming q_ivf_trained_topk embeds kmeans_train),
+# q_stream_jaccard (KMV sketch: oracle shared with TAIL
+# q_source_jaccard; additive-sketch sinks stay graded via
+# q_stream_quantiles), q_bpe_tokenize (induction stays graded via
+# q_stream_bpe's shared learn oracle; incoming q_bpe_merges grades the
+# candidate ranking).
 PRIORITY = [
     # --- tier 1: operator rows -------------------------------------
-    "q_stream_change_counts",   # S1 MySQL binlog streaming scan
-    "q_cell_rollup_regional",   # P5 (scale-safe headline form; reads the
-                                # S2 region-WAL store q_hbase_cells scanned)
     "q_stream_scd2",            # D3 generalization: incremental SCD2 sink
                                 # (r7 swap-in; oracle = batch q_scd2_history's)
-    "q_cdc_apply",              # D4 (its merge recomputes the D6
-                                # snapshot+incremental semantics)
     "q_curation_e2e",           # the composed curation pipeline (r11 new:
                                 # clean -> exact dedup -> minhash near-dedup
                                 # -> decontaminate -> prune -> pack, ONE
@@ -261,37 +290,14 @@ PRIORITY = [
                                 # graded green via q_stream_mv_maintain r8-r11 —
                                 # rotated in once to retire the red row
     # --- tier 2: §2.C category demos -------------------------------
-    "q_stream_incremental_dedup",  # exact-dedup ingest sink (r7 swap-in)
     "q_stream_neardup_dedup",   # streaming MinHash admission (r5 swap-in)
-    "q_ivfadc_topk",            # IVFADC: coarse cells + residual PQ (r8 swap-in)
-    "q_ivfadc_trained_topk",    # trained IVFADC: kmeans_train + pq_train (r9 swap-in)
-    "q_stream_unimax",          # UniMax waterfill off the streamed stats store (r9)
-    "q_stream_dsir",            # DSIR off the incrementally maintained model (r9;
-                                # oracle = q_dsir_importance's, so it subsumes it)
     "q_stream_ccnet",           # CCNet terciles off the maintained LM (r9;
                                 # oracle = q_ccnet_buckets', so it subsumes it)
-    "q_stream_kmeans",          # mini-batch k-means model off the additive store (r9)
-    "q_stream_cluster_sample",  # balanced sample vs streamed centroids (r9;
-                                # subsumes q_cluster_sample's quota plan)
     "q_stream_quantiles",       # log-bin histogram sink + live p50/p90/p99 (r9 new;
                                 # oracle = q_token_quantiles', so it subsumes it)
-    "q_stream_jaccard",         # KMV bottom-k sink + live pairwise Jaccard (r9 new;
-                                # oracle = q_source_jaccard's, so it subsumes it)
-    "q_stream_bloom",           # bloom filter grown under benchmark ingest (r9 new;
-                                # oracle = q_bloom_decontaminate's, so it grades the
-                                # filter build, the sink merge, AND the probe sweep)
-    "q_stream_priority_sample", # weighted sample maintained under ingest (r9 new;
-                                # oracle = q_priority_sample's, so it grades the
-                                # sampler AND the sink; the hash-rank machinery also
-                                # covers the q_epoch_shuffle layout shape it replaces)
     "q_stream_bpe",             # BPE trained off the streamed word-frequency store
                                 # (r9 new; oracle = q_bpe_learn's, so it grades the
                                 # learner AND the incremental vocabulary maintenance)
-    "q_bpe_tokenize",           # distributed BPE: learn on the global vocab, then
-                                # tokenize per (source, word) — its oracle embeds the
-                                # full induction CTEs, so it subsumes q_bpe_learn
-                                # (and q_bpe_merges, which only ranked step-1
-                                # candidates)
     "q_multimodal_meta",        # binary header probe: format/dims/codec from
                                 # magic bytes, no decode (r10 swap-in)
     "q_multimodal_frames",      # dependency-free decode via Arrow-batched
@@ -300,7 +306,11 @@ PRIORITY = [
                                 # frequency over the corpus (r10 swap-in)
     "q_bm25_search",            # batch BM25 ranking — the integer tf/idf
                                 # pipeline behind the streamed index (r10 swap-in)
-    "q_simhash_near_dups",      # hamming-LSH banded near-dup pairs (r10 swap-in)
+    "q_simhash_near_dups",      # r13 RESHAPED (VERDICT r12 ask #2): bounded
+                                # canonical-survivor form (doc_id, canon_id,
+                                # n_near) — the 16-bit pair listing was
+                                # output-quadratic by definition; pair listing
+                                # stays graded via q_simhash60_near_dups
     "q_dup_components",         # connected components + canonical survivor
                                 # via localCheckpointed fixpoint (r10 swap-in)
     "q_hll_union",              # union-register cardinality serving variant
@@ -330,6 +340,27 @@ PRIORITY = [
     "q_embedding_dedup_multitable",  # vector admission across MULTIPLE source
                                 # tables — the multi-table variant of the
                                 # single-table q_stream_neardup_dedup row
+    # --- r13 rotation: the last never-graded TAIL queries ------------
+    "q_decontaminate",          # benchmark n-gram leakage sweep (positional form)
+    "q_stratified_sample",      # per-stratum deterministic hash sample
+    "q_quality_prune",          # quality-score threshold pruning
+    "q_token_shards",           # token-budgeted shard layout
+    "q_stream_source_mix",      # REAL 2-batch stream: mixture monitoring off
+                                # the additive (source, log2-bin) stats sink
+    "q_stream_length_histogram",  # REAL 2-batch stream: mergeable length
+                                # histogram off the same CorpusStatsSink store
+    "q_unimax_budget",          # UniMax waterfill token-budget allocation (batch)
+    "q_cluster_sample",         # cluster-balanced embedding subsample (batch)
+    "q_bpe_merges",             # BPE merge-candidate mining (rank window)
+    "q_source_mix",             # per-source token budgets + downsample rates
+    "q_repetition",             # top-word / top-bigram repetition signals
+    "q_ivf_multiprobe",         # IVF ANN, nprobe>1 multi-cell probe
+    "q_ivf_trained_topk",       # IVF over kmeans_train'd centroids (embeds the
+                                # Lloyd training the outgoing q_stream_kmeans row
+                                # graded)
+    "q_embedding_dedup_scale",  # r13 NEW (VERDICT r12 ask #4): the planes=12 /
+                                # 4-table production knob graded via the
+                                # candidate-volume audit + verified pair count
 ]
 
 # Value-ranked tail: REAL queries that simply don't fit the 50-slot
@@ -338,6 +369,39 @@ PRIORITY = [
 # views live in PARITY below, NOT here — the never-graded count that
 # matters is len(TAIL), not len(TAIL) + len(PARITY) (VERDICT r5 ask #6).
 TAIL = [
+    "q_stream_change_counts",   # r13 swap-out (green r01-r12, 12 rows; S1 scan/
+                                # envelope/offset protocol runs inside
+                                # q_stream_schema_epochs' grade every trigger)
+    "q_cell_rollup_regional",   # r13 swap-out (green r01-r12, 12 rows; P5 rollup
+                                # graded via q_wal_binary_rollup's run folds)
+    "q_cdc_apply",              # r13 swap-out (green r01-r12, 12 rows; D4 merge
+                                # shape: q_stream_scd2 + q_mv_segment_balance)
+    "q_stream_incremental_dedup",  # r13 swap-out (green r07-r12; exact-dedup
+                                # admission: q_curation_e2e stage-2 +
+                                # q_stream_neardup_dedup stay graded)
+    "q_ivfadc_topk",            # r13 swap-out (green r08-r12; celled ANN:
+                                # q_ivf_multiprobe + q_ivf_trained_topk grade the
+                                # same cell machinery)
+    "q_ivfadc_trained_topk",    # r13 swap-out (green r09-r12; training shape:
+                                # q_ivf_trained_topk embeds kmeans_train)
+    "q_stream_unimax",          # r13 swap-out (green r09-r12; q_unimax_budget
+                                # shares the waterfill plan)
+    "q_stream_cluster_sample",  # r13 swap-out (green r09-r12; q_cluster_sample
+                                # shares the quota plan)
+    "q_stream_dsir",            # r13 swap-out (green r09-r12; model-store read:
+                                # q_stream_ccnet stays graded)
+    "q_stream_priority_sample", # r13 swap-out (green r09-r12; sample shape:
+                                # q_stratified_sample + q_exact_sample)
+    "q_stream_bloom",           # r13 swap-out (green r09-r12; gram-leakage probe:
+                                # q_decontaminate grades the same sweep)
+    "q_stream_kmeans",          # r13 swap-out (green r09-r12; training shape:
+                                # q_ivf_trained_topk's kmeans_train)
+    "q_stream_jaccard",         # r13 swap-out (green r09-r12; KMV oracle shared
+                                # with q_source_jaccard; sketch sinks stay graded
+                                # via q_stream_quantiles)
+    "q_bpe_tokenize",           # r13 swap-out (green r09-r12; induction graded via
+                                # q_stream_bpe's shared learn oracle; candidate
+                                # ranking via q_bpe_merges)
     "q_table_filter",           # r11 swap-out (green r01-r10 rows; F1 pattern filters
                                 # run inside q_stream_change_counts' scan every trigger)
     "q_event_type_filter",      # r11 swap-out (green r01-r10 rows; F2 same coverage)
@@ -461,31 +525,18 @@ TAIL = [
     "q_pii_redact",             # r5 swap-out (shape: q_text_quality)
     "q_hash_sample",            # r5 swap-out (shape: q_stratified_sample)
     "q_lang_id",                # r5 swap-out (shape: q_fingerprint)
-    "q_decontaminate",
-    "q_stratified_sample",
-    "q_quality_prune",
-    "q_token_shards",
-    "q_stream_source_mix",
-    "q_stream_length_histogram",
     "q_dedup_simhash",          # r5 late swap-out (subsumed by stream form)
     "q_similarity_lsh",         # r5 late swap-out (shape: q_ivf_topk family)
-    "q_unimax_budget",          # r8 new: UniMax waterfill token-budget allocation
     "q_dsir_importance",        # r8 new: DSIR hashed n-gram importance weighting
     "q_ccnet_buckets",          # r8 new: CCNet head/middle/tail LM terciles
-    "q_cluster_sample",         # r8 new: cluster-balanced embedding subsample
-    "q_bpe_merges",
-    "q_source_mix",
     "q_fingerprint",            # r5 late swap-out (fn covered by dedup rows)
     "q_change_counts_windowed",
-    "q_repetition",
     "q_corpus_clean",
     "q_corpus_report",          # r11 swap-out (green r01-r10 rows; per-(source,
                                 # lang) dashboard: rate/fingerprint shapes held
                                 # by q_stream_drift + q_stream_unimax store reads)
     "q_boilerplate_ratio",
     "q_boilerplate_shingles",
-    "q_ivf_multiprobe",
-    "q_ivf_trained_topk",
     "q_stream_enriched_counts",
     "q_range_band",
     "q_interval_overlap",

@@ -89,6 +89,80 @@ class TestSimhashBandProperties:
             assert band_match
 
 
+class TestMinhashCanonicalCombo:
+    def test_matches_bruteforce_signature_model(self, spark):
+        """minhash_candidate_pairs (r13 canonical-combo plan, no pair-
+        dedup exchange) vs brute force over the SAME wide signatures:
+        every doc pair agreeing on >= min_agree seeds appears exactly
+        once with the exact n_agree/est_jaccard4."""
+        import itertools
+        import random
+
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import dedup
+
+        words = ["red", "green", "blue", "cyan", "teal", "plum", "gold"]
+        rng = random.Random(13)
+        docs = []
+        for i in range(50):
+            base = [rng.choice(words) for _ in range(rng.randint(3, 9))]
+            docs.append(Row(doc_id=i, text=" ".join(base)))
+            if rng.random() < 0.5:  # near/exact dups to force k>2 cliques
+                mutated = list(base)
+                if rng.random() < 0.5 and len(mutated) > 3:
+                    mutated[rng.randrange(len(mutated))] = rng.choice(words)
+                docs.append(Row(doc_id=500 + i, text=" ".join(mutated)))
+        df = spark.createDataFrame(docs)
+        wide = {
+            r["doc_id"]: [r[f"mh{i}"] for i in range(dedup.N_MINHASH)]
+            for r in dedup.minhash_signatures_wide(df).collect()
+        }
+        for min_agree in (2, 4):
+            got = {
+                (r["doc_a"], r["doc_b"]): (r["n_agree"], r["est_jaccard4"])
+                for r in dedup.minhash_candidate_pairs(df, min_agree=min_agree).collect()
+            }
+            want = {}
+            for a, b in itertools.combinations(sorted(wide), 2):
+                k = sum(x == y for x, y in zip(wide[a], wide[b]))
+                if k >= min_agree:
+                    want[(a, b)] = (k, k * 10000 // dedup.N_MINHASH)
+            assert got == want, f"min_agree={min_agree}"
+
+
+class TestSimhashSummaryModel:
+    def test_matches_bruteforce_one_hop_model(self, spark):
+        """simhash_dedup_summary (the r13 bounded reshape of the 16-bit
+        near-dup query) vs a brute-force python one-hop model computed
+        from the SAME signatures: canon_id = min doc_id within
+        hamming <= 2, n_near = neighborhood size (self included)."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import dedup
+
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        import random
+
+        rng = random.Random(7)
+        docs = []
+        for i in range(60):
+            base = [rng.choice(words) for _ in range(rng.randint(1, 6))]
+            docs.append(Row(doc_id=i, text=" ".join(base)))
+            if rng.random() < 0.4:  # exact dup cliques
+                docs.append(Row(doc_id=1000 + i, text=" ".join(base)))
+        df = spark.createDataFrame(docs)
+        sigs = {r["doc_id"]: r["simhash16"] for r in dedup.simhash(df).collect()}
+        got = {
+            r["doc_id"]: (r["canon_id"], r["n_near"])
+            for r in dedup.simhash_dedup_summary(df, max_hamming=2).collect()
+        }
+        assert set(got) == set(sigs)
+        for d, s in sigs.items():
+            near = [e for e, t in sigs.items() if bin(s ^ t).count("1") <= 2]
+            assert got[d] == (min(near), len(near)), d
+
+
 class TestAsofJoinModel:
     def test_matches_python_reference_model_on_seeded_random(self, spark):
         """asof_join vs a brute-force python reference on one seeded
