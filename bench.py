@@ -110,7 +110,7 @@ HEADLINE_V2 = [
     "q_multimodal_frames",  # Arrow-batched mapInPandas decode + frame stats (r10)
     "q_repeated_spans",   # hashed-span repetition facts (r10)
     "q_bm25_search",      # batch BM25 ranking (r10)
-    "q_simhash_near_dups",  # hamming-LSH banded near-dup pairs (r10)
+    "q_simhash_near_dups",  # bounded canonical-survivor simhash dedup (r13 reshape)
     "q_simhash60_near_dups",  # wide-signature scale-correct form (r11 new)
     "q_warc_extract",     # WARC record walk + HTTP split + HTML->text (r11 new)
     "q_audio_probe",      # MPEG container frame-walk probe (r11 new)
@@ -127,6 +127,20 @@ HEADLINE_V2 = [
     "q_compressibility",  # gzip-ratio analogue statistic (r12 swap-in)
     "q_chunk_documents",  # overlapping-window chunk layout (r12 swap-in)
     "q_embedding_dedup_multitable",  # multi-table vector admission (r12 swap-in)
+    # round-13 rotation newcomers (first driver rows r13): the last
+    # never-graded TAIL queries + the planes=12 audit form
+    "q_decontaminate",    # positional n-gram leakage sweep (r13 swap-in)
+    "q_stratified_sample",  # per-stratum deterministic hash sample (r13 swap-in)
+    "q_quality_prune",    # quality-score threshold pruning (r13 swap-in)
+    "q_token_shards",     # token-budgeted shard layout (r13 swap-in)
+    "q_stream_source_mix",  # mixture monitoring off the streamed stats store (r13)
+    "q_stream_length_histogram",  # length histogram off the same store (r13)
+    "q_bpe_merges",       # BPE merge-candidate mining (r13 swap-in)
+    "q_source_mix",       # per-source budgets + downsample rates (r13 swap-in)
+    "q_repetition",       # top-word/top-bigram repetition signals (r13 swap-in)
+    "q_ivf_multiprobe",   # IVF multi-cell probe ANN (r13 swap-in)
+    "q_ivf_trained_topk", # IVF over kmeans_train'd centroids (r13 swap-in)
+    "q_embedding_dedup_scale",  # planes=12 candidate-volume audit (r13 NEW)
 ]
 
 
@@ -230,7 +244,31 @@ def main() -> None:
     construction_timed = {
         "q_bpe_learn", "q_bpe_tokenize", "q_stream_bpe", "q_dup_components",
     }
+    # q_wal_binary_rollup's correctness form synthesizes its WAL blobs
+    # INSIDE the query (that is what makes the oracle able to grade the
+    # parse from events arithmetic), but in production the bytes exist
+    # on disk — timing the synthesis misread as a 5 s parse (VERDICT
+    # r12 ask #7).  Bench shape: blobs written ONCE per session to a
+    # cached parquet, timed entry = read -> parse -> rollup.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spark_binlog_spark.queries_cdc import wal_blob_synth, wal_parse_rollup
+
+    _wal_blob_dir = _tempfile.mkdtemp(prefix="bench_wal_blobs_")
+    wal_blob_synth(spark, sf_dir).write.mode("overwrite").parquet(_wal_blob_dir)
+
+    def _wal_parse_only(spark, sf_dir):
+        return wal_parse_rollup(spark.read.parquet(_wal_blob_dir))
+
+    fixture_cached = {"q_wal_binary_rollup": _wal_parse_only}
+
     for name in HEADLINE_V2:
+        if name in fixture_cached:
+            timings_v2[name] = timed_min2(
+                name, fixture_cached[name](spark, sf_dir), spread_map=spread_v2
+            )
+            continue
         if name in construction_timed:
             # ONE invocation, not min-of-2: each run re-executes the
             # full training loop (and for the stream form, the ingest),
@@ -247,6 +285,43 @@ def main() -> None:
         timings_v2[name] = timed_min2(
             name, queries[name](spark, sf_dir), spread_map=spread_v2
         )
+    _shutil.rmtree(_wal_blob_dir, ignore_errors=True)
+
+    # quiet re-capture (VERDICT r12 ask #6): the r12 committed artifact
+    # was taken on a host that went loud mid-run (loadavg 0.84 -> 2.6,
+    # 8 insurance retries) and read 8.64 s where the same code measured
+    # 6.467 s quiet.  If the run ends above the gate OR any insurance
+    # fired, wait (bounded) for quiet and re-time exactly the
+    # insurance-fired entries, folding in the min — so the committed
+    # artifact is the quiet capture whenever the host allows one, and
+    # self-labels (requiet map) when it does not.
+    requiet: dict[str, float] = {}
+    if insurance_fired or os.getloadavg()[0] > gate:
+        for _ in range(int(os.environ.get("SPARK_GRAFT_REQUIET_RETRIES", "4"))):
+            if os.getloadavg()[0] <= gate:
+                break
+            time.sleep(float(os.environ.get("SPARK_GRAFT_REQUIET_SLEEP", "30")))
+        if os.getloadavg()[0] <= gate:
+            for name in dict.fromkeys(insurance_fired):
+                if name in construction_timed:
+                    continue  # re-running a training loop re-pays construction
+                tmap, smap = (
+                    (timings, spread) if name in timings else (timings_v2, spread_v2)
+                )
+                df = (
+                    fixture_cached[name](spark, sf_dir)
+                    if name in fixture_cached
+                    else queries[name](spark, sf_dir)
+                )
+                df.write.format("noop").mode("overwrite").save()  # re-warm
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                el = round(time.perf_counter() - t0, 3)
+                requiet[name] = el
+                if el < tmap[name]:
+                    tmap[name] = el
+                    smap[name] = [el, smap[name][1]]
+
     spark.catalog.clearCache()  # marquee queries persist intermediates
 
     # per-batch admission latency of the text ingest sinks: the corpus
@@ -377,6 +452,7 @@ def main() -> None:
         "v2_total": round(sum(timings_v2.values()), 3),
         "sink_admission": sink_admission,
         "insurance_fired": insurance_fired,
+        "requiet": requiet,
     }
     print(json.dumps(detail))
     # only full-scale (sf0.1 default) runs overwrite the committed
@@ -400,6 +476,7 @@ def main() -> None:
                 "stream_rows_per_sec": stream_rps,
                 "loadavg": [load_before, detail["loadavg_after"]],
                 "load_gate": load_gate,
+                "requiet": requiet,
             }
         )
     )

@@ -550,24 +550,13 @@ FROM runs GROUP BY region, run_id
 
 
 # ------------------------------------------------------- S2 binary WAL e2e
-def q_wal_binary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 end-to-end over REAL ProtobufLogWriter WAL BYTES (VERDICT r11
-    ask #5): stage 1 synthesizes spec-correct binary WAL files from the
-    events table with the in-repo writer (sources/hbase_wal_format.py
-    write_wal_file — magic, delimited WALHeader/WALKey protobufs,
-    KeyValue cells); stage 2 parses them back with read_wal_file +
-    entries_to_events (the reference's WAL.Entry -> row-event mapping,
-    HBaseWALClient.scala:157-203: consecutive same-row same-kind cell
-    runs fold into one event, METAFAMILY cells skipped); stage 3 rolls
-    the recovered events up per (region, op) in pure Catalyst.  Each
-    entry plants one META cell (must be skipped) and two data cells —
-    same kind for error/other rows (ONE event, n_cells=2), put+delete
-    for purchase rows (TWO events, the run-break case) — so the oracle,
-    which recomputes the expectation straight from events arithmetic,
-    grades the binary parse AND the run grouping, not just the agg.
-    Both mapInPandas stages are file-granular Arrow passes: at corpus
-    scale each WAL blob decodes independently, exactly like the WARC
-    and image decode paths."""
+def wal_blob_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 1 of the S2 binary chain, exposed separately so a bench
+    (or a user replaying stored WALs) can materialize the blobs ONCE
+    and time only read -> parse -> rollup (VERDICT r12 ask #7: in
+    production the bytes already exist on disk; timing their synthesis
+    inside the query misread as a 5 s parse).  One spec-correct WAL
+    blob per input partition via a file-granular Arrow pass."""
     _pin(spark)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type"
@@ -614,6 +603,15 @@ def q_wal_binary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"content": [write_wal_file(entries)]}, columns=["content"]
             )
 
+    return ev.mapInPandas(synth, "content binary")
+
+
+def wal_parse_rollup(blobs: DataFrame) -> DataFrame:
+    """Stages 2+3 of the S2 binary chain over a ``content binary``
+    relation (freshly synthesized or read back from disk): read_wal_file
+    + entries_to_events run folds in a file-granular Arrow pass, then
+    the per-(region, op) rollup in pure Catalyst."""
+
     def parse(batches):
         import pandas as _pd
 
@@ -641,7 +639,6 @@ def q_wal_binary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["region", "seqnum", "op", "rowkey", "n_cells", "val_sum"],
             )
 
-    blobs = ev.mapInPandas(synth, "content binary")
     events = blobs.mapInPandas(
         parse,
         "region string, seqnum long, op string, rowkey long, "
@@ -653,6 +650,31 @@ def q_wal_binary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("val_sum").alias("total_val"),
         F.max("seqnum").alias("max_seq"),
     )
+
+
+def q_wal_binary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 end-to-end over REAL ProtobufLogWriter WAL BYTES (VERDICT r11
+    ask #5): stage 1 synthesizes spec-correct binary WAL files from the
+    events table with the in-repo writer (sources/hbase_wal_format.py
+    write_wal_file — magic, delimited WALHeader/WALKey protobufs,
+    KeyValue cells; ``wal_blob_synth``); stages 2+3 parse them back with
+    read_wal_file + entries_to_events (the reference's WAL.Entry ->
+    row-event mapping, HBaseWALClient.scala:157-203: consecutive
+    same-row same-kind cell runs fold into one event, METAFAMILY cells
+    skipped) and roll the recovered events up per (region, op) in pure
+    Catalyst (``wal_parse_rollup``).  Each entry plants one META cell
+    (must be skipped) and two data cells — same kind for error/other
+    rows (ONE event, n_cells=2), put+delete for purchase rows (TWO
+    events, the run-break case) — so the oracle, which recomputes the
+    expectation straight from events arithmetic, grades the binary
+    parse AND the run grouping, not just the agg.  Both mapInPandas
+    stages are file-granular Arrow passes: at corpus scale each WAL
+    blob decodes independently, exactly like the WARC and image decode
+    paths.  NOTE the synthesis stage runs INSIDE this query (that is
+    what lets the oracle grade the parse from events arithmetic);
+    bench.py times the production shape instead — blobs cached on disk
+    once, then read -> wal_parse_rollup (BASELINE.md r13 note)."""
+    return wal_parse_rollup(wal_blob_synth(spark, sf_dir))
 
 
 ORACLE["q_wal_binary_rollup"] = """

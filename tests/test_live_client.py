@@ -122,6 +122,55 @@ class TestIngestor:
         with pytest.raises(ValueError, match="non-monotone"):
             ing3.on_rotate("mysql-bin.000001")
 
+    def test_resume_survives_crash_mid_flush(self, tmp_path, monkeypatch):
+        """VERDICT r12 ask #8: a crash BETWEEN writing the aside file
+        and the atomic rename must leave the store exactly at its last
+        published state — the orphaned ``.inprogress`` file is invisible
+        to the index, a resumed ingestor continues from the published
+        floor, and the connector's at-least-once redelivery of the
+        unacked events rebuilds a store identical to the no-crash run
+        (including overwriting the stale aside file on the next
+        flush)."""
+        import pyarrow.parquet as pq
+
+        from spark_binlog_spark.sources.binlog_fixture import _segment_index
+
+        store = str(tmp_path / "store")
+        ing = LiveBinlogIngestor(store)
+        pump(iter([_Rotate("mysql-bin.000001"),
+                   _Rows("insert", T0, [_ins(1), _ins(2)])]), ing)  # published
+        # fresh rows, then a crash mid-flush: aside written, rename never runs
+        ing.on_row_event("insert", T0 + 1, 3)
+        real_replace = os.replace
+
+        def boom(src, dst, *a, **k):
+            raise OSError("simulated crash between write-aside and rename")
+
+        monkeypatch.setattr(os, "replace", boom)
+        with pytest.raises(OSError, match="simulated crash"):
+            ing.flush()
+        monkeypatch.setattr(os, "replace", real_replace)
+        del ing  # process death
+        assert os.path.exists(os.path.join(store, "mysql-bin.000001.inprogress"))
+
+        # resume: the index must see ONLY the published segment (floor
+        # intact), and the recovered sequence must not count the lost row
+        (seg,) = _segment_index(store)
+        assert (seg["fid"], seg["min"], seg["max"]) == (1, 0, 1)
+        ing2 = LiveBinlogIngestor(store)
+        # connector redelivers from the last committed position
+        # (at-least-once): the lost row arrives again, then the stream
+        # continues
+        pump(iter([_Rotate("mysql-bin.000001"),  # connect-time announce
+                   _Rows("insert", T0 + 1, [_ins(3)]),
+                   _Rows("insert", T0 + 2, [_ins(4)])]), ing2)
+        index = _segment_index(store)  # raises on any event-id gap
+        assert [(s["fid"], s["min"], s["max"]) for s in index] == [(1, 0, 3)]
+        # the re-publish OVERWROTE the stale aside file's target; no
+        # .inprogress debris survives a successful flush at the same fid
+        tbl = pq.read_table(os.path.join(store, "mysql-bin.000001"))
+        assert tbl.column("user_id").to_pylist() == [1, 2, 3, 4]
+
     def test_pump_derives_op_from_connector_class_names(self, tmp_path):
         """python-mysql-replication delivers WriteRowsEvent /
         UpdateRowsEvent / DeleteRowsEvent objects with no `op`
