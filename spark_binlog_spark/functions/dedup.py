@@ -211,10 +211,27 @@ def minhash_candidate_pairs(
         )
     from pyspark.storagelevel import StorageLevel
 
-    cols = [f"mh{i}" for i in range(n_hashes)]
     wide = minhash_signatures_wide(df, text_col, n_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    return minhash_pairs_from_wide(wide, n_hashes=n_hashes, min_agree=min_agree)
+
+
+def minhash_pairs_from_wide(
+    wide: DataFrame, n_hashes: int = N_MINHASH, min_agree: int = 4
+) -> DataFrame:
+    """The r=2 combination-banded pair join over a PRECOMPUTED wide
+    signature relation (doc_id, mh0..mh{n-1}) — the shared core of
+    ``minhash_candidate_pairs`` and the streaming admission sink's
+    in-batch reject (which already holds the wide relation and must not
+    recompute signatures).  See ``minhash_candidate_pairs`` for the
+    banding and canonical-emission arguments."""
+    if not 2 <= min_agree <= n_hashes:
+        raise ValueError(
+            f"combination banding needs 2 <= min_agree <= n_hashes "
+            f"(got min_agree={min_agree}, n_hashes={n_hashes})"
+        )
+    cols = [f"mh{i}" for i in range(n_hashes)]
     combos = [(i, j) for i in range(n_hashes) for j in range(i + 1, n_hashes)]
     banded = wide.select(
         "doc_id",

@@ -122,7 +122,150 @@ class SimHashIngestSink:
     def _hamming(a, b):
         return F.bit_count(a.bitwiseXOR(b)).cast("long")
 
+    def _neighbor_masks(self) -> list[int] | None:
+        """All XOR masks within ``max_hamming`` of zero — the exact
+        neighbor enumeration for small signature spaces (sum of
+        C(bits, k) for k <= max_hamming; 16 bits / hamming 2 -> 137).
+        None when the enumeration would be large (wide signatures),
+        where the banded join is the right shape because band values
+        are high-entropy (the r12 strategy-by-entropy lesson)."""
+        import itertools
+        import math
+
+        n = sum(math.comb(self.bits, k) for k in range(self.max_hamming + 1))
+        if n > 4096:
+            return None
+        masks = [0]
+        for k in range(1, self.max_hamming + 1):
+            for bits in itertools.combinations(range(self.bits), k):
+                m = 0
+                for b in bits:
+                    m |= 1 << b
+                masks.append(m)
+        return masks
+
+    def _admit_enumerated(self, batch_df: DataFrame, batch_id: int, masks: list[int]) -> None:
+        """VALUE-level admission via exact neighbor enumeration (r13,
+        found by the sf10 sink soak): the id-level banded self-join
+        died at 125k docs/batch — a 16-bit signature space saturates,
+        so each of the 64 (band_idx, band_val) buckets held ~7.8k docs
+        and the in-batch join alone generated ~2e9 candidate rows
+        (the r12 'band the VALUES, not the ids' trap, in sink form).
+        With <= 2^bits distinct signatures and a 137-mask neighbor set,
+        admission needs NO pair join at all:
+
+          probes  = distinct batch sigs x masks (sig XOR mask)
+          index   : reject sigs whose probe set intersects the distinct
+                    index sigs (broadcast <= 2^bits rows)
+          in-batch: canon(sig) = min over probe-reachable batch sigs of
+                    their min doc_id; reject doc iff canon < doc_id —
+                    exactly 'a smaller-id batch doc within hamming'
+
+        Everything is a broadcast join against <= 2^bits-row relations;
+        the only shuffle is the canon partial-min aggregation over
+        |distinct sigs| x |masks| narrow rows.  Semantics are identical
+        to the banded path (both compute the same hamming predicate;
+        the streamed oracle recomputes admission with pure hamming
+        joins and still matches)."""
+        flat = simhash(batch_df, bits=self.bits).persist()  # (doc_id, simhash16)
+        try:
+            dsig = flat.select("simhash16").distinct()
+            probes = dsig.select(
+                "simhash16",
+                F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias("mk"),
+            ).select(
+                "simhash16",
+                F.col("simhash16").bitwiseXOR(F.col("mk")).alias("probe"),
+            )
+            # buckets any probe's bands map to (the index rows a matching
+            # sig would live in) — <= n_buckets scalars, a plan step
+            width = self.bits // self.bands
+            mask = (1 << width) - 1
+            probe_buckets = probes.select(
+                F.explode(
+                    F.array(
+                        *[
+                            self._bucket(
+                                F.lit(i),
+                                F.shiftright(F.col("probe"), i * width)
+                                .bitwiseAND(F.lit(mask))
+                                .cast("long"),
+                            )
+                            for i in range(self.bands)
+                        ]
+                    )
+                ).alias("b")
+            )
+            buckets = sorted(r[0] for r in probe_buckets.distinct().collect())
+            index_slice = self.store.slice_for(buckets, batch_id)
+            idx_sigs = index_slice.select(F.col("simhash16").alias("probe")).distinct()
+            hit_sigs = (
+                probes.join(F.broadcast(idx_sigs), "probe")
+                .select("simhash16")
+                .distinct()
+            )
+            per = flat.groupBy("simhash16").agg(F.min("doc_id").alias("m"))
+            canon = (
+                probes.join(
+                    F.broadcast(per.select(F.col("simhash16").alias("probe"), "m")),
+                    "probe",
+                )
+                .groupBy("simhash16")
+                .agg(F.min("m").alias("canon"))
+            )
+            admitted_docs = (
+                flat.join(F.broadcast(hit_sigs), "simhash16", "left_anti")
+                .join(F.broadcast(canon), "simhash16")
+                .filter(F.col("canon") >= F.col("doc_id"))
+                .select("doc_id", "simhash16")
+            )
+            admitted = (
+                self._signatures_from_flat(admitted_docs)
+                .withColumn("bucket", self._bucket(F.col("band_idx"), F.col("band_val")))
+                .persist()
+            )
+            try:
+                n_docs = admitted.select("doc_id").distinct().count()
+                if n_docs == 0:
+                    self.admitted_batches.append((batch_id, 0))
+                    return
+                self.store.publish(admitted, SIG_COLS, batch_id)
+                self.admitted_batches.append((batch_id, n_docs))
+                self.store.maybe_compact(buckets)
+            finally:
+                admitted.unpersist()
+        finally:
+            flat.unpersist()
+
+    def _signatures_from_flat(self, flat: DataFrame) -> DataFrame:
+        """Banded rows from a precomputed (doc_id, simhash16) relation
+        (same output shape as ``_signatures``)."""
+        width = self.bits // self.bands
+        mask = (1 << width) - 1
+        banded = F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("int").alias("band_idx"),
+                    F.shiftright(F.col("simhash16"), i * width)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
+                    .alias("band_val"),
+                )
+                for i in range(self.bands)
+            ]
+        )
+        return flat.select("doc_id", "simhash16", F.explode(banded).alias("b")).select(
+            "doc_id",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_val").alias("band_val"),
+            "simhash16",
+        )
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        masks = self._neighbor_masks()
+        if masks is not None:
+            self._admit_enumerated(batch_df, batch_id, masks)
+            return
         sig = self._signatures(batch_df).persist()
         try:
             # ≤ n_buckets scalars to the driver — a plan step, not data
