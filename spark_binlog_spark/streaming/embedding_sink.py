@@ -266,14 +266,18 @@ class EmbeddingNearDupIngestSink:
                     "sbucket",
                 )
             )
-            # (a) reject: some INDEX vector shares a (tbl, sbucket) —
-            # in ANY table, hence the dropDuplicates on the pair before
-            # scoring — and the exact cosine reaches the threshold.
-            # Batch side broadcast: the index slice never shuffles.
+            # (a) reject: some INDEX vector shares a (tbl, sbucket) in
+            # ANY table and the exact cosine reaches the threshold.
+            # Batch side broadcast: the index slice never shuffles.  A
+            # pair colliding in several tables is scored once per
+            # collision — the cosine is row-local integer math, so
+            # re-scoring <= n_tables times is cheaper than the pair-
+            # dedup EXCHANGE it used to ride (r11 verify-before-dedup
+            # lesson; the trailing distinct on rejected ids is the only
+            # dedup the semantics need).
             idx_reject = (
                 index_slice.join(bsig, ["tbl", "sbucket"])
                 .select("b_vec", "bq", "bn", F.col("vec_id").alias("i_vec"), "q", "norm")
-                .dropDuplicates(["b_vec", "i_vec"])
                 .filter(
                     self._cos4(F.col("bq"), F.col("bn"), F.col("q"), F.col("norm"))
                     >= self.min_cosine4
@@ -299,7 +303,6 @@ class EmbeddingNearDupIngestSink:
                     F.col("b.q").alias("qb"),
                     F.col("b.norm").alias("nb"),
                 )
-                .dropDuplicates(["va", "vb"])
                 .filter(
                     self._cos4(F.col("qa"), F.col("na"), F.col("qb"), F.col("nb"))
                     >= self.min_cosine4

@@ -99,6 +99,130 @@ class NearDupIngestSink:
         return self.index().select("doc_id").distinct()
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.min_agree >= 2:
+            self._admit_combos(batch_df, batch_id)
+            return
+        self._admit_r1(batch_df, batch_id)
+
+    def _admit_combos(self, batch_df: DataFrame, batch_id: int) -> None:
+        """r=2 combination-banded admission (r13, after the sf10 soak):
+        the r=1 (seed, minhash) index join generated ~50M verify rows
+        per 125k-doc batch (marginal minhash values concentrate — the
+        same trap minhash_candidate_pairs fixed in r12) and the
+        agreement count needed a groupBy over all of them.  With
+        min_agree >= 2, a rejecting pair shares a full seed-PAIR
+        combination (pigeonhole), so the index join can run on combo
+        keys, where candidates track TRUE near-pairs; both sides carry
+        their full signature vectors, so n_agree is computed inside the
+        join stage — no counting aggregation at all.
+
+        The store layout is UNCHANGED (doc_id, seed, minhash bucketed
+        by minhash % n_buckets): the pruned slice is pivoted back to
+        wide per doc ON THE FLY (one doc-keyed aggregation over the
+        slice — thousands of times smaller than the old candidate
+        relation).  Pruning stays correct under the pivot: a slice
+        bucket is read iff some batch minhash maps to it, and any
+        AGREEING seed's value equals a batch value, so every agreeing
+        seed's row is guaranteed present; absent seeds cannot agree and
+        count 0 via coalesce.  Admission semantics identical to the r=1
+        path (same predicate; streamed oracle + soak batteries pin it);
+        min_agree=1 keeps the r=1 join, where a single shared band must
+        reject."""
+        from spark_binlog_spark.functions.dedup import (
+            minhash_pairs_from_wide,
+            minhash_signatures_wide,
+        )
+
+        n = self.n_hashes
+        cols = [f"mh{i}" for i in range(n)]
+        wide = minhash_signatures_wide(batch_df, n_hashes=n).persist()
+        try:
+            stack = ", ".join(f"{i}, mh{i}" for i in range(n))
+            sig = wide.select(
+                "doc_id", F.expr(f"stack({n}, {stack}) AS (seed, minhash)")
+            ).select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
+            buckets = sorted(
+                r[0]
+                for r in sig.select(
+                    F.pmod(F.col("minhash"), F.lit(self.n_buckets)).cast("int").alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            index_slice = self.store.slice_for(buckets, batch_id)
+            iwide = index_slice.groupBy("doc_id").agg(
+                *[
+                    F.max(F.when(F.col("seed") == i, F.col("minhash"))).alias(f"i{c}")
+                    for i, c in enumerate(cols)
+                ]
+            )
+            combos = [(i, j) for i in range(n) for j in range(i + 1, n)]
+
+            def combo_rows(df, idc, pfx):
+                return df.select(
+                    F.col("doc_id").alias(idc),
+                    *[F.col(f"{pfx}{c}" if pfx else c) for c in cols],
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(k).alias("cid"),
+                                    F.col(f"{pfx}{cols[i]}" if pfx else cols[i]).alias("u"),
+                                    F.col(f"{pfx}{cols[j]}" if pfx else cols[j]).alias("v"),
+                                )
+                                for k, (i, j) in enumerate(combos)
+                            ]
+                        )
+                    ).alias("cb"),
+                ).select(
+                    idc,
+                    *[f"{pfx}{c}" if pfx else c for c in cols],
+                    F.col("cb.cid").alias("cid"),
+                    F.col("cb.u").alias("u"),
+                    F.col("cb.v").alias("v"),
+                ).filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+
+            bc = combo_rows(wide, "b_doc", "")
+            ic = combo_rows(iwide, "i_doc", "i")
+            n_agree = sum(
+                F.coalesce(
+                    (F.col(c) == F.col(f"i{c}")).cast("int"), F.lit(0)
+                )
+                for c in cols
+            )
+            idx_reject = (
+                ic.join(bc, ["cid", "u", "v"])
+                .filter(n_agree >= self.min_agree)
+                .select(F.col("b_doc").alias("doc_id"))
+                .distinct()
+            )
+            inb_reject = (
+                minhash_pairs_from_wide(wide, n_hashes=n, min_agree=self.min_agree)
+                .select(F.col("doc_b").alias("doc_id"))
+                .distinct()
+            )
+            admitted = (
+                sig.join(idx_reject, "doc_id", "left_anti")
+                .join(inb_reject, "doc_id", "left_anti")
+                .withColumn(
+                    "bucket", F.pmod(F.col("minhash"), F.lit(self.n_buckets)).cast("int")
+                )
+                .persist()
+            )
+            try:
+                n_docs = admitted.select("doc_id").distinct().count()
+                if n_docs == 0:
+                    self.admitted_batches.append((batch_id, 0))
+                    return
+                self.store.publish(admitted, SIG_COLS, batch_id)
+                self.admitted_batches.append((batch_id, n_docs))
+                self.store.maybe_compact(buckets)
+            finally:
+                admitted.unpersist()
+        finally:
+            wide.unpersist()
+
+    def _admit_r1(self, batch_df: DataFrame, batch_id: int) -> None:
         sig = minhash_signatures(batch_df, n_hashes=self.n_hashes).persist()
         try:
             # ≤ n_buckets scalars to the driver — a plan step, not data
