@@ -116,8 +116,8 @@ HEADLINE_V2 = [
     "q_audio_probe",      # MPEG container frame-walk probe (r11 new)
     "q_url_normalize",    # URL canonicalization, pure Catalyst (r11 new)
     "q_ts_pattern_topk",  # time-series subsequence motif search (r11 new)
-    "q_image_near_dups",  # perceptual image dedup: decode+dHash+banded join (r11 new)
-    "q_audio_near_dups",  # perceptual audio dedup: PCM envelope hash (r11 new)
+    "q_image_near_dups",  # perceptual image dedup, bounded summary (r13 reshape)
+    "q_audio_near_dups",  # perceptual audio dedup, bounded summary (r13 reshape)
     "q_dup_components",   # connected components + canonical survivor (r10)
     "q_hll_union",        # union-register cardinality serving variant (r10)
     # round-12 rotation newcomers (first driver rows r12): timed so the

@@ -731,7 +731,23 @@ def hamming_near_dup_pairs(
             "sid", "sg", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
         )
         a, b = banded.alias("a"), banded.alias("b")
-        hamming = F.bit_count(F.col("a.sg").bitwiseXOR(F.col("b.sg"))).cast("long")
+        xor = F.col("a.sg").bitwiseXOR(F.col("b.sg"))
+        hamming = F.bit_count(xor).cast("long")
+        # canonical-band emission (r13, the minhash canonical-combo
+        # lesson applied here): a pair within hamming <= max matches on
+        # possibly several bands and used to ride a dropDuplicates
+        # EXCHANGE; both signatures are in the row, so the row can
+        # decide locally whether ITS band is the pair's lowest matching
+        # band — matched_mask collects which bands of the xor are zero,
+        # and the row survives iff no lower band matched.
+        matched_mask = sum(
+            F.when(
+                F.shiftright(xor, j * width).bitwiseAND(F.lit(mask)) == 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+            for j in range(bands)
+        )
+        below = F.array(*[F.lit((1 << j) - 1) for j in range(bands)])
         return (
             a.join(
                 b,
@@ -739,13 +755,16 @@ def hamming_near_dup_pairs(
                 & (F.col("a.band_val") == F.col("b.band_val"))
                 & (F.col("a.sid") < F.col("b.sid")),
             )
+            .filter(
+                matched_mask.bitwiseAND(F.element_at(below, F.col("a.band_idx") + 1))
+                == 0
+            )
             .select(
                 F.col("a.sid").alias("id_a"),
                 F.col("b.sid").alias("id_b"),
                 hamming.alias("hamming"),
             )
             .filter(F.col("hamming") <= max_hamming)
-            .dropDuplicates(["id_a", "id_b"])  # a pair can share several bands
         )
     distinct = members.select("sg").distinct()
     # near signature pairs (sg_a < sg_b) on the VALUE relation, plus
@@ -850,17 +869,43 @@ def simhash_dedup_summary(
     rows); the wide-signature pair listing lives on as
     ``q_simhash60_near_dups`` where pairs are genuinely sparse.
     """
+    return hamming_dedup_summary(
+        simhash(df, text_col, bits),
+        id_col="doc_id",
+        sig_col="simhash16",
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+    )
+
+
+def hamming_dedup_summary(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Bounded canonical-survivor summary over ANY precomputed
+    hamming-space signature relation (the generalization the image and
+    audio perceptual-dedup queries share with the 16-bit simhash form):
+    one row per input row — (id_col, canon_id, n_near) over the one-hop
+    hamming <= max_hamming neighborhood.  Plan: value-level banded join
+    over DISTINCT signatures (``near_signature_pairs``) + one keyed
+    neighbor aggregation + one map-back join — output O(n) regardless
+    of duplicate-cluster structure, which is what retires the
+    rows-alpha-2.0 pair listings the r12/r13 ladders flagged."""
     if not (max_hamming < bands and bits % bands == 0):
         raise ValueError(
             f"need max_hamming < bands and bands | bits (got max_hamming="
             f"{max_hamming}, bands={bands}, bits={bits})"
         )
-    sig = simhash(df, text_col, bits)
-    per = sig.groupBy("simhash16").agg(
-        F.min("doc_id").alias("m"), F.count("*").cast("long").alias("c")
+    per = sig.groupBy(sig_col).agg(
+        F.min(id_col).alias("m"), F.count("*").cast("long").alias("c")
     )
     pairs = near_signature_pairs(
-        per.select(F.col("simhash16").alias("sg")), bits, bands, max_hamming
+        per.select(F.col(sig_col).alias("sg")), bits, bands, max_hamming
     )
     # symmetrize + diagonal: for each signature, every near signature
     # (including itself) exactly once
@@ -868,18 +913,16 @@ def simhash_dedup_summary(
         pairs.select(F.col("sg_a").alias("sg"), F.col("sg_b").alias("nb"))
         .unionByName(pairs.select(F.col("sg_b").alias("sg"), F.col("sg_a").alias("nb")))
         .unionByName(
-            per.select(F.col("simhash16").alias("sg"), F.col("simhash16").alias("nb"))
+            per.select(F.col(sig_col).alias("sg"), F.col(sig_col).alias("nb"))
         )
     )
     nbstats = (
-        sym.join(
-            per.select(F.col("simhash16").alias("nb"), "m", "c"), "nb"
-        )
+        sym.join(per.select(F.col(sig_col).alias("nb"), "m", "c"), "nb")
         .groupBy("sg")
         .agg(F.min("m").alias("canon_id"), F.sum("c").cast("long").alias("n_near"))
     )
-    return sig.join(nbstats, sig["simhash16"] == nbstats["sg"]).select(
-        "doc_id", "canon_id", "n_near"
+    return sig.join(nbstats, sig[sig_col] == nbstats["sg"]).select(
+        id_col, "canon_id", "n_near"
     )
 
 

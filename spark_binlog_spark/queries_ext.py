@@ -2415,11 +2415,20 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(gen, "media_id long, content binary")
     sig = multimodal.image_dhash_signatures(media)
-    pairs = dedup.hamming_near_dup_pairs(
-        sig, id_col="media_id", sig_col="dhash", bits=63, bands=9, max_hamming=6
-    )
-    return pairs.select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    # r13 reshape (the q_simhash_near_dups lesson applied to the media
+    # family): the pair listing's TRUE output is quadratic in the
+    # fixture's duplicate-cluster size (rows-alpha 2.0 on the ladder);
+    # the bounded canonical-survivor form is O(n) and is what a dedup
+    # pipeline consumes.  The pair-listing machinery stays graded via
+    # q_simhash60_near_dups (sparse pairs) + hamming_near_dup_pairs'
+    # strategy-equality battery.
+    return dedup.hamming_dedup_summary(
+        sig.select(F.col("media_id").alias("doc_id"), "dhash"),
+        id_col="doc_id",
+        sig_col="dhash",
+        bits=63,
+        bands=9,
+        max_hamming=6,
     )
 
 
@@ -2446,11 +2455,15 @@ h AS (
   FROM v a JOIN v b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
   WHERE a.x < 8 AND NOT (a.y = 7 AND a.x = 7)
   GROUP BY a.doc_id
+),
+per AS (SELECT dhash AS sg, min(doc_id) AS m, count(*) AS c FROM h GROUP BY dhash),
+nb AS (
+  SELECT a.sg AS sg, min(b.m) AS canon_id, CAST(sum(b.c) AS BIGINT) AS n_near
+  FROM per a JOIN per b ON bit_count(xor(a.sg, b.sg)) <= 6
+  GROUP BY a.sg
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-FROM h a JOIN h b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+SELECT h.doc_id, nb.canon_id, nb.n_near
+FROM h JOIN nb ON nb.sg = h.dhash
 """
 
 
@@ -2496,11 +2509,15 @@ def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(gen, "media_id long, content binary")
     sig = multimodal.audio_envelope_signatures(media)
-    pairs = dedup.hamming_near_dup_pairs(
-        sig, id_col="media_id", sig_col="ahash", bits=63, bands=9, max_hamming=6
-    )
-    return pairs.select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    # r13 reshape: bounded canonical-survivor form (see
+    # q_image_near_dups for the rationale)
+    return dedup.hamming_dedup_summary(
+        sig.select(F.col("media_id").alias("doc_id"), "ahash"),
+        id_col="doc_id",
+        sig_col="ahash",
+        bits=63,
+        bands=9,
+        max_hamming=6,
     )
 
 
@@ -2530,11 +2547,15 @@ h AS (
   FROM env a JOIN env b ON b.doc_id = a.doc_id AND b.k = a.k + 1
   WHERE a.k < 63
   GROUP BY a.doc_id
+),
+per AS (SELECT ahash AS sg, min(doc_id) AS m, count(*) AS c FROM h GROUP BY ahash),
+nb AS (
+  SELECT a.sg AS sg, min(b.m) AS canon_id, CAST(sum(b.c) AS BIGINT) AS n_near
+  FROM per a JOIN per b ON bit_count(xor(a.sg, b.sg)) <= 6
+  GROUP BY a.sg
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
-FROM h a JOIN h b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+SELECT h.doc_id, nb.canon_id, nb.n_near
+FROM h JOIN nb ON nb.sg = h.ahash
 """
 
 

@@ -321,9 +321,12 @@ PRIORITY = [
                                 # heuristic quality-score battery
     # --- r12 rotation: the complete never-graded pending list -------
     "q_image_near_dups",        # perceptual image dedup: real BMP decode ->
-                                # 63-bit dHash -> banded hamming join
+                                # 63-bit dHash -> bounded canonical-survivor
+                                # summary (r13 reshape: pair listing was
+                                # output-quadratic on dup-heavy corpora)
     "q_audio_near_dups",        # perceptual audio dedup: real WAV/FLAC decode
-                                # -> gain-invariant envelope hash -> banded join
+                                # -> gain-invariant envelope hash -> bounded
+                                # canonical-survivor summary (r13 reshape)
     "q_warc_extract",           # REAL WARC ingest: record walk (plain+gzip),
                                 # HTTP split, HTML->text — Common Crawl entry
     "q_audio_probe",            # REAL MPEG container probe; oracle inlines the
