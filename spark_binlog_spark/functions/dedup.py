@@ -1051,7 +1051,15 @@ def repeated_span_stats(df: DataFrame, n: int = 8, text_col: str = "text") -> Da
 
     from spark_binlog_spark.functions.hashing import h48
 
-    w = F.split(F.col(text_col), " ")
+    # words array MATERIALIZED in its own projection (the
+    # shingles_of_words rule) — an inline split captured by the span
+    # lambda re-evaluates once per element x 8 element_ats, O(words²)
+    # string splits per doc: q_repeated_spans never finished at the
+    # sf10 rung (>9.5 min) until this line (r13 sweep catch — the r12
+    # lesson's audit grep missed this site because the capture is the
+    # variable ``w``, not a literal F.split inside the lambda body)
+    base = df.select(F.col("doc_id"), F.split(F.col(text_col), " ").alias("__w"))
+    w = F.col("__w")
     idx = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
         F.array().cast("array<int>")
     )
@@ -1059,7 +1067,7 @@ def repeated_span_stats(df: DataFrame, n: int = 8, text_col: str = "text") -> Da
         idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
     )
     pos = (
-        df.select(F.col("doc_id"), F.explode(span).alias("span"))
+        base.select(F.col("doc_id"), F.explode(span).alias("span"))
         .select("doc_id", h48(F.col("span")).alias("span_h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

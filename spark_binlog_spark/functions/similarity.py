@@ -1020,7 +1020,7 @@ def power_iteration_projection(
 
 def semdedup(
     df: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | None = 8,
     threshold4: int = 5000,
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1055,9 +1055,19 @@ def semdedup(
     centroid argmax (a per-vector window shuffle) would run three
     times — materializing cluster assignments once is also exactly
     what the SemDeDup pipeline does at production scale.
+
+    ``n_centroids=None`` derives ~sqrt(N) clusters from the corpus
+    count (SemDeDup's recipe) — the r13 sf10 sweep measured the fixed
+    default at 8 clusters x 25k vectors never finishing (2.5B in-
+    cluster pairs); the declared q_semdedup keeps the oracle-feasible
+    fixed setting at graded scale, like q_embedding_dedup's planes=4.
     """
     from pyspark.storagelevel import StorageLevel
 
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(8, math.isqrt(max(df.count(), 1)))
     base = with_quantized(df, vec_col)
     assigned = assign_to_centroids(base, seed_centroids(base, n_centroids)).drop(
         "c4"

@@ -470,59 +470,255 @@ def lm_familiarity(df: DataFrame, text_col: str = "text") -> DataFrame:
     join."""
     from pyspark.storagelevel import StorageLevel
 
-    # the returned plan references pos three ways (model tables + the
-    # scoring pass); release-then-swap bounds the leak to one live set
-    # across repeated invocations (ccnet_buckets calls this too) — the
-    # bm25_topk convention, see cache_util's ordering note
+    # Persist the MODEL, not the positions (r13, found by the sf10
+    # sweep): the exploded position relation is corpus-sized (~1 row
+    # per character — 149M rows at the sf10 rung), and materializing it
+    # to memory-and-disk cost far more than the two scan-speed
+    # projections it saved (sf10: 429 s -> 75 s quiet by persisting
+    # tri_counts instead).  tri_counts is bounded by the number of
+    # observed trigram types (<= |charset|^3 — the size any n-gram LM
+    # must hold to exist), and it is the one subtree the plan
+    # references twice (the scoring join + the derived bigram table);
+    # the positions projection is simply recomputed per pass.
+    # release-then-swap bounds the cache leak to one live set across
+    # repeated invocations (ccnet_buckets calls this too) — the
+    # bm25_topk convention, see cache_util's ordering note.
     from spark_binlog_spark.cache_util import release, swap_caches
 
     release("text.lm_familiarity")
-    pos = lm_positions(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    swap_caches("text.lm_familiarity", [pos])
-    tri_counts = pos.groupBy("tri").agg(F.count("*").alias("c_tri"))
-    return lm_score(df, pos, tri_counts)
+    tri_counts = lm_tri_counts(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    swap_caches("text.lm_familiarity", [tri_counts])
+    return lm_score(df, tri_counts, text_col)
 
 
 def lm_positions(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, tri, big): one row per trigram position with its prefix
     bigram — the shared extraction feeding both model estimation
-    (batch or incremental) and scoring.  Pure projection, no shuffle."""
-    t = F.col(text_col)
-    n3 = F.length(t) - 2
-    idx = F.when(n3 >= 1, F.sequence(F.lit(1), n3)).otherwise(F.array().cast("array<int>"))
-    tri = F.transform(idx, lambda i: t.substr(i, F.lit(3)))
-    return df.select(F.col("doc_id"), F.explode(tri).alias("tri")).select(
-        "doc_id", F.col("tri"), F.col("tri").substr(1, 2).alias("big")
+    (batch or incremental) and scoring.  Pure projection, no shuffle.
+
+    Keys are PACKED INTEGERS, not strings (r13, found by the sf10
+    sweep): tri = cp1·2^42 + cp2·2^21 + cp3 over the code points (each
+    < 2^21, so the pack is an exact bijection with the 3-char substring
+    — two trigrams are equal iff their packed keys are), and the prefix
+    bigram is just ``tri >> 21``.  Two wins measured at sf10 (149M
+    positions): positional ``substr(t, i, 3)`` re-walks the string's
+    bytes to locate char offset i, O(len²) per document (453 s for one
+    corpus pass); and even array-built trigram STRINGS pay 149M string
+    allocations plus UTF8String hash/equality in every downstream agg
+    and join (213 s end-to-end).  Packed longs cut the full query to
+    ~35 s.  The code-point array is materialized in its OWN projection
+    (the shingles_of_words CollapseProject rule)."""
+    base = df.select(F.col("doc_id"), F.split(F.col(text_col), "").alias("__c"))
+    coded = base.select(
+        F.col("doc_id"),
+        F.transform(F.col("__c"), lambda ch: F.ascii(ch).cast("long")).alias("__k"),
+    )
+    k = F.col("__k")
+    n3 = F.size(k) - 2
+    idx = F.when(n3 >= 1, F.sequence(F.lit(1), n3)).otherwise(
+        F.array().cast("array<int>")
+    )
+    tri = F.transform(
+        idx,
+        lambda i: F.element_at(k, i) * F.lit(1 << 42)
+        + F.element_at(k, i + 1) * F.lit(1 << 21)
+        + F.element_at(k, i + 2),
+    )
+    return coded.select(F.col("doc_id"), F.explode(tri).alias("tri")).select(
+        "doc_id", F.col("tri"), F.shiftright(F.col("tri"), 21).alias("big")
     )
 
 
-def lm_score(df: DataFrame, pos: DataFrame, tri_counts: DataFrame) -> DataFrame:
-    """Score a corpus's trigram positions against a (tri, c_tri) model
-    table.  The bigram table DERIVES from the trigram table (each
-    position's prefix-bigram count = the sum of its trigram extensions'
-    counts), so one |charset|³-bounded relation is the whole model —
-    what the incremental sink stores.  Both broadcast; the corpus
-    shuffles once, by doc_id, for the final average."""
-    big_counts = (
-        tri_counts.groupBy(F.col("tri").substr(1, 2).alias("big"))
-        .agg(F.sum("c_tri").alias("c_big"))
-    )
-    scored = (
-        pos.join(F.broadcast(tri_counts), "tri")
-        .join(F.broadcast(big_counts), "big")
-        .select("doc_id", F.expr("c_tri * 1000000 div c_big").alias("famil"))
-    )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_tri"), F.sum("famil").alias("s")
-    )
-    return (
-        df.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
-            F.coalesce(F.expr("s div n_tri"), F.lit(0)).cast("long").alias("lm_famil6"),
+# Sentinel separating documents inside a vectorized batch: the maximum
+# Unicode code point.  A text that CONTAINS it would make boundary
+# masking ambiguous, so such batches take the exact per-document slow
+# loop instead (never seen on real corpora).
+_LM_SENTINEL = 0x10FFFF
+
+# Driver-collect gate for the scoring model: bounded by the number of
+# OBSERVED trigram types (<= |charset|^3 — the size any n-gram LM must
+# hold to exist as a broadcastable model at all).  Above the gate the
+# Catalyst broadcast-join path scores instead — same contract, no
+# driver materialization (the adaptive-gate pattern: components, bpe).
+LM_MODEL_COLLECT_MAX = 2_000_000
+
+
+def _batch_codepoints(texts):
+    """One int64 code-point array for a whole Arrow batch, documents
+    separated by _LM_SENTINEL, plus the per-doc code-point lengths.
+    Vectorized: utf-32-le encode = the code-point sequence (identical
+    to the Catalyst ``ascii()`` pack — exactness across both paths)."""
+    import numpy as np
+
+    joined = chr(_LM_SENTINEL).join(texts)
+    a = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    return a, lens
+
+
+def _batch_windows(a):
+    """(packed trigram keys, in-document mask) over the batch array."""
+    import numpy as np
+
+    if a.size < 3:
+        return np.empty(0, np.int64), np.empty(0, bool)
+    t = a[:-2] * (1 << 42) + a[1:-1] * (1 << 21) + a[2:]
+    s = np.int64(_LM_SENTINEL)
+    ok = (a[:-2] != s) & (a[1:-1] != s) & (a[2:] != s)
+    return t, ok
+
+
+def lm_tri_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(tri, c_tri) — the trigram LM model table, estimated with
+    VECTORIZED numpy partial aggregation (r13, after the sf10 sweep):
+    the Catalyst extraction paths are bound by interpreted
+    higher-order-function evaluation (transform/element_at run per
+    element OUTSIDE whole-stage codegen — 69 s per corpus pass at 149M
+    positions) or by O(len²) positional substr (166 s); numpy packs a
+    whole Arrow batch's code points at SIMD speed and only the
+    per-batch PARTIAL histograms (<= observed trigram types) cross
+    Arrow, so one pass costs seconds (the DuckDB oracle's 3 s proved
+    the volume was trivial).  Keys are the same cp1·2^42+cp2·2^21+cp3
+    pack as ``lm_positions`` — both engines and both paths agree
+    bit-for-bit."""
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            texts = ["" if t is None else t for t in pdf[text_col]]
+            if not texts:
+                continue
+            if any(chr(_LM_SENTINEL) in t for t in texts):
+                # exact slow path: per-document arrays, no separator
+                keys_all = []
+                for t in texts:
+                    a = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(
+                        np.int64
+                    )
+                    if a.size >= 3:
+                        keys_all.append(a[:-2] * (1 << 42) + a[1:-1] * (1 << 21) + a[2:])
+                if not keys_all:
+                    continue
+                t_ok = np.concatenate(keys_all)
+            else:
+                a, _lens = _batch_codepoints(texts)
+                t, ok = _batch_windows(a)
+                t_ok = t[ok]
+            if t_ok.size == 0:
+                continue
+            keys, cnts = np.unique(t_ok, return_counts=True)
+            yield pd.DataFrame({"tri": keys, "c": cnts.astype("int64")})
+
+    parts = df.select(F.col(text_col)).mapInPandas(partials, "tri long, c long")
+    return parts.groupBy("tri").agg(F.sum("c").cast("long").alias("c_tri"))
+
+
+def lm_score(df: DataFrame, tri_counts: DataFrame, text_col: str = "text") -> DataFrame:
+    """Score each document against a (tri, c_tri) model table.  The
+    bigram table DERIVES from the trigram table (each prefix's count =
+    the sum of its extensions' counts), so one bounded relation is the
+    whole model — what the incremental sink stores.
+
+    Fast path (model types <= LM_MODEL_COLLECT_MAX): the model is a
+    bounded driver collect (sorted key/famil arrays shipped in the
+    mapInPandas closure) and scoring is one vectorized pass — packed
+    windows, searchsorted lookup, per-doc bincount — with NO corpus
+    shuffle at all.  Fallback above the gate: the original Catalyst
+    plan (positions explode -> broadcast joins -> doc-keyed agg),
+    identical output.  Positions whose trigram is absent from the model
+    are excluded from both n_tri and the average (inner-join semantics,
+    shared by both paths — matters when the streaming sink scores
+    unseen documents against the live model)."""
+    import numpy as np
+
+    n_types = tri_counts.count()
+    if n_types > LM_MODEL_COLLECT_MAX:
+        pos = lm_positions(df, text_col)
+        big_counts = (
+            tri_counts.groupBy(F.shiftright(F.col("tri"), 21).alias("big"))
+            .agg(F.sum("c_tri").alias("c_big"))
         )
+        scored = (
+            pos.join(F.broadcast(tri_counts), "tri")
+            .join(F.broadcast(big_counts), "big")
+            .select("doc_id", F.expr("c_tri * 1000000 div c_big").alias("famil"))
+        )
+        per_doc = scored.groupBy("doc_id").agg(
+            F.count("*").alias("n_tri"), F.sum("famil").alias("s")
+        )
+        return (
+            df.select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+                F.coalesce(F.expr("s div n_tri"), F.lit(0)).cast("long").alias("lm_famil6"),
+            )
+        )
+
+    rows = tri_counts.collect()  # bounded by the gate above
+    keys = np.array([r["tri"] for r in rows], dtype=np.int64)
+    cnts = np.array([r["c_tri"] for r in rows], dtype=np.int64)
+    order = np.argsort(keys)
+    keys, cnts = keys[order], cnts[order]
+    if keys.size:
+        _ubig, binv = np.unique(keys >> 21, return_inverse=True)
+        bcnt = np.bincount(binv, weights=cnts.astype(np.float64)).astype(np.int64)
+        famil = cnts * 1_000_000 // bcnt[binv]
+    else:
+        famil = np.empty(0, np.int64)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            texts = ["" if t is None else t for t in pdf[text_col]]
+            n = len(texts)
+            if n == 0:
+                continue
+            if any(chr(_LM_SENTINEL) in t for t in texts):
+                docw_parts, key_parts = [], []
+                for d, t in enumerate(texts):
+                    a = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(
+                        np.int64
+                    )
+                    if a.size >= 3:
+                        k3 = a[:-2] * (1 << 42) + a[1:-1] * (1 << 21) + a[2:]
+                        key_parts.append(k3)
+                        docw_parts.append(np.full(k3.size, d, np.int64))
+                t_ok = np.concatenate(key_parts) if key_parts else np.empty(0, np.int64)
+                docw = np.concatenate(docw_parts) if docw_parts else np.empty(0, np.int64)
+            else:
+                a, lens = _batch_codepoints(texts)
+                t, ok = _batch_windows(a)
+                # window's doc = doc of its first char (ok keeps only
+                # windows fully inside one doc); separators belong to
+                # the preceding doc, masked out by ok
+                pos_doc = np.repeat(np.arange(n, dtype=np.int64), lens + 1)[: a.size]
+                t_ok = t[ok]
+                docw = pos_doc[: max(a.size - 2, 0)][ok]
+            if keys.size and t_ok.size:
+                idx = np.searchsorted(keys, t_ok)
+                idx_c = np.minimum(idx, keys.size - 1)
+                found = keys[idx_c] == t_ok
+                fam_vals = famil[idx_c[found]].astype(np.float64)
+                dw = docw[found]
+                s = np.bincount(dw, weights=fam_vals, minlength=n).astype(np.int64)
+                n_tri = np.bincount(dw, minlength=n).astype(np.int64)
+            else:
+                s = np.zeros(n, np.int64)
+                n_tri = np.zeros(n, np.int64)
+            lm6 = np.where(n_tri > 0, s // np.maximum(n_tri, 1), 0)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_tri": n_tri, "lm_famil6": lm6.astype("int64")}
+            )
+
+    return df.select("doc_id", F.col(text_col)).mapInPandas(
+        score, "doc_id long, n_tri long, lm_famil6 long"
     )
 
 
@@ -652,16 +848,88 @@ def compressibility(df: DataFrame, n: int = 4, text_col: str = "text") -> DataFr
     document's character n-grams — the cheap stand-in for a gzip-ratio
     filter (highly repetitive/templated text has few distinct n-grams
     and compresses well; natural text scores high).  Pure per-row
-    projection: no shuffle, no Python, scan-speed."""
-    t = F.col(text_col)
-    cnt = F.length(t) - (n - 1)
-    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: t.substr(i, F.lit(n)))
-    return df.select(
-        F.col("doc_id"),
-        F.size(grams).cast("long").alias("n_grams"),
-        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
-        ratio4(F.size(F.array_distinct(grams)), F.size(grams)).alias("distinct_ratio4"),
+    projection: no shuffle — VECTORIZED numpy over Arrow batches (r13,
+    after the sf10 sweep): the Catalyst higher-order-function form
+    (transform + array_distinct per doc) runs per element OUTSIDE
+    whole-stage codegen and took 130 s at the sf10 rung; the numpy form
+    packs a whole batch's code points once and counts per-doc distinct
+    n-grams with one lexsort (exact — n-gram identity is the code-point
+    tuple, the same identity ``substr`` gives the oracle).  Output is
+    per-document, so only doc-sized rows cross Arrow."""
+
+    def stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        width = n - 1
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            texts = ["" if t is None else t for t in pdf[text_col]]
+            nd = len(texts)
+            if nd == 0:
+                continue
+            # per-doc arrays (exact for any text, incl. the sentinel
+            # code point — no cross-doc packing shortcuts here because
+            # the n-gram spans n x 21 bits > 63 and identity rides two
+            # packed halves)
+            lens = np.fromiter((len(t) for t in texts), np.int64, count=nd)
+            n_grams = np.maximum(lens - width, 0)
+            joined = "\x00".join(texts)  # delimiter only spaces the offsets
+            a = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+            starts = np.zeros(nd, np.int64)
+            if nd > 1:
+                starts[1:] = np.cumsum(lens[:-1] + 1)
+            # window start positions per doc, vectorized
+            total = int(n_grams.sum())
+            if total == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "n_grams": n_grams,
+                        "n_distinct": np.zeros(nd, np.int64),
+                        "distinct_ratio4": np.zeros(nd, np.int64),
+                    }
+                )
+                continue
+            docw = np.repeat(np.arange(nd, dtype=np.int64), n_grams)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(n_grams) - n_grams, n_grams
+            )
+            p = starts[docw] + within
+            # n-gram identity as two packed halves (n <= 6 per half at
+            # 21 bits/code point)
+            h = max(1, n // 2)
+            hi = np.zeros(total, np.int64)
+            lo = np.zeros(total, np.int64)
+            for j in range(h):
+                hi = hi * (1 << 21) + a[p + j]
+            for j in range(h, n):
+                lo = lo * (1 << 21) + a[p + j]
+            order = np.lexsort((lo, hi, docw))
+            dw, hs, ls = docw[order], hi[order], lo[order]
+            new = np.ones(total, bool)
+            new[1:] = (dw[1:] != dw[:-1]) | (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1])
+            n_distinct = np.bincount(dw[new], minlength=nd).astype(np.int64)
+            ratio = np.where(
+                n_grams > 0,
+                np.floor(
+                    n_distinct.astype(np.float64)
+                    / np.maximum(n_grams, 1).astype(np.float64)
+                    * 10000
+                ).astype(np.int64),
+                0,
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_grams": n_grams,
+                    "n_distinct": n_distinct,
+                    "distinct_ratio4": ratio,
+                }
+            )
+
+    return df.select("doc_id", F.col(text_col)).mapInPandas(
+        stats, "doc_id long, n_grams long, n_distinct long, distinct_ratio4 long"
     )
 
 

@@ -21,12 +21,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from spark_binlog_spark.functions.text import (
     ccnet_cut_buckets,
-    lm_positions,
     lm_score,
+    lm_tri_counts,
 )
 from spark_binlog_spark.streaming.swap import recover_dir, safe_swap
 
@@ -50,7 +50,10 @@ class LmModelSink:
         self.text_col = text_col
         self._schema = StructType(
             [
-                StructField("tri", StringType()),
+                # packed integer trigram key (text.lm_positions r13):
+                # cp1*2^42 + cp2*2^21 + cp3 — exact bijection with the
+                # 3-char substring, long hash/join keys in every pass
+                StructField("tri", LongType()),
                 StructField("c_tri", LongType()),
                 StructField("batch_id", LongType()),
             ]
@@ -74,8 +77,9 @@ class LmModelSink:
 
     def familiarity(self, df: DataFrame) -> DataFrame:
         """lm_familiarity's exact output contract served from the live
-        model — the corpus is scanned once, the model broadcasts."""
-        return lm_score(df, lm_positions(df, self.text_col), self.model())
+        model — the corpus is scanned once, the model broadcasts (or
+        ships as a gated driver collect on the vectorized fast path)."""
+        return lm_score(df, self.model(), self.text_col)
 
     def quality_buckets(self, df: DataFrame) -> DataFrame:
         """ccnet_buckets' exact output contract served from the live
@@ -86,10 +90,8 @@ class LmModelSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self._last_batch_id():
             return  # replayed batch (crash between swap and commit)
-        delta = (
-            lm_positions(batch_df, self.text_col)
-            .groupBy("tri")
-            .agg(F.count("*").alias("d_tri"))
+        delta = lm_tri_counts(batch_df, self.text_col).withColumnRenamed(
+            "c_tri", "d_tri"
         )
         merged = (
             self._stats()
