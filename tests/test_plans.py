@@ -157,17 +157,23 @@ class TestTrainingDataOps:
         assert plan.count("Exchange SinglePartition") <= 1
         assert "BroadcastHashJoin" in plan
 
-    def test_lm_familiarity_model_broadcasts(self, spark):
-        """q_lm_familiarity: both model tables (trigram + bigram counts,
-        |charset|³-bounded) must BROADCAST into the scoring joins — the
-        corpus relation is never sort-merged against the model."""
+    def test_lm_familiarity_scoring_pass_never_shuffles(self, spark):
+        """q_lm_familiarity (r13 vectorized form): under the model gate
+        the scoring read is ONE Arrow-batched MapInPandas scan with the
+        gated driver-collected model in the closure — NO exchange of
+        any kind on the corpus (the old broadcast-join plan, still the
+        above-gate fallback, needed a doc-keyed aggregation shuffle),
+        and never per-row Python (BatchEvalPython)."""
+        from spark_binlog_spark.functions.text import LM_MODEL_COLLECT_MAX
         from spark_binlog_spark.queries_ext import q_lm_familiarity
 
         plan = _physical(q_lm_familiarity(spark, SF_TEST))
-        assert plan.count("BroadcastHashJoin") >= 2
+        assert "MapInPandas" in plan
+        assert "Exchange" not in plan
         assert "SortMergeJoin" not in plan
-        assert "Exchange SinglePartition" not in plan
         assert "BatchEvalPython" not in plan
+        # the gate that makes the collect bounded must stay material
+        assert LM_MODEL_COLLECT_MAX <= 10_000_000
 
     def test_repeated_spans_hashes_before_shuffle(self, spark):
         """q_repeated_spans: every exchange of the positional-span
