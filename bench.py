@@ -285,8 +285,6 @@ def main() -> None:
         timings_v2[name] = timed_min2(
             name, queries[name](spark, sf_dir), spread_map=spread_v2
         )
-    _shutil.rmtree(_wal_blob_dir, ignore_errors=True)
-
     # quiet re-capture (VERDICT r12 ask #6): the r12 committed artifact
     # was taken on a host that went loud mid-run (loadavg 0.84 -> 2.6,
     # 8 insurance retries) and read 8.64 s where the same code measured
@@ -321,6 +319,12 @@ def main() -> None:
                 if el < tmap[name]:
                     tmap[name] = el
                     smap[name] = [el, smap[name][1]]
+
+    # the cached WAL blobs must outlive every possible re-timing:
+    # q_wal_binary_rollup's requiet path re-reads this dir (ADVICE r13
+    # — an rmtree before the requiet block lost an entire run to
+    # PATH_NOT_FOUND when that entry fired insurance)
+    _shutil.rmtree(_wal_blob_dir, ignore_errors=True)
 
     spark.catalog.clearCache()  # marquee queries persist intermediates
 

@@ -204,7 +204,10 @@ def build_mpeg_stream(
     and the blob source for the q_audio_probe oracle.  The test suite
     verifies parse_mp3 against its own INDEPENDENT writer
     (tests/test_audio_containers.py), not this one."""
-    assert 1 <= br_idx <= 14 and 0 <= sr_idx <= 2
+    if not (1 <= br_idx <= 14 and 0 <= sr_idx <= 2):
+        raise ValueError(
+            f"MPEG header indices out of range (br_idx={br_idx}, sr_idx={sr_idx})"
+        )
     lbits = 4 - layer
     h = (
         (0x7FF << 21)

@@ -1004,7 +1004,10 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     candidate AND true-pair counts grow ~n² — a data property, not an
     implementation one (measured on the sf0.1->sf1 ladder, round 11).
     """
-    assert bits <= 60, "bits > 60 would overflow signed-long folding"
+    # argument contract (survives ``python -O``, unlike an assert):
+    # folding >60 bits would overflow the signed-long in both engines
+    if not 1 <= bits <= 60:
+        raise ValueError(f"simhash bits must be in [1, 60] (got {bits})")
     w = df.select(F.col("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("word"))
     if bits <= 16:
         word_hash = h16(F.col("word"))

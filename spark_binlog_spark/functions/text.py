@@ -856,6 +856,14 @@ def compressibility(df: DataFrame, n: int = 4, text_col: str = "text") -> DataFr
     n-grams with one lexsort (exact — n-gram identity is the code-point
     tuple, the same identity ``substr`` gives the oracle).  Output is
     per-document, so only doc-sized rows cross Arrow."""
+    # two-half packing is exact only for n <= 6 (3 code points x 21
+    # bits per signed-64 half); n >= 7 would silently wrap in the
+    # int64 multiply and undercount n_distinct via n-gram collisions
+    if not 1 <= n <= 6:
+        raise ValueError(
+            f"compressibility packs n-grams into two 63-bit halves; "
+            f"n must be in [1, 6] (got {n})"
+        )
 
     def stats(batches):
         import numpy as np
