@@ -141,6 +141,12 @@ HEADLINE_V2 = [
     "q_ivf_multiprobe",   # IVF multi-cell probe ANN (r13 swap-in)
     "q_ivf_trained_topk", # IVF over kmeans_train'd centroids (r13 swap-in)
     "q_embedding_dedup_scale",  # planes=12 candidate-volume audit (r13 NEW)
+    # round-14 rotation newcomers (first driver rows r14)
+    "q_minhash_dedup_summary",  # bounded canonical-survivor minhash (r14 NEW)
+    "q_simhash60_dedup_summary",  # bounded canonical-survivor 60-bit simhash (r14 NEW)
+    "q_minhash_signatures",   # one-shot grade of the signature stage (r14)
+    "q_kmeans_step",          # one-shot grade of the Lloyd update (r14)
+    "q_length_stats",         # one-shot grade of the quartile view (r14)
 ]
 
 

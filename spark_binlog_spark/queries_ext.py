@@ -111,6 +111,42 @@ FROM pairs WHERE n_agree >= 2
 """
 
 
+# ---------------------------------------------------------------- dedup: minhash summary
+def q_minhash_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dedup in the BOUNDED canonical-survivor form (r14,
+    VERDICT r13 ask #2): one row per document — (doc_id, canon_id,
+    n_near) over the agree->=2-of-8-seeds one-hop neighborhood —
+    instead of the pair listing, whose output is quadratic in clique
+    sizes (rows-alpha ~1.96 on the r13 ladder: 28.4M pairs at sf10).
+    All pairwise work runs at the DISTINCT-SIGNATURE level, so exact-
+    dup cliques collapse before the banded join; the pair relation
+    stays available as the edge constructor (q_dup_components)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_summary(docs, min_agree=2)
+
+
+ORACLE["q_minhash_dedup_summary"] = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashed AS ({_HASHED_SQL}),
+sig AS (
+{_minhash_sig_sql()}
+),
+widesig AS (SELECT doc_id, list(minhash ORDER BY seed) AS sgl FROM sig GROUP BY doc_id),
+per AS (SELECT sgl, min(doc_id) AS m, count(*) AS c FROM widesig GROUP BY sgl),
+agree AS (
+  SELECT a.m AS sid, b.m AS nb, b.c
+  FROM per a JOIN per b
+    ON len([i for i in generate_series(1, {dedup.N_MINHASH}) if a.sgl[i] = b.sgl[i]]) >= 2
+),
+nbstats AS (
+  SELECT sid, min(nb) AS canon_id, CAST(sum(c) AS BIGINT) AS n_near
+  FROM agree GROUP BY sid
+)
+SELECT w.doc_id, nbstats.canon_id, nbstats.n_near
+FROM widesig w JOIN per p ON w.sgl = p.sgl JOIN nbstats ON nbstats.sid = p.m
+"""
+
+
 # ---------------------------------------------------------------- dedup: exact jaccard
 # ONE cap constant shared by the Spark call and the DuckDB oracle — a
 # drifting pair would silently break parity
@@ -246,6 +282,39 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
+def q_simhash60_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash near-dedup in the BOUNDED canonical-survivor form
+    (r14, VERDICT r13 ask #2): one row per document — (doc_id,
+    canon_id, n_near) over the hamming <= 3 one-hop neighborhood —
+    replacing the pair listing as the graded representative (its output
+    is quadratic in dup-clique sizes: rows-alpha ~1.54 on the r13
+    ladder).  Same value-level banded machinery as the 16-bit
+    q_simhash_near_dups, at the width where collisions are genuine
+    near-duplicates; the pair relation stays as an edge constructor."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.hamming_dedup_summary(
+        dedup.simhash(docs, bits=60),
+        id_col="doc_id",
+        sig_col="simhash16",
+        bits=60,
+        bands=4,
+        max_hamming=3,
+    )
+
+
+ORACLE["q_simhash60_dedup_summary"] = f"""
+WITH sg0 AS ({_SIMHASH60_SQL}),
+per AS (SELECT sig AS sg, min(doc_id) AS m, count(*) AS c FROM sg0 GROUP BY sig),
+nb AS (
+  SELECT a.sg AS sg, min(b.m) AS canon_id, CAST(sum(b.c) AS BIGINT) AS n_near
+  FROM per a JOIN per b ON bit_count(xor(a.sg, b.sg)) <= 3
+  GROUP BY a.sg
+)
+SELECT s.doc_id, nb.canon_id, nb.n_near
+FROM sg0 s JOIN nb ON nb.sg = s.sig
 """
 
 
@@ -3287,15 +3356,22 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller-id neighbor above cosine 0.5 — the per-cluster pair search
     that makes semantic dedup tractable at corpus scale (the pair join
     is keyed ON the cluster, never corpus-wide; functions/similarity.py
-    semdedup)."""
+    semdedup).  r14: runs the paper's ~sqrt(N)-clusters recipe
+    (n_centroids=None — the oracle derives the same count in SQL), so
+    the graded query IS the 100-TB shape: per-cluster work stays
+    bounded as the corpus grows, and both the assignment and the pair
+    verdict ride the Arrow-batched integer-matmul kernel."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.semdedup(emb, n_centroids=8, threshold4=5000)
+    return similarity.semdedup(emb, n_centroids=None, threshold4=5000)
 
 
 ORACLE["q_semdedup"] = f"""
 WITH quant AS ({_QUANT_SQL}),
 base0 AS ({_NORM_SQL}),
-cents AS (SELECT vec_id AS centroid_id, q, norm FROM base0 WHERE vec_id < 8),
+k AS (SELECT GREATEST(8, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS n
+      FROM base0),
+cents AS (SELECT vec_id AS centroid_id, q, norm FROM base0
+          WHERE vec_id < (SELECT n FROM k)),
 assign_scored AS (
   SELECT b.vec_id, b.q, b.norm, c.centroid_id,
          {_COS4.format(a='b', b='c', an='norm', bn='norm')} AS c4

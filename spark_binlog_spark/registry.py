@@ -262,6 +262,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # q_stream_quantiles), q_bpe_tokenize (induction stays graded via
 # q_stream_bpe's shared learn oracle; incoming q_bpe_merges grades the
 # candidate ranking).
+#
+# Round-14 rotation (VERDICT r13 asks #2/#5 — exactly its lists): the
+# two NEW bounded canonical-survivor dedup forms enter as the graded
+# representatives of their families — q_minhash_dedup_summary and
+# q_simhash60_dedup_summary (one row per doc at ANY corpus size; the
+# pair listings q_dedup_minhash / q_simhash60_near_dups stay as edge
+# constructors in TAIL) — and the three intermediate-relation queries
+# that had never held a driver row rotate in ONCE to retire the
+# ambiguity (ask #5: q_minhash_signatures, q_kmeans_step,
+# q_length_stats — each cheap, each already locally oracle-checked
+# every session; they return to PARITY next round carrying a row).
+# Swapped OUT, each >=2 cumulative green rows, shape-covered:
+# q_simhash60_near_dups (r12+r13 green; replaced by its summary form —
+# the hamming-band machinery now graded via q_simhash60_dedup_summary
+# AND q_simhash_near_dups), q_exact_sample (r11-r13 green; sample
+# shape: q_stratified_sample stays), q_token_count (r11-r13 green;
+# token counting embedded in q_unimax_budget / q_source_mix budgets),
+# q_vocab_coverage (r11-r13 green; vocabulary shape: q_stream_bpe's
+# store + q_bpe_merges), q_hll_union (r10-r13 green; register-merge
+# shape: q_stream_quantiles keeps the additive-sketch family graded).
 PRIORITY = [
     # --- tier 1: operator rows -------------------------------------
     "q_stream_scd2",            # D3 generalization: incremental SCD2 sink
@@ -272,15 +292,20 @@ PRIORITY = [
                                 # chained oracle — VERDICT r10 ask #8)
     "q_lm_familiarity",         # trigram-LM familiarity scoring (r11 swap-in)
     "q_stream_schema_epochs",   # mid-stream ALTER TABLE epoch parse (r11 swap-in)
-    "q_exact_sample",           # exact-N deterministic sample (r11 swap-in)
+    "q_minhash_dedup_summary",  # r14 NEW (VERDICT r13 ask #2): bounded
+                                # canonical-survivor MinHash near-dedup —
+                                # the graded representative of the family;
+                                # pair listing stays as edge constructor
     "q_sq8_topk",               # scalar-quantized int8 ANN (r11 swap-in)
     "q_stream_embedding_search",  # ANN off the streamed embedding store (r11 swap-in)
-    "q_vocab_coverage",         # tokenizer OOV coverage sweep (r11 swap-in)
+    "q_simhash60_dedup_summary",  # r14 NEW (ask #2): bounded canonical-
+                                # survivor 60-bit simhash near-dedup
     "q_source_dup_matrix",      # cross-source duplication matrix (r11 swap-in)
     "q_lsh_recall",             # LSH-vs-brute-force recall audit (r11 swap-in)
     "q_stream_sessions",        # stateful streaming sessionization (r11 swap-in)
-    "q_token_count",            # whitespace+BPE-ish token counting (r11 swap-in;
-                                # benched every round, never graded before)
+    "q_minhash_signatures",     # r14 one-shot grade (ask #5): the signature
+                                # stage relation — graded once to retire the
+                                # never-graded ambiguity, then back to PARITY
     "q_wal_binary_rollup",      # r12 NEW (VERDICT r11 ask #5): spec-correct
                                 # binary WAL files -> read_wal_file ->
                                 # entries_to_events run folds -> regional
@@ -313,8 +338,8 @@ PRIORITY = [
                                 # stays graded via q_simhash60_near_dups
     "q_dup_components",         # connected components + canonical survivor
                                 # via localCheckpointed fixpoint (r10 swap-in)
-    "q_hll_union",              # union-register cardinality serving variant
-                                # (r10 swap-in)
+    "q_length_stats",           # r14 one-shot grade (ask #5): doc-length
+                                # quartiles — graded once, then back to PARITY
     "q_text_quality",           # r11 late swap-in: benched in the legacy
                                 # headline every round since r1 yet never
                                 # driver-graded (COVERAGE.md pending list) —
@@ -335,8 +360,8 @@ PRIORITY = [
                                 # Catalyst; oracle derives fields independently
     "q_ts_pattern_topk",        # time-series motif search: keyed windows,
                                 # integer distances, TakeOrdered — zero Python
-    "q_simhash60_near_dups",    # wide-signature (60-bit/15-bit-band) simhash —
-                                # the scale-correct form the sf1 ladder forced
+    "q_kmeans_step",            # r14 one-shot grade (ask #5): one Lloyd
+                                # update — graded once, then back to PARITY
     "q_compressibility",        # gzip-ratio analogue statistic; no other
                                 # graded oracle recomputes it
     "q_chunk_documents",        # overlapping-window chunk layout (RAG chunking)
@@ -372,6 +397,17 @@ PRIORITY = [
 # views live in PARITY below, NOT here — the never-graded count that
 # matters is len(TAIL), not len(TAIL) + len(PARITY) (VERDICT r5 ask #6).
 TAIL = [
+    "q_simhash60_near_dups",    # r14 swap-out (green r12+r13; pair LISTING —
+                                # kept as the edge constructor; the graded
+                                # representative is q_simhash60_dedup_summary)
+    "q_exact_sample",           # r14 swap-out (green r11-r13; sample shape:
+                                # q_stratified_sample stays graded)
+    "q_token_count",            # r14 swap-out (green r11-r13; token counting
+                                # embedded in q_unimax_budget / q_source_mix)
+    "q_vocab_coverage",         # r14 swap-out (green r11-r13; vocabulary shape:
+                                # q_stream_bpe's store + q_bpe_merges)
+    "q_hll_union",              # r14 swap-out (green r10-r13; register-merge
+                                # shape: q_stream_quantiles keeps sketches graded)
     "q_stream_change_counts",   # r13 swap-out (green r01-r12, 12 rows; S1 scan/
                                 # envelope/offset protocol runs inside
                                 # q_stream_schema_epochs' grade every trigger)
@@ -558,10 +594,11 @@ TAIL = [
 # and are excluded from "never driver-graded" exposure counts: grading
 # the view would re-grade machinery its consumer already grades.
 PARITY = [
-    "q_minhash_signatures",     # stage view of q_dedup_minhash / the MinHash sinks
-    "q_kmeans_step",            # one Lloyd update — stage of q_ivf_trained_topk
     "q_cell_rollup",            # global-order reference form of q_cell_rollup_regional
-    "q_length_stats",           # quartile view folded into q_corpus_report
+                                # (holds a green r01 driver row)
+    # q_minhash_signatures / q_kmeans_step / q_length_stats moved to the
+    # r14 graded prefix for a one-shot grade (VERDICT r13 ask #5); they
+    # return here next round carrying driver rows.
 ]
 
 

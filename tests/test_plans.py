@@ -343,23 +343,24 @@ class TestTrainingDataOps:
         assert "SortMergeJoin" not in plan
         assert plan.count("BroadcastHashJoin") >= 2
 
-    def test_semdedup_persists_assignment_and_joins_on_cluster(self, spark):
-        """q_semdedup: the centroid set broadcasts, the pair search
-        joins keyed ON the cluster id (no cartesian pair explosion
-        across clusters), and the assignment relation is persisted so
-        the per-vector argmax window runs ONCE, not once per
-        reference."""
+    def test_semdedup_is_kernel_assign_plus_one_cluster_exchange(self, spark):
+        """q_semdedup (r14 kernel shape): centroid assignment is one
+        Arrow-batched mapInPandas pass (NO cross join, NO per-vector
+        argmax window), and the in-cluster pair verdict is ONE
+        applyInPandas keyed on the cluster id — the corpus shuffles
+        exactly once and no candidate pair ever becomes a row."""
         from spark_binlog_spark.queries_ext import q_semdedup
 
         spark.catalog.clearCache()
         plan = _physical(q_semdedup(spark, SF_TEST))
         assert "CartesianProduct" not in plan
-        assert "InMemoryTableScan" in plan
-        assert "Exchange SinglePartition" not in plan
-        # all three assignment references read the SAME cached relation
-        # (the plan string re-prints the cached subtree per reference,
-        # but at runtime the argmax window computes once)
-        assert plan.count("InMemoryTableScan") >= 3
+        assert "Join" not in plan  # pair search never materializes pairs
+        assert "Window" not in plan  # argmax runs inside the kernel
+        assert "FlatMapGroupsInPandas" in plan  # per-cluster verdict
+        assert "MapInPandas" in plan  # kernel assignment
+        # exactly one corpus shuffle: hash on the cluster id
+        assert plan.count("Exchange") == 1
+        assert "hashpartitioning(centroid_id" in plan
 
     def test_bloom_decontaminate_broadcasts_filter_corpus_never_smj(self, spark):
         """q_bloom_decontaminate: the set-bit position table and the
