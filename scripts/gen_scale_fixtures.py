@@ -84,6 +84,41 @@ def gen_embeddings(rng: np.random.Generator, n_vecs: int = N_VECS) -> pa.Table:
     )
 
 
+N_EVENTS = 1_000_000  # sf1 (10x the 100k sf0.1 log); sf10 -> 10M
+N_USERS = 15_000
+EVENT_TYPES = ["signup", "click", "view", "purchase", "error"]
+
+
+def gen_events(rng: np.random.Generator, n_events: int = N_EVENTS,
+               n_users: int = N_USERS) -> pa.Table:
+    """CDC event log at scale (VERDICT r13 ask #3 — the reference's
+    ACTUAL surface deserves the same 100x hunting as the extensions):
+    same shape as the driver's sf0.1 events.parquet — sequential
+    event_id, ts monotone over a 30-day window, uniform event types,
+    user keys scaled with the log so latest-image/upsert cardinalities
+    scale too, numeric value and a small JSON props payload."""
+    event_id = np.arange(n_events, dtype=np.int64)
+    # monotone timestamps: cumulative exponential gaps scaled to 30 days
+    gaps = rng.exponential(1.0, n_events)
+    ts_us = (np.cumsum(gaps) / gaps.sum() * (30 * 86_400 * 1_000_000)).astype(
+        np.int64
+    ) + np.int64(1_704_067_200_000_000)  # 2024-01-01 UTC
+    user_id = rng.integers(0, n_users, n_events)
+    etype = rng.integers(0, len(EVENT_TYPES), n_events)
+    value = np.round(rng.exponential(80.0, n_events), 2)
+    props_k = rng.integers(0, 100, n_events)
+    return pa.table(
+        {
+            "event_id": pa.array(event_id),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": pa.array(user_id.astype(np.int64)),
+            "event_type": pa.array([EVENT_TYPES[i] for i in etype], pa.string()),
+            "value": pa.array(value, pa.float64()),
+            "props": pa.array([f'{{"k": {int(k)}}}' for k in props_k], pa.string()),
+        }
+    )
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -94,10 +129,17 @@ def main() -> None:
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     n_docs, n_vecs = N_DOCS * scale, N_VECS * scale
     os.makedirs(out, exist_ok=True)
+    n_events, n_users = N_EVENTS * scale, N_USERS * scale
     rng = np.random.default_rng(4242)
     pq.write_table(gen_documents(rng, n_docs), os.path.join(out, "documents.parquet"))
     pq.write_table(gen_embeddings(rng, n_vecs), os.path.join(out, "embeddings.parquet"))
-    print(f"wrote {out}/documents.parquet ({n_docs} docs) and embeddings.parquet ({n_vecs} vecs)")
+    pq.write_table(
+        gen_events(rng, n_events, n_users), os.path.join(out, "events.parquet")
+    )
+    print(
+        f"wrote {out}/documents.parquet ({n_docs} docs), embeddings.parquet "
+        f"({n_vecs} vecs), events.parquet ({n_events} events)"
+    )
 
 
 if __name__ == "__main__":

@@ -1765,21 +1765,16 @@ def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = F.broadcast(
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     )
-    name = f"stream_enriched_{uuid.uuid4().hex[:8]}"
     wire = read_stream(spark, f"{sf_dir}/events.parquet", numPartitions=8)
     enriched = parse_stream(wire).join(cust, F.col("pk") == F.col("c_custkey"), "inner")
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _tmpdir("stream_ck_") + "/ck")
-        .trigger(availableNow=True)
-        .start()
+    partials = _drain_aggregated(
+        spark,
+        enriched.select("c_mktsegment", "op"),
+        lambda b: b.groupBy("c_mktsegment", "op").agg(F.count("*").alias("n")),
+        "c_mktsegment string, op string, n long",
     )
-    q.awaitTermination()
-    return (
-        spark.table(name)
-        .groupBy("c_mktsegment", "op")
-        .agg(F.count("*").alias("n_events"))
+    return partials.groupBy("c_mktsegment", "op").agg(
+        F.sum("n").cast("long").alias("n_events")
     )
 
 
@@ -1957,30 +1952,54 @@ FROM seq WHERE prev_offset IS NOT NULL AND cdc_offset - prev_offset > 1
 
 
 # ---------------------------------------------------------------- streaming
-def q_stream_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END STREAMING correctness: run the binlog_fixture source to
-    completion (availableNow micro-batches through the Python DataSource,
-    envelope JSON wire format, from_json parse, flatten), then count per
-    op.  The replay is deterministic, so the result hash-matches the
-    batch SQL oracle — the streaming path itself is under the oracle."""
-    import tempfile
-    import uuid
+def _drain_aggregated(spark: SparkSession, df: DataFrame, agg_fn, schema: str) -> DataFrame:
+    """Run a streaming DataFrame to completion, aggregating EACH
+    micro-batch distributedly via ``agg_fn`` (a bounded per-batch
+    partial aggregation) inside foreachBatch, and return the collected
+    partial rows as a DataFrame for the caller's final re-aggregation.
 
-    from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+    Why not a memory sink of the parsed rows (r14, found by the new
+    CDC sf10 rung): ``format("memory")`` materializes the WHOLE stream
+    on the driver — at 10M events the final driver-side aggregation
+    GC-thrashed past the 150 s watchdog (q_hbase_rolled_wal never
+    finished), and at 100 TB the shape is disqualifying outright.
+    With foreachBatch the corpus-sized relation never leaves the
+    executors; only group-count-bounded partials cross to the driver
+    (the same additive-partial contract every ingest sink here uses)."""
+    rows: list = []
 
-    _pin(spark)
-    name = f"stream_cc_{uuid.uuid4().hex[:8]}"
-    wire = read_stream(spark, f"{sf_dir}/events.parquet", numPartitions=8)
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        rows.extend(agg_fn(batch_df).collect())
+
     q = (
-        parse_stream(wire)
-        .writeStream.format("memory")
-        .queryName(name)
+        df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", _tmpdir("stream_ck_") + "/ck")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).groupBy("op").agg(F.count("*").alias("n_events"))
+    return spark.createDataFrame(rows, schema)
+
+
+def q_stream_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END STREAMING correctness: run the binlog_fixture source to
+    completion (availableNow micro-batches through the Python DataSource,
+    envelope JSON wire format, from_json parse, flatten), then count per
+    op.  The replay is deterministic, so the result hash-matches the
+    batch SQL oracle — the streaming path itself is under the oracle.
+    Per-batch partials aggregate on the executors (_drain_aggregated);
+    only op-count rows reach the driver."""
+    from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
+
+    _pin(spark)
+    wire = read_stream(spark, f"{sf_dir}/events.parquet", numPartitions=8)
+    partials = _drain_aggregated(
+        spark,
+        parse_stream(wire).select("op"),
+        lambda b: b.groupBy("op").agg(F.count("*").alias("n")),
+        "op string, n long",
+    )
+    return partials.groupBy("op").agg(F.sum("n").cast("long").alias("n_events"))
 
 
 ORACLE["q_stream_change_counts"] = f"""
@@ -2066,33 +2085,37 @@ def q_hbase_rolled_wal(spark: SparkSession, sf_dir: str) -> DataFrame:
     file, partitions never spanning a roll), then aggregated per region:
     event count, offset span, and the number of distinct WAL files each
     region's events crossed (must be all three — every region reads
-    across both roll boundaries)."""
-    import uuid
-
+    across both roll boundaries).  Per-batch partials (count/min/max +
+    the bounded distinct-file SET per region) aggregate on the
+    executors; the raw parsed log never reaches the driver."""
     from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
 
     _pin(spark)
     store, eps = _rolled_region_store(f"{sf_dir}/events.parquet")
-    name = f"rolled_wal_{uuid.uuid4().hex[:8]}"
     wire = read_stream(spark, store, regions=4)
-    q = (
-        parse_stream(wire)
-        .writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _tmpdir("stream_ck_") + "/ck")
-        .trigger(availableNow=True)
-        .start()
+    parsed = parse_stream(wire).select(
+        (F.col("pk") % 4).alias("region"),
+        "cdc_offset",
+        F.expr(f"cdc_offset div {eps}").alias("wal_file"),
     )
-    q.awaitTermination()
-    return (
-        spark.table(name)
-        .groupBy((F.col("pk") % 4).alias("region"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.min("cdc_offset").alias("min_offset"),
-            F.max("cdc_offset").alias("max_offset"),
-            F.countDistinct(F.expr(f"cdc_offset div {eps}")).alias("n_wal_files"),
-        )
+    partials = _drain_aggregated(
+        spark,
+        parsed,
+        lambda b: b.groupBy("region").agg(
+            F.count("*").alias("n"),
+            F.min("cdc_offset").alias("mn"),
+            F.max("cdc_offset").alias("mx"),
+            F.collect_set("wal_file").alias("files"),
+        ),
+        "region long, n long, mn long, mx long, files array<bigint>",
+    )
+    return partials.groupBy("region").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.min("mn").alias("min_offset"),
+        F.max("mx").alias("max_offset"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("files"))))
+        .cast("long")
+        .alias("n_wal_files"),
     )
 
 
@@ -2126,27 +2149,25 @@ def q_stream_schema_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin(spark)
     events = f"{sf_dir}/events.parquet"
     epoch = _probe_end(events) // 2  # metadata-only probe
-    name = f"schema_epochs_{uuid.uuid4().hex[:8]}"
     wire = read_stream(spark, events, numPartitions=8, schemaEpochOffset=epoch)
-    q = (
-        parse_stream_evolving(wire)
-        .writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _tmpdir("stream_ck_") + "/ck")
-        .trigger(availableNow=True)
-        .start()
+    partials = _drain_aggregated(
+        spark,
+        parse_stream_evolving(wire).select("schema_ver", "ts_ms", "cdc_offset"),
+        lambda b: b.groupBy("schema_ver").agg(
+            F.count("*").alias("n"),
+            F.count("ts_ms").alias("nt"),
+            F.sum("ts_ms").alias("st"),
+            F.min("cdc_offset").alias("mn"),
+            F.max("cdc_offset").alias("mx"),
+        ),
+        "schema_ver int, n long, nt long, st long, mn long, mx long",
     )
-    q.awaitTermination()
-    return (
-        spark.table(name)
-        .groupBy("schema_ver")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.count("ts_ms").alias("n_with_ts"),
-            F.sum("ts_ms").alias("sum_ts_ms"),
-            F.min("cdc_offset").alias("min_offset"),
-            F.max("cdc_offset").alias("max_offset"),
-        )
+    return partials.groupBy("schema_ver").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("nt").cast("long").alias("n_with_ts"),
+        F.sum("st").alias("sum_ts_ms"),
+        F.min("mn").alias("min_offset"),
+        F.max("mx").alias("max_offset"),
     )
 
 
