@@ -1126,29 +1126,59 @@ def repeated_span_stats(df: DataFrame, n: int = 8, text_col: str = "text") -> Da
     at corpus scale the dup dictionary is NOT broadcastable, unlike the
     boilerplate min_df dictionary which is vocabulary-bounded); final
     per-doc counts are one more doc-keyed partial agg.  The persisted
-    positional relation feeds both the dictionary and the join."""
+    positional relation feeds both the dictionary and the join.
+
+    The positional span pass is an Arrow-batched kernel (r14, VERDICT
+    r13 ask #6 — the compressibility recipe): the Catalyst form paid a
+    per-position interpreted ``transform`` lambda doing 8 element_at
+    lookups + a concat before every md5 (115.8 s at the sf10 rung).
+    The kernel exploits that a word n-gram joined by single spaces IS a
+    byte slice of the original UTF-8 text (split/join on one space
+    roundtrips exactly, empty words included): word boundaries come
+    from one cumsum, each span hashes as md5 over that slice — the
+    first 6 digest bytes equal Catalyst's conv(substr(md5hex, 1, 12)),
+    so span identity is BIT-IDENTICAL to the oracle's.  Only (doc_id,
+    span_h) longs leave the kernel."""
     from pyspark.storagelevel import StorageLevel
 
-    from spark_binlog_spark.functions.hashing import h48
+    def span_hashes(batches):
+        import hashlib
 
-    # words array MATERIALIZED in its own projection (the
-    # shingles_of_words rule) — an inline split captured by the span
-    # lambda re-evaluates once per element x 8 element_ats, O(words²)
-    # string splits per doc: q_repeated_spans never finished at the
-    # sf10 rung (>9.5 min) until this line (r13 sweep catch — the r12
-    # lesson's audit grep missed this site because the capture is the
-    # variable ``w``, not a literal F.split inside the lambda body)
-    base = df.select(F.col("doc_id"), F.split(F.col(text_col), " ").alias("__w"))
-    w = F.col("__w")
-    idx = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    span = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
-    )
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            out_doc, out_h = [], []
+            for did, t in zip(pdf["doc_id"].to_numpy(), pdf[text_col]):
+                tb = ("" if t is None else t).encode("utf-8")
+                words = tb.split(b" ")
+                m = len(words)
+                if m < n:
+                    continue
+                lens = np.fromiter((len(w) for w in words), np.int64, count=m)
+                starts = np.zeros(m, np.int64)
+                starts[1:] = np.cumsum(lens[:-1] + 1)
+                ends = starts + lens
+                k = m - n + 1
+                hs = np.empty(k, np.int64)
+                for i in range(k):
+                    hs[i] = int.from_bytes(
+                        md5(tb[starts[i] : ends[i + n - 1]]).digest()[:6], "big"
+                    )
+                out_doc.append(np.full(k, did, np.int64))
+                out_h.append(hs)
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_doc),
+                        "span_h": np.concatenate(out_h),
+                    }
+                )
+
     pos = (
-        base.select(F.col("doc_id"), F.explode(span).alias("span"))
-        .select("doc_id", h48(F.col("span")).alias("span_h"))
+        spread_small_input(df.select("doc_id", F.col(text_col)))
+        .mapInPandas(span_hashes, "doc_id long, span_h long")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup = (

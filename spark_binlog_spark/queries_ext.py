@@ -2233,29 +2233,46 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-smallest survivor rule, deterministic and SQL-expressible
     (full transitive clustering is graded separately via
     q_dup_components)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from spark_binlog_spark.cache_util import release, swap_caches
+
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
+    # Each stage's survivor relation is referenced TWICE downstream
+    # (once as the next stage's input, once by that stage's gate), so
+    # an unpersisted chain re-evaluates every upstream stage per
+    # reference — compounding to ~2^stages corpus passes (the r14 sf10
+    # rung measured 231 s / 22 GB of repeated signature spill; with the
+    # four survivor persists below: 47 s).  Persisting the survivor
+    # frontier after each pruning stage is also exactly what a
+    # production curation DAG does between materialization barriers.
+    release("queries_ext.q_curation_e2e")
     # 1. structural clean (same floor as q_corpus_clean's gate)
     clean = docs.filter((F.length(t) >= 100) & (F.size(F.split(t, " ")) >= 20))
     # 2. exact dedup: keep each content hash's smallest doc_id
     keep_exact = dedup.exact_dedup(clean).select(
         F.col("keep_doc_id").alias("doc_id")
     )
-    s2 = clean.join(keep_exact, "doc_id")
+    s2 = clean.join(keep_exact, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
     # 3. near-dedup: drop the larger side of every banded MinHash pair
     near_drop = (
         dedup.minhash_candidate_pairs(s2, min_agree=2)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    s3 = s2.join(near_drop, "doc_id", "left_anti")
+    s3 = s2.join(near_drop, "doc_id", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # 4. decontaminate vs the held-out benchmark slice (doc_id % 97 == 0
     # of the ORIGINAL table — the eval suite exists independently of
     # what curation kept); benchmark members themselves leave the corpus
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = s3.filter(F.col("doc_id") % 97 != 0)
     contaminated = dedup.decontaminate(corpus, bench, n=4).select("doc_id")
-    s4 = corpus.join(contaminated, "doc_id", "left_anti")
+    s4 = corpus.join(contaminated, "doc_id", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # 5. per-language quality prune: drop the bottom length quartile
     # (thresholds recomputed over the SURVIVING corpus, not the raw one)
     th = s4.groupBy("lang").agg(F.expr("percentile(n_chars, 0.25)").alias("p25"))
@@ -2263,7 +2280,9 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         s4.join(F.broadcast(th), "lang")
         .filter(F.col("n_chars").cast("double") >= F.col("p25"))
         .select("doc_id", "text", "lang", "source")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    swap_caches("queries_ext.q_curation_e2e", [s2, s3, s4, s5])
     # 6. pack the curated corpus into fixed 4096-token training shards
     packed = text.token_shards(s5.select("doc_id", "text"), budget=4096)
     return packed.join(s5.select("doc_id", "lang", "source"), "doc_id").select(
