@@ -558,42 +558,21 @@ def embedding_near_dup_pairs(
     if n_tables > 1:
         # a pair colliding in several tables must be scored once
         cand = cand.dropDuplicates(["vec_a", "vec_b"])
-    return _pair_cosine_verify(cand, min_cosine4)
-
-
-def _pair_cosine_verify(cand: DataFrame, min_cosine4: int) -> DataFrame:
-    """Candidate-pair cosine verification as an Arrow-batched kernel
-    (r14): the Catalyst form paid an interpreted int_dot per candidate
-    row (the CodegenFallback HOF tax); here a whole batch scores as one
-    vectorized elementwise-multiply+sum — exact (integer dots < 2^53 in
-    float64) and bit-identical to ``cosine4`` (same IEEE op order).
-    Expects (vec_a, vec_b, qa, qb, na, nb); returns the verified
-    (vec_a, vec_b, cosine4) rows."""
-    import numpy as np
-
-    def kern(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            amat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qa"]])
-            bmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qb"]])
-            c4 = _np_cosine4(
-                (amat * bmat).sum(axis=1),
-                pdf["na"].to_numpy(dtype=np.float64),
-                pdf["nb"].to_numpy(dtype=np.float64),
-            )
-            m = c4 >= min_cosine4
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"].to_numpy()[m],
-                    "vec_b": pdf["vec_b"].to_numpy()[m],
-                    "cosine4": c4[m],
-                }
-            )
-
-    return cand.mapInPandas(kern, "vec_a long, vec_b long, cosine4 long")
+    # Candidate verification stays the INLINE Catalyst expression, NOT
+    # an Arrow kernel (r14 A/B, sf10 sweep): a mapInPandas verify must
+    # ship BOTH 64-long quantized vectors per candidate through Arrow
+    # (~1 KB/row), and at banded-candidate volumes the transfer swamps
+    # the interpreted-HOF tax it saves — q_embedding_dedup_scale went
+    # 67 s -> watchdog-dead with the kernel, back to ~67 s without.
+    # The kernel wins where compute per row dominates transfer (matmul
+    # against a SHARED collected side: assignment, PQ, semdedup) — not
+    # where each row carries its own operands and the filter is the
+    # only consumer.
+    return cand.select(
+        "vec_a",
+        "vec_b",
+        cosine4(int_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("cosine4"),
+    ).filter(F.col("cosine4") >= min_cosine4)
 
 
 def embedding_lsh_audit(

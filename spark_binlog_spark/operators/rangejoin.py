@@ -94,3 +94,115 @@ def grid_range_join(
         .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
         .drop("__cell")
     )
+
+
+def grid_range_count(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    id_cols: list[str],
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    grid: float,
+) -> DataFrame:
+    """#points in [lo, hi) per interval WITHOUT materializing the
+    containment pairs (r14, found by the CDC sf10 rung): when the
+    value distribution is dense, the number of TRUE containments grows
+    ~points x intervals-per-cell — at the sf10 events fixture
+    q_grid_range_join's pair relation was ~10^10 rows and no grid
+    width can fix an output that size.  When the caller only needs the
+    COUNT (as q_grid_range_join's aggregate did), the answer is a
+    prefix-count difference: #[lo, hi) = #(v < hi) - #(v < lo), and
+    prefix counts distribute:
+
+      1. per-(key, cell) point counts -> a cells-per-key-bounded
+         relation; one small per-key window gives each cell's
+         points-in-earlier-cells prefix (boundary cells unioned in so
+         every endpoint finds its row);
+      2. in-cell strict-below counts via ONE union window partitioned
+         by (key, cell): endpoints sort BEFORE equal-valued points
+         (tie column), so a running point-count read off an endpoint
+         row is exactly #(v < b) within the cell — cells are
+         grid-balanced, so no partition is corpus-sized;
+      3. endpoint total = cell prefix (broadcast join — the prefix
+         relation is O(cells)) + in-cell count; per interval,
+         n_inside = total(hi) - total(lo).
+
+    Shuffle volume is O(points + endpoints) — linear at any density.
+    ``id_cols`` must uniquely identify an interval within its key.
+    Returns (*on, *id_cols, n_inside) INCLUDING zero-count intervals
+    (filter n_inside > 0 for inner-join semantics)."""
+    from pyspark.sql import Window
+
+    def cell_of(c):
+        return F.floor(c / grid).cast("long")
+
+    pts = points.select(
+        *on, F.col(point_col).alias("__v"), cell_of(F.col(point_col)).alias("__cell")
+    )
+    bounds = (
+        intervals.select(
+            *on, *id_cols, F.col(lo_col).alias("__v"), F.lit(0).alias("__side")
+        )
+        .unionByName(
+            intervals.select(
+                *on, *id_cols, F.col(hi_col).alias("__v"), F.lit(1).alias("__side")
+            )
+        )
+        .withColumn("__cell", cell_of(F.col("__v")))
+    )
+    # 1. per-cell counts + per-key prefix over cells (cells-bounded)
+    cellcnt = pts.groupBy(*on, "__cell").agg(F.count("*").alias("__c"))
+    allcells = (
+        cellcnt.select(*on, "__cell")
+        .unionByName(bounds.select(*on, "__cell"))
+        .distinct()
+    )
+    wcum = Window.partitionBy(*on).orderBy("__cell").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = (
+        allcells.join(cellcnt, [*on, "__cell"], "left")
+        .select(*on, "__cell", F.coalesce(F.col("__c"), F.lit(0)).alias("__c"))
+        .select(
+            *on,
+            "__cell",
+            F.coalesce(F.sum("__c").over(wcum), F.lit(0)).alias("__before"),
+        )
+    )
+    # 2. in-cell strict-below counts: one union window on (key, cell)
+    u = pts.select(
+        *on,
+        "__cell",
+        "__v",
+        F.lit(1).alias("__isp"),
+        *[F.lit(None).cast(t.dataType).alias(c) for c, t in
+          zip(id_cols, (bounds.schema[c] for c in id_cols))],
+        F.lit(None).cast("int").alias("__side"),
+    ).unionByName(
+        bounds.select(*on, "__cell", "__v", F.lit(0).alias("__isp"), *id_cols, "__side")
+    )
+    wcell = Window.partitionBy(*on, "__cell").orderBy("__v", "__isp").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    incell = (
+        u.withColumn("__below", F.sum("__isp").over(wcell) - F.col("__isp"))
+        .filter(F.col("__isp") == 0)
+        .select(*on, *id_cols, "__side", "__cell", "__below")
+    )
+    # 3. totals + the per-interval difference
+    totals = incell.join(F.broadcast(prefix), [*on, "__cell"]).select(
+        *on,
+        *id_cols,
+        "__side",
+        (F.col("__below") + F.col("__before")).alias("__total"),
+    )
+    return totals.groupBy(*on, *id_cols).agg(
+        (
+            F.sum(F.when(F.col("__side") == 1, F.col("__total")).otherwise(0))
+            - F.sum(F.when(F.col("__side") == 0, F.col("__total")).otherwise(0))
+        )
+        .cast("long")
+        .alias("n_inside")
+    )

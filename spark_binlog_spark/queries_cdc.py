@@ -1404,13 +1404,16 @@ GROUP BY c.table_name, b.band_id
 
 
 def q_grid_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LARGE×LARGE range join via grid bucketing: every update event
-    joined to the insert events whose [value, value+2) window contains
-    it, per table — thousands of intervals, no broadcast, no cross
-    product: both sides shuffle on (table, grid cell) and the exact
-    predicate filters candidates (operators/rangejoin.py).  Output is
-    the per-interval containment count."""
-    from spark_binlog_spark.operators.rangejoin import grid_range_join
+    """LARGE×LARGE range containment, count output: every insert
+    event's [value, value+2) window counts the update events it
+    contains, per table.  r14 reshape (caught by the CDC sf10 rung the
+    same day it landed): the grid JOIN's pair relation is ~10^10 rows
+    at 10M dense-valued events — when only the COUNT is needed, the
+    scale-correct plan is the distributed prefix-count difference
+    (operators/rangejoin.py grid_range_count: linear shuffle at any
+    density).  The pair-LISTING operator ``grid_range_join`` stays for
+    sparse joins that need the matched rows."""
+    from spark_binlog_spark.operators.rangejoin import grid_range_count
 
     _pin(spark)
     ch = changes_df(spark, sf_dir)
@@ -1423,13 +1426,11 @@ def q_grid_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     points = ch.filter(F.col("op") == "update").select(
         "table_name", F.col("cdc_offset").alias("point_offset"), F.col("value")
     )
-    joined = grid_range_join(
-        points, intervals, on=["table_name"], point_col="value",
-        lo_col="lo", hi_col="hi", grid=2.0,
+    counted = grid_range_count(
+        points, intervals, on=["table_name"], id_cols=["interval_offset"],
+        point_col="value", lo_col="lo", hi_col="hi", grid=2.0,
     )
-    return joined.groupBy("table_name", "interval_offset").agg(
-        F.count("*").alias("n_inside")
-    )
+    return counted.filter(F.col("n_inside") > 0)
 
 
 ORACLE["q_grid_range_join"] = f"""

@@ -47,6 +47,52 @@ class TestArgumentContracts:
             build_mpeg_stream(1, br_idx=15, sr_idx=0)
 
 
+class TestDrainAggregatedComposition:
+    """The foreachBatch partial-aggregation reshape (r14 — the
+    format(\"memory\") raw-log sink GC-thrashed at the sf10 rung) is
+    only correct if the final re-aggregation COMPOSES over an arbitrary
+    batch split.  availableNow on the Python DataSource runs one batch
+    today, so the multi-batch algebra is pinned here directly: partials
+    computed over disjoint slices must re-aggregate to the whole-batch
+    answer, including the distinct-set union for n_wal_files."""
+
+    def test_rolled_wal_partials_compose(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = [(i, i % 4, i // 7) for i in range(100)]  # (offset, region, file)
+        full = spark.createDataFrame(rows, "cdc_offset long, region long, wal_file long")
+
+        def partial(b):
+            return b.groupBy("region").agg(
+                F.count("*").alias("n"),
+                F.min("cdc_offset").alias("mn"),
+                F.max("cdc_offset").alias("mx"),
+                F.collect_set("wal_file").alias("files"),
+            )
+
+        def final(partials):
+            return partials.groupBy("region").agg(
+                F.sum("n").cast("long").alias("n_events"),
+                F.min("mn").alias("min_offset"),
+                F.max("mx").alias("max_offset"),
+                F.size(F.array_distinct(F.flatten(F.collect_list("files"))))
+                .cast("long")
+                .alias("n_wal_files"),
+            )
+
+        whole = {r["region"]: tuple(r)[1:] for r in final(partial(full)).collect()}
+        # adversarial split: uneven slices, regions spanning both
+        split_rows = []
+        for lo, hi in [(0, 13), (13, 60), (60, 100)]:
+            batch = full.filter((F.col("cdc_offset") >= lo) & (F.col("cdc_offset") < hi))
+            split_rows.extend(partial(batch).collect())
+        split = spark.createDataFrame(
+            split_rows, "region long, n long, mn long, mx long, files array<bigint>"
+        )
+        got = {r["region"]: tuple(r)[1:] for r in final(split).collect()}
+        assert got == whole and len(got) == 4
+
+
 class TestLmPositionsVersionPins:
     """lm_positions (Catalyst split('')/ascii() pack) must agree with
     lm_tri_counts (numpy utf-32 pack) on a fixture that exercises BMP,

@@ -721,6 +721,47 @@ class TestGridRangeJoin:
         got = sorted((r["pid"], r["iid"]) for r in out.collect())
         assert got == [(1, 1), (2, 1), (2, 2), (3, 1), (5, 3)]
 
+    def test_range_count_matches_pair_join(self, spark):
+        """grid_range_count (r14 — the linear-shuffle count form that
+        replaced the pair join in q_grid_range_join after the sf10
+        rung measured a ~10^10-row pair relation) must equal the pair
+        join's aggregate on adversarial data: endpoint ties with point
+        values, duplicate points, empty-key intervals, dense cells."""
+        import random
+
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+
+        from spark_binlog_spark.operators.rangejoin import (
+            grid_range_count,
+            grid_range_join,
+        )
+
+        rng = random.Random(17)
+        vals = [round(rng.uniform(0, 20), 1) for _ in range(300)]  # dup-heavy ties
+        points = spark.createDataFrame(
+            [Row(k=rng.choice("ab"), pid=i, v=v) for i, v in enumerate(vals)]
+        )
+        intervals = spark.createDataFrame(
+            [
+                Row(k=rng.choice("abc"), iid=i,  # 'c' has no points
+                    lo=(lo := round(rng.uniform(-2, 20), 1)),
+                    hi=round(lo + rng.choice([0.0, 0.5, 2.0, 7.3]), 1))
+                for i in range(80)
+            ]
+        )
+        want = {
+            (r["k"], r["iid"]): r["n"]
+            for r in grid_range_join(points, intervals, on=["k"], point_col="v",
+                                     lo_col="lo", hi_col="hi", grid=2.0)
+            .groupBy("k", "iid").agg(F.count("*").alias("n")).collect()
+        }
+        counted = grid_range_count(points, intervals, on=["k"], id_cols=["iid"],
+                                   point_col="v", lo_col="lo", hi_col="hi", grid=2.0)
+        got_all = {(r["k"], r["iid"]): r["n_inside"] for r in counted.collect()}
+        assert len(got_all) == 80  # zero-count intervals included
+        assert {k: v for k, v in got_all.items() if v > 0} == want
+
 
 class TestIntervalOverlap:
     def test_cell_ownership_emits_each_pair_once(self, spark):
