@@ -500,6 +500,7 @@ def embedding_near_dup_pairs(
     planes: int | None = None,
     n_tables: int = 1,
     vec_col: str = "embedding",
+    target_bucket: int = LSH_TARGET_BUCKET,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold), bucket-prefiltered.
 
@@ -524,7 +525,14 @@ def embedding_near_dup_pairs(
     # with ANSI off (collapsing the extra tables into an n² join)
     dim = _vec_dim(df, vec_col)
     if planes is None:
-        planes = derived_planes(df.count(), max(1, dim // max(1, n_tables)))
+        # ``target_bucket`` is the cost knob: expected candidate volume
+        # is ~n * target * n_tables / 2, so a multi-table caller keeps
+        # the TOTAL candidate budget bounded by passing a tighter
+        # per-table bucket (the recall lost per table is what the extra
+        # tables buy back — the band construction's whole point)
+        planes = derived_planes(
+            df.count(), max(1, dim // max(1, n_tables)), target_bucket
+        )
     if planes * n_tables > dim:
         raise ValueError(
             f"planes ({planes}) * n_tables ({n_tables}) = {planes * n_tables} "

@@ -432,19 +432,37 @@ SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, cosine4 FROM ranked WHERE 
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.5) within LSH buckets."""
+    """Embedding near-dup pairs (cosine >= 0.5) within LSH buckets.
+    r14: planes DERIVE from the corpus (similarity.derived_planes,
+    target bucket 256 — the oracle computes the same rule in SQL),
+    retiring the last fixed-planes toy setting: a planes=4 literal
+    kept every in-bucket self-join at ~n²/16 and watchdog-killed the
+    sf10 sweep; derived planes keep expected bucket population
+    ~constant (graded scales -> 4 unchanged, sf10 -> 10; 30.4 s),
+    so the graded query IS the scale shape."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, min_cosine4=5000, planes=4)
+    return similarity.embedding_near_dup_pairs(
+        emb, min_cosine4=5000, planes=None, target_bucket=256
+    )
+
+
+def _derived_planes_sql(dim: int, src: str = "base0", target: int = 1024) -> str:
+    """DuckDB rendering of similarity.derived_planes: the CTE body for
+    a scalar ``planes`` relation."""
+    return (
+        f"SELECT CASE WHEN count(*) <= {target} THEN LEAST({dim}, 4) "
+        f"ELSE GREATEST(4, LEAST({dim}, CAST(ceil(log2(count(*) / {target}.0)) AS BIGINT))) "
+        f"END AS planes FROM {src}"
+    )
 
 
 ORACLE["q_embedding_dedup"] = f"""
 WITH quant AS ({_QUANT_SQL}),
 base0 AS ({_NORM_SQL}),
+k AS ({_derived_planes_sql(64, target=256)}),
 base AS (
-  SELECT *, (CASE WHEN q[1] >= 0 THEN 1 ELSE 0 END
-           + CASE WHEN q[2] >= 0 THEN 2 ELSE 0 END
-           + CASE WHEN q[3] >= 0 THEN 4 ELSE 0 END
-           + CASE WHEN q[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  SELECT *, CAST(list_sum([CASE WHEN q[i] >= 0 THEN 1 << (i - 1) ELSE 0 END
+                           for i in generate_series(1, (SELECT planes FROM k))]) AS BIGINT) AS bucket
   FROM base0
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -459,18 +477,27 @@ WHERE CAST(floor(
 
 
 def q_embedding_dedup_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs under MULTI-TABLE sign-LSH (4 planes ×
-    4 independent tables on disjoint dims): a pair is a candidate if it
-    collides in ANY table — the band construction that restores recall
-    (measured 9/14 vs 3/14 single-table at sf0.1, PERF.md) while each
-    table's join stays bucketed, never n²."""
+    """Embedding near-dup pairs under MULTI-TABLE sign-LSH (derived
+    planes × 4 independent tables on disjoint dims): a pair is a
+    candidate if it collides in ANY table — the band construction that
+    restores recall (measured 9/14 vs 3/14 single-table at sf0.1,
+    PERF.md) while each table's join stays bucketed, never n².  r14:
+    planes derive from the corpus like q_embedding_dedup, with a
+    TIGHTER per-table target bucket (32) so the total candidate volume
+    (~n x target x tables / 2) stays inside the single-table budget —
+    at sf10 that derives 13 planes per table (the production-knob
+    class q_embedding_dedup_scale audits); at graded scales it still
+    derives 4 (unchanged results)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(
-        emb, min_cosine4=5000, planes=4, n_tables=4
+        emb, min_cosine4=5000, planes=None, n_tables=4, target_bucket=32
     )
 
 
 def _table_bucket_sql(t: int, planes: int = 4) -> str:
+    """Static-planes rendering of table ``t``'s sign bucket (the fixed
+    production knobs: q_embedding_dedup_scale's planes=12, the audit's
+    two-table form)."""
     bits = " + ".join(
         f"CASE WHEN q[{t * planes + i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
         for i in range(planes)
@@ -478,12 +505,25 @@ def _table_bucket_sql(t: int, planes: int = 4) -> str:
     return f"({bits}) AS b{t}"
 
 
+def _table_bucket_dyn_sql(t: int) -> str:
+    """Dynamic-planes rendering of table ``t``'s sign bucket (disjoint
+    leading dims: table t reads q[t*planes+1 .. t*planes+planes]).
+    ``planes`` must be a COLUMN in scope (cross-join the k CTE —
+    DuckDB rejects scalar subqueries inside lambda bodies)."""
+    return (
+        f"CAST(list_sum([CASE WHEN q[planes * {t} + i] >= 0 "
+        f"THEN 1 << (i - 1) ELSE 0 END "
+        f"for i in generate_series(1, planes)]) AS BIGINT) AS b{t}"
+    )
+
+
 ORACLE["q_embedding_dedup_multitable"] = f"""
 WITH quant AS ({_QUANT_SQL}),
 base0 AS ({_NORM_SQL}),
+k AS ({_derived_planes_sql(16, target=32)}),
 base AS (
-  SELECT *, {", ".join(_table_bucket_sql(t) for t in range(4))}
-  FROM base0
+  SELECT *, {", ".join(_table_bucket_dyn_sql(t) for t in range(4))}
+  FROM base0, k
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
