@@ -119,6 +119,112 @@ def gen_events(rng: np.random.Generator, n_events: int = N_EVENTS,
     )
 
 
+# ------------------------------------------------------------- TPC-H-ish
+# Snapshot-analytics tables at scale (r14: the last 10 sweep
+# skip-missing-table rows all read customer/orders/lineitem/nation —
+# q_cdc_apply, q_snapshot_union, q_bootstrap_snapshot, q_ship_priority,
+# q_pricing_summary, ... — so the stock join/agg surface gets the same
+# 100x rung as documents/embeddings/events).  Shapes mirror the
+# driver's sf0.1 testdata, which is uniform-random (NOT rule-linked
+# TPC-H: flags are independent of dates, shipdate independent of the
+# order date, linenumber random in 1..7): measured off
+# /root/testdata/sf0.1 with duckdb — segments/statuses/priorities
+# uniform over the observed domains, dates uniform over the observed
+# windows, acctbal/totalprice/extendedprice uniform over the observed
+# ranges.  Separate seed stream so these can regenerate without
+# touching the byte-identical documents/embeddings/events outputs.
+
+TPCH_SEED = 7337
+N_CUSTOMER = 150_000       # sf1 (10x the 15k sf0.1 table); sf10 -> 1.5M
+N_ORDERS = 1_500_000       # sf1; sf10 -> 15M
+N_LINEITEM = 6_000_000     # sf1; sf10 -> 60M
+MKTSEGMENTS = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
+ORDERSTATUS = ["O", "P", "F"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+RETURNFLAGS = ["N", "A", "R"]
+LINESTATUS = ["O", "F"]
+
+_EPOCH_US = {  # date window endpoints, microseconds since epoch (UTC)
+    "1995-01-01": 788_918_400_000_000,
+    "2001-08-01": 996_624_000_000_000,
+    "1995-01-02": 789_004_800_000_000,
+    "2001-11-04": 1_004_832_000_000_000,
+}
+
+
+def _pick(rng: np.random.Generator, values: list[str], n: int) -> pa.Array:
+    """n uniform draws from ``values`` as a plain string column
+    (C-side dictionary take — no 60M-element Python list)."""
+    import pyarrow.compute as pc
+
+    idx = pa.array(rng.integers(0, len(values), n).astype(np.int32))
+    return pc.take(pa.array(values, pa.string()), idx)
+
+
+def _day_us(rng: np.random.Generator, lo: str, hi: str, n: int) -> pa.Array:
+    """Uniform midnight-aligned timestamps in [lo, hi] (the testdata
+    dates are whole days)."""
+    day = 86_400_000_000
+    lo_d, hi_d = _EPOCH_US[lo] // day, _EPOCH_US[hi] // day
+    return pa.array(
+        rng.integers(lo_d, hi_d + 1, n).astype(np.int64) * day,
+        pa.timestamp("us"),
+    )
+
+
+def gen_customer(rng: np.random.Generator, n: int) -> pa.Table:
+    return pa.table(
+        {
+            "c_custkey": pa.array(np.arange(n, dtype=np.int64)),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(n)], pa.string()),
+            "c_nationkey": pa.array(rng.integers(0, 25, n).astype(np.int32)),
+            "c_acctbal": pa.array(np.round(rng.uniform(-1000.0, 10000.0, n), 2)),
+            "c_mktsegment": _pick(rng, MKTSEGMENTS, n),
+        }
+    )
+
+
+def gen_orders(rng: np.random.Generator, n: int, n_cust: int) -> pa.Table:
+    return pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+            "o_custkey": pa.array(rng.integers(0, n_cust, n).astype(np.int64)),
+            "o_orderstatus": _pick(rng, ORDERSTATUS, n),
+            "o_totalprice": pa.array(np.round(rng.uniform(1000.0, 500000.0, n), 2)),
+            "o_orderdate": _day_us(rng, "1995-01-01", "2001-08-01", n),
+            "o_orderpriority": _pick(rng, PRIORITIES, n),
+        }
+    )
+
+
+def gen_lineitem(rng: np.random.Generator, n: int, n_orders: int) -> pa.Table:
+    return pa.table(
+        {
+            "l_orderkey": pa.array(rng.integers(0, n_orders, n).astype(np.int64)),
+            "l_partkey": pa.array(rng.integers(0, max(1, n // 30), n).astype(np.int64)),
+            "l_suppkey": pa.array(rng.integers(0, max(1, n // 600), n).astype(np.int64)),
+            "l_linenumber": pa.array(rng.integers(1, 8, n).astype(np.int32)),
+            "l_quantity": pa.array(rng.integers(1, 51, n).astype(np.float64)),
+            "l_extendedprice": pa.array(np.round(rng.uniform(900.0, 105000.0, n), 2)),
+            "l_discount": pa.array(np.round(rng.integers(0, 11, n) * 0.01, 2)),
+            "l_tax": pa.array(np.round(rng.integers(0, 9, n) * 0.01, 2)),
+            "l_returnflag": _pick(rng, RETURNFLAGS, n),
+            "l_linestatus": _pick(rng, LINESTATUS, n),
+            "l_shipdate": _day_us(rng, "1995-01-02", "2001-11-04", n),
+        }
+    )
+
+
+def gen_nation() -> pa.Table:
+    return pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(25, dtype=np.int32)),
+            "n_name": pa.array([f"NATION_{i}" for i in range(25)], pa.string()),
+            "n_regionkey": pa.array((np.arange(25) % 5).astype(np.int32)),
+        }
+    )
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -136,9 +242,20 @@ def main() -> None:
     pq.write_table(
         gen_events(rng, n_events, n_users), os.path.join(out, "events.parquet")
     )
+    trng = np.random.default_rng(TPCH_SEED)
+    n_cust, n_orders, n_li = N_CUSTOMER * scale, N_ORDERS * scale, N_LINEITEM * scale
+    pq.write_table(gen_customer(trng, n_cust), os.path.join(out, "customer.parquet"))
+    pq.write_table(
+        gen_orders(trng, n_orders, n_cust), os.path.join(out, "orders.parquet")
+    )
+    pq.write_table(
+        gen_lineitem(trng, n_li, n_orders), os.path.join(out, "lineitem.parquet")
+    )
+    pq.write_table(gen_nation(), os.path.join(out, "nation.parquet"))
     print(
         f"wrote {out}/documents.parquet ({n_docs} docs), embeddings.parquet "
-        f"({n_vecs} vecs), events.parquet ({n_events} events)"
+        f"({n_vecs} vecs), events.parquet ({n_events} events), "
+        f"customer/orders/lineitem ({n_cust}/{n_orders}/{n_li}), nation (25)"
     )
 
 
