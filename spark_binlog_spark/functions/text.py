@@ -323,48 +323,91 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     the most frequent word bigram.  High values flag degenerate /
     template text that length- and stopword-based scores miss.
 
-    Plan: one explode + one combiner-friendly (doc, term) count + one
-    per-doc max — two partial-aggregated shuffles keyed by doc, the
-    standard scalable shape (no per-doc collect, no Python).
-    """
-    # words array materialized in its own projection — an inline split
-    # captured by the bigram transform lambda below would be re-split
-    # once per element (no CSE inside HOF lambdas; see
-    # dedup.shingles_of_words, measured at the sf10 rung)
-    base = df.select("doc_id", F.split(F.col(text_col), " ").alias("__w"))
-    w = F.col("__w")
-    # word counts (NOT distinct — frequency is the point)
-    words_df = base.select("doc_id", F.explode(w).alias("term"))
-    # bigram counts, non-distinct: i in 1..len-1, join adjacent words
-    idx = F.when(F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)).otherwise(
-        F.array().cast("array<int>")
+    Every signal is PER-DOCUMENT, so the explode + two (doc, term)
+    partial-aggregated shuffles of the original form were pure
+    overhead (~110M grouped rows at the sf10 rung, 92.6 s — the
+    slowest linear sweep survivor).  r14: VECTORIZED numpy over Arrow
+    batches, no shuffle at all — factorize a batch's words once
+    (C-side hash; word identity is Python str equality == Spark binary
+    string equality), read per-doc top counts off one lexsort +
+    reduceat, and count adjacent word-code pairs the same way for
+    bigrams (words are split on ' ' so they contain no spaces — the
+    pair IS the old ``concat_ws(' ', a, b)`` identity).
+    floor((top/n)·10000) is evaluated in float64 in the same operation
+    order as the Catalyst and DuckDB forms.  Rows with NULL text are
+    dropped (the old explode dropped them)."""
+    out_schema = (
+        "doc_id long, n_words long, top_word_frac4 long, top_bigram_frac4 long"
     )
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)))
-    bigrams_df = base.select("doc_id", F.explode(grams).alias("term"))
 
-    def top_frac(exploded, out_col):
-        per_term = exploded.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
-        return per_term.groupBy("doc_id").agg(
-            F.sum("c").alias("__n"),
-            F.max("c").alias("__top"),
-        ).select(
-            "doc_id",
-            F.col("__n").alias(out_col.replace("_frac4", "_n")),
-            F.floor(F.col("__top") / F.col("__n") * 10000).cast("long").alias(out_col),
-        )
+    def stats(batches):
+        import itertools
 
-    tw = top_frac(words_df, "top_word_frac4")
-    tb = top_frac(bigrams_df, "top_bigram_frac4")
-    # left join: docs with < 2 words have no bigrams -> null-safe zeros
-    return (
-        tw.join(tb, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("top_word_n").alias("n_words"),
-            "top_word_frac4",
-            F.coalesce(F.col("top_bigram_frac4"), F.lit(0)).cast("long").alias("top_bigram_frac4"),
-        )
-    )
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf[pdf[text_col].notna()]
+            nd = len(pdf)
+            if nd == 0:
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            # Python str.split(' ') == Java regex split(" ", -1) for a
+            # metachar-free single-char pattern (keeps interior and
+            # trailing empties; "" -> [""]) — so every doc has >= 1 word
+            words = [t.split(" ") for t in pdf[text_col]]
+            lens = np.fromiter((len(w) for w in words), np.int64, count=nd)
+            codes = pd.factorize(
+                np.fromiter(
+                    itertools.chain.from_iterable(words),
+                    dtype=object,
+                    count=int(lens.sum()),
+                )
+            )[0]
+            doc_idx = np.repeat(np.arange(nd, dtype=np.int64), lens)
+            # per-doc top word count: one lexsort -> run lengths ->
+            # per-doc max via reduceat (every doc has a run, so the
+            # reduceat output aligns 1:1 with docs in order)
+            order = np.lexsort((codes, doc_idx))
+            dw, cw = doc_idx[order], codes[order]
+            new = np.ones(dw.size, bool)
+            new[1:] = (dw[1:] != dw[:-1]) | (cw[1:] != cw[:-1])
+            run_counts = np.diff(np.flatnonzero(np.r_[new, True]))
+            run_doc = dw[new]
+            doc_start = np.ones(run_doc.size, bool)
+            doc_start[1:] = run_doc[1:] != run_doc[:-1]
+            top_w = np.maximum.reduceat(run_counts, np.flatnonzero(doc_start))
+            top_word_frac4 = np.floor(top_w / lens * 10000).astype(np.int64)
+            # bigrams: adjacent positions IN ORIGINAL ORDER within a doc
+            top_bigram_frac4 = np.zeros(nd, np.int64)
+            adj = doc_idx[1:] == doc_idx[:-1]
+            b1, b2, bd = codes[:-1][adj], codes[1:][adj], doc_idx[:-1][adj]
+            if b1.size:
+                order_b = np.lexsort((b2, b1, bd))
+                bd, b1, b2 = bd[order_b], b1[order_b], b2[order_b]
+                nb = np.ones(bd.size, bool)
+                nb[1:] = (
+                    (bd[1:] != bd[:-1]) | (b1[1:] != b1[:-1]) | (b2[1:] != b2[:-1])
+                )
+                brun_counts = np.diff(np.flatnonzero(np.r_[nb, True]))
+                brun_doc = bd[nb]
+                bdoc_start = np.ones(brun_doc.size, bool)
+                bdoc_start[1:] = brun_doc[1:] != brun_doc[:-1]
+                docs_b = brun_doc[np.flatnonzero(bdoc_start)]
+                top_b = np.maximum.reduceat(brun_counts, np.flatnonzero(bdoc_start))
+                top_bigram_frac4[docs_b] = np.floor(
+                    top_b / (lens[docs_b] - 1) * 10000
+                ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_words": lens,
+                    "top_word_frac4": top_word_frac4,
+                    "top_bigram_frac4": top_bigram_frac4,
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(stats, out_schema)
 
 
 def stratified_hash_sample(

@@ -96,6 +96,101 @@ def grid_range_join(
     )
 
 
+def interval_overlap_count(
+    intervals: DataFrame,
+    on: list[str],
+    lo_col: str,
+    hi_col: str,
+    grid: float,
+    out_col: str = "n_overlaps",
+) -> DataFrame:
+    """#overlapping unordered pairs (a.lo < b.hi AND b.lo < a.hi) per
+    key WITHOUT materializing the pairs (r14 — the grid_range_count
+    lesson applied to the self-overlap query): TRUE-overlap volume
+    grows ~n² with density, so at the sf10 events fixture
+    q_interval_overlap's pair stream was the slowest sweep survivor
+    (110 s) and no grid width can fix a pair relation that size.  A
+    per-key COUNT needs no pairs:
+
+      overlaps = C(n, 2) - disjoint
+
+    and a disjoint unordered pair (hi_a <= lo_b OR hi_b <= lo_a) has
+    exactly ONE ordering with hi_a <= lo_b when widths are positive,
+    so ``disjoint = Σ_x #(y: hi_y <= lo_x)`` — a prefix count of hi
+    values at each lo endpoint, distributed exactly like
+    grid_range_count: per-(key, cell) hi counts + a cells-bounded
+    per-key prefix window, then in-cell <=-counts via ONE union window
+    partitioned by (key, cell) where hi POINTS sort BEFORE
+    equal-valued lo ENDPOINTS (<= must count ties).  Shuffle volume
+    is O(n) at any density; cells are grid-balanced so no window
+    partition is corpus-sized.
+
+    Caller contract: every interval has hi > lo (a pair of zero-width
+    intervals at one point is disjoint in BOTH orders and would
+    double-subtract).  Returns (*on, ``out_col``) for keys with at
+    least one overlapping pair — the same relation as the pair join's
+    ``groupBy(key).count()``."""
+    from pyspark.sql import Window
+
+    def cell_of(c):
+        return F.floor(c / grid).cast("long")
+
+    pts = intervals.select(
+        *on, F.col(hi_col).alias("__v"), cell_of(F.col(hi_col)).alias("__cell")
+    )
+    ends = intervals.select(
+        *on, F.col(lo_col).alias("__v"), cell_of(F.col(lo_col)).alias("__cell")
+    )
+    # 1. per-cell hi counts + per-key prefix over cells (cells-bounded)
+    cellcnt = pts.groupBy(*on, "__cell").agg(F.count("*").alias("__c"))
+    allcells = (
+        cellcnt.select(*on, "__cell")
+        .unionByName(ends.select(*on, "__cell"))
+        .distinct()
+    )
+    wcum = Window.partitionBy(*on).orderBy("__cell").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = (
+        allcells.join(cellcnt, [*on, "__cell"], "left")
+        .select(*on, "__cell", F.coalesce(F.col("__c"), F.lit(0)).alias("__c"))
+        .select(
+            *on,
+            "__cell",
+            F.coalesce(F.sum("__c").over(wcum), F.lit(0)).alias("__before"),
+        )
+    )
+    # 2. in-cell <=-counts: hi points sort BEFORE equal-valued lo
+    # endpoints (desc on __isp), so the running point count read off an
+    # endpoint row is exactly #(hi <= lo) within the cell
+    u = pts.select(*on, "__cell", "__v", F.lit(1).alias("__isp")).unionByName(
+        ends.select(*on, "__cell", "__v", F.lit(0).alias("__isp"))
+    )
+    wcell = Window.partitionBy(*on, "__cell").orderBy(
+        "__v", F.desc("__isp")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    le = (
+        u.withColumn("__le", F.sum("__isp").over(wcell))
+        .filter(F.col("__isp") == 0)
+        .select(*on, "__cell", "__le")
+    )
+    # 3. endpoint total = in-cell + before-cell; C(n,2) - Σ totals
+    disjoint = (
+        le.join(F.broadcast(prefix), [*on, "__cell"])
+        .groupBy(*on)
+        .agg(F.sum(F.col("__le") + F.col("__before")).alias("__disjoint"))
+    )
+    n = intervals.groupBy(*on).agg(F.count("*").alias("__n"))
+    return (
+        n.join(disjoint, on)
+        .select(
+            *on,
+            (F.expr("__n * (__n - 1) div 2") - F.col("__disjoint")).alias(out_col),
+        )
+        .filter(F.col(out_col) > 0)
+    )
+
+
 def grid_range_count(
     points: DataFrame,
     intervals: DataFrame,

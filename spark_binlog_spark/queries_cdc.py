@@ -1446,32 +1446,27 @@ GROUP BY pt.table_name, iv.interval_offset
 
 
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval×interval overlap join, both sides large: which insert
-    windows [value, value+2) overlap each other per table.  Same grid
-    shuffle as q_grid_range_join, with the dedup-free CELL-OWNERSHIP
-    trick — a pair is emitted only in the first shared cell, so no
-    distinct pass despite intervals sharing many cells."""
-    from spark_binlog_spark.operators.rangejoin import grid_interval_overlap
+    """How many pairs of insert windows [value, value+2) overlap, per
+    table — both sides large.  r14 reshape (the q_grid_range_join
+    lesson applied to self-overlap): true-overlap volume grows ~n²
+    with density, and this was the slowest sf10 sweep survivor (110 s)
+    as a pair stream.  A per-table COUNT needs no pairs — C(n,2) minus
+    a distributed prefix count of disjoint orderings
+    (operators/rangejoin.py interval_overlap_count: O(n) shuffle at
+    any density).  The pair-LISTING operator ``grid_interval_overlap``
+    stays for consumers that need the matched pairs."""
+    from spark_binlog_spark.operators.rangejoin import interval_overlap_count
 
     _pin(spark)
-    iv = changes_df(spark, sf_dir).filter(F.col("op") == "insert")
-    a = iv.select(
+    iv = changes_df(spark, sf_dir).filter(F.col("op") == "insert").select(
         "table_name",
-        F.col("cdc_offset").alias("off_a"),
-        F.col("value").alias("lo_a"),
-        (F.col("value") + F.lit(2.0)).alias("hi_a"),
+        F.col("value").alias("lo"),
+        (F.col("value") + F.lit(2.0)).alias("hi"),
     )
-    b = iv.select(
-        "table_name",
-        F.col("cdc_offset").alias("off_b"),
-        F.col("value").alias("lo_b"),
-        (F.col("value") + F.lit(2.0)).alias("hi_b"),
+    return interval_overlap_count(
+        iv, on=["table_name"], lo_col="lo", hi_col="hi", grid=2.0,
+        out_col="n_overlaps",
     )
-    pairs = grid_interval_overlap(
-        a, b, on=["table_name"], lo_a="lo_a", hi_a="hi_a", lo_b="lo_b", hi_b="hi_b",
-        grid=2.0,
-    ).filter(F.col("off_a") < F.col("off_b"))
-    return pairs.groupBy("table_name").agg(F.count("*").alias("n_overlaps"))
 
 
 ORACLE["q_interval_overlap"] = f"""

@@ -200,12 +200,19 @@ class TestTrainingDataOps:
         assert "BatchEvalPython" not in plan
 
     def test_chunking_and_compressibility_are_pure_scans(self, spark):
-        """q_chunk_documents / q_compressibility claim scan speed —
-        their plans must contain NO exchange, NO join, NO Python: a
-        refactor that sneaks in a shuffle fails here, not at 100 TB."""
-        from spark_binlog_spark.queries_ext import q_chunk_documents, q_compressibility
+        """q_chunk_documents / q_compressibility / q_repetition claim
+        scan speed — their plans must contain NO exchange, NO join, NO
+        row-wise Python: a refactor that sneaks in a shuffle fails
+        here, not at 100 TB.  (q_repetition joined the battery in r14
+        when its two per-doc (doc, term) shuffles collapsed into the
+        Arrow kernel — all its signals are per-document.)"""
+        from spark_binlog_spark.queries_ext import (
+            q_chunk_documents,
+            q_compressibility,
+            q_repetition,
+        )
 
-        for fn in (q_chunk_documents, q_compressibility):
+        for fn in (q_chunk_documents, q_compressibility, q_repetition):
             plan = _physical(fn(spark, SF_TEST))
             assert "Exchange" not in plan
             assert "Join" not in plan
@@ -811,12 +818,6 @@ class TestLambdaCaptureHygiene:
 
         docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
         self._assert_no_split_in_lambda(positional_shingles(docs))
-
-    def test_repetition_bigrams(self, spark):
-        from spark_binlog_spark.functions.text import repetition_signals
-
-        docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
-        self._assert_no_split_in_lambda(repetition_signals(docs))
 
     def test_chunk_documents(self, spark):
         from spark_binlog_spark.functions.text import chunk_documents

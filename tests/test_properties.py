@@ -281,6 +281,51 @@ class TestSimhashSummaryModel:
             assert got[d] == (min(near), len(near)), d
 
 
+class TestRepetitionKernelModel:
+    def test_matches_counter_model(self, spark):
+        """repetition_signals (r14 Arrow kernel — replaced the two
+        per-doc (doc, term) shuffles) vs a brute-force Counter model on
+        seeded random texts plus the edge cases the old explode form
+        defined: empty text ('' splits to one empty token), single
+        word (no bigrams -> 0), consecutive/trailing spaces (empty
+        tokens are real tokens), all-same-word docs (frac 10000), and
+        a NULL text row (dropped, as explode dropped it)."""
+        import random
+        from collections import Counter
+        from math import floor
+
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions.text import repetition_signals
+
+        rng = random.Random(77)
+        vocab = ["a", "bb", "ccc", "é", "\U0001f600", ""]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+            for _ in range(120)
+        ]
+        texts += ["", "solo", "x x x x", "a  b ", "tie tie toe toe"]
+        rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        rows.append(Row(doc_id=10_000, text=None))
+
+        got = {
+            r["doc_id"]: (r["n_words"], r["top_word_frac4"], r["top_bigram_frac4"])
+            for r in repetition_signals(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            ).collect()
+        }
+
+        expected = {}
+        for i, t in enumerate(texts):
+            words = t.split(" ")
+            n = len(words)
+            wf = floor(max(Counter(words).values()) / n * 10000)
+            bigrams = Counter(zip(words, words[1:]))
+            bf = floor(max(bigrams.values()) / (n - 1) * 10000) if bigrams else 0
+            expected[i] = (n, wf, bf)
+        assert got == expected  # null-text row absent on both sides
+
+
 class TestAsofJoinModel:
     def test_matches_python_reference_model_on_seeded_random(self, spark):
         """asof_join vs a brute-force python reference on one seeded

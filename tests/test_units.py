@@ -787,6 +787,51 @@ class TestIntervalOverlap:
         # ia=2 overlaps ib=10; ia=3 overlaps ib=10 (20 < 30, 6 < 22)
         assert got == [(1, 10), (2, 10), (3, 10)]
 
+    def test_overlap_count_matches_brute_force(self, spark):
+        """interval_overlap_count (r14 — the linear-shuffle count form
+        that replaced the pair stream in q_interval_overlap after the
+        sf10 rung measured it as the slowest survivor) must equal the
+        brute-force unordered-pair count on adversarial data: hi==lo
+        touching ties (NOT overlaps), duplicate intervals, a
+        single-interval key, an all-disjoint key (absent from the
+        output), and mixed widths across many cells."""
+        import itertools
+        import random
+
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.operators.rangejoin import interval_overlap_count
+
+        rng = random.Random(23)
+        rows = [
+            Row(k=rng.choice("ab"),
+                lo=(lo := round(rng.uniform(0, 20), 1)),
+                hi=round(lo + rng.choice([0.5, 2.0, 2.0, 7.3]), 1))
+            for _ in range(200)
+        ]
+        rows += [Row(k="solo", lo=1.0, hi=3.0)]                    # C(1,2)=0
+        rows += [Row(k="gap", lo=float(4 * i), hi=float(4 * i + 2))  # touch-free
+                 for i in range(5)]
+        rows += [Row(k="touch", lo=0.0, hi=2.0), Row(k="touch", lo=2.0, hi=4.0)]
+        want = {}
+        for key, grp in itertools.groupby(
+            sorted(rows, key=lambda r: r.k), key=lambda r: r.k
+        ):
+            g = list(grp)
+            n = sum(
+                1 for x, y in itertools.combinations(g, 2)
+                if x.lo < y.hi and y.lo < x.hi
+            )
+            if n:
+                want[key] = n
+        out = interval_overlap_count(
+            spark.createDataFrame(rows), on=["k"], lo_col="lo", hi_col="hi",
+            grid=2.0,
+        )
+        got = {r["k"]: r["n_overlaps"] for r in out.collect()}
+        assert got == want
+        assert "solo" not in got and "gap" not in got and "touch" not in got
+
 
 class TestRealMediaGating:
     def _media(self, spark):
