@@ -282,6 +282,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # q_vocab_coverage (r11-r13 green; vocabulary shape: q_stream_bpe's
 # store + q_bpe_merges), q_hll_union (r10-r13 green; register-merge
 # shape: q_stream_quantiles keeps the additive-sketch family graded).
+#
+# Round-14 late rotation (same-round reshapes get graded on their NEW
+# forms, the r13 ask-#2 precedent): q_grid_range_join and
+# q_interval_overlap both moved from pair enumeration to linear-
+# shuffle prefix-count plans this round (rangejoin.py
+# grid_range_count / interval_overlap_count; q_grid_range_join's
+# OUTPUT changed pair-rows -> counts, so its last green row graded
+# the old relation) — both rotate in so the driver grades the
+# reshaped forms.  Swapped OUT, each >=2 cumulative green rows,
+# shape-covered: q_multimodal_meta (green r10-r13; the header probe
+# runs inside q_multimodal_frames' decode and q_audio_probe stays),
+# q_chunk_documents (green r12-r13; pure-scan window layout,
+# plan-gated + parity-checked every session).
 PRIORITY = [
     # --- tier 1: operator rows -------------------------------------
     "q_stream_scd2",            # D3 generalization: incremental SCD2 sink
@@ -323,8 +336,11 @@ PRIORITY = [
     "q_stream_bpe",             # BPE trained off the streamed word-frequency store
                                 # (r9 new; oracle = q_bpe_learn's, so it grades the
                                 # learner AND the incremental vocabulary maintenance)
-    "q_multimodal_meta",        # binary header probe: format/dims/codec from
-                                # magic bytes, no decode (r10 swap-in)
+    "q_grid_range_join",        # r14 RESHAPED: large×large range containment
+                                # as a linear-shuffle prefix-count difference
+                                # (grid_range_count) — output changed
+                                # pair-rows -> counts, so the new relation
+                                # needs its own driver row
     "q_multimodal_frames",      # dependency-free decode via Arrow-batched
                                 # mapInPandas + per-frame stats (r10 swap-in)
     "q_repeated_spans",         # exact-substring analogue: hashed-span
@@ -364,7 +380,10 @@ PRIORITY = [
                                 # update — graded once, then back to PARITY
     "q_compressibility",        # gzip-ratio analogue statistic; no other
                                 # graded oracle recomputes it
-    "q_chunk_documents",        # overlapping-window chunk layout (RAG chunking)
+    "q_interval_overlap",       # r14 RESHAPED: interval self-overlap counts
+                                # via C(n,2) - disjoint prefix counts
+                                # (interval_overlap_count, O(n) shuffle) —
+                                # graded on the new plan
     "q_embedding_dedup_multitable",  # vector admission across MULTIPLE source
                                 # tables — the multi-table variant of the
                                 # single-table q_stream_neardup_dedup row
@@ -538,7 +557,12 @@ TAIL = [
     "q_power_projection",       # r9 swap-out (green r07+r08 rows; shape: q_stream_kmeans/q_ivfadc_trained_topk training)
     "q_bootstrap_snapshot",     # r8 swap-out (green r01+ rows; shape: q_snapshot_union + S1 row)
     "q_asof_enrich",            # r8 swap-out (green r01+ rows; shape: q_latest_image windows)
-    "q_grid_range_join",        # r8 swap-out (green r01+ rows; shape: banded joins in dedup family)
+    "q_multimodal_meta",        # r14 swap-out (green r10-r13; header probe
+                                # runs inside q_multimodal_frames' decode;
+                                # q_audio_probe stays graded)
+    "q_chunk_documents",        # r14 swap-out (green r12-r13; pure-scan
+                                # window layout, plan-gated + parity-checked
+                                # every session)
     "q_pricing_summary",        # r8 swap-out (green r01+ rows; shape: q_change_counts/q_corpus_report)
     "q_user_sessions",          # r8 swap-out (green r01+ rows; shape: q_stream_mv_maintain windows)
     "q_offset_gaps",            # r8 swap-out (green r01+ rows; shape: q_monotonic_dedup lag windows)
@@ -578,7 +602,6 @@ TAIL = [
     "q_boilerplate_shingles",
     "q_stream_enriched_counts",
     "q_range_band",
-    "q_interval_overlap",
     "q_retained_keys",
     "q_latest_image_composite",
     "q_change_counts_sliding",
