@@ -1333,6 +1333,104 @@ def semdedup(
     )
 
 
+def semantic_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    min_cosine4: int = 5000,
+    vec_col: str = "embedding",
+    kernel: bool = True,
+) -> DataFrame:
+    """SEMANTIC decontamination: corpus vectors whose embedding is
+    close (quantized cosine4 >= ``min_cosine4``) to ANY benchmark/eval
+    vector — the embedding-space member of the decontamination family
+    (the n-gram sweep, bloom filter, and positional spans in
+    functions/dedup.py are the lexical members; PARAPHRASED eval
+    leakage defeats all three, cosine does not).
+
+    Output: one row per CONTAMINATED corpus vector —
+    (vec_id, n_bench_hits, best_bench_id, best_c4) — bounded by the
+    corpus at any scale.  Ties on best_c4 resolve to the smallest
+    bench_id (the assign_to_centroids convention).
+
+    Plan: the benchmark side is eval-set-sized, so it collects ONCE
+    (the ASSIGN_COLLECT_MAX gate) and every Arrow batch of the corpus
+    scores as a single float64 matmul against the shared closure
+    matrix — no shuffle at all, the measured kernel-wins shape (PERF
+    r14: operands ship once in the closure; every dot is an integer
+    < 2^53, so float64 is exact).  Above the gate or with
+    ``kernel=False``, a broadcast cross join + Catalyst int_dot
+    computes the identical relation (one exchange for the per-vector
+    aggregate; the property test pins the two paths equal)."""
+    base = with_quantized(df, vec_col)
+    bench = with_quantized(benchmark, vec_col).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("q").alias("bq"),
+        F.col("norm").alias("bnorm"),
+    )
+    rows = _collect_bounded(bench, ASSIGN_COLLECT_MAX) if kernel else None
+    if rows is None:
+        scored = (
+            base.join(F.broadcast(bench), how="cross")
+            .select(
+                "vec_id",
+                "bench_id",
+                cosine4(
+                    int_dot(F.col("q"), F.col("bq")), F.col("norm"), F.col("bnorm")
+                ).alias("c4"),
+            )
+            .filter(F.col("c4") >= min_cosine4)
+        )
+        agg = scored.groupBy("vec_id").agg(
+            F.count("*").alias("n_bench_hits"),
+            F.max(
+                F.struct(F.col("c4").alias("c4"), (-F.col("bench_id")).alias("nbid"))
+            ).alias("b"),
+        )
+        return agg.select(
+            "vec_id",
+            "n_bench_hits",
+            (-F.col("b.nbid")).alias("best_bench_id"),
+            F.col("b.c4").alias("best_c4"),
+        )
+
+    import numpy as np
+
+    out_schema = "vec_id long, n_bench_hits long, best_bench_id long, best_c4 long"
+    if not rows:
+        # empty benchmark: nothing can be contaminated
+        return df.sparkSession.createDataFrame([], out_schema)
+    rows = sorted(rows, key=lambda r: r["bench_id"])  # argmax tie -> smallest id
+    bids = np.array([r["bench_id"] for r in rows], dtype=np.int64)
+    bmat = np.stack([np.asarray(r["bq"], dtype=np.float64) for r in rows])
+    bnorm = np.array([r["bnorm"] for r in rows], dtype=np.float64)
+
+    def kern(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["q"]])
+            norms = pdf["norm"].to_numpy(dtype=np.float64)
+            c4 = _np_cosine4(qmat @ bmat.T, norms[:, None], bnorm[None, :])
+            n_hits = (c4 >= min_cosine4).sum(axis=1)
+            keep = n_hits > 0
+            if not keep.any():
+                continue
+            c4k = c4[keep]
+            best = np.argmax(c4k, axis=1)  # first max = smallest bench_id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "n_bench_hits": n_hits[keep].astype(np.int64),
+                    "best_bench_id": bids[best],
+                    "best_c4": c4k[np.arange(len(best)), best].astype(np.int64),
+                }
+            )
+
+    return base.select("vec_id", "q", "norm").mapInPandas(kern, out_schema)
+
+
 def hard_negatives(
     df: DataFrame, n_anchors: int = 5, k: int = 3, vec_col: str = "embedding"
 ) -> DataFrame:

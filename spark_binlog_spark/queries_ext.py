@@ -3568,6 +3568,61 @@ FROM s
 """
 
 
+# ------------------------------------------------- semantic decontamination
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination: corpus vectors whose
+    cosine to ANY held-out benchmark vector is >= 0.25 — the
+    paraphrase-robust member of the decontamination family
+    (q_decontaminate / q_bloom_decontaminate / q_decontaminate_spans
+    are the lexical members; reworded eval leakage defeats n-grams but
+    not cosine).  The benchmark set is the deterministic
+    ``vec_id % 89 == 0`` slice CAPPED at 256 vectors (vec_id < 22784)
+    — a real eval set is FIXED-SIZE, so the benchmark must not grow
+    with the corpus or the matmul turns O(n²); capped, the sweep is
+    one linear corpus pass at any scale.  Output is one row per
+    contaminated corpus vector with its hit
+    count and best-matching benchmark id.  (Threshold 0.25 is
+    data-derived: the synthetic embeddings are noise-dominated unit
+    vectors — the max corpus-vs-benchmark cosine at sf0.01 is 0.379,
+    and 2500 marks the top ~16% as contaminated; a real pipeline
+    would run ~0.9 on trained-encoder embeddings.)  Scale shape: the
+    benchmark collects once and the corpus scores in a single
+    shuffle-free Arrow matmul pass
+    (similarity.semantic_decontaminate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_bench = (F.col("vec_id") % 89 == 0) & (F.col("vec_id") < 89 * 256)
+    bench = emb.filter(is_bench)
+    corpus = emb.filter(~is_bench)
+    return similarity.semantic_decontaminate(corpus, bench, min_cosine4=2500)
+
+
+ORACLE["q_semantic_decontaminate"] = f"""
+WITH quant AS ({_QUANT_SQL}),
+base0 AS ({_NORM_SQL}),
+bench AS (SELECT vec_id AS bench_id, q AS bq, norm AS bnorm
+          FROM base0 WHERE vec_id % 89 = 0 AND vec_id < 22784),
+corpus AS (SELECT * FROM base0 WHERE NOT (vec_id % 89 = 0 AND vec_id < 22784)),
+scored AS (
+  SELECT c.vec_id, b.bench_id,
+         CAST(floor(
+           CAST(CAST(list_sum([c.q[i] * b.bq[i] for i in generate_series(1, len(c.q))]) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(c.norm AS DOUBLE) * CAST(b.bnorm AS DOUBLE)) * 10000) AS BIGINT) AS c4
+  FROM corpus c CROSS JOIN bench b
+),
+hits AS (SELECT * FROM scored WHERE c4 >= 2500),
+agg AS (
+  SELECT vec_id, count(*) AS n_bench_hits, max(c4) AS best_c4
+  FROM hits GROUP BY vec_id
+)
+SELECT a.vec_id,
+       CAST(a.n_bench_hits AS BIGINT) AS n_bench_hits,
+       CAST(min(h.bench_id) AS BIGINT) AS best_bench_id,
+       CAST(a.best_c4 AS BIGINT) AS best_c4
+FROM agg a JOIN hits h ON h.vec_id = a.vec_id AND h.c4 = a.best_c4
+GROUP BY a.vec_id, a.n_bench_hits, a.best_c4
+"""
+
+
 # ---------------------------------------------------------------- hard negatives
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: for each anchor embedding, the

@@ -292,9 +292,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the old relation) — both rotate in so the driver grades the
 # reshaped forms.  Swapped OUT, each >=2 cumulative green rows,
 # shape-covered: q_multimodal_meta (green r10-r13; the header probe
-# runs inside q_multimodal_frames' decode and q_audio_probe stays),
+# runs inside the perceptual dedup decodes and q_audio_probe stays),
 # q_chunk_documents (green r12-r13; pure-scan window layout,
 # plan-gated + parity-checked every session).
+#
+# Round-14 late addition: q_semantic_decontaminate (NEW) enters the
+# prefix — embedding-space decontamination, the paraphrase-robust
+# member of the decontamination family the lexical sweeps
+# (q_decontaminate / q_bloom_decontaminate / q_decontaminate_spans)
+# cannot provide.  Swapped OUT: q_multimodal_frames (green r10-r13,
+# 4 rows; its Arrow decode machinery is graded twice via
+# q_image_near_dups + q_audio_near_dups' real decodes).
 PRIORITY = [
     # --- tier 1: operator rows -------------------------------------
     "q_stream_scd2",            # D3 generalization: incremental SCD2 sink
@@ -341,8 +349,11 @@ PRIORITY = [
                                 # (grid_range_count) — output changed
                                 # pair-rows -> counts, so the new relation
                                 # needs its own driver row
-    "q_multimodal_frames",      # dependency-free decode via Arrow-batched
-                                # mapInPandas + per-frame stats (r10 swap-in)
+    "q_semantic_decontaminate",  # r14 NEW: embedding-space decontamination —
+                                # the paraphrase-robust member of the family
+                                # (lexical n-gram/bloom/span sweeps stay
+                                # graded); benchmark collects once, corpus
+                                # scores in one shuffle-free Arrow matmul
     "q_repeated_spans",         # exact-substring analogue: hashed-span
                                 # frequency over the corpus (r10 swap-in)
     "q_bm25_search",            # batch BM25 ranking — the integer tf/idf
@@ -558,8 +569,13 @@ TAIL = [
     "q_bootstrap_snapshot",     # r8 swap-out (green r01+ rows; shape: q_snapshot_union + S1 row)
     "q_asof_enrich",            # r8 swap-out (green r01+ rows; shape: q_latest_image windows)
     "q_multimodal_meta",        # r14 swap-out (green r10-r13; header probe
-                                # runs inside q_multimodal_frames' decode;
+                                # runs inside the perceptual dedup decodes;
                                 # q_audio_probe stays graded)
+    "q_multimodal_frames",      # r14 swap-out (green r10-r13; the Arrow
+                                # decode machinery is graded twice via
+                                # q_image_near_dups + q_audio_near_dups'
+                                # REAL decodes, which consume the same
+                                # mapInPandas media path)
     "q_chunk_documents",        # r14 swap-out (green r12-r13; pure-scan
                                 # window layout, plan-gated + parity-checked
                                 # every session)

@@ -218,6 +218,20 @@ class TestTrainingDataOps:
             assert "Join" not in plan
             assert "BatchEvalPython" not in plan
 
+    def test_semantic_decontaminate_is_shuffle_free_kernel(self, spark):
+        """q_semantic_decontaminate: under the benchmark-collect gate
+        the corpus pass is ONE Arrow MapInPandas scan — no exchange,
+        no join, no row-wise Python (the benchmark matrix ships in the
+        kernel closure, the shared-collected-side shape where kernels
+        win; PERF r14)."""
+        from spark_binlog_spark.queries_ext import q_semantic_decontaminate
+
+        plan = _physical(q_semantic_decontaminate(spark, SF_TEST))
+        assert "MapInPandas" in plan
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan
+
     def test_vocab_coverage_topk_is_take_ordered(self, spark):
         """q_vocab_coverage: the vocabulary cut must be a distributed
         TakeOrderedAndProject over the (unbounded) word-count table —

@@ -205,6 +205,33 @@ class TestIntMatmulKernel:
         # the dup seeding must actually exercise drop verdicts
         assert any(not k for (_, _, k) in got)
 
+    def test_semantic_decontaminate_kernel_matches_catalyst(self, spark):
+        """semantic_decontaminate (r14 late: the embedding-space
+        decontamination sweep) — kernel vs broadcast-cross-join
+        fallback, bit-identical incl. the smallest-bench-id tie-break
+        (the corpus carries exact duplicates, so equal best_c4 against
+        two benchmark vectors occurs); empty-benchmark edge returns
+        zero rows on both paths."""
+        from pyspark.sql import functions as F
+
+        from spark_binlog_spark.functions import similarity as S
+
+        df = self._corpus(spark)
+        bench = df.filter(F.col("vec_id") % 7 == 0)
+        corpus = df.filter(F.col("vec_id") % 7 != 0)
+        for thr in (2500, 9999):
+            key = lambda r: tuple(r)
+            got = sorted(map(key, S.semantic_decontaminate(
+                corpus, bench, min_cosine4=thr, kernel=True).collect()))
+            want = sorted(map(key, S.semantic_decontaminate(
+                corpus, bench, min_cosine4=thr, kernel=False).collect()))
+            assert got == want
+            if thr == 2500:
+                assert got  # the dup seeding guarantees hits
+        empty = bench.filter(F.col("vec_id") < 0)
+        assert S.semantic_decontaminate(corpus, empty, kernel=True).count() == 0
+        assert S.semantic_decontaminate(corpus, empty, kernel=False).count() == 0
+
 
 class TestMinhashSummaryModel:
     def test_matches_bruteforce_one_hop_model(self, spark):
