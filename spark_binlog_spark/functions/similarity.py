@@ -104,29 +104,102 @@ def _resolve_planes(df: DataFrame, planes: int | None, vec_col: str) -> int:
 
 
 def brute_force_topk(
-    df: DataFrame, n_queries: int = 5, k: int = 10, vec_col: str = "embedding"
+    df: DataFrame, n_queries: int = 5, k: int = 10, vec_col: str = "embedding",
+    kernel: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k of each of the first ``n_queries`` vectors.
 
-    Output: query_id, vec_id, rank, cosine4.  Broadcast the query side;
-    the corpus is scanned once with no shuffle before the top-k window
-    (which partitions by query_id — n_queries partitions of k rows).
+    Output: query_id, vec_id, rank, cosine4.
+
+    Kernel path (default, r14): the query rows collect to the driver
+    (bounded by ASSIGN_COLLECT_MAX — n_queries is single digits in
+    every caller) and each Arrow batch of the corpus scores as ONE
+    float64 matmul, emitting only its LOCAL top-k per query.  Exact:
+    the (cosine4 desc, vec_id asc) total order makes top-k
+    distributive over batches, and the matmul/cosine4 arithmetic is
+    bit-equal to the Catalyst expression (kernel note above
+    ``assign_to_centroids``; pinned in tests/test_properties.py).
+    The final window then ranks ~n_batches*k rows per query instead
+    of shuffling the ENTIRE scored corpus into n_queries single-task
+    partitions — the fallback's per-query sort is the straggler shape
+    the skew section of every tuning guide warns about, and each of
+    its corpus*n_queries rows paid a 64-element interpreted int_dot.
+
+    Fallback (kernel=False or an oversized query side): broadcast the
+    query side; the corpus is scanned once with no shuffle before the
+    top-k window (n_queries partitions, each sorting the corpus).
     """
     from pyspark.sql import Window
 
     base = with_quantized(df, vec_col)
-    queries = F.broadcast(
-        base.filter(F.col("vec_id") < n_queries)
-        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("norm").alias("qnorm"))
+    corpus = base.filter(F.col("vec_id") >= n_queries)
+    qrel = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("norm").alias("qnorm")
     )
-    scored = queries.join(base.filter(F.col("vec_id") >= n_queries), how="cross").select(
-        "query_id",
-        "vec_id",
-        cosine4(int_dot(F.col("qq"), F.col("q")), F.col("qnorm"), F.col("norm")).alias("cosine4"),
-    )
+    rows = _collect_bounded(qrel, ASSIGN_COLLECT_MAX) if kernel else None
     w = Window.partitionBy("query_id").orderBy(F.col("cosine4").desc(), F.col("vec_id"))
+    if rows is None:
+        scored = F.broadcast(qrel).join(corpus, how="cross").select(
+            "query_id",
+            "vec_id",
+            cosine4(int_dot(F.col("qq"), F.col("q")), F.col("qnorm"), F.col("norm")).alias("cosine4"),
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine4")
+        )
+
+    import numpy as np
+
+    out_schema = "query_id long, vec_id long, rank long, cosine4 long"
+    if not rows:
+        return df.sparkSession.createDataFrame([], out_schema)
+    rows = sorted(rows, key=lambda r: r["query_id"])
+    q_ids = np.array([r["query_id"] for r in rows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["qq"], dtype=np.float64) for r in rows])
+    qnorm = np.array([r["qnorm"] for r in rows], dtype=np.float64)
+
+    def kern(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vids = pdf["vec_id"].to_numpy()
+            vmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["q"]])
+            norms = pdf["norm"].to_numpy(dtype=np.float64)
+            c4 = _np_cosine4(vmat @ qmat.T, norms[:, None], qnorm[None, :])
+            take = min(k, len(vids))
+            out_q, out_v, out_c = [], [], []
+            for j in range(len(q_ids)):
+                col = c4[:, j]
+                # batch-local exact top-k under the global total order:
+                # cosine4 desc, then vec_id asc for ties
+                order = np.lexsort((vids, -col))[:take]
+                out_q.append(np.full(take, q_ids[j], dtype=np.int64))
+                out_v.append(vids[order])
+                out_c.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cosine4": np.concatenate(out_c),
+                }
+            )
+
+    # spread BEFORE quantization: on an under-split local fixture both
+    # the interpreted quantize transform and the kernel would otherwise
+    # run in one scan task (parallelism is bounded by input splits, not
+    # cores); the repartition moves raw floats, the cheapest form
+    spread_corpus = with_quantized(
+        _spread_if_large(df.where(F.col("vec_id") >= n_queries)), vec_col
+    )
+    part = spread_corpus.select("vec_id", "q", "norm").mapInPandas(
+        kern, "query_id long, vec_id long, cosine4 long"
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        part.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine4")
     )
@@ -199,6 +272,33 @@ def _collect_bounded(rel: DataFrame, max_rows: int):
     """Rows of ``rel`` if it holds <= max_rows, else None (one job)."""
     rows = rel.limit(max_rows + 1).collect()
     return None if len(rows) > max_rows else rows
+
+
+# spread_small_input below this estimated input size is a LOSS for the
+# matmul kernels: at sf0.1 (1.3 MB of vectors) the 32-task Arrow
+# roundtrip costs ~+0.3 s per query vs the single-task kernel, while at
+# sf10 (51 MB, still ONE parquet file) the single task is the
+# bottleneck.  Size-gated so the local bench keeps its floor and the
+# under-split scale fixtures still parallelize; a real many-split table
+# never reaches the repartition either way (interleaved A/B, r14).
+KERNEL_SPREAD_MIN_BYTES = 24 << 20
+
+
+def _spread_if_large(df: DataFrame) -> DataFrame:
+    """Under-split mitigation for the Arrow kernels, size-gated.
+
+    The size probe is the optimized plan's sizeInBytes estimate (plan
+    metadata, no job); unknown/huge estimates err on the spread side —
+    spread_small_input itself still no-ops on well-split inputs."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable: fall through to the probe
+        size = 1 << 62
+    if size < KERNEL_SPREAD_MIN_BYTES:
+        return df
+    from spark_binlog_spark.functions.dedup import spread_small_input
+
+    return spread_small_input(df)
 
 
 def _np_cosine4(dots, na, nb):
@@ -283,7 +383,12 @@ def assign_to_centroids(
                 }
             )
 
-    return base.select("vec_id", "q", "norm").mapInPandas(kern, out_schema)
+    # under-split mitigation (local scale fixtures arrive as ONE parquet
+    # file, so the whole corpus-side matmul would run in one scan task
+    # on local[32]); size-gated — see KERNEL_SPREAD_MIN_BYTES
+    return _spread_if_large(base.select("vec_id", "q", "norm")).mapInPandas(
+        kern, out_schema
+    )
 
 
 def seed_centroids(base: DataFrame, n_centroids: int) -> DataFrame:
@@ -883,9 +988,15 @@ def _l2(a: Column, b: Column) -> Column:
     )
 
 
-def _pq_assign(subv: DataFrame, codebooks: DataFrame, kernel: bool = True) -> DataFrame:
+def _pq_assign(
+    subv: DataFrame, codebooks: DataFrame, kernel: bool = True,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Nearest codeword per (vec_id, sub) by integer L2, ties to the
-    smallest code id.
+    smallest code id.  ``carry`` names extra ``subv`` columns passed
+    through unchanged (ivfadc rides the cell id along so it is never
+    re-joined on vec_id afterwards — that join is a second
+    corpus-sized shuffle at real scale).
 
     Kernel path (default): the M x codes codebook rows collect to the
     driver (always tiny — gated anyway) and one mapInPandas pass
@@ -896,23 +1007,30 @@ def _pq_assign(subv: DataFrame, codebooks: DataFrame, kernel: bool = True) -> Da
     neither the (rows x codes) join explosion nor the per-(vec, sub)
     window shuffle.  Fallback (kernel=False or an oversized codebook):
     the original broadcast-join + window plan."""
+    carry = tuple(c for c in carry if c not in ("vec_id", "sub", "v"))
+    carry_schema = "".join(
+        f", {name} {subv.schema[name].dataType.simpleString()}" for name in carry
+    )
     rows = _collect_bounded(codebooks, ASSIGN_COLLECT_MAX) if kernel else None
     if rows is None:
         from pyspark.sql import Window
 
         scored = subv.join(F.broadcast(codebooks), "sub").select(
-            "vec_id", "sub", "v", "code", "cnorm", _l2(F.col("v"), F.col("cv")).alias("l2")
+            "vec_id", "sub", "v", "code", "cnorm", *carry,
+            _l2(F.col("v"), F.col("cv")).alias("l2"),
         )
         w = Window.partitionBy("vec_id", "sub").orderBy("l2", "code")
         return (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("vec_id", "sub", "v", "code", "cnorm")
+            .select("vec_id", "sub", "v", "code", "cnorm", *carry)
         )
 
     import numpy as np
 
-    out_schema = "vec_id long, sub int, v array<long>, code int, cnorm long"
+    out_schema = (
+        "vec_id long, sub int, v array<long>, code int, cnorm long" + carry_schema
+    )
     if not rows:
         return subv.sparkSession.createDataFrame([], out_schema)
     books: dict[int, tuple] = {}
@@ -955,18 +1073,21 @@ def _pq_assign(subv: DataFrame, codebooks: DataFrame, kernel: bool = True) -> Da
                 best = np.argmin(l2, axis=1)  # first min = smallest code
                 code[mask] = codes_ids[best]
                 cnorm[mask] = cns[best]
-            out = pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "sub": subs,
-                    "v": pdf["v"],
-                    "code": code,
-                    "cnorm": cnorm,
-                }
-            )
+            cols = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "sub": subs,
+                "v": pdf["v"],
+                "code": code,
+                "cnorm": cnorm,
+            }
+            for name in carry:
+                cols[name] = pdf[name]
+            out = pd.DataFrame(cols)
             yield out[keep] if not keep.all() else out
 
-    return subv.select("vec_id", "sub", "v").mapInPandas(kern, out_schema)
+    return _spread_if_large(subv.select("vec_id", "sub", "v", *carry)).mapInPandas(
+        kern, out_schema
+    )
 
 
 def pq_train(
@@ -1652,27 +1773,18 @@ def ivfadc_topk_with_recall(
             F.col("v").alias("cv"),
             int_dot(F.col("v"), F.col("v")).alias("cnorm"),
         )
-    # encode the corpus: nearest residual codeword per (vec, sub) —
-    # the _pq_assign argmin inlined so the cell id RIDES ALONG instead
-    # of being re-joined on vec_id afterwards (that join is a second
-    # corpus-sized shuffle at real scale; AQE hides it locally)
-    enc_scored = (
-        rsub.filter(F.col("vec_id") >= n_queries)
-        .join(F.broadcast(codebooks), "sub")
-        .select(
-            "vec_id",
-            "centroid_id",
-            "sub",
-            "code",
-            _l2(F.col("v"), F.col("cv")).alias("l2"),
-        )
-    )
-    w_enc = Window.partitionBy("vec_id", "sub").orderBy("l2", "code")
-    enc = (
-        enc_scored.withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", "sub", "code")
-    )
+    # encode the corpus: nearest residual codeword per (vec, sub) via
+    # the _pq_assign kernel with the cell id CARRIED THROUGH, so it is
+    # never re-joined on vec_id afterwards (that join is a second
+    # corpus-sized shuffle at real scale) — and neither the
+    # (rows x codes) join explosion nor the per-(vec, sub) window
+    # shuffle of the old inline argmin survives (r14: the window
+    # shuffled corpus*M rows into corpus*M single-row groups while
+    # every candidate paid an interpreted 8-element _l2)
+    enc = _pq_assign(
+        rsub.filter(F.col("vec_id") >= n_queries), codebooks,
+        carry=("centroid_id",),
+    ).select("vec_id", "centroid_id", "sub", "code")
 
     # broadcast side 1: (cell, sub, code) cross table for norms
     cent_sub = sub_explode(

@@ -599,8 +599,19 @@ def wal_blob_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
                         cells=cells,
                     )
                 )
+            # one blob per ~2k events, not per Arrow batch (r14): the
+            # blob is the parse-parallelism unit downstream — a 10k-row
+            # batch emitting ONE blob caps the sf0.1 parse at 10 tasks
+            # and the sf10 parse at ~100 regardless of cores
+            chunk = 2000
             yield _pd.DataFrame(
-                {"content": [write_wal_file(entries)]}, columns=["content"]
+                {
+                    "content": [
+                        write_wal_file(entries[i : i + chunk])
+                        for i in range(0, len(entries), chunk)
+                    ]
+                },
+                columns=["content"],
             )
 
     return ev.mapInPandas(synth, "content binary")
@@ -621,25 +632,39 @@ def wal_parse_rollup(blobs: DataFrame) -> DataFrame:
         )
 
         for pdf in batches:
-            rows = []
+            regions: list = []
+            seqnums: list = []
+            ops: list = []
+            rowkeys: list = []
+            n_cells: list = []
+            val_sums: list = []
             for blob in pdf["content"]:
                 for e in entries_to_events(read_wal_file(bytes(blob))):
-                    rows.append(
-                        {
-                            "region": e["region"].decode(),
-                            "seqnum": e["seqnum"],
-                            "op": e["op"],
-                            "rowkey": int(e["row"]),
-                            "n_cells": len(e["cells"]),
-                            "val_sum": sum(int(c.value) for c in e["cells"]),
-                        }
-                    )
+                    regions.append(e["region"].decode())
+                    seqnums.append(e["seqnum"])
+                    ops.append(e["op"])
+                    rowkeys.append(int(e["row"]))
+                    cells = e["cells"]
+                    n_cells.append(len(cells))
+                    val_sums.append(sum(int(c.value) for c in cells))
             yield _pd.DataFrame(
-                rows,
-                columns=["region", "seqnum", "op", "rowkey", "n_cells", "val_sum"],
+                {
+                    "region": regions,
+                    "seqnum": seqnums,
+                    "op": ops,
+                    "rowkey": rowkeys,
+                    "n_cells": n_cells,
+                    "val_sum": val_sums,
+                }
             )
 
-    events = blobs.mapInPandas(
+    from spark_binlog_spark.functions.dedup import spread_small_input
+
+    # parallelism is bounded by blob-file splits, not cores: the bench's
+    # cached blob table is ONE parquet file (the sf0.1 parse ran in one
+    # task, paying the whole 2.9 s single-threaded); redistribute the
+    # bounded blob rows once before the per-blob Arrow parse
+    events = spread_small_input(blobs).mapInPandas(
         parse,
         "region string, seqnum long, op string, rowkey long, "
         "n_cells long, val_sum long",

@@ -42,7 +42,7 @@ JPEG/FLAC decoders used (tests/test_properties.py).
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass
+from typing import NamedTuple
 
 PB_WAL_MAGIC = b"PWAL"
 PB_WAL_COMPLETE_MAGIC = b"LAWP"
@@ -142,8 +142,12 @@ def _read_delimited(data: bytes, i: int) -> tuple[bytes, int]:
 
 
 # -- cells ----------------------------------------------------------------
-@dataclass(frozen=True)
-class WalCell:
+# NamedTuples, not frozen dataclasses (r14): a frozen dataclass pays an
+# object.__setattr__ per field on EVERY construction, and the WAL parse
+# builds one WalCell per KeyValue — 30M at the sf10 rung.  Tuple
+# construction is ~4x cheaper; the API (positional/keyword init,
+# attribute reads, immutability, is_delete) is unchanged.
+class WalCell(NamedTuple):
     row: bytes
     family: bytes
     qualifier: bytes
@@ -156,8 +160,7 @@ class WalCell:
         return self.type_byte in _DELETE_TYPES
 
 
-@dataclass(frozen=True)
-class WalEntry:
+class WalEntry(NamedTuple):
     region: bytes
     table: bytes
     seqnum: int
@@ -282,13 +285,17 @@ def entries_to_events(entries: list[WalEntry]) -> list[dict]:
     events: list[dict] = []
     for e in entries:
         run_cells: list[WalCell] = []
-
-        def flush():
-            if run_cells:
+        run_row = b""
+        run_del = False
+        for c in e.cells:
+            if c.family == METAFAMILY:
+                continue
+            is_del = c.type_byte in _DELETE_TYPES
+            if run_cells and (c.row != run_row or is_del != run_del):
                 events.append(
                     {
-                        "op": "delete" if run_cells[0].is_delete else "put",
-                        "row": run_cells[0].row,
+                        "op": "delete" if run_del else "put",
+                        "row": run_row,
                         "region": e.region,
                         "table": e.table,
                         "seqnum": e.seqnum,
@@ -296,17 +303,22 @@ def entries_to_events(entries: list[WalEntry]) -> list[dict]:
                         "cells": tuple(run_cells),
                     }
                 )
-                run_cells.clear()
-
-        for c in e.cells:
-            if c.family == METAFAMILY:
-                continue
-            if run_cells and (
-                c.row != run_cells[0].row or c.is_delete != run_cells[0].is_delete
-            ):
-                flush()
+                run_cells = []
+            if not run_cells:
+                run_row, run_del = c.row, is_del
             run_cells.append(c)
-        flush()
+        if run_cells:
+            events.append(
+                {
+                    "op": "delete" if run_del else "put",
+                    "row": run_row,
+                    "region": e.region,
+                    "table": e.table,
+                    "seqnum": e.seqnum,
+                    "write_time": e.write_time,
+                    "cells": tuple(run_cells),
+                }
+            )
     return events
 
 

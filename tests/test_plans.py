@@ -379,8 +379,12 @@ class TestTrainingDataOps:
         assert "Window" not in plan  # argmax runs inside the kernel
         assert "FlatMapGroupsInPandas" in plan  # per-cluster verdict
         assert "MapInPandas" in plan  # kernel assignment
-        # exactly one corpus shuffle: hash on the cluster id
-        assert plan.count("Exchange") == 1
+        # exactly one KEYED corpus shuffle: hash on the cluster id.  An
+        # optional round-robin spread before the assignment kernel is
+        # the under-split local-fixture mitigation (spread_small_input
+        # no-ops on a many-split table, so it is not a scale cost)
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("Exchange") <= 2
         assert "hashpartitioning(centroid_id" in plan
 
     def test_bloom_decontaminate_broadcasts_filter_corpus_never_smj(self, spark):

@@ -188,6 +188,52 @@ class TestIntMatmulKernel:
         want = sorted(map(key, S._pq_assign(subv, cb, kernel=False).collect()))
         assert got == want and len(got) == 80 * 4
 
+    def test_brute_force_topk_kernel_matches_catalyst(self, spark):
+        """r14: the batch-local-top-k kernel must reproduce the
+        Catalyst broadcast-cross-join + full window plan exactly —
+        same members, ranks and scores under the (cosine4 desc,
+        vec_id) total order.  The corpus seeds exact duplicates, so
+        rank ties at equal cosine4 are exercised; repartition(7)
+        forces multiple kernel batches so the partial-top-k merge
+        path runs."""
+        from spark_binlog_spark.functions import similarity as S
+
+        df = self._corpus(spark).repartition(7)
+        for n_queries, k in ((5, 10), (3, 200), (1, 1)):
+            key = lambda r: tuple(r)
+            got = sorted(map(key, S.brute_force_topk(
+                df, n_queries=n_queries, k=k, kernel=True).collect()))
+            want = sorted(map(key, S.brute_force_topk(
+                df, n_queries=n_queries, k=k, kernel=False).collect()))
+            assert got == want and got
+
+    def test_pq_assign_carry_matches_catalyst(self, spark):
+        """r14: the ``carry`` passthrough (ivfadc rides the cell id
+        through the encode argmin) must not perturb assignments on
+        either path and must carry values verbatim."""
+        from pyspark.sql import functions as F
+
+        from spark_binlog_spark.functions import similarity as S
+
+        df = self._corpus(spark)
+        base = S.with_quantized(df)
+        subv = S._pq_subvectors(base, 4, 4).withColumn(
+            "cell", (F.col("vec_id") % 5).cast("long")
+        )
+        cb = subv.filter(F.col("vec_id") < 8).select(
+            "sub",
+            F.col("vec_id").cast("int").alias("code"),
+            F.col("v").alias("cv"),
+            S.int_dot(F.col("v"), F.col("v")).alias("cnorm"),
+        )
+        key = lambda r: (r["vec_id"], r["sub"], r["code"], r["cnorm"], r["cell"], tuple(r["v"]))
+        got = sorted(map(key, S._pq_assign(
+            subv, cb, kernel=True, carry=("cell",)).collect()))
+        want = sorted(map(key, S._pq_assign(
+            subv, cb, kernel=False, carry=("cell",)).collect()))
+        assert got == want and len(got) == 80 * 4
+        assert all(r[0] % 5 == r[4] for r in got)
+
     def test_semdedup_pair_kernel_matches_catalyst(self, spark):
         from spark_binlog_spark.functions import similarity as S
 
