@@ -66,6 +66,16 @@ def sign_bucket(qcol: Column, planes: int = 4, offset: int = 0) -> Column:
 # plane count that encoded a toy corpus
 LSH_TARGET_BUCKET = 1024
 
+# row-block height of the bucket-pair kernel's cosine slab (memory
+# bound per task: block x bucket_size doubles); module-level so the
+# property test can shrink it to exercise the multi-block merge
+PAIR_KERNEL_BLOCK_ROWS = 2048
+
+# rough per-row footprint of a quantized-vector relation in plan-stats
+# bytes, used only to estimate bucket occupancy for the pair-kernel
+# gate (order-of-magnitude margins on both sides of that gate)
+EST_BYTES_PER_VECTOR = 600
+
 
 def derived_planes(n_vectors: int, dim: int, target_bucket: int = LSH_TARGET_BUCKET) -> int:
     """Corpus-aware plane count: 2^planes buckets sized ~target_bucket.
@@ -284,17 +294,22 @@ def _collect_bounded(rel: DataFrame, max_rows: int):
 KERNEL_SPREAD_MIN_BYTES = 24 << 20
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """The optimized plan's sizeInBytes estimate (plan metadata, no
+    job); unknown/huge estimates read as huge so callers err on the
+    at-scale side."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable
+        return 1 << 62
+
+
 def _spread_if_large(df: DataFrame) -> DataFrame:
     """Under-split mitigation for the Arrow kernels, size-gated.
 
-    The size probe is the optimized plan's sizeInBytes estimate (plan
-    metadata, no job); unknown/huge estimates err on the spread side —
+    Unknown/huge estimates err on the spread side —
     spread_small_input itself still no-ops on well-split inputs."""
-    try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # stats unavailable: fall through to the probe
-        size = 1 << 62
-    if size < KERNEL_SPREAD_MIN_BYTES:
+    if _plan_size_bytes(df) < KERNEL_SPREAD_MIN_BYTES:
         return df
     from spark_binlog_spark.functions.dedup import spread_small_input
 
@@ -606,6 +621,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 1,
     vec_col: str = "embedding",
     target_bucket: int = LSH_TARGET_BUCKET,
+    kernel: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold), bucket-prefiltered.
 
@@ -651,6 +667,87 @@ def embedding_near_dup_pairs(
     exploded = base.select(
         "vec_id", "q", "norm", F.posexplode(tables).alias("tbl", "bucket")
     )
+    # occupancy gate (kernel=None, the default): the kernel's win is
+    # the per-bucket matmul, so it needs buckets POPULATED enough to
+    # amortize FlatMapGroupsInPandas's per-group Python overhead.
+    # Expected occupancy ~ n_vectors / 2^planes decides it, NOT corpus
+    # size alone: sf0.1 planes=12 (occupancy ~0.1, near-all singleton
+    # groups) measured 0.38 s join vs 8.8 s kernel, while sf0.1
+    # planes=4 (occupancy ~100) measured kernel FASTER than the join
+    # (0.8 s vs 1.0 s) — and every sf10 setting (occupancy 10-83) is a
+    # 2-6x kernel win.  n_vectors is estimated from plan-stats bytes
+    # (no job); the thresholds have order-of-magnitude margins on both
+    # sides.  Explicit True/False forces a path (the property test
+    # pins kernel == join on a small corpus).
+    if kernel is None:
+        est_rows = _plan_size_bytes(df) // EST_BYTES_PER_VECTOR
+        kernel = est_rows >= (1 << planes) * 8
+    if kernel:
+        # BUCKET-GROUP kernel (r14, second attempt at this surface —
+        # this one has the right transfer shape): the earlier rejected
+        # kernel verified CANDIDATE rows, so each vector crossed Arrow
+        # once per candidate (~bucket_size times, ~1 KB/row) and the
+        # transfer swamped the interpreted-HOF saving.  Grouping by
+        # (tbl, bucket) instead ships each vector ONCE PER TABLE and
+        # scores the whole bucket as one float64 matmul (bit-equal to
+        # the Catalyst int_dot/cosine4 — kernel exactness note above
+        # ``assign_to_centroids``; property-pinned), so BOTH the
+        # per-candidate interpreted dot AND the candidate-row
+        # materialization disappear.  The shuffle is the same
+        # (tbl, bucket) key the self-join used, on one side instead of
+        # two.  Threshold-filtering inside the kernel is equivalent to
+        # filtering after the cross-table dropDuplicates: cosine4 is
+        # pair-intrinsic, identical in every table that emits the pair.
+        import numpy as np
+
+        thr = int(min_cosine4)
+        # captured by value at build time so the property test's
+        # monkeypatch reaches the (re-importing) worker processes
+        blk = PAIR_KERNEL_BLOCK_ROWS
+
+        def kern(pdf):
+            import pandas as pd
+
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame(
+                    {"vec_a": np.array([], dtype=np.int64),
+                     "vec_b": np.array([], dtype=np.int64),
+                     "cosine4": np.array([], dtype=np.int64)}
+                )
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)  # ids unique in a bucket -> total
+            ids = ids[order]
+            vmat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["q"].iloc[order]]
+            )
+            nm = pdf["norm"].to_numpy(dtype=np.float64)[order]
+            out_a, out_b, out_c = [], [], []
+            # row blocks bound the c4 slab to <= blk x n doubles even
+            # for a pathological hot bucket
+            for s in range(0, n, blk):
+                e = min(s + blk, n)
+                c4 = _np_cosine4(
+                    vmat[s:e] @ vmat.T, nm[s:e, None], nm[None, :]
+                )
+                ia, ib = np.nonzero(c4 >= thr)
+                keep = (ia + s) < ib  # vec_a < vec_b under the id sort
+                out_a.append(ids[(ia + s)[keep]])
+                out_b.append(ids[ib[keep]])
+                out_c.append(c4[ia[keep], ib[keep]].astype(np.int64))
+            return pd.DataFrame(
+                {"vec_a": np.concatenate(out_a),
+                 "vec_b": np.concatenate(out_b),
+                 "cosine4": np.concatenate(out_c)}
+            )
+
+        out = exploded.groupBy("tbl", "bucket").applyInPandas(
+            kern, "vec_a long, vec_b long, cosine4 long"
+        )
+        if n_tables > 1:
+            # a pair colliding in several tables must be emitted once
+            out = out.dropDuplicates(["vec_a", "vec_b"])
+        return out
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(
@@ -671,16 +768,6 @@ def embedding_near_dup_pairs(
     if n_tables > 1:
         # a pair colliding in several tables must be scored once
         cand = cand.dropDuplicates(["vec_a", "vec_b"])
-    # Candidate verification stays the INLINE Catalyst expression, NOT
-    # an Arrow kernel (r14 A/B, sf10 sweep): a mapInPandas verify must
-    # ship BOTH 64-long quantized vectors per candidate through Arrow
-    # (~1 KB/row), and at banded-candidate volumes the transfer swamps
-    # the interpreted-HOF tax it saves — q_embedding_dedup_scale went
-    # 67 s -> watchdog-dead with the kernel, back to ~67 s without.
-    # The kernel wins where compute per row dominates transfer (matmul
-    # against a SHARED collected side: assignment, PQ, semdedup) — not
-    # where each row carries its own operands and the filter is the
-    # only consumer.
     return cand.select(
         "vec_a",
         "vec_b",

@@ -141,26 +141,42 @@ def cms_estimate(sketch: DataFrame, terms: DataFrame) -> DataFrame:
 # --------------------------------------------------------------- hyperloglog
 def _rho(suffix: Column) -> Column:
     """Leading-zero rank of a HLL_SUFFIX_BITS-wide suffix, in
-    [1, HLL_SUFFIX_BITS + 1]; bin()-based so both engines agree
-    without libm (the corpus_stats len_bin convention)."""
-    bits = F.length(F.conv(suffix.cast("string"), 10, 2))
-    return F.when(suffix == 0, F.lit(HLL_SUFFIX_BITS + 1)).otherwise(
-        F.lit(HLL_SUFFIX_BITS) - bits + 1
-    ).cast("long")
+    [1, HLL_SUFFIX_BITS + 1].
+
+    r14: pure-integer descending WHEN chain instead of
+    length(conv(x, 10, 2)) — the old form allocated a 40-char binary
+    STRING per term instance and was the single most expensive
+    operator of the register pass (sf10 profile: ~20 s of the 46 s est
+    side; the chain is ~2 integer compares per row in expectation for
+    uniform hash suffixes, no allocation).  Value-identical: suffix in
+    [2^(S-k), 2^(S-k+1)) has bit length S-k+1, hence rho = k; the
+    DuckDB oracle keeps its len(bin()) rendering, so parity tests pin
+    the equivalence over the whole range."""
+    chain = F.when(suffix >= (1 << (HLL_SUFFIX_BITS - 1)), F.lit(1))
+    for k in range(2, HLL_SUFFIX_BITS + 1):
+        chain = chain.when(suffix >= (1 << (HLL_SUFFIX_BITS - k)), F.lit(k))
+    return chain.otherwise(F.lit(HLL_SUFFIX_BITS + 1)).cast("long")
 
 
 def hll_registers(
     df: DataFrame, by: str = "source", text_col: str = "text"
 ) -> DataFrame:
     """(by, idx, m_rho): the per-group HLL register table — at most
-    m rows per group, merged by MAX.  Built from the distinct-term
-    relation (the term agg already dedups, so re-ingesting a term is
-    naturally idempotent — exactly the HLL property)."""
-    terms = (
-        df.select(F.col(by), F.explode(words(F.col(text_col))).alias("term"))
-        .where(F.col("term") != "")
-        .distinct()
-    )
+    m rows per group, merged by MAX.
+
+    No ``.distinct()`` before the register aggregation (r14): the MAX
+    merge is idempotent over repeated terms — max(rho) over all term
+    instances equals max(rho) over distinct terms — so the old
+    distinct-term pre-pass was a full corpus-sized (by, term) string
+    shuffle bought for nothing.  Hashing per instance instead lets the
+    register groupBy's map-side partial max reduce each task to at most
+    m rows per group BEFORE the exchange: the only shuffle left carries
+    ~m x groups x tasks tiny long rows.  Same registers, one corpus
+    shuffle removed (optimization guide: aggregate before you shuffle /
+    shuffle keys, not payloads)."""
+    terms = df.select(
+        F.col(by), F.explode(words(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
     h = h48(F.col("term"))
     idx = F.shiftright(h, HLL_SUFFIX_BITS)  # top p bits (h48 >= 0)
     suffix = h.bitwiseAND(F.lit((1 << HLL_SUFFIX_BITS) - 1))

@@ -230,29 +230,40 @@ def boilerplate_ratio(df: DataFrame, min_df: int = 5, text_col: str = "text") ->
     shared by >= min_df docs).  The quality signal a cleaning pass
     thresholds on before dropping/trimming documents.
 
-    Plan: ONE persisted shingle relation feeds the dictionary agg, the
-    per-doc totals, and the boilerplate-hit counts.  The dictionary is
-    NOT broadcast: at web scale the >= min_df shingle set is itself
-    corpus-sized (~10^9 rows for a crawl corpus), so the hit join is a
-    plain shuffle join on `shingle` — the same key the dictionary agg
-    already partitioned on, so the exchange is reused and AQE upgrades
-    to broadcast at runtime only when the measured dictionary actually
-    fits.
+    Plan (r14 reshape): the shingle relation is hashed to ONE int64
+    (xxhash64) immediately after the explode, so no shingle STRING is
+    ever persisted or shuffled (narrow-types rule: ~50 B of string ->
+    8 B of key), and the persisted relation is REPARTITIONED ON ``h``
+    FIRST so its cached distribution is the dictionary aggregation's
+    AND the hit join's partitioning — both run exchange-free off the
+    cache (keyed-alike operations share one exchange), and the
+    dictionary stays un-broadcast by construction until AQE measures
+    it small.  The dictionary is NOT forced broadcast at plan time: at
+    web scale the >= min_df shingle set is itself corpus-sized.
+    Hashing is safe here because the output carries only per-doc
+    COUNTS, never the shingle itself (same contract as the
+    q_ngram_jaccard 48-bit hash): a collision would need two distinct
+    shingles of the same corpus sharing 64 bits.
     """
     from pyspark.storagelevel import StorageLevel
 
     from spark_binlog_spark.functions import dedup
 
-    sh = dedup.doc_shingles(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = (
+        dedup.doc_shingles(df, text_col)
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .repartition("h")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dict_ = (
-        sh.groupBy("shingle")
+        sh.groupBy("h")
         .agg(F.count("*").alias("n_docs_with"))
         .filter(F.col("n_docs_with") >= min_df)
-        .select("shingle")
+        .select("h")
     )
     totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     hits = (
-        sh.join(dict_, "shingle")
+        sh.join(dict_, "h")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_boiler"))
     )

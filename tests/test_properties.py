@@ -234,6 +234,28 @@ class TestIntMatmulKernel:
         assert got == want and len(got) == 80 * 4
         assert all(r[0] % 5 == r[4] for r in got)
 
+    def test_embedding_pairs_bucket_kernel_matches_catalyst(
+        self, spark, monkeypatch
+    ):
+        """r14: the per-(tbl, bucket) group kernel (one matmul per
+        bucket, threshold filter inside) must emit exactly the pairs
+        of the Catalyst self-join + inline cosine4 plan — same
+        members, same scores — for single- and multi-table settings.
+        The block size shrinks to 7 so the row-block merge path runs;
+        the corpus seeds exact duplicates (cosine ties at 10000)."""
+        from spark_binlog_spark.functions import similarity as S
+
+        monkeypatch.setattr(S, "PAIR_KERNEL_BLOCK_ROWS", 7)
+        df = self._corpus(spark, n=120)
+        for n_tables, planes in ((1, 2), (2, 3)):
+            got = sorted(map(tuple, S.embedding_near_dup_pairs(
+                df, min_cosine4=5000, planes=planes, n_tables=n_tables,
+                kernel=True).collect()))
+            want = sorted(map(tuple, S.embedding_near_dup_pairs(
+                df, min_cosine4=5000, planes=planes, n_tables=n_tables,
+                kernel=False).collect()))
+            assert got == want and got
+
     def test_semdedup_pair_kernel_matches_catalyst(self, spark):
         from spark_binlog_spark.functions import similarity as S
 

@@ -1864,6 +1864,31 @@ class TestSketches:
             halves, "source", ["priority", "doc_id"], 16).collect()))
         assert retaken == full
 
+    def test_hll_rho_integer_chain_matches_bin_length(self, spark):
+        """r14: the pure-integer WHEN-chain _rho must equal the old
+        length(conv(x, 10, 2)) rendering (which the DuckDB oracle still
+        uses) on every power-of-two boundary of the suffix domain plus
+        the endpoints."""
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+
+        from spark_binlog_spark.functions import sketch
+
+        vals = {0, 1, 2, 3, (1 << sketch.HLL_SUFFIX_BITS) - 1}
+        for k in range(1, sketch.HLL_SUFFIX_BITS):
+            vals.update({(1 << k) - 1, 1 << k, (1 << k) + 1})
+        df = spark.createDataFrame([Row(s=int(v)) for v in sorted(vals)])
+        old_bits = F.length(F.conv(F.col("s").cast("string"), 10, 2))
+        old = F.when(F.col("s") == 0, F.lit(sketch.HLL_SUFFIX_BITS + 1)).otherwise(
+            F.lit(sketch.HLL_SUFFIX_BITS) - old_bits + 1
+        ).cast("long")
+        rows = df.select(
+            "s", sketch._rho(F.col("s")).alias("new"), old.alias("old")
+        ).collect()
+        assert all(r["new"] == r["old"] for r in rows), [
+            (r["s"], r["new"], r["old"]) for r in rows if r["new"] != r["old"]
+        ]
+
     def test_hll_registers_max_merge(self, spark):
         """hll_registers over a union equals the register-wise max of
         the halves — and re-merging one half changes nothing (the
