@@ -1061,7 +1061,19 @@ def adaptive_components(
     spark = pairs.sparkSession
     if not out:
         return spark.createDataFrame([], "doc_id long, component long")
-    return spark.createDataFrame(out, "doc_id long, component long")
+    # two r14 fixes for the driver-path RESULT (the gate bounds it to
+    # <= 2*driver_max_edges narrow rows, so both are safe):
+    # - localCheckpoint(eager): a parallelized Python list is re-pickled
+    #   through a Python-worker roundtrip per partition on EVERY action;
+    #   checkpointing pins it as JVM rows once (min_label's labels got
+    #   this for free from its convergence loop);
+    # - broadcast hint: the RDD-backed relation has no size statistics,
+    #   so a downstream join would otherwise SortMergeJoin both sides
+    #   (measured 0.23 -> 0.93 s on q_dedup_canonical's sf0.1 timed
+    #   region).  The star path below returns an unbounded relation and
+    #   stays unhinted.
+    comp = spark.createDataFrame(out, "doc_id long, component long")
+    return F.broadcast(comp.localCheckpoint(eager=True))
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:

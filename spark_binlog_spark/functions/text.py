@@ -1097,10 +1097,18 @@ def bm25_topk(
     overflowed ANSI int64 at the 500k-doc scale rung.  A document's
     score is the exact integer sum over the query terms it contains.
 
-    Plan shape: one (doc, term) count shuffle (shared with tf-idf's
-    shape); the query-term table, df table, and 1-row totals broadcast;
-    scoring touches only docs containing a query term; per-query top-k
-    via rank window (WindowGroupLimit pushes the cut map-side).
+    Plan shape (r14): NO corpus-sized shuffle at all.  Scoring needs tf
+    only for the ~tens of QUERY terms, and a document's length is
+    size(words) — a pure projection — so the old full-vocabulary
+    (doc, term) count exchange (corpus-sized, persisted, referenced
+    three ways) computed ~|vocab| grouped rows to throw all but the
+    query-term slice away (guide §2.4: don't shuffle what you discard).
+    Now: one scan explodes words and filters to query terms BEFORE the
+    (tiny) tf groupBy, carrying dl = size(words) alongside so no
+    corpus-wide dl join is ever needed; a second scan aggregates the
+    corpus totals with zero shuffle (map-side partials into one row).
+    The query-term table, dfreq table, and 1-row totals broadcast;
+    per-query top-k via rank window (WindowGroupLimit map-side cut).
     """
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
@@ -1112,41 +1120,42 @@ def bm25_topk(
             "query_id long, term string",
         )
     )
-    # the returned plan references tf three ways, so it cannot be
-    # unpersisted here; release-then-swap bounds the leak to one live
-    # set across repeated invocations (ADVICE r5).  Release BEFORE the
-    # new persist: a same-input repeat has the same logical plan, and
-    # the cache manager would drop the shared entry otherwise.
+    # the returned plan references tf twice (dfreq + scoring); persist
+    # with release-then-swap as before (ADVICE r5) — but the cached
+    # relation is now bounded by docs-containing-a-query-term, not the
+    # corpus vocabulary.
     from spark_binlog_spark.cache_util import release, swap_caches
 
     release("text.bm25_topk")
-    w = df.select(F.col("doc_id"), F.explode(words(F.col(text_col))).alias("term"))
+    term_list = sorted({t for ts in queries.values() for t in ts})
+    # null text produced no rows in the old exploded relation, so such
+    # docs were absent from dl/totals; the explicit filter keeps that
+    # exact semantics now that dl comes from size() instead of count()
+    base = df.where(F.col(text_col).isNotNull())
+    w = base.select(
+        F.col("doc_id"),
+        F.size(words(F.col(text_col))).cast("long").alias("dl"),
+        F.explode(words(F.col(text_col))).alias("term"),
+    ).where(F.col("term").isin(term_list))
     tf = (
-        w.groupBy("doc_id", "term")
+        w.groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     swap_caches("text.bm25_topk", [tf])
-    # doc length and the corpus totals both roll up from the persisted
-    # tf relation — re-grouping the raw explode would pay two more full
-    # corpus scans for numbers tf already contains
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    # document frequency ONLY for query terms: semi-join tf against the
-    # (already broadcast) query-term table BEFORE aggregating, so the
-    # dfreq relation — and its broadcast below — is bounded by
-    # |query terms| (~tens of rows), not the corpus vocabulary.  At
+    # document frequency ONLY for query terms, off the already-filtered
+    # tf relation — bounded by |query terms| x matching docs.  At
     # 100 TB a full-vocab dfreq is ~10^8 rows and broadcasting it is a
     # driver/executor OOM (VERDICT r7 "What's wrong" #3); the streaming
     # inverted-index serving path already reads only query-term buckets.
-    dfreq = (
-        tf.join(F.broadcast(qterms.select("term").distinct()), "term", "semi")
-        .groupBy("term")
-        .agg(F.count("*").alias("dfreq"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    # corpus totals: one scan, zero shuffle (explode count == size(words)
+    # for every non-null text, split never returns an empty array)
+    totals = base.select(F.size(words(F.col(text_col))).cast("long").alias("dl")).agg(
+        F.sum("dl").alias("total_words"), F.count("*").alias("n_docs")
     )
-    totals = dl.agg(F.sum("dl").alias("total_words"), F.count("*").alias("n_docs"))
     scored = (
         tf.join(qterms, "term")
-        .join(dl, "doc_id")
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(totals))
         .select("query_id", "doc_id", bm25_term_score().alias("term_score"))

@@ -17,11 +17,12 @@ DuckDB oracle).  Two distances per window, both integer-only:
 
 Plan shape (scales linearly in events, factor w): row_number per key
 (keyed window — partitions by key, no global sort), each row explodes
-into the ≤w windows it participates in, ONE keyed partial agg rebuilds
-each window's vector (array_sort of (pos,val) structs — deterministic),
-distances are zip_with/aggregate expressions against the BROADCAST
-literal pattern (w scalars), and top-k is Spark's TakeOrdered (no full
-sort materialization).  Zero Python anywhere.
+into the ≤w windows it participates in and scores itself against the
+BROADCAST literal pattern at its in-window position, ONE keyed
+sum/count hash aggregate (map-side partial agg) folds the per-member
+squared terms into each window's distance — the window vector is never
+materialized — and top-k is Spark's TakeOrdered (no full sort
+materialization).  Zero Python anywhere.
 """
 
 from __future__ import annotations
@@ -83,38 +84,51 @@ def pattern_topk(
     """Top-k windows by raw squared-Euclidean distance to ``pattern``
     (already quantized ints), with the shift-invariant cdist carried
     alongside; ties break on (key, win_start) so results are total-
-    ordered and replayable."""
+    ordered and replayable.
+
+    r14 plan: the distances are DISTRIBUTIVE over window members, so
+    the window vectors are never materialized.  Each exploded member
+    row knows its in-window position (rn - win_start + 1) and scores
+    itself against the broadcast literal pattern; the regroup is then
+    a plain sum/count hash aggregate — map-side partial agg applies,
+    where the old collect_list(struct) ObjectHashAggregate shipped
+    every member through the exchange and paid interpreted
+    zip_with/aggregate HOF evaluation per element afterwards (guide
+    §2.3 "aggregate before you shuffle", §4 on HOF eval).  The
+    shift-invariant distance folds algebraically onto the raw one:
+    with c = vsum - psum,  cdist = w^2*dist - w*c^2  (expand
+    ((a_i - b_i)*w - c)^2 and use sum(a_i - b_i) = c) — integer-exact,
+    same int64 envelope as the old per-element form."""
     w = len(pattern)
     pat = F.array(*[F.lit(int(p)).cast("long") for p in pattern])
     psum = sum(int(p) for p in pattern)
-    wins = sliding_windows(
-        quantized_series(df, key_col, order_col, value_col), w
+    series = quantized_series(df, key_col, order_col, value_col)
+    pos = (F.col("rn") - F.col("win_start") + 1).cast("int")
+    diff = F.col("qv") - F.element_at(pat, pos)
+    member = series.select(
+        "key",
+        F.explode(
+            F.sequence(F.greatest(F.col("rn") - (w - 1), F.lit(1)), F.col("rn"))
+        ).alias("win_start"),
+        "rn",
+        "qv",
+    ).select("key", "win_start", F.col("qv"), (diff * diff).alias("d2"))
+    agg = (
+        member.groupBy("key", "win_start")
+        .agg(
+            F.sum("d2").alias("dist"),
+            F.sum("qv").alias("vsum"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") == w)
     )
-    zero = F.lit(0).cast("long")
-    dist = F.aggregate(
-        F.zip_with(F.col("vec"), pat, lambda a, b: (a - b) * (a - b)),
-        zero,
-        lambda acc, x: acc + x,
-    )
-    vsum = F.aggregate(F.col("vec"), zero, lambda acc, x: acc + x)
-    cdist = F.aggregate(
-        F.zip_with(
-            F.col("vec"),
-            pat,
-            lambda a, b: (
-                (a * w - F.col("vsum")) - (b * w - F.lit(psum))
-            )
-            * ((a * w - F.col("vsum")) - (b * w - F.lit(psum))),
-        ),
-        zero,
-        lambda acc, x: acc + x,
-    )
+    c = F.col("vsum") - F.lit(psum).cast("long")
+    cdist = F.lit(w * w).cast("long") * F.col("dist") - F.lit(w).cast("long") * c * c
     return (
-        wins.withColumn("vsum", vsum)
-        .select(
+        agg.select(
             F.col("key"),
             F.col("win_start").cast("long").alias("win_start"),
-            dist.alias("dist"),
+            F.col("dist"),
             cdist.alias("cdist"),
         )
         .orderBy("dist", "key", "win_start")

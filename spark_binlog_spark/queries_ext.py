@@ -804,6 +804,12 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_candidate_pairs(docs, min_agree=2).select("doc_a", "doc_b")
+    # stays min_label_components (r14 measured): routing through
+    # adaptive/star was tried and REVERTED — star_components' returned
+    # mapping re-pays its final distinct + union per action (sf10 timed
+    # region 0.97 -> 2.76 s), while min_label's labels come back as
+    # checkpointed JVM rows; sf0.1 was flat.  All forms stay
+    # property-tested equal to the union-find oracle.
     comp = dedup.min_label_components(pairs)
     labeled = (
         docs.select("doc_id", "n_chars")

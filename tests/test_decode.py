@@ -70,3 +70,32 @@ def test_partitioned_cell_rollup_matches_global_within_region(spark):
             for r in glob.collect()
         )
         assert a == b and len(a) > 0
+
+
+def test_parallel_global_rollup_matches_single_window(spark):
+    """r14: the bucketed parallel global-run fold must equal the
+    single-partition window form on layouts engineered to stress the
+    cross-bucket corrections — runs crossing bucket boundaries, sparse
+    and dense offset regions, and single-row runs at bucket edges."""
+    import random
+
+    from spark_binlog_spark.operators import rollup as rollup_mod
+
+    random.seed(14)
+    rows, off = [], 0
+    pk_cycle = ["a", "a", "a", "b", "b", "c", "a", "c", "c", "c"]
+    for i in range(5000):
+        rows.append((off, pk_cycle[i % len(pk_cycle)], "put" if (i // 7) % 2 == 0 else "del"))
+        off += random.choice([1, 1, 1, 3, 10])  # dense + sparse regions
+    cells = spark.createDataFrame(rows, "cdc_offset long, pk string, op string").repartition(7)
+
+    saved = rollup_mod.GLOBAL_RUN_PARALLEL_MIN_ROWS
+    try:
+        rollup_mod.GLOBAL_RUN_PARALLEL_MIN_ROWS = 10**12
+        ref = {tuple(r) for r in rollup_mod.cell_run_rollup(cells).collect()}
+        rollup_mod.GLOBAL_RUN_PARALLEL_MIN_ROWS = 1
+        par = {tuple(r) for r in rollup_mod.cell_run_rollup(cells).collect()}
+    finally:
+        rollup_mod.GLOBAL_RUN_PARALLEL_MIN_ROWS = saved
+    assert len(ref) > 100
+    assert ref == par

@@ -1907,3 +1907,52 @@ class TestSketches:
             .groupBy("source", "idx").agg(F.max("m_rho").alias("m_rho"))
         )
         assert sorted(map(tuple, merged.collect())) == full
+
+
+class TestPatternTopkModel:
+    def test_pattern_topk_matches_python_model(self, spark):
+        """r14 distributive form: pattern_topk's dist AND the
+        algebraically folded cdist (w^2*dist - w*(vsum-psum)^2) must
+        equal a per-window Python model that builds every vector
+        explicitly — over keys with ties, exact matches, and series
+        shorter than the pattern."""
+        import math
+
+        from spark_binlog_spark.functions.timeseries import QUANT, pattern_topk
+
+        pattern = [3, -1, 4, 1]
+        w, psum = len(pattern), sum(pattern)
+        series = {
+            "u1": [0.03, -0.01, 0.04, 0.01, 0.03, -0.01, 0.04, 0.01],  # 2 exact hits
+            "u2": [1.0, 2.0, 3.0, 4.0, 5.0],
+            "u3": [0.0, 0.0, 0.0],  # shorter than the pattern: no window
+            "u4": [0.03, -0.01, 0.04, 0.01],  # exactly one window, exact hit (tie w/ u1)
+        }
+        rows = [
+            (u, i + 1, v) for u, vs in series.items() for i, v in enumerate(vs)
+        ]
+        df = spark.createDataFrame(rows, "user_id string, event_id long, value double")
+
+        # python model: explicit windows, both distances from first principles
+        model = []
+        for u, vs in series.items():
+            q = [math.floor(v * QUANT) for v in vs]
+            for s in range(len(q) - w + 1):
+                vec = q[s : s + w]
+                dist = sum((a - b) * (a - b) for a, b in zip(vec, pattern))
+                vsum = sum(vec)
+                cdist = sum(
+                    ((a * w - vsum) - (b * w - psum)) ** 2
+                    for a, b in zip(vec, pattern)
+                )
+                model.append((u, s + 1, dist, cdist))
+        model.sort(key=lambda t: (t[2], t[0], t[1]))
+        got = [
+            (r["key"], r["win_start"], r["dist"], r["cdist"])
+            for r in pattern_topk(
+                df, pattern, k=6, key_col="user_id", order_col="event_id"
+            ).collect()
+        ]
+        assert got == model[:6]
+        # the two exact-match windows rank first with dist == 0
+        assert got[0][2] == 0 and got[1][2] == 0
