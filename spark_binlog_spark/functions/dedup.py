@@ -1063,17 +1063,21 @@ def adaptive_components(
         return spark.createDataFrame([], "doc_id long, component long")
     # two r14 fixes for the driver-path RESULT (the gate bounds it to
     # <= 2*driver_max_edges narrow rows, so both are safe):
-    # - localCheckpoint(eager): a parallelized Python list is re-pickled
-    #   through a Python-worker roundtrip per partition on EVERY action;
-    #   checkpointing pins it as JVM rows once (min_label's labels got
-    #   this for free from its convergence loop);
+    # - localCheckpoint (LAZY, like min_label's rounds): a parallelized
+    #   Python list is re-pickled through a Python-worker roundtrip per
+    #   partition on EVERY action; the checkpoint pins it as JVM rows
+    #   the first time an action touches it (measured: re-action
+    #   0.28 -> 0.035 s at sf0.1; eager=True was tried and costs an
+    #   extra synchronous materialization job ~+0.35 s inside
+    #   construction-timed consumers like the bench's q_dup_components
+    #   entry, so lazy it is);
     # - broadcast hint: the RDD-backed relation has no size statistics,
     #   so a downstream join would otherwise SortMergeJoin both sides
     #   (measured 0.23 -> 0.93 s on q_dedup_canonical's sf0.1 timed
     #   region).  The star path below returns an unbounded relation and
     #   stays unhinted.
     comp = spark.createDataFrame(out, "doc_id long, component long")
-    return F.broadcast(comp.localCheckpoint(eager=True))
+    return F.broadcast(comp.localCheckpoint(eager=False))
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
