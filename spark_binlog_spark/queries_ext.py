@@ -259,7 +259,15 @@ def q_simhash60_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 bits for exactly this reason; 60 keeps the fold inside signed
     long in BOTH engines — Spark and the DuckDB oracle)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_dup_pairs(docs, max_hamming=3, bits=60, bands=4)
+    # combination banding (r14, guide §2.5): simhash votes correlate
+    # with the corpus word distribution, so 4x15 single-band values
+    # SKEW — at sf10 one band bucket held 27,388 signatures and the
+    # join piled 2.68B candidate pairs for 1.5M true pairs.  6 blocks
+    # choose 3 keys on 30 bits: 92M candidates, identical output
+    # (complete for hamming <= 6 - 3; property- and parity-pinned).
+    return dedup.simhash_near_dup_pairs(
+        docs, max_hamming=3, bits=60, bands=4, blocks=6, r=3
+    )
 
 
 _SIMHASH60_SQL = """
@@ -295,6 +303,10 @@ def q_simhash60_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_simhash_near_dups, at the width where collisions are genuine
     near-duplicates; the pair relation stays as an edge constructor."""
     docs = load_table(spark, sf_dir, "documents")
+    # blocks=6, r=3: combination banding for the candidate join — the
+    # 4x15 single-band scheme skews on correlated simhash votes (see
+    # q_simhash60_near_dups; 2.68B -> 92M candidates at sf10, output
+    # identical)
     return dedup.hamming_dedup_summary(
         dedup.simhash(docs, bits=60),
         id_col="doc_id",
@@ -302,6 +314,8 @@ def q_simhash60_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=60,
         bands=4,
         max_hamming=3,
+        blocks=6,
+        r=3,
     )
 
 

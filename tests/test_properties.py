@@ -89,6 +89,125 @@ class TestSimhashBandProperties:
             assert band_match
 
 
+class TestSimhashKernelModel:
+    def test_kernel_matches_catalyst(self, spark):
+        """dedup.simhash's Arrow kernel (r14 default) vs the Catalyst
+        reference form, bit-for-bit, across widths and the word-split
+        edge cases the kernel mirrors by hand: empty text ([''] like
+        Spark's split), NULL text (doc absent), consecutive / leading /
+        trailing spaces (empty tokens kept), repeated words, unicode
+        (BMP + astral)."""
+        from spark_binlog_spark.functions import dedup
+
+        rows = [
+            (1, "the quick brown fox the the"),
+            (2, ""),
+            (3, None),
+            (4, "single"),
+            (5, "a  b   c "),
+            (6, "unicode éé \U0001f600 word"),
+            (7, "the quick brown fox the the"),
+            (8, " leading"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for bits in (16, 60, 7):
+            kern = sorted(dedup.simhash(df, bits=bits, kernel=True).collect())
+            cata = sorted(dedup.simhash(df, bits=bits, kernel=False).collect())
+            assert kern == cata, f"bits={bits}"
+
+
+class TestComboBanding:
+    def _clustered_sigs(self):
+        import random
+
+        rng = random.Random(7)
+        sigs = set()
+        for _ in range(40):  # clustered: the skew shape that motivates combos
+            c = rng.getrandbits(60)
+            sigs.add(c)
+            for _ in range(rng.randint(0, 12)):
+                s = c
+                for b in rng.sample(range(60), rng.randint(0, 5)):
+                    s ^= 1 << b
+                sigs.add(s)
+        for _ in range(200):
+            sigs.add(rng.getrandbits(60))
+        return sorted(sigs)
+
+    def test_value_level_matches_bruteforce(self, spark):
+        """near_signature_pairs with combination banding vs brute-force
+        hamming over clustered + random 60-bit signatures: every
+        <= max_hamming pair exactly once (the lowest-clean-combo
+        emission must neither drop nor duplicate)."""
+        import itertools
+
+        from spark_binlog_spark.functions import dedup
+
+        sigs = self._clustered_sigs()
+        df = spark.createDataFrame([(s,) for s in sigs], "sg long")
+        for max_h, blocks, r in [(3, 6, 3), (3, 5, 2), (2, 4, 2)]:
+            got = {
+                (row.sg_a, row.sg_b, row.hamming)
+                for row in dedup.near_signature_pairs(
+                    df, 60, 4, max_h, blocks=blocks, r=r
+                ).collect()
+            }
+            want = {
+                (min(a, b), max(a, b), bin(a ^ b).count("1"))
+                for a, b in itertools.combinations(sigs, 2)
+                if bin(a ^ b).count("1") <= max_h
+            }
+            assert got == want, f"max_h={max_h} blocks={blocks} r={r}"
+
+    def test_id_level_and_summary_match_single_band(self, spark):
+        """The id-level direct strategy and hamming_dedup_summary give
+        identical output with and without combination banding
+        (duplicate signatures seeded so equal-sig groups cross both
+        paths)."""
+        from spark_binlog_spark.functions import dedup
+
+        sigs = self._clustered_sigs()
+        rows = [(i, sigs[i % len(sigs)]) for i in range(len(sigs) + 150)]
+        iddf = spark.createDataFrame(rows, "doc_id long, sg long")
+        single = {
+            (x.id_a, x.id_b, x.hamming)
+            for x in dedup.hamming_near_dup_pairs(
+                iddf, id_col="doc_id", sig_col="sg", bits=60, bands=4,
+                max_hamming=3, strategy="direct",
+            ).collect()
+        }
+        combo = {
+            (x.id_a, x.id_b, x.hamming)
+            for x in dedup.hamming_near_dup_pairs(
+                iddf, id_col="doc_id", sig_col="sg", bits=60, bands=4,
+                max_hamming=3, strategy="direct", blocks=6, r=3,
+            ).collect()
+        }
+        assert single == combo
+        s1 = sorted(
+            dedup.hamming_dedup_summary(iddf, "doc_id", "sg", 60, 4, 3).collect()
+        )
+        s2 = sorted(
+            dedup.hamming_dedup_summary(
+                iddf, "doc_id", "sg", 60, 4, 3, blocks=6, r=3
+            ).collect()
+        )
+        assert s1 == s2
+
+    def test_scheme_contracts(self):
+        """Combination-banding argument contracts hold under -O."""
+        import pytest
+
+        from spark_binlog_spark.functions.dedup import _combo_scheme
+
+        with pytest.raises(ValueError):
+            _combo_scheme(60, 3, 7, 3)  # blocks must divide bits
+        with pytest.raises(ValueError):
+            _combo_scheme(60, 3, 6, 4)  # r > blocks - max_hamming
+        with pytest.raises(ValueError):
+            _combo_scheme(60, 3, 6, 0)  # r < 1
+
+
 class TestMinhashCanonicalCombo:
     def test_matches_bruteforce_signature_model(self, spark):
         """minhash_candidate_pairs (r13 canonical-combo plan, no pair-
