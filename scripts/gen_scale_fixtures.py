@@ -225,6 +225,15 @@ def gen_nation() -> pa.Table:
     )
 
 
+# split-friendly layout (r14, guide §6): pyarrow's default writes ONE
+# row group per table, so Spark byte-range splits all resolve to a
+# single task and every sf10 scan ran single-threaded regardless of
+# cores (measured: the 500k-doc table planned 15 splits but only one
+# carried rows).  32k-row groups give the scan real parallelism at
+# every rung while keeping groups well above the small-files floor.
+ROW_GROUP_ROWS = 32768
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -237,21 +246,15 @@ def main() -> None:
     os.makedirs(out, exist_ok=True)
     n_events, n_users = N_EVENTS * scale, N_USERS * scale
     rng = np.random.default_rng(4242)
-    pq.write_table(gen_documents(rng, n_docs), os.path.join(out, "documents.parquet"))
-    pq.write_table(gen_embeddings(rng, n_vecs), os.path.join(out, "embeddings.parquet"))
-    pq.write_table(
-        gen_events(rng, n_events, n_users), os.path.join(out, "events.parquet")
-    )
+    pq.write_table(gen_documents(rng, n_docs), os.path.join(out, "documents.parquet"), row_group_size=ROW_GROUP_ROWS)
+    pq.write_table(gen_embeddings(rng, n_vecs), os.path.join(out, "embeddings.parquet"), row_group_size=ROW_GROUP_ROWS)
+    pq.write_table(gen_events(rng, n_events, n_users), os.path.join(out, "events.parquet"), row_group_size=ROW_GROUP_ROWS)
     trng = np.random.default_rng(TPCH_SEED)
     n_cust, n_orders, n_li = N_CUSTOMER * scale, N_ORDERS * scale, N_LINEITEM * scale
-    pq.write_table(gen_customer(trng, n_cust), os.path.join(out, "customer.parquet"))
-    pq.write_table(
-        gen_orders(trng, n_orders, n_cust), os.path.join(out, "orders.parquet")
-    )
-    pq.write_table(
-        gen_lineitem(trng, n_li, n_orders), os.path.join(out, "lineitem.parquet")
-    )
-    pq.write_table(gen_nation(), os.path.join(out, "nation.parquet"))
+    pq.write_table(gen_customer(trng, n_cust), os.path.join(out, "customer.parquet"), row_group_size=ROW_GROUP_ROWS)
+    pq.write_table(gen_orders(trng, n_orders, n_cust), os.path.join(out, "orders.parquet"), row_group_size=ROW_GROUP_ROWS)
+    pq.write_table(gen_lineitem(trng, n_li, n_orders), os.path.join(out, "lineitem.parquet"), row_group_size=ROW_GROUP_ROWS)
+    pq.write_table(gen_nation(), os.path.join(out, "nation.parquet"), row_group_size=ROW_GROUP_ROWS)
     print(
         f"wrote {out}/documents.parquet ({n_docs} docs), embeddings.parquet "
         f"({n_vecs} vecs), events.parquet ({n_events} events), "

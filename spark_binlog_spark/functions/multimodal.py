@@ -1326,19 +1326,123 @@ DHASH_SCHEMA = StructType(
 )
 
 
+def _bmp_dhash63_block(ids, blobs):
+    """Vectorized dHash for a HOMOGENEOUS block of plain 24-bit BMPs
+    (same byte length and same 54-byte header, i.e. same dimensions,
+    pixel offset and orientation — the shape any fixture or
+    batch-captured camera feed produces).  One numpy pass computes
+    every blob's luma grid and gradient bits; integer arithmetic
+    identical to ``image_dhash63`` (the property suite pins the two
+    paths equal).  Returns (media_ids, dhashes) or None when the
+    header is not the plain-24-bit layout the scalar decoder accepts."""
+    import struct
+
+    import numpy as np
+
+    head = blobs[0]
+    if len(head) < 54 or head[:2] != b"BM":
+        return None
+    (pix_off,) = struct.unpack_from("<I", head, 10)
+    (hdr_size,) = struct.unpack_from("<I", head, 14)
+    if hdr_size < 40:
+        return None
+    width, height = struct.unpack_from("<ii", head, 18)
+    bpp, comp = struct.unpack_from("<HI", head, 28)
+    if bpp != 24 or comp != 0 or width <= 0 or height == 0:
+        return None
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    if len(head) < pix_off + stride * height:
+        return None
+    k = len(blobs)
+    arr = np.frombuffer(b"".join(blobs), np.uint8).reshape(k, len(head))
+    pix = arr[:, pix_off : pix_off + stride * height].reshape(k, height, stride)
+    if not top_down:
+        pix = pix[:, ::-1, :]
+    rows = pix[:, :, : width * 3].reshape(k, height, width, 3).astype(np.int64)
+    # BGR byte order; integer luma exactly as image_dhash63
+    luma = (299 * rows[..., 2] + 587 * rows[..., 1] + 114 * rows[..., 0]) // 1000
+    cols, grows = 9, 8
+    grid = np.empty((k, grows, cols), np.int64)
+    for gy in range(grows):
+        y0 = gy * height // grows
+        y1 = min(max((gy + 1) * height // grows, y0 + 1), height)
+        for gx in range(cols):
+            x0 = gx * width // cols
+            x1 = min(max((gx + 1) * width // cols, x0 + 1), width)
+            cell = luma[:, y0:y1, x0:x1]
+            grid[:, gy, gx] = cell.reshape(k, -1).sum(axis=1) // (
+                (y1 - y0) * (x1 - x0)
+            )
+    h = np.zeros(k, np.uint64)
+    for y in range(grows):
+        for x in range(cols - 1):
+            if y == 7 and x == 7:
+                continue  # keep the fold under 2^63 (same as scalar)
+            h |= (grid[:, y, x] < grid[:, y, x + 1]).astype(np.uint64) << np.uint64(
+                y * 8 + x
+            )
+    return np.asarray(ids, np.int64), h.astype(np.int64)
+
+
 def image_dhash_signatures(df: DataFrame) -> DataFrame:
     """Arrow-batched dHash over (media_id, content); undecodable blobs
     are dropped (a near-dup pass has nothing to say about them — the
-    header probe reports them separately)."""
+    header probe reports them separately).
+
+    Blocks of same-layout plain 24-bit BMPs (grouped by byte length +
+    54-byte header) take a fully vectorized numpy path — the scalar
+    per-pixel Python walk was the sf10 rung's cost center (~50 s for
+    500k 9x8 fixtures); anything else (PNG/GIF/JPEG/PNM, odd BMPs)
+    falls back to the scalar decoder per blob, value-identical."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
+            groups: dict[tuple, tuple[list, list]] = {}
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                h = image_dhash63(bytes(content))
-                if h is not None:
-                    rows.append({"media_id": int(media_id), "dhash": h})
-            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+                b = bytes(content)
+                key = (len(b), b[:54])
+                ids, blobs = groups.setdefault(key, ([], []))
+                ids.append(int(media_id))
+                blobs.append(b)
+            out_ids: list[np.ndarray] = []
+            out_hs: list[np.ndarray] = []
+            rows = []
+            for ids, blobs in groups.values():
+                fast = _bmp_dhash63_block(ids, blobs) if len(blobs) >= 8 else None
+                if fast is not None:
+                    out_ids.append(fast[0])
+                    out_hs.append(fast[1])
+                    continue
+                for media_id, b in zip(ids, blobs):
+                    h = image_dhash63(b)
+                    if h is not None:
+                        rows.append({"media_id": media_id, "dhash": h})
+            frames = []
+            if rows:
+                frames.append(pd.DataFrame(rows, columns=["media_id", "dhash"]))
+            if out_ids:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": np.concatenate(out_ids),
+                            "dhash": np.concatenate(out_hs),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(frames)
+                if frames
+                else pd.DataFrame(
+                    {
+                        "media_id": pd.Series([], dtype="int64"),
+                        "dhash": pd.Series([], dtype="int64"),
+                    }
+                )
+            )
 
     return df.select("media_id", "content").mapInPandas(run, DHASH_SCHEMA)
 
@@ -1422,18 +1526,104 @@ AHASH_SCHEMA = StructType(
 )
 
 
+def _wav_envelope63_block(ids, blobs, windows: int = 64):
+    """Vectorized envelope hash for a HOMOGENEOUS block of canonical
+    mono PCM16 WAVs (same byte length, 44-byte RIFF header with the
+    16-byte fmt chunk followed directly by 'data' — the stdlib
+    writer's layout).  Integer arithmetic identical to
+    ``audio_envelope_hash63`` (property-pinned).  Returns
+    (media_ids, ahashes) or None when the header is not this exact
+    layout (the scalar wave/FLAC path then claims the blobs)."""
+    import struct
+
+    import numpy as np
+
+    head = blobs[0]
+    if len(head) < 44 or head[:4] != b"RIFF" or head[8:16] != b"WAVEfmt ":
+        return None
+    fmt_size, audio_fmt, nch = struct.unpack_from("<IHH", head, 16)
+    width = struct.unpack_from("<H", head, 34)[0]
+    if fmt_size != 16 or audio_fmt != 1 or nch != 1 or width != 16:
+        return None
+    if head[36:40] != b"data":
+        return None
+    (data_size,) = struct.unpack_from("<I", head, 40)
+    n = min(data_size // 2, (len(head) - 44) // 2)
+    if n < windows:
+        return None
+    k = len(blobs)
+    raw = np.frombuffer(b"".join(blobs), np.uint8).reshape(k, len(head))
+    samples = (
+        raw[:, 44 : 44 + n * 2].reshape(k, n, 2).astype(np.uint16)
+    )
+    s = (samples[..., 0] | (samples[..., 1].astype(np.uint16) << 8)).astype(
+        np.int16
+    ).astype(np.int64)
+    edges = np.array([w * n // windows for w in range(windows)], np.int64)
+    env = np.add.reduceat(s * s, edges, axis=1)  # k x windows
+    h = np.zeros(k, np.uint64)
+    for w in range(min(windows - 1, 63)):
+        h |= (env[:, w] < env[:, w + 1]).astype(np.uint64) << np.uint64(w)
+    return np.asarray(ids, np.int64), h.astype(np.int64)
+
+
 def audio_envelope_signatures(df: DataFrame) -> DataFrame:
     """Arrow-batched envelope hash over (media_id, content);
-    undecodable / too-short blobs are dropped."""
+    undecodable / too-short blobs are dropped.
+
+    Blocks of same-layout canonical mono PCM16 WAVs (grouped by byte
+    length + 44-byte header) take a fully vectorized numpy path — the
+    scalar per-sample Python energy loop was an sf10 cost center
+    (~30 s for 500k 256-sample fixtures); anything else (multi-channel,
+    8-bit, extra chunks, FLAC) falls back to the scalar decoder per
+    blob, value-identical."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
+            groups: dict[tuple, tuple[list, list]] = {}
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                h = audio_envelope_hash63(bytes(content))
-                if h is not None:
-                    rows.append({"media_id": int(media_id), "ahash": h})
-            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+                b = bytes(content)
+                key = (len(b), b[:44])
+                ids, blobs = groups.setdefault(key, ([], []))
+                ids.append(int(media_id))
+                blobs.append(b)
+            out_ids: list[np.ndarray] = []
+            out_hs: list[np.ndarray] = []
+            rows = []
+            for ids, blobs in groups.values():
+                fast = _wav_envelope63_block(ids, blobs) if len(blobs) >= 8 else None
+                if fast is not None:
+                    out_ids.append(fast[0])
+                    out_hs.append(fast[1])
+                    continue
+                for media_id, b in zip(ids, blobs):
+                    h = audio_envelope_hash63(b)
+                    if h is not None:
+                        rows.append({"media_id": media_id, "ahash": h})
+            frames = []
+            if rows:
+                frames.append(pd.DataFrame(rows, columns=["media_id", "ahash"]))
+            if out_ids:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": np.concatenate(out_ids),
+                            "ahash": np.concatenate(out_hs),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(frames)
+                if frames
+                else pd.DataFrame(
+                    {
+                        "media_id": pd.Series([], dtype="int64"),
+                        "ahash": pd.Series([], dtype="int64"),
+                    }
+                )
+            )
 
     return df.select("media_id", "content").mapInPandas(run, AHASH_SCHEMA)
 

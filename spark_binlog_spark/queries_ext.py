@@ -2538,30 +2538,43 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
+        import numpy as _np
         import pandas as _pd
 
+        # header of the fixed 9x8 layout (from the reference builder,
+        # so the vectorized pixel fill below can never drift from it —
+        # test_image_synth_vectorized_matches_builder pins equality)
+        header = multimodal.build_gray_bmp(9, 8, [0] * 72)[:54]
+        y, x = _np.mgrid[0:8, 0:9]
         for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                base, m = d // 4, d % 4
-                vals = []
-                for y in range(8):
-                    for x in range(9):
-                        core = (base * 37 + y * 29 + x * 13 + ((x * y + base) % 7) * 23) % 191
-                        if m == 2:
-                            v = 191 - core
-                        else:
-                            v = core + (9 if m == 3 else 0) + (
-                                50 if m == 1 and x == 4 and y == 2 else 0
-                            )
-                        vals.append(v)
-                rows.append(
-                    {"media_id": d, "content": multimodal.build_gray_bmp(9, 8, vals)}
-                )
-            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+            ids = pdf["doc_id"].to_numpy()
+            if len(ids) == 0:
+                yield _pd.DataFrame({"media_id": [], "content": []})
+                continue
+            base = (ids // 4)[:, None, None]
+            m = (ids % 4)[:, None, None]
+            core = (base * 37 + y * 29 + x * 13 + ((x * y + base) % 7) * 23) % 191
+            v = _np.where(
+                m == 2,
+                191 - core,
+                core + 9 * (m == 3) + 50 * ((m == 1) & (x == 4) & (y == 2)),
+            )
+            # 24-bit rows, stride padded to 28 bytes (r=g=b=v)
+            pix = _np.zeros((len(ids), 8, 28), _np.uint8)
+            for ch in range(3):
+                pix[:, :, ch:27:3] = v
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [header + row.tobytes() for row in pix],
+                }
+            )
 
-    media = docs.mapInPandas(gen, "media_id long, content binary")
+    # spread: the one-row-group fixture would otherwise run the whole
+    # synth+decode chain in a single task (guide §2.6)
+    media = dedup.spread_small_input(docs).mapInPandas(
+        gen, "media_id long, content binary"
+    )
     sig = multimodal.image_dhash_signatures(media)
     # r13 reshape (the q_simhash_near_dups lesson applied to the media
     # family): the pair listing's TRUE output is quadratic in the
@@ -2632,30 +2645,38 @@ def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
+        import numpy as _np
         import pandas as _pd
 
+        # 44-byte canonical header from the reference stdlib builder —
+        # the vectorized sample fill below can never drift from it
+        # (test_audio_synth_vectorized_matches_builder pins equality)
+        header = multimodal.build_pcm16_wav(8000, [0] * 256)[:44]
+        i = _np.arange(256)
         for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                base, m = d // 4, d % 4
-                samples = []
-                for i in range(256):
-                    if m == 2:
-                        s = ((base * 131 + i * 23 + ((i * i * 3 + base) % 13) * 41) % 997) - 498
-                    else:
-                        s = ((base * 131 + i * 17 + ((i * i + base) % 11) * 37) % 997) - 498
-                        if m == 3:
-                            s *= 2
-                        if m == 1 and 80 <= i < 84:
-                            s = 498
-                    samples.append(s)
-                rows.append(
-                    {"media_id": d, "content": multimodal.build_pcm16_wav(8000, samples)}
-                )
-            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+            ids = pdf["doc_id"].to_numpy()
+            if len(ids) == 0:
+                yield _pd.DataFrame({"media_id": [], "content": []})
+                continue
+            base = (ids // 4)[:, None]
+            m = (ids % 4)[:, None]
+            alt = ((base * 131 + i * 23 + ((i * i * 3 + base) % 13) * 41) % 997) - 498
+            std = ((base * 131 + i * 17 + ((i * i + base) % 11) * 37) % 997) - 498
+            s = _np.where(m == 2, alt, _np.where(m == 3, std * 2, std))
+            s = _np.where((m == 1) & (i >= 80) & (i < 84), 498, s)
+            frames = s.astype("<i2")
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [header + row.tobytes() for row in frames],
+                }
+            )
 
-    media = docs.mapInPandas(gen, "media_id long, content binary")
+    # spread: the one-row-group fixture would otherwise run the whole
+    # synth+decode chain in a single task (guide §2.6)
+    media = dedup.spread_small_input(docs).mapInPandas(
+        gen, "media_id long, content binary"
+    )
     sig = multimodal.audio_envelope_signatures(media)
     # r13 reshape: bounded canonical-survivor form (see
     # q_image_near_dups for the rationale)
@@ -2863,7 +2884,12 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append({"file_id": d, "content": blob})
             yield _pd.DataFrame(rows, columns=["file_id", "content"])
 
-    files = docs.mapInPandas(gen, "file_id long, content binary")
+    # spread: the one-row-group fixture would otherwise run the whole
+    # synth (gzip per odd doc) + record-walk chain in a single task
+    # (guide §2.6; measured 27.8 s at sf10 in ~1 task)
+    files = dedup.spread_small_input(docs).mapInPandas(
+        gen, "file_id long, content binary"
+    )
     out = warc_mod.warc_extract(files)
     return out.select(
         "file_id",

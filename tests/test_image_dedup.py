@@ -76,6 +76,78 @@ class TestImageDhash:
         assert 0 < h < (1 << 63)
 
 
+class TestVectorizedBlockKernels:
+    """The r14 vectorized fast paths of image_dhash_signatures /
+    audio_envelope_signatures must be value-identical to the scalar
+    decoders on homogeneous blocks, and reject anything else (so the
+    scalar path claims it)."""
+
+    def test_bmp_block_matches_scalar(self):
+        import random
+
+        from spark_binlog_spark.functions.multimodal import _bmp_dhash63_block
+
+        rng = random.Random(5)
+        blobs = [
+            build_gray_bmp(9, 8, [rng.randrange(256) for _ in range(72)])
+            for _ in range(40)
+        ]
+        ids, hs = _bmp_dhash63_block(list(range(40)), blobs)
+        for i, h in zip(ids, hs):
+            assert int(h) == image_dhash63(blobs[int(i)])
+
+    def test_bmp_block_larger_image_with_padding(self):
+        import random
+
+        from spark_binlog_spark.functions.multimodal import _bmp_dhash63_block
+
+        rng = random.Random(6)
+        # 18x16: box cells span multiple pixels; stride 56 > 54 pads
+        blobs = [
+            build_gray_bmp(18, 16, [rng.randrange(256) for _ in range(288)])
+            for _ in range(16)
+        ]
+        ids, hs = _bmp_dhash63_block(list(range(16)), blobs)
+        for i, h in zip(ids, hs):
+            assert int(h) == image_dhash63(blobs[int(i)])
+
+    def test_bmp_block_rejects_non_bmp(self):
+        from spark_binlog_spark.functions.multimodal import _bmp_dhash63_block
+
+        png = _png_encode(
+            [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (1, 1, 1)]], 2, [0, 0]
+        )
+        assert _bmp_dhash63_block([0, 1], [png, png]) is None
+
+    def test_wav_block_matches_scalar(self):
+        import random
+
+        from spark_binlog_spark.functions.multimodal import (
+            _wav_envelope63_block,
+            audio_envelope_hash63,
+            build_pcm16_wav,
+        )
+
+        rng = random.Random(7)
+        blobs = [
+            build_pcm16_wav(8000, [rng.randrange(-498, 499) for _ in range(256)])
+            for _ in range(40)
+        ]
+        ids, hs = _wav_envelope63_block(list(range(40)), blobs)
+        for i, h in zip(ids, hs):
+            assert int(h) == audio_envelope_hash63(blobs[int(i)])
+
+    def test_wav_block_rejects_short_and_garbage(self):
+        from spark_binlog_spark.functions.multimodal import (
+            _wav_envelope63_block,
+            build_pcm16_wav,
+        )
+
+        short = build_pcm16_wav(8000, [1] * 32)  # < 64 windows
+        assert _wav_envelope63_block([0], [short]) is None
+        assert _wav_envelope63_block([0], [b"not a wav" * 10]) is None
+
+
 class TestHammingPairJoin:
     def test_banded_join_finds_exactly_the_near_pairs(self, spark):
         from spark_binlog_spark.functions.dedup import hamming_near_dup_pairs
