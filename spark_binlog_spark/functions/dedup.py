@@ -290,6 +290,59 @@ def minhash_pairs_from_wide(
     )
 
 
+def minhash_component_edges(
+    df: DataFrame, text_col: str = "text", n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """(doc_a, doc_b) edges whose connected components are EXACTLY the
+    components of ``minhash_candidate_pairs(min_agree=2)`` — at a
+    fraction of the edges (r14, guide §2.3: don't shuffle what the
+    consumer doesn't need).
+
+    Structure argument: with r=2 combination banding, a (combo, u, v)
+    bucket's members all share that seed pair, so any two of them
+    agree on >= 2 seeds — every bucket is a CLIQUE of the min_agree=2
+    candidate graph; and every qualifying pair shares some bucket
+    (pigeonhole).  The candidate graph is therefore a union of bucket
+    cliques, and per-bucket STAR edges (bucket-min, member) span each
+    clique — identical connected components with Σ(|bucket|−1) edges
+    instead of Σ C(|bucket|,2) pairs (sf10: 28.4M pairs → ~1.3M star
+    edges; a k-doc dup clique costs k−1 edges instead of C(k,2)).
+    Only valid for min_agree=2 — at higher thresholds bucket members
+    are candidates, not qualified pairs, so cliques don't hold.  The
+    PAIR relation (``minhash_candidate_pairs``) stays the declared
+    pair-listing query; this is the edge constructor for component
+    consumers (q_dup_components, q_dedup_canonical), whose declared
+    outputs are component-level and provably unchanged
+    (TestMinhashComponentEdges pins component equality)."""
+    from pyspark.sql import Window
+
+    cols = [f"mh{i}" for i in range(n_hashes)]
+    combos = [(i, j) for i in range(n_hashes) for j in range(i + 1, n_hashes)]
+    wide = minhash_signatures_wide(df, text_col, n_hashes)
+    banded = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("cid"),
+                        F.col(cols[i]).alias("u"),
+                        F.col(cols[j]).alias("v"),
+                    )
+                    for k, (i, j) in enumerate(combos)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.cid", "b.u", "b.v")
+    w = Window.partitionBy("cid", "u", "v")
+    return (
+        banded.withColumn("m", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("m"))
+        .select(F.col("m").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+
+
 def minhash_dedup_summary(
     df: DataFrame,
     text_col: str = "text",
@@ -323,7 +376,10 @@ def minhash_dedup_summary(
     representative IS its clique's min and min composes."""
     from pyspark.storagelevel import StorageLevel
 
+    from spark_binlog_spark.cache_util import release, swap_caches
+
     cols = [f"mh{i}" for i in range(n_hashes)]
+    release("dedup.minhash_dedup_summary")
     wide = minhash_signatures_wide(df, text_col, n_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -333,7 +389,13 @@ def minhash_dedup_summary(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dsig = per.select(F.col("m").alias("doc_id"), *cols)
-    pairs = minhash_pairs_from_wide(dsig, n_hashes=n_hashes, min_agree=min_agree)
+    # persisted: referenced twice by the symmetrize union — unpersisted
+    # the whole banded candidate join ran twice per action (the same
+    # defect hamming_dedup_summary carried; bounded by TRUE pairs)
+    pairs = minhash_pairs_from_wide(
+        dsig, n_hashes=n_hashes, min_agree=min_agree
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    swap_caches("dedup.minhash_dedup_summary", [wide, per, pairs])
     sym = (
         pairs.select(F.col("doc_a").alias("sid"), F.col("doc_b").alias("nb"))
         .unionByName(pairs.select(F.col("doc_b").alias("sid"), F.col("doc_a").alias("nb")))

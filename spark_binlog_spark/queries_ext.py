@@ -764,7 +764,12 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     round count is the scale axis there.  The SQL oracle is exact via
     a recursive transitive-closure CTE."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_candidate_pairs(docs, min_agree=2).select("doc_a", "doc_b")
+    # r14: edges come from minhash_component_edges (per-bucket star
+    # edges — the r=2 buckets are cliques of the min_agree=2 graph, so
+    # components are identical with Σ(|bucket|−1) edges instead of
+    # Σ C(|bucket|,2) pairs; sf10 28.4M → ~1.3M edges, component-
+    # equality property-pinned)
+    pairs = dedup.minhash_component_edges(docs)
     # adaptive small-graph gate (r11): under 200k canonical edges the
     # component solve is one bounded collect + driver union-find (the
     # broadcast-threshold idea applied to the fixpoint — at sf0.1 the
@@ -817,7 +822,9 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_candidate_pairs(docs, min_agree=2).select("doc_a", "doc_b")
+    # r14: star-edge constructor — identical components, ~20x fewer
+    # edges (see q_dup_components / minhash_component_edges)
+    pairs = dedup.minhash_component_edges(docs)
     # stays min_label_components (r14 measured): routing through
     # adaptive/star was tried and REVERTED — star_components' returned
     # mapping re-pays its final distinct + union per action (sf10 timed
@@ -2315,9 +2322,15 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_doc_id").alias("doc_id")
     )
     s2 = clean.join(keep_exact, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
-    # 3. near-dedup: drop the larger side of every banded MinHash pair
+    # 3. near-dedup: drop the larger side of every banded MinHash pair.
+    # r14: the drop SET is computable from the star-edge constructor —
+    # a doc is a pair's larger side iff some r=2 bucket contains it
+    # plus a smaller doc, i.e. iff it is a star edge's doc_b — so the
+    # C(|bucket|,2) pair join never runs here (set equality proved in
+    # TestMinhashComponentEdges; the pair relation itself stays the
+    # declared q_dedup_minhash)
     near_drop = (
-        dedup.minhash_candidate_pairs(s2, min_agree=2)
+        dedup.minhash_component_edges(s2)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -208,6 +208,64 @@ class TestComboBanding:
             _combo_scheme(60, 3, 6, 0)  # r < 1
 
 
+class TestMinhashComponentEdges:
+    def test_components_and_drop_set_match_pair_graph(self, spark):
+        """minhash_component_edges (per-bucket star edges) must yield
+        the SAME connected components and the same larger-side drop set
+        as the full min_agree=2 candidate-pair graph — the structure
+        claim q_dup_components / q_dedup_canonical / q_curation_e2e's
+        near-dedup stage rest on (each r=2 bucket is a clique)."""
+        import random
+
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import dedup
+
+        words = ["red", "green", "blue", "cyan", "teal", "plum", "gold", "iron"]
+        rng = random.Random(29)
+        docs = []
+        for i in range(80):
+            base = [rng.choice(words) for _ in range(rng.randint(3, 9))]
+            docs.append(Row(doc_id=i, text=" ".join(base)))
+            for rep in range(rng.randint(0, 3)):  # dup cliques of size up to 4
+                mutated = list(base)
+                if rng.random() < 0.5 and len(mutated) > 3:
+                    mutated[rng.randrange(len(mutated))] = rng.choice(words)
+                docs.append(Row(doc_id=1000 * (rep + 1) + i, text=" ".join(mutated)))
+        df = spark.createDataFrame(docs)
+
+        pairs = [
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_candidate_pairs(df, min_agree=2).collect()
+        ]
+        stars = [
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_component_edges(df).collect()
+        ]
+        # the star graph is a (strict at any clique size > 2) subset
+        assert set(stars) <= set(pairs)
+        # drop set (larger side of any pair) identical
+        assert {b for _a, b in stars} == {b for _a, b in pairs}
+
+        def components(edges):
+            parent = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            return {x: find(x) for x in parent}
+
+        assert components(pairs) == components(stars)
+
+
 class TestMinhashCanonicalCombo:
     def test_matches_bruteforce_signature_model(self, spark):
         """minhash_candidate_pairs (r13 canonical-combo plan, no pair-
