@@ -27,6 +27,27 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 
+def _git_head() -> str:
+    """Label every capture with the exact commit it was taken at (r14
+    VERDICT "evidence hygiene": a before-plan is only evidence if the
+    reader can check it against the labeled tree).  Falls back to
+    'unknown+dirty' markers rather than failing the capture."""
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "-C", REPO_ROOT, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", REPO_ROOT, "status", "--porcelain"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        return head + ("+dirty" if dirty else "")
+    except Exception:
+        return "unknown"
+
+
 def main() -> None:
     out_dir, suffix = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
@@ -62,7 +83,7 @@ def main() -> None:
         except Exception:
             text = "PLAN CAPTURE FAILED:\n" + traceback.format_exc()
         with open(path, "w") as fh:
-            fh.write(f"# {name} — {suffix} — sf_dir={sf_dir}\n")
+            fh.write(f"# {name} — {suffix} — sf_dir={sf_dir} — commit={_git_head()}\n")
             fh.write(text)
         print(f"wrote {path} ({len(text)} bytes)", flush=True)
     spark.stop()

@@ -1217,7 +1217,7 @@ def q_hbase_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed with the registry's MAP fallback (null-schema convention,
     hbase-wal AbstractEventWriter.java:39), then exploded one row per
     cell — the columnar inverse of the reference's cell loop."""
-    from spark_binlog_spark.schema_registry import SchemaRegistry, explode_hbase_cells
+    from spark_binlog_spark.schema_registry import SchemaRegistry
 
     _pin(spark)
     ch = changes_df(spark, sf_dir)
@@ -1234,8 +1234,10 @@ def q_hbase_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rows_json"),
     )
     reg = SchemaRegistry()  # 'unknown' table -> HBASE_FALLBACK map schema
-    parsed = reg.parse_rows(wire, "hbase_db", "t", "rows_json").drop("rows_json")
-    return explode_hbase_cells(parsed)
+    # r15: fused Arrow parse+explode (guide §4.2) — from_json into
+    # ARRAY<MAP> was ~6.5 s of this query's 11.5 s at sf10; the
+    # Catalyst reference stays as parse_rows_cells(kernel=False)
+    return reg.parse_rows_cells(wire, "hbase_db", "t", "rows_json")
 
 
 ORACLE["q_hbase_cells"] = f"""

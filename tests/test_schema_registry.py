@@ -50,6 +50,54 @@ class TestRegistry:
         assert got == {("rk1", "cf:a", "x"), ("rk1", "cf:b", "y")}
 
 
+class TestParseRowsCellsKernel:
+    """r15: the fused Arrow parse+explode must be row-identical to the
+    Catalyst reference (parse_rows + explode_hbase_cells) across the
+    fallback's input envelope — including the malformed shapes
+    PERMISSIVE from_json silently drops."""
+
+    ROWS = [
+        (1, '[{"rowkey": "rk1", "cf:a": "x", "cf:b": "y"}]'),
+        (2, '[{"rowkey": "rk2", "cf:a": null}]'),           # null cell value
+        (3, '[{"cf:only": "no-rowkey"}]'),                  # absent rowkey
+        (4, '[{"rowkey": "rk4"}]'),                         # rowkey-only: no cells
+        (5, "[{}]"),                                        # empty object
+        (6, "[]"),                                          # empty array
+        (7, None),                                           # null json
+        (8, "{not json"),                                   # invalid -> dropped
+        (9, '{"rowkey": "obj-not-array"}'),                 # non-array root
+        (10, '[{"rowkey": "rk10", "cf:b": true, "cf:i": 7}]'),  # bool/int cells
+        (11, '[{"rowkey": "rk11", "cf:a": "1"}, {"rowkey": "rk11b", "cf:a": "2"}]'),
+        (12, '[null, {"rowkey": "rk12", "cf:a": "z"}]'),    # null array element
+    ]
+
+    def _both(self, spark, rows):
+        reg = SchemaRegistry()
+        df = spark.createDataFrame(rows, ["cdc_offset", "rows_json"])
+        kern = reg.parse_rows_cells(df, "hbase", "unknown", "rows_json", kernel=True)
+        ref = reg.parse_rows_cells(df, "hbase", "unknown", "rows_json", kernel=False)
+        return kern, ref
+
+    def test_kernel_matches_catalyst_reference(self, spark):
+        kern, ref = self._both(spark, self.ROWS)
+        assert kern.schema == ref.schema
+        k = sorted(map(tuple, kern.collect()))
+        r = sorted(map(tuple, ref.collect()))
+        assert k == r
+        # and the reference itself produces what the map fallback promises
+        assert (1, "rk1", "cf:a", "x") in r
+
+    def test_registered_schema_rejected(self, spark):
+        reg = SchemaRegistry()
+        reg.register("db", "t", SCRIPT_FILE)
+        df = spark.createDataFrame(
+            [(1, '[{"id": 1, "name": "n", "has_caret": 0}]')],
+            ["cdc_offset", "rows_json"],
+        )
+        with pytest.raises(ValueError, match="registered schema"):
+            reg.parse_rows_cells(df, "db", "t", "rows_json")
+
+
 class TestJdbcResolution:
     def test_resolve_from_live_derby(self, spark, tmp_path):
         """S3 live-JDBC schema resolution: create a table over JDBC in
