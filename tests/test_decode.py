@@ -45,6 +45,60 @@ def test_bit_decodes(spark):
     assert rows[3] == (True, 9)
 
 
+class TestProjectDecodeKernel:
+    """r15: the fused Arrow decode projection must be value-identical to
+    the Catalyst reference over the wire envelope, including the
+    byte-length edge semantics of the hex/conv BIT assembly (length 0 ->
+    all-null, length 1 -> b0 only, length >= 2 -> first two bytes) and
+    null rows in every column."""
+
+    def _wire(self, spark):
+        import datetime
+
+        rows = [
+            # (cdc_offset, pk, props, ts, op_raw, hi_raw, bits_raw)
+            (1, 7, '{"k": 87}', datetime.datetime(2024, 1, 1, 0, 0, 1, 393525), b"insert", b"\xc7", b"\x05\x07"),
+            (2, 128, '{"k": 0}', datetime.datetime(2024, 6, 30, 23, 59, 59), b"update", b"\x80", b"\x00\xff"),
+            (3, 0, "{}", datetime.datetime(2024, 1, 2), b"delete", b"\xff", b"\x01"),   # missing k, 1-byte bits
+            (4, 3, None, None, None, None, b""),                                         # nulls + empty bits
+            (5, 9, "{not json", datetime.datetime(2024, 3, 1), b"x", b"\xa0", None),    # invalid json, null bits
+            (6, 11, '{"k": null}', datetime.datetime(2024, 3, 1), b"caf\xc3\xa9", b"\xb1", b"\x05\x07\x09"),  # 3-byte bits, multibyte utf8
+        ]
+        return spark.createDataFrame(
+            rows,
+            "cdc_offset long, pk long, props string, ts timestamp, "
+            "op_raw binary, hi_raw binary, bits_raw binary",
+        )
+
+    def test_kernel_matches_catalyst(self, spark):
+        from spark_binlog_spark.queries_cdc import project_decode_wire_projection
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        wire = self._wire(spark)
+        kern = project_decode_wire_projection(wire, kernel=True)
+        ref = project_decode_wire_projection(wire, kernel=False)
+        assert [(f.name, f.dataType) for f in kern.schema.fields] == [
+            (f.name, f.dataType) for f in ref.schema.fields
+        ]
+        k = sorted(map(tuple, kern.collect()))
+        r = sorted(map(tuple, ref.collect()))
+        assert k == r
+        # spot-pin the measured Catalyst edge semantics so a Spark
+        # behavior change surfaces as THIS assertion, not a silent drift
+        by_off = {t[0]: t for t in r}
+        assert by_off[3][3] is True and by_off[3][4] is None   # 1-byte: bit1 ok, bitn null
+        assert by_off[4][3] is None and by_off[4][4] is None   # empty: all null
+
+    def test_kernel_plan_is_one_arrow_node(self, spark):
+        from spark_binlog_spark.queries_cdc import project_decode_wire_projection
+
+        plan = (
+            project_decode_wire_projection(self._wire(spark), kernel=True)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "MapInArrow" in plan
+
+
 def test_partitioned_cell_rollup_matches_global_within_region(spark):
     """P5 scale path: per-region rollup == global rollup restricted to
     one region's events (the reference's per-region WAL order)."""
