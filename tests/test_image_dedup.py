@@ -148,6 +148,55 @@ class TestVectorizedBlockKernels:
         assert _wav_envelope63_block([0], [b"not a wav" * 10]) is None
 
 
+# doc_ids covering all four variant classes (m = id % 4) at small and
+# large bases — the ADVICE r14 pin: the vectorized fixture synths must
+# stay byte-equal to the scalar reference-builder loops, or the media
+# query INPUTS drift silently.
+_SYNTH_IDS = list(range(16)) + [997, 4242] + list(range(123456, 123460))
+
+
+class TestMediaSynthMatchesBuilder:
+    def test_image_synth_vectorized_matches_builder(self):
+        import numpy as np
+
+        from spark_binlog_spark.queries_ext import image_synth_blobs
+
+        got = image_synth_blobs(np.array(_SYNTH_IDS, dtype=np.int64))
+        for doc_id, blob in zip(_SYNTH_IDS, got):
+            base, m = doc_id // 4, doc_id % 4
+            vals = []
+            for y in range(8):
+                for x in range(9):
+                    core = (base * 37 + y * 29 + x * 13 + ((x * y + base) % 7) * 23) % 191
+                    if m == 2:
+                        v = 191 - core
+                    else:
+                        v = core + (9 if m == 3 else 0) + (
+                            50 if (m == 1 and x == 4 and y == 2) else 0
+                        )
+                    vals.append(v)
+            assert blob == build_gray_bmp(9, 8, vals), f"doc_id {doc_id}"
+
+    def test_audio_synth_vectorized_matches_builder(self):
+        import numpy as np
+
+        from spark_binlog_spark.functions.multimodal import build_pcm16_wav
+        from spark_binlog_spark.queries_ext import audio_synth_blobs
+
+        got = audio_synth_blobs(np.array(_SYNTH_IDS, dtype=np.int64))
+        for doc_id, blob in zip(_SYNTH_IDS, got):
+            base, m = doc_id // 4, doc_id % 4
+            samples = []
+            for i in range(256):
+                alt = ((base * 131 + i * 23 + ((i * i * 3 + base) % 13) * 41) % 997) - 498
+                std = ((base * 131 + i * 17 + ((i * i + base) % 11) * 37) % 997) - 498
+                s = alt if m == 2 else (std * 2 if m == 3 else std)
+                if m == 1 and 80 <= i < 84:
+                    s = 498
+                samples.append(s)
+            assert blob == build_pcm16_wav(8000, samples), f"doc_id {doc_id}"
+
+
 class TestHammingPairJoin:
     def test_banded_join_finds_exactly_the_near_pairs(self, spark):
         from spark_binlog_spark.functions.dedup import hamming_near_dup_pairs

@@ -633,6 +633,102 @@ class TestMinLabelComponents:
             }
             assert got == want, f"seed {seed}"
 
+    def test_jump_label_components_matches_union_find(self, spark):
+        """jump_label_components (r15, the adaptive big-graph path) must
+        equal the union-find oracle and min_label_components on the
+        mixed-topology graph (chain + star + cycle + bridge + isolated
+        pair) and on seeded random graphs."""
+        import random
+
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions.dedup import jump_label_components
+
+        edges = (
+            [(i + 1, i) for i in range(10, 30)]
+            + [(500, v) for v in range(40, 50)]
+            + [(60, 61), (61, 62), (62, 63), (63, 60)]
+            + [(30, 40)]
+            + [(900, 901)]
+        )
+        want = self._union_find(edges)
+        pairs = spark.createDataFrame([Row(doc_a=u, doc_b=v) for u, v in edges])
+        got = {
+            r["doc_id"]: r["component"]
+            for r in jump_label_components(pairs).collect()
+        }
+        assert got == want
+        for seed in range(3):
+            rng = random.Random(seed)
+            n = 60
+            redges = sorted(
+                {
+                    (max(u, v), min(u, v))
+                    for u, v in (
+                        (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+                    )
+                    if u != v
+                }
+            )
+            want = self._union_find(redges)
+            pairs = spark.createDataFrame(
+                [Row(doc_a=u, doc_b=v) for u, v in redges]
+            )
+            got = {
+                r["doc_id"]: r["component"]
+                for r in jump_label_components(pairs).collect()
+            }
+            assert got == want, f"seed {seed}"
+
+    def test_adaptive_big_graph_routes_through_jump_label(self, spark):
+        """adaptive_components with gate=0 (forced big-graph branch)
+        must still equal the oracle after the r15 reroute to
+        jump_label_components."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions.dedup import adaptive_components
+
+        edges = [(i + 1, i) for i in range(10, 30)] + [(900, 901)]
+        want = self._union_find(edges)
+        pairs = spark.createDataFrame([Row(doc_a=u, doc_b=v) for u, v in edges])
+        got = {
+            r["doc_id"]: r["component"]
+            for r in adaptive_components(pairs, driver_max_edges=0).collect()
+        }
+        assert got == want
+
+    def test_jump_label_deep_path_converges_in_log_rounds(self, spark):
+        """The pointer-jump claim itself: a 128-node path (diameter
+        127) must converge in ~log2(d) label rounds — min-label would
+        need 127.  Instrumented via the per-round localCheckpoint
+        count (1 seed + 8 rounds incl. the confirming one = 9;
+        asserted <= 11 for slack)."""
+        from pyspark.sql import Row
+
+        from spark_binlog_spark.functions import dedup
+
+        rounds = 0
+        orig = dedup.DataFrame.localCheckpoint
+
+        def counting(self, eager=True):
+            nonlocal rounds
+            rounds += 1
+            return orig(self, eager=eager)
+
+        pairs = spark.createDataFrame(
+            [Row(doc_a=i + 1, doc_b=i) for i in range(127)]
+        )
+        dedup.DataFrame.localCheckpoint = counting
+        try:
+            got = {
+                r["doc_id"]: r["component"]
+                for r in dedup.jump_label_components(pairs).collect()
+            }
+        finally:
+            dedup.DataFrame.localCheckpoint = orig
+        assert got == {v: 0 for v in range(128)}
+        assert rounds <= 11, f"pointer jumping regressed: {rounds} checkpoints"
+
     def test_star_components_deep_path_converges_in_log_rounds(self, spark):
         """The scale claim itself: a 128-node path (diameter 127) must
         converge in O(log^2 n) alternations — min-label would need 127
