@@ -138,7 +138,20 @@ def minhash_signatures_wide(
     Plan shape: scan -> generate(shingles) -> ONE hash-aggregate keyed
     on doc_id computing all n_hashes mins as separate agg columns
     (map-side partial min).  No seed explosion: the shuffle carries one
-    row per doc, n_hashes columns wide."""
+    row per doc, n_hashes columns wide.
+
+    Stays JVM codegen, twice A/B'd against a Python kernel and kept:
+    the r13 A/B measured a row-at-a-time kernel at near-parity, and
+    the r15 re-run (VERDICT r14 ask #6) with the full simhash-kernel
+    treatment — per-task md5 memoization, byte-slice shingles (no
+    string concat), vectorized min.reduceat over doc boundaries —
+    STILL measured parity at the sf10 signature pass (kernel 3.1-4.2 s
+    vs Catalyst 2.8-3.7 s, min-of-4 interleaved, value-identical).
+    Unlike simhash (whose Catalyst form paid 60 branchy sum(CASE)
+    aggregates per word instance), this pass is md5 + one multiply-mod
+    chain in a codegen hash-agg — there is no interpreted-expression
+    tax for a kernel to win back, and the Arrow text transfer eats the
+    memoization saving."""
     sh = doc_shingles(spread_small_input(df), text_col)
     hp = (
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10).cast("long") % MINHASH_P
@@ -791,34 +804,37 @@ def jump_label_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") 
     jumping — the big-graph path ``adaptive_components`` routes to
     (r15, VERDICT r14 ask #2).
 
-    Each round folds three DECREASING sources into every vertex's
-    label: its own label, its label's label (the pointer jump /
-    shortcut — what beats rounds = diameter), and the min label over
-    its neighbors (the hook, run in both edge directions).  Labels
+    Each round folds two DECREASING sources into every vertex's label
+    — the min label republished by its CHANGED neighbors (the hook,
+    run in both edge directions over a delta frontier) and then its
+    label's label (the pointer jump / shortcut — what beats rounds =
+    diameter), composed sequentially on the post-hook labels.  Labels
     only decrease and only take vertex-id values from the vertex's own
-    component, so (a) the decimal label sum is an EXACT convergence
-    probe (min_label_components' argument: an unchanged sum IS the
-    fixpoint — no lossy checksum), and (b) at the fixpoint every
-    edge's endpoints hold equal labels, labels are constant per
-    component, and the component min m keeps lbl(m) = m — the same
+    component, so (a) the changed-label count is an EXACT convergence
+    probe (every decrease is republished, so an empty delta means each
+    edge's endpoints have folded each other's CURRENT labels — no
+    lossy checksum), and (b) at the fixpoint labels are constant per
+    component and the component min m keeps lbl(m) = m — the same
     (vertex, min-of-component) relation min_label_components and
     star_components converge to (property-tested equal to the
     union-find oracle).
 
-    Round shape and count: one edge-scale join + grouped min (the
-    hook) plus two vertex-scale joins per round, against
-    star_components' per-round canon-distinct + two grouped edge
-    shuffles + an exact anti-join probe over the edge relation.  The
-    shortcut composes label chains, so a d-diameter path converges in
-    ~log2(d) + O(1) rounds (model-measured: 128-path 8 rounds,
-    10k-path 15; min-label needs d).  On the minhash STAR-EDGE input
-    (hub = bucket min, ``minhash_component_edges``) the seeding
-    already performs the first hook — every member starts at its
-    bucket hub — so only hub-to-hub chains consume rounds (sf10:
-    3 label rounds over 2.45M star edges).
+    Round shape and count: ONE join of the static persisted edge
+    relation against the shrinking delta (sf10: 440k labels round 1,
+    28k round 2) plus vertex-scale joins, against star_components'
+    per-round canon-distinct + two grouped shuffles + an exact
+    anti-join probe that all REWRITE the edge relation.  The shortcut
+    composes label chains, so a d-diameter path converges in ~log2(d)
+    + O(1) rounds (model-measured: 128-path 8 rounds, 10k-path 13 with
+    one jump, 8 with the sequential composition; min-label needs d).
+    On the minhash STAR-EDGE input (hub = bucket min,
+    ``minhash_component_edges``) the seeding already performs the
+    first hook — every member starts at its bucket hub — so only
+    hub-to-hub chains consume rounds (sf10: 4 changing rounds over
+    2.45M star edges).
 
-    Each round ``localCheckpoint``s lazily and the probe collect
-    materializes it — ONE job per round (min_label's pattern), and the
+    Each round ``localCheckpoint``s lazily and the probe count
+    materializes it (min_label's one-job-per-round pattern); the
     checkpoint stops the analyzer from re-nesting prior rounds."""
     from pyspark.storagelevel import StorageLevel
 
@@ -838,32 +854,54 @@ def jump_label_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") 
         )
         .localCheckpoint(eager=False)
     )
-    probe = F.sum(F.col("lbl").cast("decimal(38,0)"))
-    prev_sum = labels.agg(probe).collect()[0][0]
+    # delta-frontier rounds: only labels that CHANGED last round are
+    # re-published to neighbors (round 1 publishes everything).  Exact:
+    # labels only decrease, every decrease is republished, so at the
+    # empty-delta fixpoint each edge's endpoints have folded each
+    # other's CURRENT labels — equal labels per component (and the
+    # count probe doubles as the convergence test: no lossy checksum).
+    # At scale this is the difference between joining the static edge
+    # relation against the full vertex set every round and against a
+    # geometrically shrinking frontier (sf10: 440k -> 28k after one
+    # round); the hook is SEQUENTIALLY composed with the jump (jump
+    # runs on post-hook labels), which cut the 2.45M-edge star graph
+    # from 6 changing rounds (parallel form) to 4.
+    delta = labels
     while True:
         nb = (
-            edges.join(labels, edges["dst"] == labels["v"])
+            edges.join(delta, edges["dst"] == delta["v"])
             .groupBy("src")
             .agg(F.min("lbl").alias("__nbl"))
         )
-        par = labels.select(F.col("v").alias("__pv"), F.col("lbl").alias("__plbl"))
-        labels = (
+        hooked = (
             labels.join(nb, labels["v"] == nb["src"], "left")
-            .join(par, labels["lbl"] == par["__pv"], "left")
             .select(
                 labels["v"],
                 F.least(
-                    labels["lbl"],
-                    F.coalesce(F.col("__nbl"), labels["lbl"]),
-                    F.coalesce(F.col("__plbl"), labels["lbl"]),
+                    labels["lbl"], F.coalesce(F.col("__nbl"), labels["lbl"])
                 ).alias("lbl"),
             )
+            .localCheckpoint(eager=False)  # pinned: the jump references it twice
+        )
+        par = hooked.select(F.col("v").alias("__pv"), F.col("lbl").alias("__plbl"))
+        old = labels.select(F.col("v").alias("__ov"), F.col("lbl").alias("__olbl"))
+        new_labels = (
+            hooked.join(par, hooked["lbl"] == par["__pv"], "left")
+            .select(
+                hooked["v"],
+                F.least(
+                    hooked["lbl"], F.coalesce(F.col("__plbl"), hooked["lbl"])
+                ).alias("lbl"),
+            )
+            .join(old, F.col("v") == F.col("__ov"))
+            .select("v", "lbl", (F.col("lbl") != F.col("__olbl")).alias("__chg"))
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(probe).collect()[0][0]
-        if cur_sum == prev_sum:
+        n_changed = new_labels.where("__chg").count()  # materializes the round
+        labels = new_labels.select("v", "lbl")
+        delta = new_labels.where("__chg").select("v", "lbl")
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
 
