@@ -11,8 +11,14 @@ before they show in an sf0.1 number (DEVNOTES round-12 lessons).
 
 The sf10 fixture carries only documents + embeddings; queries that read
 other tables record as missing-table skips (expected).  Timings from a
-shared 125-query session are unreliable (cache/GC pressure) — re-time
-suspects in fresh sessions; this sweep's signal is the `status` column.
+shared 125-query session are unreliable (cache/GC pressure), so the
+sweep SELF-ADJUDICATES (r14 verdict ask #1): after the shared session
+stops, every ok entry whose in-sweep time is at or above
+$SPARK_GRAFT_SWEEP_ADJ_FLOOR seconds (default 10) is re-timed COLD in
+its own fresh subprocess session (``--only <name>`` mode below) and
+both readings are recorded (`sec` = in-sweep, `sec_fresh` = isolated).
+The fresh column is the citable number; a large in-sweep/fresh ratio
+marks session-pressure contamination, not a query regression.
 
 Streaming-store queries (q_stream_*) are SKIPPED by default: their
 construction ingests the full corpus through an admission/model sink,
@@ -39,10 +45,7 @@ if REPO_ROOT not in sys.path:
 SF_DIR = os.path.join(REPO_ROOT, "scale_fixtures", "sf10")
 
 
-def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "sf10_sweep.json"
-    watchdog = float(sys.argv[2]) if len(sys.argv) > 2 else 150.0
-
+def _make_session():
     from pyspark.sql import SparkSession
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -57,6 +60,75 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _run_one(spark, name, fn, watchdog) -> dict:
+    """One cold query under the watchdog; same shape as the sweep loop."""
+    group = f"sweep-{name}"
+    spark.sparkContext.setJobGroup(group, name, interruptOnCancel=True)
+    cancelled = threading.Event()
+
+    def cancel(g=group, ev=cancelled):
+        ev.set()
+        spark.sparkContext.cancelJobGroup(g)
+        for q in spark.streams.active:  # stream jobs live outside the group
+            try:
+                q.stop()
+            except Exception:
+                pass
+
+    timer = threading.Timer(watchdog, cancel)
+    timer.start()
+    t0 = time.perf_counter()
+    try:
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        status = "ok"
+        err = None
+    except Exception as e:  # noqa: BLE001 - the sweep's whole point
+        msg = str(e)
+        if cancelled.is_set():
+            status = "WATCHDOG"
+            err = f"cancelled after {watchdog}s"
+        elif (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or isinstance(e, FileNotFoundError)
+        ):
+            status = "skip-missing-table"
+            err = None
+        else:
+            status = "ERROR"
+            err = f"{type(e).__name__}: {msg[:400]}"
+    finally:
+        timer.cancel()
+        # reset the group (PySpark has no clearJobGroup; overwrite)
+        spark.sparkContext.setJobGroup("sweep-idle", "between queries")
+    el = round(time.perf_counter() - t0, 1)
+    return {"status": status, "sec": el, "err": err}
+
+
+def _only_mode(name: str, watchdog: float) -> None:
+    """Fresh-session single-query re-time (the adjudication subprocess):
+    prints one JSON line on stdout."""
+    spark = _make_session()
+    from spark_binlog_spark import registry
+
+    fn = registry.queries()[name]
+    r = _run_one(spark, name, fn, watchdog)
+    print(json.dumps({"name": name, **r}))
+    spark.stop()
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    if args and args[0] == "--only":
+        _only_mode(args[1], float(args[2]) if len(args) > 2 else 150.0)
+        return
+    out_path = args[0] if args else "sf10_sweep.json"
+    watchdog = float(args[1]) if len(args) > 1 else 150.0
+
+    spark = _make_session()
 
     from spark_binlog_spark import registry
 
@@ -70,54 +142,46 @@ def main() -> None:
     results: dict[str, dict] = {}
     t_sweep = time.perf_counter()
     for i, (name, fn) in enumerate(todo):
-        group = f"sweep-{name}"
-        spark.sparkContext.setJobGroup(group, name, interruptOnCancel=True)
-        cancelled = threading.Event()
-
-        def cancel(g=group, ev=cancelled):
-            ev.set()
-            spark.sparkContext.cancelJobGroup(g)
-            for q in spark.streams.active:  # stream jobs live outside the group
-                try:
-                    q.stop()
-                except Exception:
-                    pass
-
-        timer = threading.Timer(watchdog, cancel)
-        timer.start()
-        t0 = time.perf_counter()
-        try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            status = "ok"
-            err = None
-        except Exception as e:  # noqa: BLE001 - the sweep's whole point
-            msg = str(e)
-            if cancelled.is_set():
-                status = "WATCHDOG"
-                err = f"cancelled after {watchdog}s"
-            elif (
-                "PATH_NOT_FOUND" in msg
-                or "Path does not exist" in msg
-                or isinstance(e, FileNotFoundError)
-            ):
-                status = "skip-missing-table"
-                err = None
-            else:
-                status = "ERROR"
-                err = f"{type(e).__name__}: {msg[:400]}"
-        finally:
-            timer.cancel()
-            # reset the group (PySpark has no clearJobGroup; overwrite)
-            spark.sparkContext.setJobGroup("sweep-idle", "between queries")
-        el = round(time.perf_counter() - t0, 1)
-        results[name] = {"status": status, "sec": el, "err": err}
-        print(f"{i + 1:3d}/{len(todo)} {name}: {status} ({el}s)", flush=True)
+        r = _run_one(spark, name, fn, watchdog)
+        results[name] = r
+        print(f"{i + 1:3d}/{len(todo)} {name}: {r['status']} ({r['sec']}s)", flush=True)
         spark.catalog.clearCache()
+    t_shared = round(time.perf_counter() - t_sweep, 1)
+    spark.stop()
+
+    # Self-adjudication pass (r14 verdict ask #1): the shared session's
+    # per-entry column is load-trailed exactly where it matters — marquee
+    # queries' persists + back-to-back 32-task stages pressure their
+    # successors.  Re-time every ok entry at/above the floor in a FRESH
+    # subprocess session and record both readings.
+    import subprocess
+
+    adj_floor = float(os.environ.get("SPARK_GRAFT_SWEEP_ADJ_FLOOR", "10"))
+    suspects = sorted(
+        n for n, r in results.items() if r["status"] == "ok" and r["sec"] >= adj_floor
+    )
+    adjudicated: dict[str, dict] = {}
+    for name in suspects:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", name, str(watchdog)],
+            capture_output=True,
+            text=True,
+            cwd=REPO_ROOT,
+        )
+        line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
+        try:
+            fresh = json.loads(line)
+        except ValueError:
+            fresh = {"status": "ERROR", "sec": None, "err": f"adjudicator died: {line[:200]}"}
+        results[name]["sec_fresh"] = fresh.get("sec")
+        results[name]["fresh_status"] = fresh.get("status")
+        adjudicated[name] = {"in_sweep": results[name]["sec"], "fresh": fresh.get("sec")}
+        print(f"adjudicate {name}: in-sweep {results[name]['sec']}s -> fresh {fresh.get('sec')}s", flush=True)
 
     summary = {
         "sf_dir": SF_DIR,
         "watchdog_sec": watchdog,
-        "total_sec": round(time.perf_counter() - t_sweep, 1),
+        "total_sec": t_shared,
         "counts": {
             s: sum(1 for r in results.values() if r["status"] == s)
             for s in ("ok", "skip-missing-table", "WATCHDOG", "ERROR")
@@ -125,13 +189,14 @@ def main() -> None:
         "flagged": {
             n: r for n, r in results.items() if r["status"] in ("WATCHDOG", "ERROR")
         },
+        "adjudicate_floor_sec": adj_floor,
+        "adjudicated": adjudicated,
         "results": results,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps({k: summary[k] for k in ("counts", "flagged", "total_sec")}))
-    spark.stop()
 
 
 if __name__ == "__main__":

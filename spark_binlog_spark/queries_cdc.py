@@ -1173,7 +1173,11 @@ def q_stream_mv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="c_mktsegment",
         val_col="c_acctbal",
     )
-    wire = read_stream(spark, f"{sf_dir}/events.parquet", numPartitions=8)
+    wire = read_stream(
+        spark,
+        f"{sf_dir}/events.parquet",
+        numPartitions=_source_partitions(spark, f"{sf_dir}/events.parquet"),
+    )
     q = (
         parse_stream(wire)
         .writeStream.foreachBatch(sink)
@@ -1889,7 +1893,11 @@ def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = F.broadcast(
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     )
-    wire = read_stream(spark, f"{sf_dir}/events.parquet", numPartitions=8)
+    wire = read_stream(
+        spark,
+        f"{sf_dir}/events.parquet",
+        numPartitions=_source_partitions(spark, f"{sf_dir}/events.parquet"),
+    )
     enriched = parse_stream(wire).join(cust, F.col("pk") == F.col("c_custkey"), "inner")
     partials = _drain_aggregated(
         spark,
@@ -2076,6 +2084,23 @@ FROM seq WHERE prev_offset IS NOT NULL AND cdc_offset - prev_offset > 1
 
 
 # ---------------------------------------------------------------- streaming
+def _source_partitions(spark: SparkSession, events_path: str) -> int:
+    """Scale-adaptive task count for binlog_fixture reads (guide §2.6).
+
+    The r14 constant (8) served ``local[8]`` and starved ``local[32]``
+    — at sf10 a 10M-event drain ran 8 Python-source tasks of 1.25M
+    events each (~15 s) with 24 cores idle.  Follow the session's
+    ``defaultParallelism`` instead (the same rule bench.py's stream
+    entries already use), bounded by the event count so tiny logs don't
+    schedule near-empty Python workers.  The probe is parquet footer
+    metadata only — no data read."""
+    from spark_binlog_spark.sources.binlog_fixture import _probe_end
+
+    n_events = _probe_end(events_path)
+    dp = int(spark.sparkContext.defaultParallelism)
+    return max(1, min(max(4, dp), (n_events + 4095) // 4096))
+
+
 def _drain_aggregated(spark: SparkSession, df: DataFrame, agg_fn, schema: str) -> DataFrame:
     """Run a streaming DataFrame to completion, aggregating EACH
     micro-batch distributedly via ``agg_fn`` (a bounded per-batch
@@ -2116,7 +2141,11 @@ def q_stream_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
 
     _pin(spark)
-    wire = read_stream(spark, f"{sf_dir}/events.parquet", numPartitions=8)
+    wire = read_stream(
+        spark,
+        f"{sf_dir}/events.parquet",
+        numPartitions=_source_partitions(spark, f"{sf_dir}/events.parquet"),
+    )
     partials = _drain_aggregated(
         spark,
         parse_stream(wire).select("op"),
@@ -2149,7 +2178,7 @@ def q_rotate_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire = (
         spark.read.format("binlog_fixture")
         .option("path", seg_dir)
-        .option("numPartitions", 8)
+        .option("numPartitions", _source_partitions(spark, f"{sf_dir}/events.parquet"))
         .load()
     )
     parsed = parse_stream(wire)  # same D1 parse; works on the batch view
@@ -2216,7 +2245,12 @@ def q_hbase_rolled_wal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _pin(spark)
     store, eps = _rolled_region_store(f"{sf_dir}/events.parquet")
-    wire = read_stream(spark, store, regions=4)
+    wire = read_stream(
+        spark,
+        store,
+        regions=4,
+        numPartitions=_source_partitions(spark, f"{sf_dir}/events.parquet"),
+    )
     parsed = parse_stream(wire).select(
         (F.col("pk") % 4).alias("region"),
         "cdc_offset",
@@ -2273,7 +2307,12 @@ def q_stream_schema_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin(spark)
     events = f"{sf_dir}/events.parquet"
     epoch = _probe_end(events) // 2  # metadata-only probe
-    wire = read_stream(spark, events, numPartitions=8, schemaEpochOffset=epoch)
+    wire = read_stream(
+        spark,
+        events,
+        numPartitions=_source_partitions(spark, events),
+        schemaEpochOffset=epoch,
+    )
     partials = _drain_aggregated(
         spark,
         parse_stream_evolving(wire).select("schema_ver", "ts_ms", "cdc_offset"),
@@ -2320,49 +2359,70 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING SESSIONIZATION under the oracle: the change stream is
-    forced through MULTIPLE capped micro-batches and sessionized with
-    ``session_window`` in complete output mode — sessions that span a
-    batch boundary must MERGE in the state store (the part the batch
-    q_user_sessions cannot exercise).  The final table hash-matches a
-    gaps-and-islands oracle computed on the same millisecond-truncated
-    event times the wire carries."""
-    import uuid
+    forced through MULTIPLE capped micro-batches; each batch is
+    sessionized DISTRIBUTEDLY with a batch ``session_window`` inside
+    foreachBatch, and sessions that span a batch boundary merge in the
+    final interval-merge step — the per-batch partial is the interval
+    hull [first_event, last_event + gap), and two hulls overlap exactly
+    when some pair of their member events would chain under the gap
+    rule, so merging hulls by overlap reproduces global sessionization
+    exactly (connectivity proof in the r15 notes).  The final table
+    hash-matches a gaps-and-islands oracle computed on the same
+    millisecond-truncated event times the wire carries.
 
+    r15 (verdict ask #7): this was the last ``format("memory")`` sink in
+    a query path — complete-mode session_window re-emitted the ENTIRE
+    session table to the driver every micro-batch and kept all session
+    state in the store.  Now only each batch's own partial sessions
+    cross to the driver, once, like every other drain
+    (_drain_aggregated pattern; the availableNow helper itself can't be
+    used because a capped Python DataSource needs the processing-time
+    drain below — DEVNOTES)."""
     from spark_binlog_spark.sources.binlog_fixture import _probe_end
     from spark_binlog_spark.streaming.pipeline import parse_stream, read_stream
 
     _pin(spark)
     events = f"{sf_dir}/events.parquet"
     n = _probe_end(events)
-    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     # cap to ~1/3 of the log per trigger -> >= 3 micro-batches, so
-    # session state MUST merge across batches
-    wire = read_stream(spark, events, numPartitions=8, maxEventsPerTrigger=max(1, n // 3))
+    # sessions MUST merge across batch boundaries
+    wire = read_stream(
+        spark,
+        events,
+        numPartitions=_source_partitions(spark, events),
+        maxEventsPerTrigger=max(1, n // 3),
+    )
     parsed = parse_stream(wire)
     sw = F.session_window(F.timestamp_millis(F.col("ts_ms")), "30 minutes")
-    agg = (
-        parsed.groupBy(sw.alias("w"), F.col("pk"))
-        .agg(
-            F.count("*").alias("n_events"),
-            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
-            .cast("long")
-            .alias("session_value_c"),
+
+    def batch_sessions(b: DataFrame) -> DataFrame:
+        return (
+            b.groupBy(sw.alias("w"), F.col("pk"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+            )
+            .select(
+                "pk",
+                F.unix_millis(F.col("w.start")).alias("ws"),
+                F.unix_millis(F.col("w.end")).alias("we"),
+                "n",
+                "sv",
+            )
         )
-        .select(
-            "pk",
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            "n_events",
-            "session_value_c",
-        )
-    )
+
+    rows: list = []
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        rows.extend(batch_sessions(batch_df).collect())
+
     # availableNow on a Python DataSource falls back to ONE batch
     # (DEVNOTES), which with the cap would truncate the stream — run a
     # processing-time trigger and drain it: processAllAvailable blocks
     # until the capped cursor has ratcheted through the whole log
     q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
+        parsed.select("pk", "ts_ms", "value")
+        .writeStream.foreachBatch(sink)
         .option("checkpointLocation", _tmpdir("stream_ck_") + "/ck")
         .trigger(processingTime="100 milliseconds")
         .start()
@@ -2370,7 +2430,33 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
-    return spark.table(name)
+    partials = spark.createDataFrame(
+        rows, "pk long, ws long, we long, n long, sv decimal(28,2)"
+    )
+    # interval merge (gaps-and-islands on the partials, a
+    # sessions-bounded relation): a partial opens a new session exactly
+    # when its start is at/after every earlier partial's end — the same
+    # strict-gap rule session_window applies between events
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("pk").orderBy("ws", "we")
+    prev_end = F.max("we").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(prev_end.isNull() | (F.col("ws") >= prev_end), 1).otherwise(0)
+    sid = F.sum(brk).over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        partials.select("pk", "ws", "n", "sv", sid.alias("sid"))
+        .groupBy("pk", "sid")
+        .agg(
+            F.date_format(
+                F.timestamp_millis(F.min("ws")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("session_start"),
+            F.sum("n").cast("long").alias("n_events"),
+            (F.sum("sv") * 100).cast("long").alias("session_value_c"),
+        )
+        .select("pk", "session_start", "n_events", "session_value_c")
+    )
 
 
 ORACLE["q_stream_sessions"] = f"""

@@ -982,6 +982,7 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
             # one partition per region (":248 parallelize per region")
             out = []
             rolled = self._region_index() if self.region_rolled else None
+            spans: list[tuple[int, str, int, int]] = []  # (region, path, lo, hi)
             for r in range(self.regions):
                 key = f"r{r}"
                 s = start.get(key, self.start_offset)
@@ -989,30 +990,49 @@ class BinlogFixtureStreamReader(DataSourceStreamReader):
                 s = self._observe_region_batch(key, s, raw_e)
                 e = max(s, raw_e)
                 if rolled is not None:
-                    # rolled-WAL: one task per (region, WAL file) — a
-                    # partition NEVER spans a roll boundary, and each
-                    # task opens exactly one file of its own region's
-                    # directory (structural pruning: no other region's
-                    # data is even reachable from the task's path)
-                    spans = [
-                        (max(s, seg["min"]), min(e, seg["max"] + 1), seg["path"])
+                    # rolled-WAL: a partition NEVER spans a roll
+                    # boundary, and each task opens exactly one file of
+                    # its own region's directory (structural pruning:
+                    # no other region's data is even reachable from the
+                    # task's path).  Subdivision below.
+                    r_spans = [
+                        (r, seg["path"], max(s, seg["min"]), min(e, seg["max"] + 1))
                         for seg in rolled[r]
                         if max(s, seg["min"]) < min(e, seg["max"] + 1)
                     ]
-                    if not spans:
+                    if not r_spans:
                         out.append(
                             OffsetRangePartition(
                                 s, s, self.path, region=r, n_regions=self.regions
                             )
                         )
-                    out.extend(
-                        OffsetRangePartition(lo, hi, p, region=r, n_regions=self.regions)
-                        for lo, hi, p in spans
-                    )
+                    spans.extend(r_spans)
                     continue
                 out.append(
                     OffsetRangePartition(s, e, self.path, region=r, n_regions=self.regions)
                 )
+            if rolled is not None and spans:
+                # ``numPartitions`` is the TOTAL task budget for the
+                # batch (guide §2.6): (region, file) spans are
+                # subdivided proportionally to their event-id length —
+                # regions own ~1/n_regions of the ids in any span, so
+                # length tracks rows.  One task per span is the floor,
+                # so the default budget (4) keeps the historical
+                # one-task-per-(region, file) shape while a budget of
+                # defaultParallelism fans a big batch out to the
+                # cluster.  Splits stay within one file; the range
+                # predicate prunes row groups, so subtasks don't re-read
+                # each other's data.
+                total = sum(hi - lo for _, _, lo, hi in spans)
+                for r, path, lo, hi in spans:
+                    n = max(1, round(self.num_partitions * (hi - lo) / total))
+                    step = (hi - lo + n - 1) // n
+                    out.extend(
+                        OffsetRangePartition(
+                            x, min(x + step, hi), path, region=r, n_regions=self.regions
+                        )
+                        for x in range(lo, hi, step)
+                    )
             return out
         s, e = start["offset"], end["offset"]
         s = self._observe_batch(s, e)

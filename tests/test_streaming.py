@@ -2513,6 +2513,42 @@ class TestRolledWALRegions:
             ids = sorted(i for lo, hi in spans for i in range(lo, hi) if (i % 5) % 4 == r)
             assert ids == [i for i in range(30) if (i % 5) % 4 == r]
 
+    def test_partition_budget_subdivides_spans_without_crossing_rolls(self, tmp_path):
+        """r15: ``numPartitions`` is a TOTAL task budget for a rolled
+        batch — spans subdivide proportionally to length, every chunk
+        stays inside one WAL file, per-region coverage is still exact,
+        and the default budget keeps the one-task-per-(region, file)
+        shape."""
+        from spark_binlog_spark.sources.binlog_fixture import (
+            BinlogFixtureStreamReader,
+        )
+
+        flat, store, eps = self._store(tmp_path, n=120)
+        start_end = lambda rdr: (rdr.initialOffset(), rdr.latestOffset())
+
+        rdr4 = BinlogFixtureStreamReader({"path": store, "regions": "4"})
+        s4, e4 = start_end(rdr4)
+        base = [p for p in rdr4.partitions(s4, e4) if p.end > p.start]
+
+        rdr32 = BinlogFixtureStreamReader(
+            {"path": store, "regions": "4", "numPartitions": "32"}
+        )
+        s32, e32 = start_end(rdr32)
+        parts = [p for p in rdr32.partitions(s32, e32) if p.end > p.start]
+        # budget fans out past one-per-span
+        assert len(parts) > len(base)
+        import re
+
+        for p in parts:
+            assert re.search(rf"region={p.region}[/\\]wal\.\d{{6}}$", p.path), p.path
+            # a chunk never crosses a roll boundary (eps-aligned files)
+            assert (p.start // eps) == ((p.end - 1) // eps)
+        # per-region chunks reassemble each region's exact event set
+        for r in range(4):
+            spans = [(p.start, p.end) for p in parts if p.region == r]
+            ids = sorted(i for lo, hi in spans for i in range(lo, hi) if (i % 5) % 4 == r)
+            assert ids == [i for i in range(120) if (i % 5) % 4 == r]
+
     def test_rolled_stream_matches_flat_and_commits_map_offsets(self, spark, tmp_path):
         """The rolled store must stream the identical event set to the
         flat store, schema-less envelopes, and checkpoint the region-map
