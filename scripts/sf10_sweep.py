@@ -109,21 +109,101 @@ def _run_one(spark, name, fn, watchdog) -> dict:
 
 
 def _only_mode(name: str, watchdog: float) -> None:
-    """Fresh-session single-query re-time (the adjudication subprocess):
-    prints one JSON line on stdout."""
+    """Fresh-session re-time (the adjudication subprocess), mirroring
+    bench.py's requiet methodology: construct + one cold run (recorded
+    as ``sec_cold`` — it pays fixture builds, Python-worker spawn and
+    codegen warmup), then min of two warm timed runs (``sec``, the
+    citable steady-state number; a clean min-of-2 cannot read below the
+    query's true cost).  Prints one JSON line on stdout."""
     spark = _make_session()
     from spark_binlog_spark import registry
 
     fn = registry.queries()[name]
-    r = _run_one(spark, name, fn, watchdog)
-    print(json.dumps({"name": name, **r}))
+    r = _run_one(spark, name, fn, watchdog)  # cold, under the watchdog
+    out = {"name": name, "status": r["status"], "sec_cold": r["sec"], "err": r["err"]}
+    if r["status"] == "ok":
+        warm = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            warm.append(round(time.perf_counter() - t0, 1))
+        out["sec"] = min(warm)
+        out["warm_runs"] = warm
+    else:
+        out["sec"] = None
+    print(json.dumps(out))
     spark.stop()
+
+
+def _wait_quiet(gate: float = 2.0, retries: int = 10, sleep_s: float = 30.0) -> None:
+    """Bounded wait for the 1-min loadavg to drop below ``gate`` so the
+    serial fresh sessions don't measure each other's trailing load."""
+    for _ in range(retries):
+        if os.getloadavg()[0] <= gate:
+            return
+        time.sleep(sleep_s)
+
+
+def _adjudicate(results: dict, watchdog: float) -> dict:
+    """Self-adjudication pass (r14 verdict ask #1): the shared session's
+    per-entry column is load-trailed exactly where it matters — marquee
+    queries' persists + back-to-back 32-task stages pressure their
+    successors.  Re-time every ok entry at/above the floor in a FRESH
+    subprocess session (quiet-gated, requiet methodology: cold run +
+    min-of-2 warm) and record all three readings."""
+    import subprocess
+
+    adj_floor = float(os.environ.get("SPARK_GRAFT_SWEEP_ADJ_FLOOR", "10"))
+    suspects = sorted(
+        n for n, r in results.items() if r["status"] == "ok" and r["sec"] >= adj_floor
+    )
+    adjudicated: dict[str, dict] = {}
+    for name in suspects:
+        _wait_quiet()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", name, str(watchdog)],
+            capture_output=True,
+            text=True,
+            cwd=REPO_ROOT,
+        )
+        line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
+        try:
+            fresh = json.loads(line)
+        except ValueError:
+            fresh = {"status": "ERROR", "sec": None, "err": f"adjudicator died: {line[:200]}"}
+        results[name]["sec_fresh"] = fresh.get("sec")
+        results[name]["sec_fresh_cold"] = fresh.get("sec_cold")
+        results[name]["fresh_status"] = fresh.get("status")
+        adjudicated[name] = {
+            "in_sweep": results[name]["sec"],
+            "fresh": fresh.get("sec"),
+            "fresh_cold": fresh.get("sec_cold"),
+        }
+        print(
+            f"adjudicate {name}: in-sweep {results[name]['sec']}s -> "
+            f"fresh {fresh.get('sec')}s (cold {fresh.get('sec_cold')}s)",
+            flush=True,
+        )
+    return adjudicated
 
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     if args and args[0] == "--only":
         _only_mode(args[1], float(args[2]) if len(args) > 2 else 150.0)
+        return
+    if args and args[0] == "--adjudicate":
+        # redo ONLY the adjudication pass over an existing sweep artifact
+        # (e.g. after fixing the adjudicator), rewriting it in place
+        path = args[1]
+        summary = json.load(open(path))
+        summary["adjudicated"] = _adjudicate(summary["results"], summary["watchdog_sec"])
+        summary["adjudicate_floor_sec"] = float(
+            os.environ.get("SPARK_GRAFT_SWEEP_ADJ_FLOOR", "10")
+        )
+        with open(path, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(json.dumps({"adjudicated": len(summary["adjudicated"])}))
         return
     out_path = args[0] if args else "sf10_sweep.json"
     watchdog = float(args[1]) if len(args) > 1 else 150.0
@@ -154,29 +234,7 @@ def main() -> None:
     # queries' persists + back-to-back 32-task stages pressure their
     # successors.  Re-time every ok entry at/above the floor in a FRESH
     # subprocess session and record both readings.
-    import subprocess
-
-    adj_floor = float(os.environ.get("SPARK_GRAFT_SWEEP_ADJ_FLOOR", "10"))
-    suspects = sorted(
-        n for n, r in results.items() if r["status"] == "ok" and r["sec"] >= adj_floor
-    )
-    adjudicated: dict[str, dict] = {}
-    for name in suspects:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--only", name, str(watchdog)],
-            capture_output=True,
-            text=True,
-            cwd=REPO_ROOT,
-        )
-        line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
-        try:
-            fresh = json.loads(line)
-        except ValueError:
-            fresh = {"status": "ERROR", "sec": None, "err": f"adjudicator died: {line[:200]}"}
-        results[name]["sec_fresh"] = fresh.get("sec")
-        results[name]["fresh_status"] = fresh.get("status")
-        adjudicated[name] = {"in_sweep": results[name]["sec"], "fresh": fresh.get("sec")}
-        print(f"adjudicate {name}: in-sweep {results[name]['sec']}s -> fresh {fresh.get('sec')}s", flush=True)
+    adjudicated = _adjudicate(results, watchdog)
 
     summary = {
         "sf_dir": SF_DIR,
